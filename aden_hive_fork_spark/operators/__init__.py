@@ -1,0 +1,27 @@
+"""Custom operators built from Spark primitives (SURVEY.md §2.D).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + LSH-bucketed cosine), and the supporting text
+shingling — each expressed as DataFrame compositions first, Pandas
+UDFs only where built-ins can't express the semantics.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+from .similarity import cosine_topk_exact, cosine_topk_vectorized, lsh_bucket_candidates
+
+__all__ = [
+    "exact_dedup",
+    "minhash_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "cosine_topk_exact",
+    "cosine_topk_vectorized",
+    "lsh_bucket_candidates",
+]

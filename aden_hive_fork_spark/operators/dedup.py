@@ -1,0 +1,232 @@
+"""Deduplication operators (driver-mandated extension, SURVEY.md §2.D).
+
+Four tiers, all distributed (no driver-side loops):
+
+- exact_dedup            — hash groupBy, deterministic representative
+- ngram_jaccard_pairs    — exact shingle Jaccard on blocked candidates
+- minhash_neardup_pairs  — MinHash LSH approximate similarity join
+- simhash_*              — 64-bit SimHash + banded Hamming join
+
+Scale notes: exact dedup is one shuffle on the key. The fuzzy tiers
+avoid the O(n²) pair explosion by blocking: LSH band-buckets (MinHash),
+16-bit fingerprint bands (SimHash), or metadata blocks (Jaccard). At
+100 TB the band/bucket join is the only shuffle and each bucket is
+small; skewed buckets (stop-shingle collisions) are handled by AQE
+skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with MIN(order_col).
+
+    Deterministic alternative to ``dropDuplicates`` (which keeps an
+    arbitrary row). Implemented as min-aggregate + self-semi-join so
+    the representative is well-defined; Catalyst plans one shuffle.
+    """
+    keep = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
+    return df.join(keep, on=key_cols + [order_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling helpers (shared by Jaccard + MinHash tiers)
+# ---------------------------------------------------------------------------
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def shingles_col(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct k-word shingles as an array<string> — pure JVM
+    higher-order functions, no Python in the row path. Guarded for
+    short docs: sequence(0, n) with n < 0 would count *down* in Spark,
+    so documents with < k tokens yield an empty array."""
+    toks = tokens_col(text_col)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    return F.when(F.size(toks) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard on blocked candidate pairs
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingles for candidate pairs inside a
+    block (e.g. same source). Set-size arithmetic is all integers, so
+    the score is deterministic: |A∩B| / (|A| + |B| - |A∩B|).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    4 decimals, filtered to >= threshold.
+    """
+    block_cols = block_cols or []
+    sh = df.select(
+        *block_cols,
+        F.col(id_col).alias("id"),
+        shingles_col(text_col, k).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+
+    # Inverted index: explode shingles and self-join on the shingle key
+    # (plus block keys). Only pairs sharing >= 1 shingle ever
+    # materialize — at 100 TB this is the difference between a keyed
+    # shuffle join and an O(n^2) blocked cross join. A pair's common-
+    # shingle count IS its intersection size (shingles are distinct).
+    inv = sh.select(*block_cols, "id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = inv.select(
+        *block_cols, "shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = inv.select(
+        *block_cols, "shingle", F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    common = (
+        a.join(b, block_cols + ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    jac = F.round(
+        F.col("inter").cast("double") / F.nullif(union, F.lit(0)).cast("double"), 4
+    ).cast("double")
+    return (
+        common.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup (Spark ML — approximate, declared non-oracle)
+# ---------------------------------------------------------------------------
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    max_jaccard_distance: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """shingle → binary HashingTF → MinHashLSH → approxSimilarityJoin.
+
+    The LSH band join is the scale path: candidates only collide inside
+    hash buckets, so the pair space never materializes. Seeded, so the
+    output is stable run-to-run (still declared non-oracle — the
+    candidate set is approximate by construction).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(F.col(id_col).alias("id"), shingles_col(text_col, k).alias("shingles"))
+    docs = docs.filter(F.size("shingles") > 0)
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, max_jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).cast("double").alias("est_jaccard"),
+        )
+        .orderBy(F.desc("est_jaccard"), "id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — pure column expressions, fully JVM-side
+# ---------------------------------------------------------------------------
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Each distinct shingle is hashed with xxhash64; bit b of the
+    fingerprint is the sign of sum(±1 over shingles for bit b).
+    Implemented as explode → 64 conditional sums → bit-OR recombine:
+    one shuffle on the doc id, everything in whole-stage codegen.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles_col(text_col, k).alias("shingles"))
+    exploded = sh.select("id", F.explode("shingles").alias("shingle")).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = exploded.groupBy("id").agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit fingerprint
+    into four 16-bit bands; by pigeonhole, any pair within Hamming
+    distance 3 shares at least one exact band → the band-equality join
+    finds all such pairs without O(n²). Verify with bit_count(xor).
+    """
+    fps = simhash_fingerprints(df, id_col, text_col, k)
+    bands = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("hamming", "id_a", "id_b")
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (SURVEY.md §2.D).
+
+Three paths:
+
+- cosine_topk_exact       — exact-decimal dot product, oracle-matchable
+- cosine_topk_vectorized  — Arrow-batched numpy brute force (the
+                            single-node throughput path)
+- lsh_bucket_candidates   — random-hyperplane LSH bucketing (the
+                            100 TB scale path: candidates per bucket,
+                            then exact re-rank)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Exact-decimal dot product: float32 elements are cast to
+# DECIMAL(10,8) (correctly-rounded, identical in Spark and DuckDB) and
+# summed exactly — the only floating-point steps are the final sqrt /
+# divide, which are IEEE-deterministic on identical inputs.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DECIMAL(10,8)) * CAST(y AS DECIMAL(10,8))),"
+    " CAST(0 AS DECIMAL(30,16)), (acc, v) -> CAST(acc + v AS DECIMAL(30,16)))"
+)
+_NORM2 = (
+    "aggregate(transform({a}, x -> CAST(x AS DECIMAL(10,8)) * CAST(x AS DECIMAL(10,8))),"
+    " CAST(0 AS DECIMAL(30,16)), (acc, v) -> CAST(acc + v AS DECIMAL(30,16)))"
+)
+
+
+def cosine_topk_exact(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector.
+
+    The 1-row query side is broadcast; scoring is a map-only pass over
+    the corpus and top-k compiles to TakeOrderedAndProject — at scale
+    this is one full scan, no shuffle.
+    """
+    q = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("q_vec"))
+        .limit(1)
+    )
+    dot = F.expr(_DOT.format(a=vec_col, b="q_vec"))
+    n_v = F.expr(_NORM2.format(a=vec_col))
+    n_q = F.expr(_NORM2.format(a="q_vec"))
+    cosine = F.round(
+        dot.cast("double")
+        / F.nullif(F.sqrt(n_v.cast("double")) * F.sqrt(n_q.cast("double")), F.lit(0.0)),
+        6,
+    ).cast("double")
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k for a batch of query vectors via mapInPandas.
+
+    The query matrix ships to every task (small — it's the broadcast
+    side by construction); each Arrow batch of corpus vectors is scored
+    against all queries with one BLAS matmul, and only each partition's
+    local top-k survives before the final global top-k. This is the
+    throughput baseline the IVF/LSH path is measured against.
+    """
+    import numpy as np
+
+    q_ids = [int(i) for i, _ in query_vecs]
+    q_mat = np.asarray([v for _, v in query_vecs], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    out_schema = "query_id long, vec_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ qn.T  # (batch, n_queries)
+            frames = []
+            top = min(k, sims.shape[0])
+            for qi, qid in enumerate(ids):
+                idx = np.argpartition(-sims[:, qi], top - 1)[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": pdf[id_col].to_numpy()[idx],
+                            "cosine": np.round(sims[idx, qi], 6),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id per vector.
+
+    Deterministic planes derived from the seed. Vectors sharing a
+    bucket are ANN candidates: at 100 TB, the bucket id becomes the
+    shuffle/bucketing key so candidate generation is a co-located
+    join instead of an all-pairs scan. Re-rank candidates with
+    cosine_topk_* for exact scores.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(emb.select(vec_col).first()[0])
+    planes = rng.standard_normal((num_planes, dim))
+    spark = emb.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (mat @ pl.T) > 0  # (n, planes)
+            bucket = signs.dot(1 << np.arange(pl.shape[0])).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"{id_col} long, bucket long"
+    )

@@ -1,0 +1,114 @@
+"""Dedup suite entries (SURVEY.md §2.D).
+
+Exact dedup and exact n-gram Jaccard are oracle-checked; MinHash LSH
+and SimHash are approximate-by-construction → declared non-oracle
+(rows-only check), per SURVEY §2 contract note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ._helpers import T
+
+
+# ---------------------------------------------------------------------------
+# q40 — exact dedup by key with deterministic representative.
+# ---------------------------------------------------------------------------
+@query(
+    "q40_exact_dedup_events",
+    oracle="""
+    SELECT user_id, event_type,
+      CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+      COUNT(*) AS n_occurrences
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id ASC, event_type ASC
+    """,
+)
+def q40_exact_dedup_events(spark, sf_dir):
+    """Exact dedup of the event log on (user_id, event_type), keeping
+    the earliest event id and reporting the duplicate mass — the
+    hash-groupBy dedup tier."""
+    ev = T(spark, sf_dir, "events")
+    deduped = exact_dedup(ev.select("user_id", "event_type", "event_id"),
+                          ["user_id", "event_type"], "event_id")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    return (
+        deduped.withColumnRenamed("event_id", "first_event_id")
+        .join(counts, ["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("first_event_id").cast("bigint"),
+            "n_occurrences",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — exact 3-gram Jaccard near-dup pairs, blocked by source.
+# ---------------------------------------------------------------------------
+@query(
+    "q41_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        )) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(NULLIF(len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles)), 0) AS DOUBLE), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(NULLIF(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)), 0) AS DOUBLE) >= 0.2
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    """,
+)
+def q41_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate pairs by exact 3-word-shingle Jaccard within a
+    source block. Integer set arithmetic → deterministic score."""
+    docs = T(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2
+    ).selectExpr("CAST(id_a AS BIGINT) AS id_a", "CAST(id_b AS BIGINT) AS id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# q42 — MinHash LSH near-dup (approximate → rows-only check).
+# ---------------------------------------------------------------------------
+@query("q42_minhash_neardup")
+def q42_minhash_neardup(spark, sf_dir):
+    """MinHash LSH near-duplicate candidates over documents
+    (shingle → binary TF → banded MinHash join). Approximate candidate
+    set ⇒ no DuckDB oracle; the exact-Jaccard twin (q41) is the
+    hash-checked tier."""
+    docs = T(spark, sf_dir, "documents")
+    return minhash_neardup_pairs(docs, id_col="doc_id", text_col="text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# q43 — SimHash near-dup (approximate → rows-only check).
+# ---------------------------------------------------------------------------
+@query("q43_simhash_neardup")
+def q43_simhash_neardup(spark, sf_dir):
+    """SimHash(64) near-duplicate pairs via 16-bit band blocking +
+    Hamming verify — fully JVM-side column expressions."""
+    docs = T(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, id_col="doc_id", text_col="text", k=3, max_hamming=3)

@@ -1,0 +1,200 @@
+"""Event-layer queries (SURVEY.md §2.C, batch analogs).
+
+The reference's event bus exposes ``get_history(event_type, …, limit)``
+(most-recent-first) and ``get_stats`` (count by type)
+(reference: core/framework/runtime/event_bus.py:1017-1058), plus
+filtered subscriptions (:327-349). Here they are batch queries over
+the ``events`` table; the live Structured Streaming twins live in
+``aden_hive_fork_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import query
+from ._helpers import T, avg2, dec, dround
+
+
+# ---------------------------------------------------------------------------
+# q20 — get_history: filter → order ts desc → limit (event_bus.py:1017-1046).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_event_history",
+    oracle="""
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE event_type = 'click' AND user_id < 100
+    ORDER BY ts DESC, event_id DESC
+    LIMIT 100
+    """,
+)
+def q20_event_history(spark, sf_dir):
+    """Most-recent-first bounded history. LIMIT is deterministic:
+    event_id is a unique tie-break under equal timestamps. Scale:
+    TakeOrderedAndProject — no global sort materializes."""
+    return (
+        T(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — get_stats: count by type (event_bus.py:1048-1058), widened.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_event_stats",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def q21_event_stats(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dround(F.sum(dec("value"))).alias("total_value"),
+            avg2(F.sum(dec("value")), F.count(F.lit(1))).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — tumbling-window aggregation, batch twin of the streaming op
+# (§2.C row 67: the new engine adds event-time windows).
+# ---------------------------------------------------------------------------
+@query(
+    "q22_hourly_event_windows",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def q22_hourly_event_windows(spark, sf_dir):
+    """1-hour tumbling windows over the event stream (batch). The
+    date_trunc form is hash-matchable; the streaming twin uses
+    window('1 hour') + withWatermark."""
+    ev = T(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp_ntz"))
+    )
+    # Pure-NTZ hour truncation: date_trunc() on NTZ would round-trip
+    # through the session timezone (LTZ result) and drift when the
+    # caller's session tz is not UTC; integer hour arithmetic is
+    # timezone-proof.
+    hour_start = F.expr(
+        "timestampadd(HOUR, timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return (
+        ev.groupBy(hour_start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum(dec("value"))).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — JSON payload extraction (§2.A row 28: find_json_object /
+# from_json analog — node.py:33-139).
+# ---------------------------------------------------------------------------
+@query(
+    "q23_event_props_json",
+    oracle="""
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket ASC NULLS LAST
+    """,
+)
+def q23_event_props_json(spark, sf_dir):
+    """Extract a typed field from the JSON ``props`` payload and
+    aggregate on it. Spark uses the native get_json_object (JVM-side
+    JSON path); the oracle uses a regex so it needs no DuckDB
+    extension — both yield the same integers."""
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+        )
+        .orderBy(F.asc_nulls_last("k_bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — sessionization: gap > 30 min starts a new session. Batch twin
+# of session_window(); gaps computed in exact integer microseconds.
+# ---------------------------------------------------------------------------
+@query(
+    "q24_user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+             WHEN date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000 THEN 1
+             ELSE 0 END AS is_new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id,
+      CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+      COUNT(*) AS n_events
+    FROM marked
+    GROUP BY user_id
+    ORDER BY user_id ASC
+    """,
+)
+def q24_user_sessions(spark, sf_dir):
+    """Per-user session counts with a 30-minute inactivity gap. The gap
+    is compared in whole microseconds (exact integers in both engines —
+    no calendar-unit truncation ambiguity). Scale: one shuffle on
+    user_id; the window and the aggregate share that partitioning."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts)"
+    )
+    marked = T(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(prev_ts.isNull(), 1)
+        .when(gap_us > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("is_new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,88 @@
+"""Similarity-search suite entries (SURVEY.md §2.D).
+
+The single-query exact top-k is oracle-checked (exact-decimal dot
+product — see operators.similarity). The batched numpy path and the
+LSH bucketing are rows-only (the former returns identical values but
+exercises mapInPandas; the latter is approximate by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ..operators.similarity import (
+    cosine_topk_exact,
+    cosine_topk_vectorized,
+    lsh_bucket_candidates,
+)
+from ._helpers import T
+
+
+@query(
+    "q50_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT i, CAST(val AS DECIMAL(10,8)) AS qv
+      FROM (SELECT unnest(embedding) AS val, generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id = 0)
+    ),
+    e AS (
+      SELECT vec_id, i, CAST(val AS DECIMAL(10,8)) AS ev
+      FROM (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    dots AS (
+      SELECT e.vec_id,
+        SUM(e.ev * q.qv) AS dot,
+        SUM(e.ev * e.ev) AS nv,
+        SUM(q.qv * q.qv) AS nq
+      FROM e JOIN q USING (i)
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id,
+      ROUND(CAST(dot AS DOUBLE)
+            / NULLIF(sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)), 0), 6) AS cosine
+    FROM dots
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q50_cosine_topk(spark, sf_dir):
+    """Top-10 cosine neighbors of vector 0, exact-decimal arithmetic
+    (both engines sum DECIMAL products exactly; the final sqrt/divide
+    are IEEE-identical). LIMIT has the (cosine DESC, vec_id) total
+    order."""
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_topk_exact(emb, query_id=0, k=10).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "cosine"
+    )
+
+
+@query("q51_cosine_topk_batch")
+def q51_cosine_topk_batch(spark, sf_dir):
+    """Batched brute-force ANN baseline: top-5 neighbors for the first
+    8 stored vectors via one Arrow/numpy matmul per partition
+    (mapInPandas). Rows-only check (same math, exercises the
+    vectorized path)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    return cosine_topk_vectorized(emb, queries, k=5)
+
+
+@query("q52_lsh_bucket_stats")
+def q52_lsh_bucket_stats(spark, sf_dir):
+    """Random-hyperplane LSH bucket occupancy — the ANN scale path's
+    candidate-generation stage. Deterministic given the seed, but the
+    bucket ids are implementation-defined ⇒ rows-only."""
+    emb = T(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket_candidates(emb, num_planes=10, seed=42)
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy(F.desc("n_vectors"), "bucket")
+    )

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = median wall-clock seconds per headline query (warm session).
+Targets: BASELINE.md §3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",        # scan+filter+agg
+    "q02_top_revenue_orders",     # 2-way join + agg + top-k
+    "q03_region_nation_revenue",  # multi-way join w/ broadcast dims
+    "q06_top_lineitems_per_part", # window rank
+    "q13_orders_above_avg",       # scalar subquery
+    "q20_event_history",          # filter+sort+limit
+    "q22_hourly_event_windows",   # event-time windows
+    "q24_user_sessions",          # sessionization
+    "q30_doc_token_stats",        # text analysis
+    "q33_doc_fingerprints",       # fingerprint dedup
+    "q41_ngram_jaccard_pairs",    # near-dup exact jaccard
+    "q50_cosine_topk",            # similarity search
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from aden_hive_fork_spark import suite
+    from aden_hive_fork_spark.session import build_session
+
+    spark = build_session(app_name="aden-hive-fork-spark-bench")
+    queries = suite.get_queries()
+
+    # Warm the JVM + parquet footers with one light action.
+    queries["q20_event_history"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_median_sec",
+                "value": round(statistics.median(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Semantic unit tests for the custom operators (dedup / similarity),
+in the reference's per-tool golden style (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+from aden_hive_fork_spark.operators.similarity import (
+    cosine_topk_exact,
+    cosine_topk_vectorized,
+    lsh_bucket_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup of 1
+        (4, "completely different text about spark sql engines here", "a"),
+        (5, "unrelated short text", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_keeps_min(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 10), (1, "x", 5), (2, "y", 7)], "k long, v string, ord long"
+    )
+    out = exact_dedup(df, ["k", "v"], "ord").orderBy("k").collect()
+    assert [(r.k, r.ord) for r in out] == [(1, 5), (2, 7)]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", block_cols=["source"], k=3, threshold=0.2
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 3)] == 1.0  # exact dup
+    assert 0.5 <= got[(1, 2)] < 1.0  # near dup
+    assert (1, 4) not in got
+
+
+def test_minhash_neardup(docs):
+    pairs = minhash_neardup_pairs(docs, "doc_id", k=3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 3) in got  # exact dup always collides
+    assert (1, 2) in got  # near dup at distance < 0.8
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    fps = {r.id: r.simhash for r in simhash_fingerprints(docs, "doc_id").collect()}
+    assert fps[1] == fps[3]
+    pairs = simhash_neardup_pairs(docs, "doc_id", max_hamming=3).collect()
+    assert (1, 3) in {(r.id_a, r.id_b) for r in pairs}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+        (4, [0.8, 0.2, 0.1]),   # close-ish
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact_order(emb):
+    out = cosine_topk_exact(emb, query_id=0, k=3).collect()
+    assert [r.vec_id for r in out] == [1, 4, 2]
+    assert out[0].cosine > 0.99
+    assert abs(out[2].cosine) < 1e-9
+
+
+def test_cosine_topk_vectorized_matches_exact(emb):
+    q = [(0, [1.0, 0.0, 0.0])]
+    out = cosine_topk_vectorized(emb, q, k=3).collect()
+    assert [r.vec_id for r in out] == [1, 4, 2]
+
+
+def test_lsh_buckets_deterministic(emb):
+    b1 = {r.vec_id: r.bucket for r in lsh_bucket_candidates(emb, seed=7).collect()}
+    b2 = {r.vec_id: r.bucket for r in lsh_bucket_candidates(emb, seed=7).collect()}
+    assert b1 == b2
+    # identical direction vectors must share a bucket
+    df2 = emb.sparkSession.createDataFrame(
+        [(10, [1.0, 1.0, 0.0]), (11, [2.0, 2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    b3 = {r.vec_id: r.bucket for r in lsh_bucket_candidates(df2, seed=7).collect()}
+    assert b3[10] == b3[11]
+
+
+def test_shingles_short_doc_empty(spark):
+    from aden_hive_fork_spark.operators.dedup import shingles_col
+
+    df = spark.createDataFrame([("one two",)], "text string")
+    assert df.select(shingles_col("text", 3).alias("s")).first().s == []
