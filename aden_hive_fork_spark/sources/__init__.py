@@ -1,0 +1,33 @@
+"""Data sources/sinks (SURVEY.md §2.A rows 1-7, 25, 32-36).
+
+CSV (native Spark), Excel (pandas bridge, gated on openpyxl), JSONL
+(corrupt-line tolerant), text/grep, and binary/multimodal ingestion.
+"""
+
+from .csv_source import csv_append, csv_info, csv_read, csv_sql, csv_write
+from .excel_source import (
+    HAVE_OPENPYXL,
+    excel_sql,
+    excel_sql_frames,
+    sheets_to_views,
+)
+from .binary import extract_metadata, fake_features, read_binary_dir
+from .json_source import read_jsonl
+from .text_source import grep_files
+
+__all__ = [
+    "extract_metadata",
+    "fake_features",
+    "read_binary_dir",
+    "csv_read",
+    "csv_write",
+    "csv_append",
+    "csv_info",
+    "csv_sql",
+    "HAVE_OPENPYXL",
+    "excel_sql",
+    "excel_sql_frames",
+    "sheets_to_views",
+    "read_jsonl",
+    "grep_files",
+]

@@ -1,0 +1,183 @@
+"""Multimodal (binary) columns: ingestion + metadata extraction.
+
+Reference analogs: vision_tool label/text extraction over images
+(tools/src/aden_tools/tools/vision_tool/vision_tool.py:371-520) and
+pdf_read page extraction (pdf_read_tool.py:20-194). Driver mandate
+(§2.D): image/audio/video as opaque BINARY columns with typed
+metadata; decode/feature-extract as Pandas UDFs over mapInPandas.
+
+What is REAL here (no external libs needed):
+- binaryFile ingestion -> (path, modificationTime, length, content)
+- container sniffing (PNG/JPEG/GIF/WAV/PDF magic bytes)
+- image dimension extraction from PNG IHDR / JPEG SOFn / GIF header
+- WAV sample-rate/channels from the RIFF fmt chunk
+- the mapInPandas plumbing: schema, batching, partitioning
+
+What is STUBBED (decode libs absent in this container):
+- pixel decode / resize / frame sampling -> ``decode_pixels_stub``
+  raises NotImplementedError; ``fake_features`` produces a
+  deterministic hash-derived feature vector so downstream pipelines
+  (dedup, similarity) are exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+META_SCHEMA = (
+    "path string, length long, mime string, width int, height int,"
+    " sample_rate int, channels int, sha256 string"
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of binary assets as a DataFrame
+    (path, modificationTime, length, content BINARY)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# pure-python container parsing (public file-format specs)
+# ---------------------------------------------------------------------------
+def sniff_mime(b: bytes) -> str:
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image/png"
+    if b.startswith(b"\xff\xd8\xff"):
+        return "image/jpeg"
+    if b.startswith((b"GIF87a", b"GIF89a")):
+        return "image/gif"
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        return "audio/wav"
+    if b.startswith(b"%PDF-"):
+        return "application/pdf"
+    return "application/octet-stream"
+
+
+def png_size(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h
+    return None
+
+
+def jpeg_size(b: bytes) -> tuple[int, int] | None:
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return w, h
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    return None
+
+
+def gif_size(b: bytes) -> tuple[int, int] | None:
+    if len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        return w, h
+    return None
+
+
+def wav_format(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, channels) from the RIFF fmt chunk."""
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 16 <= len(b):
+            channels = struct.unpack("<H", b[i + 10 : i + 12])[0]
+            rate = struct.unpack("<I", b[i + 12 : i + 16])[0]
+            return rate, channels
+        i += 8 + size + (size % 2)
+    return None
+
+
+def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """mapInPandas metadata extraction: mime sniff + dimensions/audio
+    format + content hash. Arrow-batched; each batch is parsed in pure
+    Python (cheap header reads, not full decode)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col])
+                mime = sniff_mime(b)
+                w = h = rate = ch = None
+                if mime == "image/png":
+                    wh = png_size(b)
+                    w, h = wh if wh else (None, None)
+                elif mime == "image/jpeg":
+                    wh = jpeg_size(b)
+                    w, h = wh if wh else (None, None)
+                elif mime == "image/gif":
+                    wh = gif_size(b)
+                    w, h = wh if wh else (None, None)
+                elif mime == "audio/wav":
+                    rc = wav_format(b)
+                    rate, ch = rc if rc else (None, None)
+                rows.append(
+                    {
+                        "path": r.get("path", ""),
+                        "length": len(b),
+                        "mime": mime,
+                        "width": w,
+                        "height": h,
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "sha256": hashlib.sha256(b).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(parse, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# stubs — decode libs are not installed in this container
+# ---------------------------------------------------------------------------
+def decode_pixels_stub(*_args, **_kwargs):
+    """Pixel decode / resize / frame-sample requires an image/video
+    library (e.g. Pillow / ffmpeg) that is not installed here. The
+    Spark-side plumbing (schema, batching, UDF signature) is real —
+    swap this stub for the actual decoder on a cluster that has it."""
+    raise NotImplementedError(
+        "pixel decode requires an image library not present in this environment"
+    )
+
+
+def fake_features(df: DataFrame, content_col: str = "content", dim: int = 16) -> DataFrame:
+    """Deterministic stand-in feature extractor: a hash-derived
+    fixed-length float vector per asset. Lets the multimodal pipeline
+    (features -> dedup/similarity) run end-to-end without decode libs;
+    identical bytes always produce identical vectors."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col])
+                digest = hashlib.sha256(b).digest()
+                vec = [
+                    int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
+                    for i in range(dim)
+                ]
+                rows.append({"path": r.get("path", ""), "features": vec})
+            yield pd.DataFrame(rows)
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(feat, schema="path string, features array<double>")

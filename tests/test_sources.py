@@ -1,0 +1,161 @@
+"""Source/sink tests in the reference's fixture style
+(tools/tests/tools/test_csv_tool.py / test_excel_tool.py patterns)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from aden_hive_fork_spark.sources import (
+    csv_append,
+    csv_info,
+    csv_read,
+    csv_sql,
+    csv_write,
+    excel_sql_frames,
+    extract_metadata,
+    fake_features,
+    grep_files,
+    read_binary_dir,
+    read_jsonl,
+)
+from aden_hive_fork_spark.sources.excel_source import search_predicate
+
+
+@pytest.fixture()
+def people_csv(tmp_path):
+    # the reference's canonical fixture (test_csv_tool.py:49-52)
+    p = tmp_path / "people.csv"
+    p.write_text("name,age,city\nAlice,30,NYC\nBob,25,LA\nCharlie,35,Chicago\n")
+    return str(p)
+
+
+def test_csv_read_all_strings(spark, people_csv):
+    res = csv_read(spark, people_csv)
+    assert res["success"] and res["total_rows"] == 3
+    assert res["rows"][0] == {"name": "Alice", "age": "30", "city": "NYC"}  # strings!
+
+
+def test_csv_read_limit_offset(spark, people_csv):
+    res = csv_read(spark, people_csv, limit=1, offset=1)
+    assert res["row_count"] == 1
+    assert res["rows"][0]["name"] == "Bob"
+    assert res["total_rows"] == 3
+
+
+def test_csv_sql_typed(spark, people_csv):
+    # golden results from the reference tests (test_excel_tool.py:847-869)
+    res = csv_sql(spark, people_csv, "SELECT name FROM data WHERE age > 25 ORDER BY name")
+    assert [r["name"] for r in res["rows"]] == ["Alice", "Charlie"]
+    res = csv_sql(spark, people_csv, "SELECT COUNT(*) AS n, AVG(age) AS avg_age FROM data")
+    assert res["rows"][0]["n"] == 3 and res["rows"][0]["avg_age"] == 30.0
+
+
+def test_csv_sql_blocks_writes(spark, people_csv):
+    from aden_hive_fork_spark.guard import SqlGuardError
+
+    with pytest.raises(SqlGuardError):
+        csv_sql(spark, people_csv, "DELETE FROM data")
+
+
+def test_csv_write_append_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    r = csv_write(spark, out, ["a", "b"], [{"a": "1", "b": "x"}, {"a": "2", "b": "y"}])
+    assert r["success"] and r["rows_written"] == 2
+    r = csv_append(spark, out, [{"a": "3", "b": "z"}])
+    assert r["success"]
+    res = csv_read(spark, out)
+    assert res["total_rows"] == 3
+    assert {row["a"] for row in res["rows"]} == {"1", "2", "3"}
+    r = csv_append(spark, out, [{"nope": "1"}])
+    assert not r["success"] and "unknown columns" in r["error"]
+
+
+def test_csv_info(spark, people_csv):
+    res = csv_info(spark, people_csv)
+    assert res["columns"] == ["name", "age", "city"]
+    assert res["row_count"] == 3 and res["size_bytes"] > 0
+
+
+def test_excel_sql_frames_join(spark):
+    # multi-sheet join (reference excel_tool.py:508 docstring example)
+    sales = spark.createDataFrame(
+        [(1, 2, 100.0), (2, 1, 50.0)], "product_id int, qty int, amount double"
+    )
+    products = spark.createDataFrame([(1, "Widget"), (2, "Gadget")], "id int, name string")
+    res = excel_sql_frames(
+        spark,
+        {"Sales": sales, "Products": products},
+        "SELECT s.qty, p.name FROM Sales s JOIN Products p ON s.product_id = p.id ORDER BY p.name",
+    )
+    assert res["success"]
+    assert [(r["qty"], r["name"]) for r in res["rows"]] == [(1, "Gadget"), (2, "Widget")]
+    # target sheet aliased as `data`
+    res = excel_sql_frames(spark, {"Sales": sales}, "SELECT COUNT(*) AS n FROM data")
+    assert res["rows"][0]["n"] == 2
+
+
+def test_search_predicate_modes(spark):
+    df = spark.createDataFrame([("Alpha", "x"), ("beta", "Alp")], "a string, b string")
+    assert df.filter(search_predicate(["a", "b"], "alp", "starts_with")).count() == 2
+    assert df.filter(search_predicate(["a"], "Alpha", "exact", case_insensitive=False)).count() == 1
+    assert df.filter(search_predicate(["a", "b"], "et", "contains")).count() == 1
+    assert df.filter(search_predicate(["a"], "ha", "ends_with")).count() == 1
+
+
+def test_read_jsonl_skips_corrupt(spark, tmp_path):
+    p = tmp_path / "log.jsonl"
+    p.write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+    df = read_jsonl(spark, str(p), schema="a long")
+    assert sorted(r.a for r in df.collect()) == [1, 3]
+
+
+def test_grep_files(spark, tmp_path):
+    (tmp_path / "x.txt").write_text("hello world\nnothing\nHELLO again\n")
+    out = grep_files(spark, str(tmp_path / "*.txt"), "hello", case_insensitive=True).collect()
+    assert sorted(r.line_number for r in out) == [1, 3]
+    out = grep_files(spark, str(tmp_path / "*.txt"), "hello").collect()
+    assert len(out) == 1
+
+
+@pytest.fixture()
+def asset_dir(tmp_path):
+    # minimal real containers, built from the public format specs
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+        + struct.pack(">IIBBBBB", 64, 48, 8, 2, 0, 0, 0) + b"\x00" * 8
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 10, 20) + b"\x00" * 6
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)
+    )
+    (tmp_path / "a.png").write_bytes(png)
+    (tmp_path / "b.gif").write_bytes(gif)
+    (tmp_path / "c.wav").write_bytes(wav)
+    return str(tmp_path)
+
+
+def test_binary_metadata(spark, asset_dir):
+    df = read_binary_dir(spark, asset_dir)
+    meta = {r.mime: r for r in extract_metadata(df).collect()}
+    assert meta["image/png"].width == 64 and meta["image/png"].height == 48
+    assert meta["image/gif"].width == 10 and meta["image/gif"].height == 20
+    assert meta["audio/wav"].sample_rate == 44100 and meta["audio/wav"].channels == 2
+    assert all(len(r.sha256) == 64 for r in meta.values())
+
+
+def test_fake_features_deterministic(spark, asset_dir):
+    df = read_binary_dir(spark, asset_dir)
+    f1 = {r.path: r.features for r in fake_features(df).collect()}
+    f2 = {r.path: r.features for r in fake_features(df).collect()}
+    assert f1 == f2
+    assert all(len(v) == 16 for v in f1.values())
+
+
+def test_decode_stub_raises():
+    from aden_hive_fork_spark.sources.binary import decode_pixels_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_pixels_stub()
