@@ -1,0 +1,162 @@
+"""DataFrame dataflow graphs with predicate-guarded routing.
+
+The reference executes an agent graph: nodes transform a payload,
+edges route it onward guarded by ALWAYS / ON_SUCCESS / ON_FAILURE /
+CONDITIONAL(expr) conditions with priorities, fan-out runs parallel
+branches, fan-in converges them, and a per-node visit cap guards
+loops (reference: core/framework/graph/edge.py:39-46 conditions,
+:107-204 should_traverse, :276-303 input mapping, :506-540 fan-out/
+convergence, :574-698 validation; executor.py:590+ interpreter loop,
+:646-672 visit guard, :1853-2082 parallel branches).
+
+Spark-first re-expression: a node is a DataFrame -> DataFrame
+transform; an edge is a *row-level* filter (the compiled safe_eval
+condition) plus an optional column mapping. Routing therefore
+partitions the DATA, not the control flow: every branch's filter is
+part of one lazily-built logical plan, so Catalyst sees the whole
+graph and fan-out branches share the cached parent scan. Only
+iterative feedback edges remain driver-side control flow (bounded by
+``max_visits`` like the reference's max_node_visits).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.safe_eval_compiler import compile_expr
+
+
+class GraphValidationError(ValueError):
+    pass
+
+
+@dataclass
+class Node:
+    """A named DataFrame transform. ``fn=None`` is identity (router /
+    terminal nodes)."""
+
+    name: str
+    fn: Callable[[DataFrame], DataFrame] | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self.fn(df) if self.fn is not None else df
+
+
+@dataclass
+class Edge:
+    """source -> target, guarded.
+
+    condition: "always" | a safe_eval expression over the source
+    node's output columns (compiled to a Spark Column filter).
+    input_mapping: {target_col: source_col} projection/rename
+    (reference EdgeSpec.map_inputs, edge.py:276-303).
+    priority: among CONDITIONAL edges from one source, only the
+    matching edges of the highest priority fire (edge.py:506-523).
+    """
+
+    source: str
+    target: str
+    condition: str = "always"
+    input_mapping: dict[str, str] = field(default_factory=dict)
+    priority: int = 0
+
+    def guard(self, df: DataFrame) -> DataFrame:
+        if self.condition == "always":
+            return df
+        return df.filter(compile_expr(self.condition, df.schema))
+
+    def map_inputs(self, df: DataFrame) -> DataFrame:
+        if not self.input_mapping:
+            return df
+        return df.select(
+            *[F.col(src).alias(tgt) for tgt, src in self.input_mapping.items()]
+        )
+
+
+class Pipeline:
+    """A validated node/edge graph executable over DataFrames."""
+
+    def __init__(
+        self,
+        nodes: list[Node],
+        edges: list[Edge],
+        entry: str,
+        terminals: list[str],
+        max_visits: int = 3,
+    ):
+        self.nodes = {n.name: n for n in nodes}
+        self.edges = edges
+        self.entry = entry
+        self.terminals = list(terminals)
+        self.max_visits = max_visits
+        self.validate()
+
+    # -- validation (reference GraphSpec.validate, edge.py:574-698) ----
+    def validate(self) -> None:
+        if len(self.nodes) != len({n for n in self.nodes}):
+            raise GraphValidationError("duplicate node names")
+        if self.entry not in self.nodes:
+            raise GraphValidationError(f"entry node '{self.entry}' not defined")
+        missing = [t for t in self.terminals if t not in self.nodes]
+        if missing:
+            raise GraphValidationError(f"terminal nodes not defined: {missing}")
+        for e in self.edges:
+            if e.source not in self.nodes or e.target not in self.nodes:
+                raise GraphValidationError(f"edge references unknown node: {e}")
+        # reachability from entry
+        adj: dict[str, list[str]] = {}
+        for e in self.edges:
+            adj.setdefault(e.source, []).append(e.target)
+        seen = {self.entry}
+        stack = [self.entry]
+        while stack:
+            for nxt in adj.get(stack.pop(), []):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        unreachable = sorted(set(self.nodes) - seen)
+        if unreachable:
+            raise GraphValidationError(f"unreachable nodes: {unreachable}")
+        unreachable_terminals = [t for t in self.terminals if t not in seen]
+        if unreachable_terminals:
+            raise GraphValidationError(f"terminals unreachable: {unreachable_terminals}")
+
+    # -- execution -----------------------------------------------------
+    def run(self, df: DataFrame, cache_fanout: bool = True) -> dict[str, DataFrame]:
+        """Push rows through the graph; returns {terminal: DataFrame}.
+
+        Fan-out: all matching edges fire, each on its guarded subset
+        (parent cached so branches share the scan). Fan-in: arrivals
+        at the same node union by name. Cycles execute at most
+        ``max_visits`` times per node (reference max_node_visits,
+        node.py:217-224).
+        """
+        visits: dict[str, int] = {}
+        results: dict[str, DataFrame] = {}
+        # (node, frame) worklist; deterministic FIFO order
+        work: list[tuple[str, DataFrame]] = [(self.entry, df)]
+        while work:
+            name, frame = work.pop(0)
+            visits[name] = visits.get(name, 0) + 1
+            if visits[name] > self.max_visits:
+                continue
+            out = self.nodes[name].apply(frame)
+            if name in self.terminals:
+                results[name] = (
+                    results[name].unionByName(out) if name in results else out
+                )
+                continue
+            outgoing = [e for e in self.edges if e.source == name]
+            # priority grouping among conditional edges (edge.py:506-523)
+            if outgoing:
+                top = max(e.priority for e in outgoing)
+                outgoing = [e for e in outgoing if e.priority == top]
+            if len(outgoing) > 1 and cache_fanout:
+                out = out.cache()
+            for e in outgoing:
+                work.append((e.target, e.map_inputs(e.guard(out))))
+        return results

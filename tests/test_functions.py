@@ -1,0 +1,138 @@
+"""Tests for the scalar-function surface: safe_eval compiler, JSON
+repair, weighted scoring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.functions import (
+    CompileError,
+    compile_expr,
+    find_json_object,
+    repair_json,
+    weighted_score,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "success", ["a", "b"], {"k": "v", "n": "5"}, (3, "x")),
+            (2, -4.5, "failure", ["c"], {"k": "w"}, (7, "y")),
+            (3, None, "success", [], {}, (0, "z")),
+        ],
+        "id long, score double, status string, tags array<string>, "
+        "meta map<string,string>, nested struct<a:int, b:string>",
+    )
+    return df
+
+
+def _eval(ctx, expr):
+    col = compile_expr(expr, ctx.schema)
+    return [r.v for r in ctx.select(col.alias("v")).orderBy("id").collect()]
+
+
+def test_arithmetic_and_comparison(ctx):
+    assert _eval(ctx, "id * 2 + 1") == [3, 5, 7]
+    assert _eval(ctx, "score > 0") == [True, False, None]
+    assert _eval(ctx, "1 <= id < 3") == [True, True, False]  # chained
+    assert _eval(ctx, "id ** 2") == [1.0, 4.0, 9.0]
+    assert _eval(ctx, "7 // id") == [7.0, 3.0, 2.0]
+
+
+def test_bool_and_ternary(ctx):
+    assert _eval(ctx, "status == 'success' and id < 3") == [True, False, False]
+    assert _eval(ctx, "'big' if id >= 2 else 'small'") == ["small", "big", "big"]
+    assert _eval(ctx, "not (id == 2)") == [True, False, True]
+
+
+def test_in_operator(ctx):
+    assert _eval(ctx, "status in ['success', 'pending']") == [True, False, True]
+    assert _eval(ctx, "'a' in tags") == [True, False, False]
+    assert _eval(ctx, "'ail' in status") == [False, True, False]  # substring
+    assert _eval(ctx, "'k' in meta") == [True, True, False]  # dict keys
+    assert _eval(ctx, "id not in [1, 3]") == [False, True, False]
+
+
+def test_functions(ctx):
+    assert _eval(ctx, "len(tags)") == [2, 1, 0]
+    assert _eval(ctx, "len(status)") == [7, 7, 7]
+    assert _eval(ctx, "abs(score)") == [10.0, 4.5, None]
+    assert _eval(ctx, "round(score / 3, 2)") == [3.33, -1.5, None]
+    assert _eval(ctx, "min(id, 2)") == [1, 2, 2]
+    assert _eval(ctx, "max(id, 2)") == [2, 2, 3]
+    assert _eval(ctx, "int(score)") == [10, -4, None]
+    assert _eval(ctx, "str(id)") == ["1", "2", "3"]
+
+
+def test_methods_and_access(ctx):
+    assert _eval(ctx, "status.upper()") == ["SUCCESS", "FAILURE", "SUCCESS"]
+    assert _eval(ctx, "meta.get('k', 'missing')") == ["v", "w", "missing"]
+    assert _eval(ctx, "meta.get('n')") == ["5", None, None]
+    assert _eval(ctx, "nested.a + 1") == [4, 8, 1]
+    assert _eval(ctx, "nested['b']") == ["x", "y", "z"]
+    assert _eval(ctx, "tags[0]") == ["a", "c", None]
+    assert _eval(ctx, "status.split('c')") == [
+        ["su", "", "ess"], ["failure"], ["su", "", "ess"]
+    ]
+
+
+def test_is_none(ctx):
+    assert _eval(ctx, "score is None") == [False, False, True]
+    assert _eval(ctx, "score is not None") == [True, True, False]
+
+
+def test_rejects_disallowed():
+    for bad in [
+        "__import__('os')",
+        "open('/etc/passwd')",
+        "x.delete()",
+        "lambda: 1",
+        "[x for x in y]",
+        "x := 1",
+        "f'{x}'",
+    ]:
+        with pytest.raises(CompileError):
+            compile_expr(bad)
+
+
+def test_edge_condition_realistic(ctx):
+    # a realistic reference-style edge condition
+    expr = "status == 'success' and score is not None and score > 5 and 'a' in tags"
+    assert _eval(ctx, expr) == [True, False, False]
+
+
+def test_find_json_object():
+    assert find_json_object('junk {"a": {"b": 1}} tail') == '{"a": {"b": 1}}'
+    assert find_json_object('{"s": "with } brace"}') == '{"s": "with } brace"}'
+    assert find_json_object("no json here") is None
+    assert find_json_object('broken { "a": 1 then {"b": 2}') == '{"b": 2}'
+
+
+def test_repair_json():
+    assert repair_json('prefix {"a": 1,} suffix') == {"a": 1}
+    assert repair_json('{"a": "line\nbreak"}') == {"a": "line\nbreak"}
+    assert repair_json("{'a': True, \"b\": None}") == {"a": True, "b": None}
+    assert repair_json("nothing") is None
+
+
+def test_repair_json_udf(spark):
+    from aden_hive_fork_spark.functions.json_repair import repair_json_udf
+
+    df = spark.createDataFrame(
+        [("ok {\"x\": 1}",), ("garbage",), (None,)], "raw string"
+    )
+    out = [r.j for r in df.select(repair_json_udf()(F.col("raw")).alias("j")).collect()]
+    assert out == ['{"x": 1}', None, None]
+
+
+def test_weighted_score(spark):
+    df = spark.createDataFrame(
+        [(80.0, 60.0), (100.0, None), (None, None)], "a double, b double"
+    )
+    out = [r.s for r in df.select(weighted_score({"a": 2, "b": 1}).alias("s")).collect()]
+    assert out[0] == pytest.approx(73.33)
+    assert out[1] == 100.0  # b drops out of numerator AND denominator
+    assert out[2] is None

@@ -1,0 +1,138 @@
+"""Streaming layer tests: file-source event stream, filtered
+subscriptions, watermarked windows, stateful op, JSONL sink.
+
+Pattern: write JSONL event files -> availableNow trigger -> memory
+sink -> assert. Late-data behavior is asserted by feeding a second
+file with older timestamps after the watermark advanced.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from aden_hive_fork_spark.streaming import (
+    filtered_subscription,
+    read_event_stream,
+    running_user_state,
+    session_windows,
+    tumbling_windows,
+    write_jsonl_sink,
+)
+
+
+def _write_events(path, rows, name="batch0.json"):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / name, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _evt(i, ts, typ="click", user=1, value=1.0, stream="s1"):
+    return {
+        "event_id": i, "ts": ts, "user_id": user, "event_type": typ,
+        "value": value, "props": "{}", "stream_id": stream,
+        "node_id": "n1", "execution_id": "e1",
+    }
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_filtered_subscription_and_sink(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:00:00"),
+        _evt(2, "2024-01-01 10:01:00", typ="error"),
+        _evt(3, "2024-01-01 10:02:00", stream="s2"),
+    ])
+    stream = read_event_stream(spark, str(src))
+    sub = filtered_subscription(stream, event_types=["click"], stream_id="s1")
+    _run_to_memory(sub, "sub_t")
+    rows = spark.sql("SELECT * FROM sub_t").collect()
+    assert [r.event_id for r in rows] == [1]
+
+    # JSONL sink parity: one JSON object per line
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    q = write_jsonl_sink(filtered_subscription(read_event_stream(spark, str(src))),
+                         str(out), str(ck))
+    q.awaitTermination(120)
+    lines = []
+    for f in out.glob("*.json"):
+        lines += [json.loads(line) for line in f.read_text().splitlines()]
+    assert {l["event_id"] for l in lines} == {1, 2, 3}
+
+
+def test_tumbling_windows_with_late_data(spark, tmp_path):
+    src, out, ck = tmp_path / "src", tmp_path / "winout", tmp_path / "winck"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:05:00"),
+        _evt(2, "2024-01-01 10:55:00"),
+        _evt(3, "2024-01-01 13:00:00"),  # advances watermark far ahead
+    ])
+
+    def run_once():
+        stream = read_event_stream(spark, str(src))
+        win = tumbling_windows(stream, window="1 hour", watermark="10 minutes")
+        q = (
+            win.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))  # persistent watermark state
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {(str(r.window_start), r.n_events) for r in spark.read.parquet(str(out)).collect()}
+    assert ("2024-01-01 10:00:00", 2) in rows  # finalized once watermark passed
+    # a LATE event for the already-finalized 10:00 window, second run
+    # resumes from the checkpoint (watermark remembered) -> dropped
+    _write_events(src, [_evt(4, "2024-01-01 10:07:00")], name="late.json")
+    run_once()
+    rows = {(str(r.window_start), r.n_events) for r in spark.read.parquet(str(out)).collect()}
+    assert ("2024-01-01 10:00:00", 2) in rows
+    assert ("2024-01-01 10:00:00", 3) not in rows  # late event did NOT reopen it
+
+
+def test_session_windows(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:00:00", user=7),
+        _evt(2, "2024-01-01 10:10:00", user=7),   # same session (gap < 30m)
+        _evt(3, "2024-01-01 12:00:00", user=7),   # new session
+        _evt(4, "2024-01-01 23:00:00", user=7),   # closes/evicts earlier state
+    ])
+    stream = read_event_stream(spark, str(src))
+    sess = session_windows(stream, gap="30 minutes", watermark="5 minutes")
+    _run_to_memory(sess, "sess_t")
+    rows = spark.sql("SELECT * FROM sess_t ORDER BY session_start").collect()
+    assert [r.n_events for r in rows[:2]] == [2, 1]
+
+
+def test_running_user_state(spark, tmp_path):
+    src = tmp_path / "src"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:00:00", user=1, value=2.0),
+        _evt(2, "2024-01-01 10:01:00", user=1, value=3.0, typ="purchase"),
+        _evt(3, "2024-01-01 10:02:00", user=2, value=1.0),
+    ])
+    stream = read_event_stream(spark, str(src))
+    state = running_user_state(stream)
+    _run_to_memory(state, "state_t", mode="update")
+    rows = {r.user_id: r for r in spark.sql("SELECT * FROM state_t").collect()}
+    assert rows[1].n_events == 2 and rows[1].total_value == 5.0
+    assert rows[1].last_event_type == "purchase"
+    assert rows[2].n_events == 1
