@@ -14,21 +14,23 @@ from pyspark.sql import functions as F
 
 
 def weighted_score(
-    factors: dict[str | Column, float],
+    factors: dict[str, float] | list[tuple[str | Column, float]],
     clamp: tuple[float, float] | None = (0.0, 100.0),
     scale: int = 2,
 ) -> Column:
     """Weighted average of factor columns.
 
-    ``factors`` maps column (name or Column) -> weight. NULL factors
-    drop out of both numerator and denominator (partial scoring, like
-    the reference's optional factors).
+    ``factors``: {column_name: weight} or [(column_or_Column, weight)]
+    (Columns aren't hashable, hence the pair form). NULL factors drop
+    out of both numerator and denominator (partial scoring, like the
+    reference's optional factors).
     """
-    if not factors:
+    pairs = list(factors.items()) if isinstance(factors, dict) else list(factors)
+    if not pairs:
         raise ValueError("at least one factor required")
     num: Column = F.lit(0.0)
     den: Column = F.lit(0.0)
-    for col, weight in factors.items():
+    for col, weight in pairs:
         c = F.col(col) if isinstance(col, str) else col
         present = c.isNotNull()
         num = num + F.when(present, c.cast("double") * F.lit(float(weight))).otherwise(0.0)

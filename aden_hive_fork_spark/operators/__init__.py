@@ -13,7 +13,13 @@ from .dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
-from .similarity import cosine_topk_exact, cosine_topk_vectorized, lsh_bucket_candidates
+from .similarity import (
+    ann_topk,
+    cosine_neardup_pairs,
+    cosine_topk_exact,
+    cosine_topk_vectorized,
+    lsh_bucket_candidates,
+)
 
 __all__ = [
     "exact_dedup",
@@ -21,6 +27,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprints",
     "simhash_neardup_pairs",
+    "ann_topk",
+    "cosine_neardup_pairs",
     "cosine_topk_exact",
     "cosine_topk_vectorized",
     "lsh_bucket_candidates",

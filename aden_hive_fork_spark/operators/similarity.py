@@ -130,6 +130,111 @@ def cosine_topk_vectorized(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Grouped-map applyInPandas: each block (e.g. cluster label, or an
+    LSH bucket from lsh_bucket_candidates) computes its pairwise
+    cosine matrix with one numpy matmul and emits pairs >= threshold.
+    The block is the unit of shuffle — at 100 TB you block first
+    (LSH/metadata) precisely so no group is ever large.
+    """
+    import numpy as np
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ia[keep], ib[keep]], 6)}
+        )
+
+    grouped = emb.groupBy(block_col) if block_col else emb.groupBy(F.lit(1))
+    return grouped.applyInPandas(pairs, schema="id_a long, id_b long, cosine double").orderBy(
+        F.desc("cosine"), "id_a", "id_b"
+    )
+
+
+def ann_topk(
+    emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: route each query to its hyperplane bucket,
+    exact-rerank only that bucket's candidates.
+
+    The scale path: the corpus is bucketed once (and would be WRITTEN
+    bucketed at 100 TB, making this a pruned scan instead of a full
+    one); each query touches ~1/2^planes of the data. Recall is
+    tunable via num_planes (fewer planes → bigger buckets → higher
+    recall, more compute) or multi-probe."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(query_vecs[0][1])
+    planes = rng.standard_normal((num_planes, dim))
+
+    def bucket_of(vec: list[float]) -> int:
+        signs = (np.asarray(vec, dtype=np.float64) @ planes.T) > 0
+        return int(signs.dot(1 << np.arange(num_planes)))
+
+    buckets = lsh_bucket_candidates(
+        emb, num_planes=num_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    corpus = emb.join(buckets, id_col)
+    spark = emb.sparkSession
+    q_rows = [(qid, vec, bucket_of(vec)) for qid, vec in query_vecs]
+    q_df = spark.createDataFrame(
+        q_rows, f"query_id long, q_vec array<double>, bucket long"
+    )
+    joined = corpus.join(F.broadcast(q_df), "bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, q_vec, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    n_v = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    n_q = F.expr(
+        "sqrt(aggregate(transform(q_vec, x -> x * x),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    cosine = F.round(dot / F.nullif(n_v * n_q, F.lit(0.0)), 6)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select("query_id", F.col(id_col), cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), id_col)
+    )
+
+
 def lsh_bucket_candidates(
     emb: DataFrame,
     num_planes: int = 12,

@@ -43,7 +43,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every suite module (idempotent)."""
-    from . import dedup, events, relational, similarity, text  # noqa: F401
+    from . import dedup, events, relational, relational2, similarity, text  # noqa: F401
 
 
 def get_queries() -> dict[str, QueryFn]:

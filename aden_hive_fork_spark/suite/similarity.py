@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..operators.similarity import (
+    ann_topk,
+    cosine_neardup_pairs,
     cosine_topk_exact,
     cosine_topk_vectorized,
     lsh_bucket_candidates,
@@ -72,6 +74,29 @@ def q51_cosine_topk_batch(spark, sf_dir):
         for r in emb.orderBy("vec_id").limit(8).collect()
     ]
     return cosine_topk_vectorized(emb, queries, k=5)
+
+
+@query("q53_embedding_neardup")
+def q53_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks (grouped-
+    map numpy pairwise). Threshold low enough to return rows on the
+    synthetic clusters. Rows-only: blocking bounds the candidate set
+    by construction."""
+    emb = T(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.5, block_col="label")
+
+
+@query("q54_ann_lsh_topk")
+def q54_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-5 for 4 stored queries: bucket routing +
+    exact rerank inside the bucket. Approximate (bucket recall) ⇒
+    rows-only."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    return ann_topk(emb, queries, k=5, num_planes=6)
 
 
 @query("q52_lsh_bucket_stats")

@@ -106,3 +106,35 @@ def test_shingles_short_doc_empty(spark):
 
     df = spark.createDataFrame([("one two",)], "text string")
     assert df.select(shingles_col("text", 3).alias("s")).first().s == []
+
+
+def test_cosine_neardup_pairs(spark):
+    from aden_hive_fork_spark.operators.similarity import cosine_neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.0], 1), (1, [0.99, 0.14], 1), (2, [0.0, 1.0], 1),
+        (3, [1.0, 0.01], 2),  # other block: never pairs with 0/1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(emb, 0.9, "label").collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_ann_topk_finds_bucket_neighbors(spark):
+    import numpy as np
+    from aden_hive_fork_spark.operators.similarity import ann_topk, cosine_topk_exact
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((10, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + rng.standard_normal(8) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [(0, rows[0][1])]
+    got = ann_topk(emb, q, k=1, num_planes=4).collect()
+    # the near-twin (id 1) lands in the same bucket and ranks first
+    assert got and got[0].vec_id == 1 and got[0].cosine > 0.99
+    exact = cosine_topk_exact(emb, 0, k=1).collect()
+    assert exact[0].vec_id == got[0].vec_id
