@@ -6,6 +6,8 @@ aggregation, and versioned checkpoint snapshots.
 """
 
 from .checkpoint import list_checkpoints, load_checkpoint, prune_checkpoints, save_checkpoint
+from .conversation import append_messages, compact_conversation, context_handoff
+from .monitor import detect_doom_loops, detect_stalls, judge_nodes
 from .logstore import (
     L1_SCHEMA,
     L2_SCHEMA,
@@ -25,6 +27,12 @@ from .outcome import (
 from .shared_state import StateChange, latest_state, read_resolved, recent_changes
 
 __all__ = [
+    "append_messages",
+    "compact_conversation",
+    "context_handoff",
+    "detect_doom_loops",
+    "detect_stalls",
+    "judge_nodes",
     "save_checkpoint",
     "load_checkpoint",
     "list_checkpoints",

@@ -2,6 +2,7 @@
 
 from .events import (
     EVENT_SCHEMA,
+    await_event,
     event_stats_stream,
     filtered_subscription,
     read_event_stream,
@@ -15,6 +16,7 @@ from .stateful import running_user_state
 
 __all__ = [
     "EVENT_SCHEMA",
+    "await_event",
     "read_event_stream",
     "filtered_subscription",
     "tumbling_windows",

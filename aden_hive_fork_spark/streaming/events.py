@@ -150,6 +150,39 @@ def stamp_graph_id(events: DataFrame, graph_id: str) -> DataFrame:
     return events.withColumn("graph_id", F.lit(graph_id))
 
 
+def await_event(
+    events: DataFrame,
+    timeout_sec: float,
+    sink_table: str = "_await_event",
+    **filters,
+) -> list:
+    """wait_for analog (§2.C row 62, event_bus.py:1062-1115): block
+    until a matching event arrives on the stream or the timeout
+    elapses; returns the matched rows (possibly empty). Implemented as
+    a filtered streaming query into a memory sink polled by the
+    driver."""
+    import time as _time
+
+    sub = filtered_subscription(events, **filters)
+    q = (
+        sub.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .start()
+    )
+    spark = events.sparkSession
+    deadline = _time.monotonic() + timeout_sec
+    try:
+        while _time.monotonic() < deadline:
+            rows = spark.sql(f"SELECT * FROM {sink_table}").collect()
+            if rows:
+                return rows
+            _time.sleep(0.2)
+        return []
+    finally:
+        q.stop()
+
+
 def write_jsonl_sink(
     events: DataFrame, path: str, checkpoint: str, trigger_once: bool = True
 ):

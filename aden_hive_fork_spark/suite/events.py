@@ -148,6 +148,68 @@ def q23_event_props_json(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q44 — streak detection (gaps-and-islands): the SQL twin of the
+# stall/doom-loop detector (§2.B row 55, state/monitor.py) — runs of
+# identical consecutive event types per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q44_event_type_streaks",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, event_id,
+        CASE WHEN LAG(event_type) OVER w IS NULL THEN 1
+             WHEN LAG(event_type) OVER w <> event_type THEN 1
+             ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    grouped AS (
+      SELECT user_id, event_type, event_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS grp
+      FROM marked
+    )
+    SELECT user_id, event_type,
+      COUNT(*) AS streak_len,
+      CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM grouped
+    GROUP BY user_id, event_type, grp
+    HAVING COUNT(*) >= 4
+    ORDER BY streak_len DESC, user_id ASC, first_event_id ASC
+    """,
+)
+def q44_event_type_streaks(spark, sf_dir):
+    """Runs of >= 4 identical consecutive event types per user
+    (lag-compare + cumulative-sum group ids, the doom-loop detector's
+    shape). NB: ordering by (ts, event_id) makes the islands total-
+    ordered and the oracle exact."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("event_type").over(w)
+    marked = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0).alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = marked.withColumn("grp", F.sum("is_new").over(w2))
+    return (
+        grouped.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+        .filter(F.col("streak_len") >= 4)
+        .drop("grp")
+        .orderBy(F.desc("streak_len"), F.asc("user_id"), F.asc("first_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # q24 — sessionization: gap > 30 min starts a new session. Batch twin
 # of session_window(); gaps computed in exact integer microseconds.
 # ---------------------------------------------------------------------------
