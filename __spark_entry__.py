@@ -8,11 +8,19 @@ from SURVEY.md §2; oracle SQL present for every hash-matchable one).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aden_hive_fork_spark import suite
+# Defensive: the driver may import this file by path, in which case
+# the repo root is not necessarily on sys.path for the package import.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from aden_hive_fork_spark import suite  # noqa: E402
 
 SF0001_DIR = "/root/testdata/sf0.001"
 

@@ -78,18 +78,35 @@ def ngram_jaccard_pairs(
     4 decimals, filtered to >= threshold.
     """
     block_cols = block_cols or []
-    sh = df.select(
-        *block_cols,
-        F.col(id_col).alias("id"),
-        shingles_col(text_col, k).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
+    # Repartition BEFORE shingling: small single-row-group parquet
+    # inputs otherwise pin the (expensive) shingle projection to one
+    # task, and the self-join would recompute it twice on that one
+    # core. The tiny id shuffle buys full-cluster parallelism for the
+    # heavy map work.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(parallelism, id_col)
+        .select(
+            *block_cols,
+            F.col(id_col).alias("id"),
+            shingles_col(text_col, k).alias("shingles"),
+        )
+        .withColumn("n_sh", F.size("shingles"))
+    )
 
     # Inverted index: explode shingles and self-join on the shingle key
     # (plus block keys). Only pairs sharing >= 1 shingle ever
     # materialize — at 100 TB this is the difference between a keyed
     # shuffle join and an O(n^2) blocked cross join. A pair's common-
     # shingle count IS its intersection size (shingles are distinct).
-    inv = sh.select(*block_cols, "id", "n_sh", F.explode("shingles").alias("shingle"))
+    # Persisted: both self-join branches read the SAME materialized
+    # index instead of recomputing the shingle projection twice
+    # (MEMORY_AND_DISK spills gracefully at scale).
+    from pyspark import StorageLevel
+
+    inv = sh.select(
+        *block_cols, "id", "n_sh", F.explode("shingles").alias("shingle")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = inv.select(
         *block_cols, "shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
     )

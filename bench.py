@@ -44,7 +44,10 @@ def main() -> None:
     spark = build_session(app_name="aden-hive-fork-spark-bench")
     queries = suite.get_queries()
 
-    # Warm the JVM + parquet footers with one light action.
+    # Warm the JVM (codegen, parquet readers, shuffle machinery) with
+    # one representative heavy query + one light one, so timings
+    # measure steady-state plans rather than first-query JIT.
+    queries["q01_pricing_summary"](spark, sf_dir).collect()
     queries["q20_event_history"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
