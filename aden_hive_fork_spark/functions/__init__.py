@@ -4,6 +4,7 @@
 """
 
 from .json_repair import find_json_object, fix_unescaped_newlines, repair_json
+from .registry import RegistryError, ToolRegistry
 from .safe_eval_compiler import CompileError, compile_expr
 from .scoring import weighted_score
 
@@ -14,4 +15,6 @@ __all__ = [
     "fix_unescaped_newlines",
     "repair_json",
     "weighted_score",
+    "ToolRegistry",
+    "RegistryError",
 ]

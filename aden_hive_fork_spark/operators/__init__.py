@@ -6,6 +6,7 @@ shingling — each expressed as DataFrame compositions first, Pandas
 UDFs only where built-ins can't express the semantics.
 """
 
+from .joins import bucketed_join, salted_join, skewed_key_stats, write_bucketed
 from .dedup import (
     exact_dedup,
     minhash_neardup_pairs,
@@ -22,6 +23,10 @@ from .similarity import (
 )
 
 __all__ = [
+    "bucketed_join",
+    "salted_join",
+    "skewed_key_stats",
+    "write_bucketed",
     "exact_dedup",
     "minhash_neardup_pairs",
     "ngram_jaccard_pairs",

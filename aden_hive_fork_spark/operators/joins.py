@@ -1,0 +1,94 @@
+"""Join strategies for scale: bucketed co-located joins and salted
+skew joins (SURVEY.md §4 / SCALING.md §3).
+
+These are the two techniques the 100 TB plan leans on beyond what AQE
+does automatically:
+
+- **Bucketing**: write both fact tables bucketed (+sorted) on the
+  join key; the sort-merge join then needs NO shuffle at read time —
+  the single biggest cost on repeated large joins.
+- **Salting**: when one key dominates (power users, stop-shingles),
+  explode the hot side's key space by a salt factor and replicate the
+  other side, so the hot key spreads over ``salt`` reducers. AQE's
+  skew-join splits partitions after the fact; salting prevents the
+  skew from forming, and works for aggregations too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+    fmt: str = "parquet",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) table. Two tables
+    bucketed the same way join with zero Exchange (verified in
+    tests by plan inspection)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A fresh session's in-memory catalog forgets managed tables but
+    # their warehouse directories persist; clear stale locations or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(warehouse, table.lower())
+    if warehouse and os.path.isdir(stale):
+        shutil.rmtree(stale)
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — shuffle-free."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, possibly skewed) left side
+    gets a random-but-deterministic salt derived from its row content
+    hash; the (smaller) right side is replicated ``salt`` times. The
+    join key becomes (key, salt), spreading any hot key over ``salt``
+    partitions. Result equals a plain join exactly.
+    """
+    salt_col = (F.abs(F.xxhash64(*left.columns)) % salt).alias("_salt")
+    lsalted = left.withColumn("_salt", salt_col)
+    replicated = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = lsalted.join(replicated, [on, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def skewed_key_stats(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Diagnostic: per-key row counts and share of total — feeds the
+    decision to salt (a key holding >1/num_partitions of rows is a
+    straggler candidate)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 4))
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(top)
+    )

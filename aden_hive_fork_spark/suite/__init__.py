@@ -43,7 +43,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every suite module (idempotent)."""
-    from . import dedup, events, relational, relational2, similarity, text  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        events,
+        relational,
+        relational2,
+        relational3,
+        similarity,
+        text,
+    )
 
 
 def get_queries() -> dict[str, QueryFn]:

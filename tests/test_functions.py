@@ -136,3 +136,32 @@ def test_weighted_score(spark):
     assert out[0] == pytest.approx(73.33)
     assert out[1] == 100.0  # b drops out of numerator AND denominator
     assert out[2] is None
+
+
+def test_tool_registry(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from aden_hive_fork_spark.functions.registry import RegistryError, ToolRegistry
+
+    reg = ToolRegistry()
+    reg.register("double_it", lambda c: (F.col(c) * 2), kind="expr")
+    reg.register("shout", lambda s: s.str.upper(), kind="pandas", return_type="string")
+    reg.allow("node_a", ["double_it"])
+
+    df = spark.createDataFrame([(3, "hi")], "x long, s string")
+    assert df.select(reg.get("double_it")("x").alias("v")).first().v == 6
+    assert df.select(reg.get("shout")(F.col("s")).alias("v")).first().v == "HI"
+    # allowlist enforcement: unknown node = deny-all; wrong tool denied
+    reg.get("double_it", node="node_a")
+    import pytest as _pt
+    with _pt.raises(RegistryError):
+        reg.get("shout", node="node_a")
+    with _pt.raises(RegistryError):
+        reg.get("double_it", node="node_b")
+    with _pt.raises(RegistryError):
+        reg.get("nope")
+    # SQL exposure
+    reg.register_sql(spark, "shout")
+    assert spark.sql("SELECT shout('ok') AS v").first().v == "OK"
+    # listing
+    assert [t["name"] for t in reg.list_tools()] == ["double_it", "shout"]
