@@ -13,6 +13,7 @@ from .excel_source import (
 )
 from .binary import extract_metadata, fake_features, read_binary_dir
 from .json_source import read_jsonl
+from .pdf_source import pdf_extract_pages, pdf_read
 from .text_source import grep_files
 
 __all__ = [
@@ -29,5 +30,7 @@ __all__ = [
     "excel_sql_frames",
     "sheets_to_views",
     "read_jsonl",
+    "pdf_extract_pages",
+    "pdf_read",
     "grep_files",
 ]

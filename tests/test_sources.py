@@ -159,3 +159,62 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_pixels_stub()
+
+
+def _make_pdf(pages_text, compress=False):
+    """Build a minimal valid-enough PDF with one content stream per page."""
+    import zlib as _zlib
+
+    parts = [b"%PDF-1.4\n"]
+    for i, text in enumerate(pages_text):
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        if compress:
+            payload = _zlib.compress(content)
+            head = b"<< /Filter /FlateDecode /Length %d >>" % len(payload)
+        else:
+            payload = content
+            head = b"<< /Length %d >>" % len(payload)
+        parts.append(
+            b"%d 0 obj\n" % (i + 10) + head + b"\nstream\n" + payload + b"\nendstream\nendobj\n"
+        )
+    parts.append(b"%%EOF\n")
+    return b"".join(parts)
+
+
+def test_pdf_extract_pages_plain():
+    from aden_hive_fork_spark.sources.pdf_source import pdf_extract_pages
+
+    pdf = _make_pdf(["Hello PDF", "Second (page)", "Third"])
+    got = pdf_extract_pages(pdf)
+    assert got == [(1, "Hello PDF"), (2, "Second (page)"), (3, "Third")]
+    assert pdf_extract_pages(pdf, pages="1-2") == got[:2]
+    assert pdf_extract_pages(pdf, pages="3,1") == [(3, "Third"), (1, "Hello PDF")]
+    assert pdf_extract_pages(pdf, pages="2-99") == got[1:]
+
+
+def test_pdf_extract_flate_and_tj_array():
+    from aden_hive_fork_spark.sources.pdf_source import pdf_extract_pages
+
+    pdf = _make_pdf(["Compressed text here"], compress=True)
+    assert pdf_extract_pages(pdf) == [(1, "Compressed text here")]
+    # TJ array form with kerning numbers
+    import zlib as _zlib
+    content = b"BT [(Ker) -120 (ned)] TJ ET"
+    pdf2 = (b"%%PDF-1.4\n10 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream\nendobj\n%EOF")
+    assert pdf_extract_pages(pdf2) == [(1, "Kerned")]
+
+
+def test_pdf_read_distributed(spark, tmp_path):
+    from aden_hive_fork_spark.sources.pdf_source import pdf_read
+
+    (tmp_path / "a.pdf").write_bytes(_make_pdf(["doc A page one", "doc A page two"]))
+    (tmp_path / "b.pdf").write_bytes(_make_pdf(["doc B only"], compress=True))
+    df = read_binary_dir(spark, str(tmp_path), glob="*.pdf")
+    rows = {(r.path.rsplit("/", 1)[-1], r.page): r.text for r in pdf_read(df).collect()}
+    assert rows[("a.pdf", 1)] == "doc A page one"
+    assert rows[("a.pdf", 2)] == "doc A page two"
+    assert rows[("b.pdf", 1)] == "doc B only"
+    only_p2 = pdf_read(df, pages="2").collect()
+    assert len(only_p2) == 1 and only_p2[0].page == 2
