@@ -7,6 +7,7 @@ from .json_repair import find_json_object, fix_unescaped_newlines, repair_json
 from .registry import RegistryError, ToolRegistry
 from .safe_eval_compiler import CompileError, compile_expr
 from .scoring import weighted_score
+from .validate import enforce_schema
 
 __all__ = [
     "compile_expr",
@@ -17,4 +18,5 @@ __all__ = [
     "weighted_score",
     "ToolRegistry",
     "RegistryError",
+    "enforce_schema",
 ]

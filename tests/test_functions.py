@@ -165,3 +165,26 @@ def test_tool_registry(spark):
     assert spark.sql("SELECT shout('ok') AS v").first().v == "OK"
     # listing
     assert [t["name"] for t in reg.list_tools()] == ["double_it", "shout"]
+
+
+def test_enforce_schema(spark):
+    from aden_hive_fork_spark.functions.validate import enforce_schema
+
+    df = spark.createDataFrame(
+        [
+            ("1", "2.5", "ok"),        # valid
+            ("x", "3.0", "bad_int"),   # uncastable a
+            (None, "1.0", "null_a"),   # required null
+            ("4", None, "null_b_ok"),  # b not required -> valid
+        ],
+        "a string, b string, note string",
+    )
+    valid, rejects = enforce_schema(df, "a long, b double, note string", required=["a"])
+    got = {r.note: (r.a, r.b) for r in valid.collect()}
+    assert got == {"ok": (1, 2.5), "null_b_ok": (4, None)}
+    rej = {r.note: list(r._reasons) for r in rejects.collect()}
+    assert rej == {"bad_int": ["uncastable:a"], "null_a": ["null:a"]}
+    # missing required column
+    v2, r2 = enforce_schema(df.select("b", "note"), "a long, b double, note string",
+                            required=["a"])
+    assert v2.count() == 0 and r2.count() == 4
