@@ -136,3 +136,61 @@ def test_running_user_state(spark, tmp_path):
     assert rows[1].n_events == 2 and rows[1].total_value == 5.0
     assert rows[1].last_event_type == "purchase"
     assert rows[2].n_events == 1
+
+
+def test_event_stats_complete_mode(spark, tmp_path):
+    from aden_hive_fork_spark.streaming import event_stats_stream
+
+    src = tmp_path / "src"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:00:00", typ="click"),
+        _evt(2, "2024-01-01 10:01:00", typ="click"),
+        _evt(3, "2024-01-01 10:02:00", typ="error"),
+    ])
+    stream = read_event_stream(spark, str(src))
+    stats = event_stats_stream(stream)
+    q = (
+        stats.writeStream.format("memory").queryName("stats_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_type: r.n_events for r in spark.sql("SELECT * FROM stats_t").collect()}
+    assert got == {"click": 2, "error": 1}
+
+
+def test_sliding_windows_streaming(spark, tmp_path):
+    from aden_hive_fork_spark.streaming import sliding_windows
+
+    src = tmp_path / "src"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:10:00"),
+        _evt(2, "2024-01-01 13:00:00"),  # watermark far ahead, finalizes 10:xx windows
+    ])
+    stream = read_event_stream(spark, str(src))
+    win = sliding_windows(stream, window="1 hour", slide="30 minutes", watermark="5 minutes")
+    _run_to_memory(win, "slide_t")
+    starts = {str(r.window_start) for r in spark.sql("SELECT * FROM slide_t").collect()}
+    # event at 10:10 belongs to the 09:30 and 10:00 windows (both emitted)
+    assert {"2024-01-01 09:30:00", "2024-01-01 10:00:00"} <= starts
+
+
+def test_rate_source_timer(spark):
+    # §2.C row 63: interval-timer trigger analog — the built-in rate
+    # source generates ticks; a ProcessingTime/availableNow trigger
+    # consumes them (cron = an external producer appending files).
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    q = (
+        stream.writeStream.format("memory").queryName("rate_t")
+        .outputMode("append").start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) AS n FROM rate_t").first().n
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()
