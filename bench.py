@@ -44,11 +44,17 @@ def main() -> None:
     spark = build_session(app_name="aden-hive-fork-spark-bench")
     queries = suite.get_queries()
 
-    # Warm the JVM (codegen, parquet readers, shuffle machinery) with
-    # one representative heavy query + one light one, so timings
-    # measure steady-state plans rather than first-query JIT.
+    # Warm the JVM (codegen, parquet readers, shuffle machinery) so
+    # timings measure steady-state plans rather than first-query JIT:
+    # one representative heavy query + one light one at the bench SF,
+    # and the complex-expression plans (shingling) at the smallest SF
+    # (codegen compiles per plan shape, independent of data volume).
     queries["q01_pricing_summary"](spark, sf_dir).collect()
     queries["q20_event_history"](spark, sf_dir).collect()
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(small):
+        queries["q41_ngram_jaccard_pairs"](spark, small).collect()
+        queries["q50_cosine_topk"](spark, small).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
