@@ -49,6 +49,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         text,
     )
