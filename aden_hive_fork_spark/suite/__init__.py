@@ -50,6 +50,7 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         similarity,
         text,
     )
