@@ -8,6 +8,10 @@ Three paths:
 - lsh_bucket_candidates   — random-hyperplane LSH bucketing (the
                             100 TB scale path: candidates per bucket,
                             then exact re-rank)
+- ivf_*                   — inverted-file index (k-means coarse
+                            quantizer, deterministic): train on a
+                            bounded sample, assign corpus to cells,
+                            probe the n nearest cells per query
 """
 
 from __future__ import annotations
@@ -270,4 +274,156 @@ def lsh_bucket_candidates(
 
     return emb.select(id_col, vec_col).mapInPandas(
         bucketize, schema=f"{id_col} long, bucket long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic coarse-quantizer scale path
+# (cf. Faiss IVFFlat; public algorithm). Training is driver-side
+# spherical k-means over a BOUNDED deterministic sample (independent of
+# corpus size), assignment and search are distributed.
+# ---------------------------------------------------------------------------
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample_limit: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means centroids from a deterministic sample.
+
+    The sample is the ``sample_limit`` lowest-id vectors (stable under
+    re-partitioning, unlike ``df.sample``), so training cost is bounded
+    at any corpus scale. Init is a seeded choice without replacement;
+    an empty cell re-seeds to the point farthest from its centroid —
+    every step is deterministic for a fixed (data, seed).
+
+    Returns a unit-normalized ``numpy.ndarray`` of shape
+    (n_centroids, dim).
+    """
+    import numpy as np
+
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    X = np.vstack([r[vec_col] for r in rows]).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+
+    rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), n_centroids, replace=False)].copy()
+    for _ in range(n_iter):
+        sims = X @ C.T  # (n, k) — cosine, everything unit-norm
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members) == 0:
+                # re-seed deterministically: the globally worst-served point
+                C[c] = X[np.argmin(np.max(sims, axis=1))]
+            else:
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                C[c] = mean / n if n > 0 else C[c]
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment: argmax cosine against the broadcast
+    centroid matrix, one BLAS matmul per Arrow batch.
+
+    At 100 TB the corpus is *written* partitioned by ``cell`` — a
+    probe then scans only n_probe/n_centroids of the data.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    b_c = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = b_c.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(mat, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            cell = np.argmax((mat / n) @ C.T, axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": cell})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell long"
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` nearest cells per query,
+    exact double-precision re-rank inside the probed cells.
+
+    Each corpus vector lives in exactly one cell, so probes never
+    produce duplicate candidates. Recall is tuned by
+    n_probe/n_centroids; n_probe = n_centroids degrades gracefully to
+    exact brute force. The probe join is a broadcast of the (tiny)
+    query×probe table against the cell-partitioned corpus.
+    """
+    import numpy as np
+
+    C = ivf_train_centroids(
+        emb, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    corpus = emb.join(ivf_assign(emb, C, id_col=id_col, vec_col=vec_col), id_col)
+
+    spark = emb.sparkSession
+    q_rows = []
+    for qid, vec in query_vecs:
+        v = np.asarray(vec, dtype=np.float64)
+        n = np.linalg.norm(v)
+        v = v / n if n > 0 else v
+        probes = np.argsort(-(C @ v))[: min(n_probe, len(C))]
+        for cell in probes:
+            q_rows.append((int(qid), [float(x) for x in vec], int(cell)))
+    q_df = spark.createDataFrame(
+        q_rows, "query_id long, q_vec array<double>, cell long"
+    )
+
+    joined = corpus.join(F.broadcast(q_df), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    dot = F.expr(
+        f"aggregate(zip_with({vec_col}, q_vec, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    n_v = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    n_q = F.expr(
+        "sqrt(aggregate(transform(q_vec, x -> x * x),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    cosine = F.round(dot / F.nullif(n_v * n_q, F.lit(0.0)), 6)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.select("query_id", F.col(id_col), cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), id_col)
     )

@@ -111,3 +111,20 @@ def q52_lsh_bucket_stats(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy(F.desc("n_vectors"), "bucket")
     )
+
+
+@query("q68_ivf_ann_topk")
+def q68_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN top-5 for 4 stored queries: k-means coarse quantizer
+    (trained on a bounded deterministic sample), cell assignment,
+    n_probe=4-of-16 probing, exact rerank inside probed cells.
+    Approximate (probe recall) ⇒ rows-only; deterministic for a fixed
+    seed."""
+    from ..operators.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)

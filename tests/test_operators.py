@@ -138,3 +138,52 @@ def test_ann_topk_finds_bucket_neighbors(spark):
     assert got and got[0].vec_id == 1 and got[0].cosine > 0.99
     exact = cosine_topk_exact(emb, 0, k=1).collect()
     assert exact[0].vec_id == got[0].vec_id
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    import numpy as np
+    from aden_hive_fork_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk,
+    )
+
+    # 4 well-separated clusters of 12 points each
+    rng = np.random.RandomState(1)
+    centers = np.eye(4).repeat(2, axis=1) * 10  # (4, 8)
+    rows = []
+    for c in range(4):
+        for j in range(12):
+            v = centers[c] + rng.standard_normal(8)
+            rows.append((c * 12 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [(0, rows[0][1]), (13, rows[13][1])]
+
+    got = ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=1, seed=3)
+    res = got.collect()
+    exact = cosine_topk_vectorized(emb, queries, k=3).collect()
+    # with one probe on well-separated clusters, IVF == exact top-3
+    assert {(r.query_id, r.vec_id) for r in res} == {
+        (r.query_id, r.vec_id) for r in exact
+    }
+    # deterministic: identical output across runs
+    res2 = ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=1, seed=3).collect()
+    assert [tuple(r) for r in res] == [tuple(r) for r in res2]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    import numpy as np
+    from aden_hive_fork_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [(5, rows[5][1])]
+    # n_probe == n_centroids ⇒ every cell probed ⇒ exact
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    exact = cosine_topk_vectorized(emb, queries, k=5).collect()
+    assert [(r.vec_id, r.cosine) for r in approx] == [
+        (r.vec_id, r.cosine) for r in exact
+    ]
