@@ -181,3 +181,131 @@ def fake_features(df: DataFrame, content_col: str = "content", dim: int = 16) ->
 
     cols = [c for c in ("path", content_col) if c in df.columns]
     return df.select(*cols).mapInPandas(feat, schema="path string, features array<double>")
+
+
+# ---------------------------------------------------------------------------
+# audio: REAL PCM16 WAV decode (numpy only — no external codec needed)
+# ---------------------------------------------------------------------------
+def _wav_data_chunk(b: bytes) -> tuple[int, int] | None:
+    """(offset, size) of the RIFF ``data`` chunk."""
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"data":
+            return i + 8, min(size, len(b) - i - 8)
+        i += 8 + size + (size % 2)
+    return None
+
+
+def wav_pcm_windows(
+    df: DataFrame, window_s: float = 0.5, content_col: str = "content"
+) -> DataFrame:
+    """Windowed audio features over PCM16 WAV content — REAL decode
+    (RIFF parse + int16 frombuffer; channels averaged). One row per
+    fixed-length window: rms and peak in [0, 1].
+
+    This is the audio analog of text shingling for a training
+    pipeline: the windows feed dedup/similarity over feature vectors.
+    mapInPandas keeps Arrow batching; each file's windows stay in its
+    task, so the op scales with file count, not corpus bytes-per-task.
+    Non-WAV / non-PCM16 rows are skipped (schema-stable).
+    """
+    import numpy as np
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col])
+                if sniff_mime(b) != "audio/wav":
+                    continue
+                fmt = wav_format(b)
+                data = _wav_data_chunk(b)
+                if not fmt or not data:
+                    continue
+                rate, ch = fmt
+                off, size = data
+                if rate <= 0 or ch <= 0:
+                    continue
+                pcm = np.frombuffer(b, dtype="<i2", count=size // 2, offset=off)
+                if ch > 1:
+                    pcm = pcm[: len(pcm) - len(pcm) % ch].reshape(-1, ch).mean(axis=1)
+                x = pcm.astype(np.float64) / 32768.0
+                step = max(1, int(rate * window_s))
+                for wi in range(0, len(x), step):
+                    seg = x[wi : wi + step]
+                    rows.append(
+                        {
+                            "path": r.get("path", ""),
+                            "window_idx": wi // step,
+                            "start_s": round(wi / rate, 6),
+                            "n_samples": len(seg),
+                            "rms": float(np.sqrt(np.mean(seg * seg))),
+                            "peak": float(np.max(np.abs(seg))) if len(seg) else 0.0,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "window_idx", "start_s", "n_samples", "rms", "peak"],
+            )
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(
+        windows,
+        schema="path string, window_idx long, start_s double, n_samples long,"
+        " rms double, peak double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# video: frame-sampling plumbing (decoder stubbed — no ffmpeg here)
+# ---------------------------------------------------------------------------
+def video_frame_sample(
+    df: DataFrame,
+    every_s: float = 1.0,
+    max_frames: int = 16,
+    content_col: str = "content",
+    use_stub_decoder: bool = True,
+) -> DataFrame:
+    """Frame-sampling over opaque video content.
+
+    The Spark-side plumbing is real: schema
+    (path, frame_idx, ts_s, frame_sha256), Arrow batching, one row per
+    sampled frame, frames bounded by ``max_frames`` so a long video
+    cannot blow up a task. The DECODER is the stub: without ffmpeg the
+    per-frame payload is a deterministic sha-derived fingerprint of
+    (content, frame_idx) and the duration is a deterministic fake
+    (1 s per 64 KiB). Swap ``use_stub_decoder=False`` on a cluster
+    with ffmpeg to route through ``decode_pixels_stub`` (raises here).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col])
+                if not use_stub_decoder:
+                    decode_pixels_stub(b)
+                fake_duration_s = max(1.0, len(b) / 65536.0)
+                n = min(max_frames, int(fake_duration_s / every_s) + 1)
+                for fi in range(n):
+                    ts = round(fi * every_s, 6)
+                    fp = hashlib.sha256(b + fi.to_bytes(4, "big")).hexdigest()
+                    rows.append(
+                        {
+                            "path": r.get("path", ""),
+                            "frame_idx": fi,
+                            "ts_s": ts,
+                            "frame_sha256": fp,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "frame_idx", "ts_s", "frame_sha256"]
+            )
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(
+        frames,
+        schema="path string, frame_idx long, ts_s double, frame_sha256 string",
+    )

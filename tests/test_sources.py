@@ -218,3 +218,62 @@ def test_pdf_read_distributed(spark, tmp_path):
     assert rows[("b.pdf", 1)] == "doc B only"
     only_p2 = pdf_read(df, pages="2").collect()
     assert len(only_p2) == 1 and only_p2[0].page == 2
+
+
+def test_wav_pcm_windows_sine(spark, tmp_path):
+    import math
+    import wave as wavmod
+
+    from aden_hive_fork_spark.sources.binary import wav_pcm_windows
+
+    # 1 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono PCM16
+    rate, amp = 8000, 0.5
+    path = tmp_path / "tone.wav"
+    with wavmod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * i / rate))
+            )
+            for i in range(rate)
+        )
+        w.writeframes(frames)
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.wav")
+    rows = wav_pcm_windows(df, window_s=0.25).orderBy("window_idx").collect()
+    assert len(rows) == 4  # 1 s / 0.25 s windows
+    assert all(r.n_samples == 2000 for r in rows)
+    for r in rows:
+        # sine RMS = amp/sqrt(2), peak ≈ amp
+        assert abs(r.rms - amp / math.sqrt(2)) < 0.01
+        assert abs(r.peak - amp) < 0.01
+    assert [r.start_s for r in rows] == [0.0, 0.25, 0.5, 0.75]
+
+
+def test_wav_pcm_windows_skips_non_wav(spark, asset_dir):
+    from aden_hive_fork_spark.sources.binary import wav_pcm_windows
+
+    df = read_binary_dir(spark, asset_dir)
+    rows = wav_pcm_windows(df).collect()
+    # header-only wav fixture has no data chunk; png/gif skipped
+    assert rows == []
+
+
+def test_video_frame_sample_deterministic(spark, asset_dir):
+    from aden_hive_fork_spark.sources.binary import video_frame_sample
+
+    df = read_binary_dir(spark, asset_dir)
+    f1 = video_frame_sample(df, every_s=1.0, max_frames=3).orderBy(
+        "path", "frame_idx"
+    ).collect()
+    f2 = video_frame_sample(df, every_s=1.0, max_frames=3).orderBy(
+        "path", "frame_idx"
+    ).collect()
+    assert [tuple(r) for r in f1] == [tuple(r) for r in f2]
+    assert all(r.frame_idx < 3 for r in f1)
+    assert len({r.frame_sha256 for r in f1}) == len(f1)  # per-frame unique
+
+    with pytest.raises(Exception):  # stub decoder path raises
+        video_frame_sample(df, use_stub_decoder=False).collect()
