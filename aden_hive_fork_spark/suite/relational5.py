@@ -366,3 +366,33 @@ def q67_type_words_arrays(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — MAP functions over the events props JSON (§2.A row 28 widened):
+# parse to MAP, enumerate keys, point-lookup a value. The well-formed
+# path stays native (from_json / json_keys) — no Python.
+# ---------------------------------------------------------------------------
+@query(
+    "q70_props_map",
+    oracle="""
+    SELECT event_id,
+      array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+      CAST(props->>'k' AS BIGINT) AS k_value
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id ASC
+    """,
+)
+def q70_props_map(spark, sf_dir):
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+            F.element_at(m, "k").cast("bigint").alias("k_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -201,3 +201,54 @@ def q34_grep_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_matches"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — BPE-ish regex token counting (§2.D text analysis): the GPT-2
+# pre-tokenizer shape (contractions | letter-runs | digit-runs |
+# punct-runs, each with optional leading space), restricted to a
+# Java-regex ∩ RE2 common subset (no lookahead — RE2 has none).
+# ---------------------------------------------------------------------------
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+@query(
+    "q69_bpe_token_counts",
+    oracle="""
+    SELECT lang,
+      COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text,
+        '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'
+      ))) AS BIGINT) AS bpe_tokens,
+      CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+      ROUND(CAST(SUM(len(regexp_extract_all(text,
+        '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'
+      ))) AS DOUBLE)
+        / CAST(NULLIF(SUM(len(string_split(trim(text), ' '))), 0) AS DOUBLE), 4)
+        AS tokens_per_word
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+)
+def q69_bpe_token_counts(spark, sf_dir):
+    """Sub-word-ish token counts per language vs whitespace words —
+    the cost model for LLM training-data budgeting. All JVM-side
+    regexp (codegen), integer sums, one final division."""
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0))
+    ws = F.size(F.split(F.trim(F.col("text")), " "))
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+            F.sum(ws).cast("bigint").alias("ws_tokens"),
+            F.round(
+                F.sum(bpe).cast("double")
+                / F.nullif(F.sum(ws), F.lit(0)).cast("double"),
+                4,
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )
