@@ -128,3 +128,66 @@ def q68_ivf_ann_topk(spark, sf_dir):
         for r in emb.orderBy("vec_id").limit(4).collect()
     ]
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+@query(
+    "q71_cosine_neardup_exact",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, i, CAST(val AS DECIMAL(10,8)) AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS na, SUM(b.v * b.v) AS nb
+      FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+                        AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+        ROUND(CAST(dot AS DOUBLE)
+              / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0),
+              6) AS cosine
+      FROM dots
+    )
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= 0.32
+    ORDER BY cosine DESC, id_a ASC, id_b ASC
+    """,
+)
+def q71_cosine_neardup_exact(spark, sf_dir):
+    """ORACLE-checked embedding-cosine near-dup pairs: label-blocked
+    self-join + exact-decimal dot product (order-free), threshold on
+    the rounded score. The blocked join is the scale shape (candidates
+    only within a block — label here, LSH bucket/IVF cell in the
+    approximate tiers); arithmetic matches q50's determinism rules."""
+    from ..operators.similarity import _DOT, _NORM2
+
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("vb"),
+    )
+    j = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+    dot = F.expr(_DOT.format(a="va", b="vb"))
+    na = F.expr(_NORM2.format(a="va"))
+    nb = F.expr(_NORM2.format(a="vb"))
+    cosine = F.round(
+        dot.cast("double")
+        / F.nullif(F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")), F.lit(0.0)),
+        6,
+    ).cast("double")
+    return (
+        j.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.32)
+        .orderBy(F.desc("cosine"), "id_a", "id_b")
+    )

@@ -29,8 +29,10 @@ HEADLINE = [
     "q24_user_sessions",          # sessionization
     "q30_doc_token_stats",        # text analysis
     "q33_doc_fingerprints",       # fingerprint dedup
+    "q39_asof_join",              # as-of event alignment
     "q41_ngram_jaccard_pairs",    # near-dup exact jaccard
     "q50_cosine_topk",            # similarity search
+    "q69_bpe_token_counts",       # BPE-ish tokenization
 ]
 
 
