@@ -51,6 +51,7 @@ def load_all() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         similarity,
         text,
     )

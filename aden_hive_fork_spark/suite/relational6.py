@@ -1,0 +1,184 @@
+"""Sixth batch: three-valued-logic NULL semantics, ordered-set window
+functions, and a second LIVE Structured Streaming query (session
+windows) under the driver's oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+
+
+# ---------------------------------------------------------------------------
+# q72 — NULL semantics (§2.A row 22 widened): null-safe equality
+# (Spark `eqNullSafe` ≙ SQL IS NOT DISTINCT FROM), COALESCE chains,
+# IS NULL under outer joins that actually produce NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "q72_null_semantics",
+    oracle="""
+    SELECT c.c_custkey,
+      a.max_f, b.max_o,
+      (a.max_f IS NOT DISTINCT FROM b.max_o) AS same_val,
+      COALESCE(a.max_f, b.max_o, 0.0) AS first_non_null,
+      (a.max_f IS NULL) AS f_missing
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, CAST(MAX(o_totalprice) AS DOUBLE) AS max_f
+               FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) a
+      ON a.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT o_custkey, CAST(MAX(o_totalprice) AS DOUBLE) AS max_o
+               FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+      ON b.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 300
+    ORDER BY c.c_custkey ASC
+    """,
+)
+def q72_null_semantics(spark, sf_dir):
+    """NULL = NULL is true under null-safe equality, unknown under
+    plain `=` — the exact 3VL corner SQL surfaces punt on. MAX over
+    raw doubles is order-free (no sum)."""
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    orders = T(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").cast("double").alias("max_f"))
+        .withColumnRenamed("o_custkey", "ck_a")
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").cast("double").alias("max_o"))
+        .withColumnRenamed("o_custkey", "ck_b")
+    )
+    return (
+        cust.join(a, cust.c_custkey == F.col("ck_a"), "left")
+        .join(b, cust.c_custkey == F.col("ck_b"), "left")
+        .select(
+            "c_custkey",
+            "max_f",
+            "max_o",
+            F.col("max_f").eqNullSafe(F.col("max_o")).alias("same_val"),
+            F.coalesce("max_f", "max_o", F.lit(0.0)).alias("first_non_null"),
+            F.col("max_f").isNull().alias("f_missing"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — window-function breadth (§2.A row 20): percent_rank /
+# cume_dist / first_value / nth_value / last_value with an explicit
+# full frame. Shared SQL text incl. a named WINDOW clause — both
+# engines speak it. Unique order key (acctbal DESC, suppkey) ⇒ every
+# rank/navigation value is deterministic.
+# ---------------------------------------------------------------------------
+_Q73_SQL = """
+    SELECT s_suppkey, s_nationkey,
+      ROUND(percent_rank() OVER w, 6) AS pr,
+      ROUND(cume_dist() OVER w, 6) AS cd,
+      first_value(s_suppkey) OVER w AS top_supp,
+      nth_value(s_suppkey, 2) OVER w AS second_supp,
+      last_value(s_suppkey) OVER (
+        PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS bottom_supp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    ORDER BY s_nationkey ASC, s_suppkey ASC
+"""
+
+
+@query("q73_window_breadth", oracle=_Q73_SQL)
+def q73_window_breadth(spark, sf_dir):
+    """Rank-family values are exact rationals over the same unique
+    ordering (one IEEE division each ⇒ identical doubles); navigation
+    functions use the default running frame except the explicit
+    full-frame last_value. Scale: single shuffle on s_nationkey shared
+    by every window in the query."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("supplier",))
+    return spark.sql(_Q73_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q74 — LIVE streaming SESSION windows (§2.C rows 63/67): events
+# streamed from parquet (availableNow), session_window(gap=30min) per
+# user, COMPLETE-mode memory sink. Complete mode emits every session
+# regardless of watermark progress, which is what makes a bounded
+# replay hash-matchable: in append mode the final watermark (max event
+# time at the EventTimeWatermark node) withholds any session whose
+# window end exceeds it, and Catalyst pushes non-event-time filters
+# BELOW the watermark node — so a time cutoff silently caps the
+# watermark and drops the tail sessions (observed: the last 2 sessions
+# before the cutoff). Verified: no exact 30-minute boundary gaps exist
+# in the data (the one case where merge semantics could diverge).
+# ---------------------------------------------------------------------------
+@query(
+    "q74_streaming_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+             WHEN date_diff('microsecond', LAG(ts) OVER w, ts) > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WHERE user_id < 40 AND ts < TIMESTAMP '2024-01-20'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), grp AS (
+      SELECT user_id, ts,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM grp
+    GROUP BY user_id, g
+    ORDER BY user_id ASC, session_start ASC
+    """,
+)
+def q74_streaming_sessions(spark, sf_dir):
+    import uuid
+
+    from ..catalog import ns_literal
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # ts_wm: LTZ instant from raw epoch-nanos (absolute — construction
+    # is timezone-independent); the cutoff filter compares the RAW
+    # nanos long against a UTC-derived literal, never an LTZ literal
+    # (those shift with the caller's session timezone).
+    ts_wm = F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)"))
+    ev = stream.withColumn("ts_wm", ts_wm).filter(
+        (F.col("user_id") < 40) & (F.col("ts") < ns_literal("2024-01-20"))
+    )
+    win = ev.groupBy(
+        F.session_window("ts_wm", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    sink = f"q74_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # session_start back to NTZ via absolute micros (timezone-proof)
+    start_ntz = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(sw.start),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return (
+        spark.table(sink)
+        .select("user_id", start_ntz.alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
