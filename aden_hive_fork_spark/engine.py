@@ -39,19 +39,33 @@ class Engine:
 
     # -- query ---------------------------------------------------------
 
-    def df(self, query: str) -> DataFrame:
-        """Parse+analyze a guarded read-only query; execution stays lazy."""
+    def df(self, query: str, dialect: str | None = None) -> DataFrame:
+        """Parse+analyze a guarded read-only query; execution stays lazy.
+
+        ``dialect="duckdb"`` first rewrites the reference's DuckDB-isms
+        to Spark SQL (functions.dialect) — the migration path for
+        queries written against the reference's csv_sql/excel_sql.
+        """
+        if dialect == "duckdb":
+            from .functions.dialect import duckdb_to_spark_sql
+
+            query = duckdb_to_spark_sql(query)
         ensure_read_only(query)
         return self.spark.sql(query)
 
-    def sql(self, query: str, max_rows: int = MAX_RESULT_ROWS) -> dict[str, Any]:
+    def sql(
+        self,
+        query: str,
+        max_rows: int = MAX_RESULT_ROWS,
+        dialect: str | None = None,
+    ) -> dict[str, Any]:
         """Run read-only SQL, return the reference's result envelope
         (csv_tool.py:368-376): success, columns, rows (list of dicts),
         row_count, plus ``truncated`` mirroring bigquery_tool's
         ``query_truncated`` flag (bigquery_tool.py:206-243).
         """
         try:
-            df = self.df(query)
+            df = self.df(query, dialect=dialect)
             # limit(n+1) keeps the collect bounded (never materializes the
             # full result on the driver) while still detecting truncation.
             collected = df.limit(max_rows + 1).collect()
