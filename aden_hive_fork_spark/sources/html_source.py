@@ -1,0 +1,138 @@
+"""HTML → text extraction (the scan side of the reference's web
+retrieval tools).
+
+Reference analogs: ``web_scrape(url)`` returns a page's readable text
+(tools/src/aden_tools/tools/web_scrape_tool/web_scrape_tool.py:36+),
+``search_wikipedia`` returns title+snippet rows (wikipedia_tool.py:26).
+Fetching is out-of-engine (an ingestion job writes raw HTML to a
+table); THIS module is the distributed extraction stage: pure-stdlib
+``html.parser`` (no bs4/lxml in this container), exposed as
+Arrow-batched pandas UDFs so a 100 TB crawl table is processed
+map-only — no shuffle, scales with partition count.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_SKIP_TAGS = {"script", "style", "noscript", "template", "head"}
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6",
+    "section", "article", "header", "footer", "table", "ul", "ol",
+}
+_WS_RE = re.compile(r"[ \t\r\f\v]+")
+_NL_RE = re.compile(r"\n{2,}")
+
+
+class _TextExtractor(HTMLParser):
+    """Visible-text extractor: skips script/style subtrees, inserts
+    newlines at block boundaries, records <title> and link count."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self.title_parts: list[str] = []
+        self.n_links = 0
+        self._skip_depth = 0
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS and tag != "head":
+            self._skip_depth += 1
+        if tag == "title":
+            self._in_title = True
+        if tag == "a":
+            self.n_links += 1
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and tag != "head":
+            self._skip_depth = max(0, self._skip_depth - 1)
+        if tag == "title":
+            self._in_title = False
+        if tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title_parts.append(data)
+        elif self._skip_depth == 0:
+            self.parts.append(data)
+
+
+def html_to_text(html: str) -> str:
+    """Readable text: tags stripped, script/style dropped, whitespace
+    collapsed, block boundaries become single newlines."""
+    p = _TextExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass  # malformed HTML: keep whatever was extracted
+    text = _WS_RE.sub(" ", "".join(p.parts))
+    text = "\n".join(line.strip() for line in text.split("\n"))
+    return _NL_RE.sub("\n", text).strip()
+
+
+def html_title(html: str) -> str:
+    p = _TextExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    return _WS_RE.sub(" ", "".join(p.title_parts)).strip()
+
+
+def html_link_count(html: str) -> int:
+    p = _TextExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    return p.n_links
+
+
+def html_text_udf():
+    """Arrow-batched UDF factory (UDF creation needs a live session)."""
+
+    @pandas_udf("string")
+    def _f(html: pd.Series) -> pd.Series:
+        return html.map(html_to_text)
+
+    return _f
+
+
+def html_title_udf():
+    @pandas_udf("string")
+    def _f(html: pd.Series) -> pd.Series:
+        return html.map(html_title)
+
+    return _f
+
+
+def html_links_udf():
+    @pandas_udf("long")
+    def _f(html: pd.Series) -> pd.Series:
+        return html.map(html_link_count)
+
+    return _f
+
+
+def scrape_columns(html_col: str = "html") -> list[Column]:
+    """The web_scrape result projection: title, text, link count."""
+    c = F.col(html_col)
+    return [
+        html_title_udf()(c).alias("title"),
+        html_text_udf()(c).alias("text"),
+        html_links_udf()(c).alias("n_links"),
+    ]

@@ -252,3 +252,22 @@ def test_dialect_tokenizer_query(spark, duck):
     assert res["success"], res.get("error")
     d = duck.execute(q).fetchall()
     assert [(r["doc_id"], r["vocab"]) for r in res["rows"]] == d
+
+
+def test_time_info_deterministic():
+    import datetime as dt
+
+    from aden_hive_fork_spark.functions.timeinfo import time_info
+
+    at = dt.datetime(2024, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    ny = time_info("America/New_York", at)
+    assert ny["hour"] == 8 and ny["utc_offset_s"] == -4 * 3600  # EDT
+    assert ny["iso"].startswith("2024-06-01T08:00:00")
+    assert ny["unix"] == at.timestamp()
+    assert ny["day_of_week"] == "Saturday"
+    utc = time_info("UTC", at)
+    assert utc["hour"] == 12 and utc["utc_offset_s"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        time_info("Not/AZone", at)

@@ -277,3 +277,49 @@ def test_video_frame_sample_deterministic(spark, asset_dir):
 
     with pytest.raises(Exception):  # stub decoder path raises
         video_frame_sample(df, use_stub_decoder=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (web_scrape scan side)
+# ---------------------------------------------------------------------------
+_HTML = """<html><head><title>My  Page</title>
+<style>body { color: red }</style></head>
+<body><h1>Header</h1><p>First para with <a href="/x">a link</a>.</p>
+<script>var ignored = "script text";</script>
+<div>Second <b>bold</b> block</div>
+<ul><li>item one</li><li>item two</li></ul>
+</body></html>"""
+
+
+def test_html_to_text_pure():
+    from aden_hive_fork_spark.sources.html_source import (
+        html_link_count,
+        html_title,
+        html_to_text,
+    )
+
+    text = html_to_text(_HTML)
+    assert "Header" in text and "First para with a link." in text
+    assert "Second bold block" in text
+    assert "item one" in text and "item two" in text
+    assert "ignored" not in text and "color: red" not in text
+    assert html_title(_HTML) == "My Page"
+    assert html_link_count(_HTML) == 1
+    assert html_to_text("") == "" and html_to_text(None) == ""
+
+
+def test_html_scrape_columns_distributed(spark):
+    from aden_hive_fork_spark.sources.html_source import scrape_columns
+
+    df = spark.createDataFrame(
+        [(1, _HTML), (2, "<p>plain</p>"), (3, "not html at all")],
+        "page_id long, html string",
+    )
+    rows = {
+        r.page_id: r
+        for r in df.select("page_id", *scrape_columns("html")).collect()
+    }
+    assert rows[1].title == "My Page" and rows[1].n_links == 1
+    assert "Header" in rows[1].text
+    assert rows[2].text == "plain" and rows[2].title == ""
+    assert rows[3].text == "not html at all"  # pass-through for non-HTML
