@@ -197,3 +197,28 @@ def write_jsonl_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once input → exactly-once events.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's event time, so state is bounded by
+    (keys arriving within the delay window), not the stream's history —
+    the property that makes streaming dedup viable on an unbounded
+    100 TB event log. Redelivered events (same key, any event time
+    within the delay) are suppressed across micro-batches.
+
+    The reference's bus has no dedup (a redelivered webhook double-
+    fires — absence noted in SURVEY.md §2.C); this is capability-parity
+    plus, same spirit as row 67's watermarks.
+    """
+    key_cols = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -194,3 +194,24 @@ def test_rate_source_timer(spark):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_dedup_stream_suppresses_redelivery(spark, tmp_path):
+    """Same event_id delivered in two different micro-batch files
+    (at-least-once source) must surface exactly once downstream."""
+    from aden_hive_fork_spark.streaming.events import dedup_stream
+
+    src = tmp_path / "src"
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:00:00"),
+        _evt(2, "2024-01-01 10:01:00"),
+    ], name="batch1.json")
+    _write_events(src, [
+        _evt(2, "2024-01-01 10:01:00"),   # exact redelivery
+        _evt(2, "2024-01-01 10:05:00"),   # same id, later event time
+        _evt(3, "2024-01-01 10:02:00"),
+    ], name="batch2.json")
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    _run_to_memory(dedup_stream(stream), "dedup_t")
+    rows = spark.sql("SELECT event_id FROM dedup_t ORDER BY event_id").collect()
+    assert [r.event_id for r in rows] == [1, 2, 3]
