@@ -92,3 +92,64 @@ def skewed_key_stats(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(top)
     )
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lo_offset_us: int,
+    hi_offset_us: int,
+    bin_us: int | None = None,
+) -> DataFrame:
+    """Range join rewritten as a binned equi-join (the scale shape).
+
+    Matches (l, r) sharing ``keys`` with
+    ``l.left_ts + lo_offset_us <= r.right_ts < l.left_ts + hi_offset_us``
+    (offsets in microseconds, may be negative).
+
+    A naive range join is a BroadcastNestedLoopJoin / per-key cross
+    join — quadratic in the hot key. Here both sides get an integer
+    time-bin column (bin width defaults to the range span); the right
+    side is replicated to each bin the range can straddle (a constant
+    ``span/bin + 1`` factor), the join is a plain equi-join on
+    (keys, bin), and the exact range predicate remains as a residual
+    filter. One shuffle, codegen-friendly, AQE-skew-splittable — and
+    each matching pair appears exactly once because the replicas carry
+    distinct bin values.
+
+    Timestamps are compared via integer microseconds from the NTZ
+    epoch (timezone-independent).
+    """
+    span = hi_offset_us - lo_offset_us
+    if span <= 0:
+        raise ValueError("hi_offset_us must exceed lo_offset_us")
+    bin_us = bin_us or span
+    # a range of `span` can straddle ceil(span/bin)+1 bins
+    n_replicas = -(-span // bin_us) + 1
+
+    def us(col: str) -> F.Column:
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+
+    l_us, r_us = us(left_ts), us(right_ts)
+    # left bin of the range START; right replicated upward so that for
+    # every left bin b, right rows in [b, b + n_replicas) carry a
+    # replica equal to b.
+    lb = F.floor((l_us + F.lit(lo_offset_us)) / F.lit(bin_us))
+    rb = F.floor(r_us / F.lit(bin_us))
+    lhs = left.withColumn("_bin", lb).withColumn("_lus", l_us)
+    rhs = (
+        right.withColumn("_rb", rb)
+        .withColumn("_rep", F.explode(F.array(*[F.lit(i) for i in range(n_replicas)])))
+        .withColumn("_bin", F.col("_rb") - F.col("_rep"))
+        .drop("_rb", "_rep")
+        .withColumn("_rus", r_us)
+    )
+    residual = (F.col("_rus") >= F.col("_lus") + F.lit(lo_offset_us)) & (
+        F.col("_rus") < F.col("_lus") + F.lit(hi_offset_us)
+    )
+    return lhs.join(rhs, keys + ["_bin"]).filter(residual).drop("_bin", "_lus", "_rus")

@@ -182,3 +182,56 @@ def q74_streaming_sessions(spark, sf_dir):
         .select("user_id", start_ntz.alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — RANGE JOIN (custom operator, §2.D family with q39): for each
+# purchase, how many clicks by the same user in the preceding hour.
+# Spark-side: operators.joins.time_range_join — the range predicate
+# rewritten as a binned equi-join (one shuffle, constant replication
+# factor) instead of a per-key cross join. Oracle: correlated COUNT.
+# ---------------------------------------------------------------------------
+@query(
+    "q75_range_join_clicks",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+      (SELECT COUNT(*) FROM events c
+       WHERE c.event_type = 'click' AND c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts) AS clicks_1h
+    FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id < 60
+    ORDER BY p.event_id ASC
+    """,
+)
+def q75_range_join_clicks(spark, sf_dir):
+    from ..operators.joins import time_range_join
+
+    ev = T(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    hour_us = 3_600_000_000
+    pairs = time_range_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        lo_offset_us=-hour_us,
+        hi_offset_us=0,
+    )
+    counts = pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("clicks_1h")
+    )
+    return (
+        purchases.join(counts, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("clicks_1h", F.lit(0)).alias("clicks_1h"),
+        )
+        .orderBy("event_id")
+    )

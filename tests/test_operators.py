@@ -187,3 +187,34 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert [(r.vec_id, r.cosine) for r in approx] == [
         (r.vec_id, r.cosine) for r in exact
     ]
+
+
+def test_time_range_join_matches_naive(spark):
+    """Binned equi-join rewrite must equal the naive range join
+    exactly, including ranges that straddle bins and negative offsets."""
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.joins import time_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, 1, base + dt.timedelta(minutes=7 * i)) for i in range(30)
+    ]
+    rrows = [
+        (j, 1, base + dt.timedelta(minutes=3 * j)) for j in range(70)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, k long, lts timestamp_ntz")
+    right = spark.createDataFrame(rrows, "rid long, k long, rts timestamp_ntz")
+    lo, hi = -25 * 60_000_000, 10 * 60_000_000  # [-25 min, +10 min)
+    got = time_range_join(
+        left, right, ["k"], "lts", "rts", lo, hi, bin_us=13 * 60_000_000
+    )
+    naive = left.join(right, "k").filter(
+        (F.col("rts") >= F.expr(f"lts + INTERVAL {lo} MICROSECOND"))
+        & (F.col("rts") < F.expr(f"lts + INTERVAL {hi} MICROSECOND"))
+    )
+    g = sorted((r.lid, r.rid) for r in got.collect())
+    n = sorted((r.lid, r.rid) for r in naive.collect())
+    assert g == n and len(g) > 0
+    # each pair exactly once (no replica duplicates)
+    assert len(g) == len(set(g))
