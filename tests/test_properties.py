@@ -125,3 +125,36 @@ def test_compiler_matches_python_eval(xy_df, expr):
             assert bool(g) == e, expr
         else:
             assert g == e, expr
+
+
+# ---------------------------------------------------------------------------
+# dialect shim: literals are inviolable, rewrites are targeted
+# ---------------------------------------------------------------------------
+_DUCK_NAMES = ["string_split", "list_sort", "list_distinct", "list_contains",
+               "array_to_string", "regexp_matches", "epoch_ms"]
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_characters="'\"", min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+)
+@settings(max_examples=80)
+def test_dialect_preserves_string_literals(payload):
+    from aden_hive_fork_spark.functions.dialect import duckdb_to_spark_sql as d2s
+
+    lit = "'" + payload.replace("'", "''") + "'"
+    out = d2s(f"SELECT {lit} FROM t")
+    assert lit in out  # the literal survives byte-identical
+
+
+@given(st.sampled_from(_DUCK_NAMES), st.sampled_from(_DUCK_NAMES))
+@settings(max_examples=40)
+def test_dialect_rewrite_is_idempotent(f1, f2):
+    from aden_hive_fork_spark.functions.dialect import duckdb_to_spark_sql as d2s
+
+    q = f"SELECT {f1}(a, 'x'), {f2}(b) FROM t WHERE c // 2 = 1"
+    once = d2s(q)
+    assert d2s(once) == once  # already-translated SQL is a fixed point
+    assert f1 not in once and f2 not in once
