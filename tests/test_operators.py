@@ -218,3 +218,58 @@ def test_time_range_join_matches_naive(spark):
     assert g == n and len(g) > 0
     # each pair exactly once (no replica duplicates)
     assert len(g) == len(set(g))
+
+
+def test_rollup_range_agg_matches_raw(spark, tmp_path):
+    """Rollup-served range aggregation must equal the direct raw scan
+    exactly (decomposable decimal partials), across whole-hour,
+    ragged-edge, and sub-hour ranges."""
+    from aden_hive_fork_spark.catalog import load_table
+    from aden_hive_fork_spark.operators.rollup import (
+        materialize_rollup,
+        rollup_range_agg,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "rollup")
+    materialize_rollup(events, path)
+
+    def direct(lo, hi):
+        return (
+            events.filter(
+                (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+
+    ranges = [
+        ("2024-01-02 00:00:00", "2024-01-05 00:00:00"),   # whole hours
+        ("2024-01-02 10:17:23", "2024-01-08 03:40:11"),   # ragged edges
+        ("2024-01-03 11:05:00", "2024-01-03 11:25:00"),   # sub-hour
+    ]
+    for lo, hi in ranges:
+        got = [tuple(r) for r in rollup_range_agg(spark, events, path, lo, hi).collect()]
+        want = [tuple(r) for r in direct(lo, hi).collect()]
+        assert got == want, (lo, hi)
+
+
+def test_rollup_is_partition_pruned(spark, tmp_path):
+    from aden_hive_fork_spark.catalog import load_table
+    from aden_hive_fork_spark.operators.rollup import materialize_rollup
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "rollup")
+    materialize_rollup(events, path)
+    df = spark.read.parquet(path).filter(F.col("event_date") == "2024-01-03")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "event_date" in plan.split("PartitionFilters:")[1].split("]")[0]
