@@ -44,6 +44,7 @@ def materialize_rollup(events: DataFrame, path: str) -> None:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users_hour"),
+            F.hll_sketch_agg("user_id").alias("users_hll"),
         )
         .withColumn("event_date", F.to_date("hour_start"))
     )
@@ -60,10 +61,12 @@ def rollup_range_agg(
     """COUNT/SUM per event_type over [lo, hi): whole hours served from
     the rollup, partial edge hours from the raw table, merged exactly.
 
-    n_users is intentionally NOT served this way — COUNT(DISTINCT) is
-    not decomposable from per-hour partials (needs a sketch: HLL /
-    bitmap — the rollup stores per-hour exact counts for per-hour
-    queries only).
+    n_users is intentionally NOT served this way — exact
+    COUNT(DISTINCT) is not decomposable from per-hour partials. The
+    rollup stores per-hour exact counts for per-hour queries, plus a
+    mergeable HLL sketch per hour: ``rollup_range_users`` unions the
+    sketches for an estimated range-wide distinct count (the sketch IS
+    the decomposable form — see rollup_range_users).
     """
     lo = F.lit(lo_iso).cast("timestamp_ntz")
     hi = F.lit(hi_iso).cast("timestamp_ntz")
@@ -106,6 +109,34 @@ def rollup_range_agg(
         .agg(
             F.sum("n_events").cast("bigint").alias("n_events"),
             F.round(F.sum("sv"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def rollup_range_users(
+    spark: SparkSession,
+    rollup_path: str,
+    lo_hour_iso: str,
+    hi_hour_iso: str,
+) -> DataFrame:
+    """Estimated distinct users per event_type over whole hours
+    [lo, hi): merge the per-hour HLL sketches (hll_union_agg) and
+    estimate once — the decomposable answer to the COUNT(DISTINCT)
+    rollup gap. Approximate by construction (declared non-oracle);
+    relative error is the standard HLL ~1.6% at lgConfigK=12.
+    """
+    rollup = spark.read.parquet(rollup_path).filter(
+        (F.col("hour_start") >= F.lit(lo_hour_iso).cast("timestamp_ntz"))
+        & (F.col("hour_start") < F.lit(hi_hour_iso).cast("timestamp_ntz"))
+    )
+    return (
+        rollup.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll"))
+            .cast("bigint")
+            .alias("est_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
         )
         .orderBy("event_type")
     )

@@ -273,3 +273,35 @@ def test_rollup_is_partition_pruned(spark, tmp_path):
         df._jdf.queryExecution(), "formatted"
     )
     assert "event_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_rollup_hll_users_estimate(spark, tmp_path):
+    """Merged per-hour HLL sketches estimate range-wide distinct users
+    within HLL tolerance of the exact answer."""
+    from aden_hive_fork_spark.catalog import load_table
+    from aden_hive_fork_spark.operators.rollup import (
+        materialize_rollup,
+        rollup_range_users,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "rollup_hll")
+    materialize_rollup(events, path)
+    lo, hi = "2024-01-02 00:00:00", "2024-01-10 00:00:00"
+    est = {
+        r.event_type: r.est_users
+        for r in rollup_range_users(spark, path, lo, hi).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t in exact:
+        assert abs(est[t] - exact[t]) <= max(3, 0.05 * exact[t]), (t, est[t], exact[t])
