@@ -235,3 +235,41 @@ def q75_range_join_clicks(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — hypertable rollup under the oracle gate: materialize the
+# hourly continuous aggregate (once per sf, to scratch), then answer a
+# RAGGED range query from rollup hours + raw edges. Decomposable
+# decimal partials make the merged answer bit-identical to DuckDB's
+# direct scan — the materialized view IS correct, not approximately
+# correct.
+# ---------------------------------------------------------------------------
+@query(
+    "q76_rollup_range_agg",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02 10:17:23'
+      AND ts < TIMESTAMP '2024-01-08 03:40:11'
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def q76_rollup_range_agg(spark, sf_dir):
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.rollup import materialize_rollup, rollup_range_agg
+
+    events = T(spark, sf_dir, "events")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"aden_rollup_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_rollup(events, path)
+    return rollup_range_agg(
+        spark, events, path, "2024-01-02 10:17:23", "2024-01-08 03:40:11"
+    )
