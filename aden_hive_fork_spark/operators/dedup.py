@@ -17,6 +17,8 @@ skew-join splitting.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,32 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 # ---------------------------------------------------------------------------
 def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), " ")
+
+
+# plan-semantic-hash -> persisted inverted index (bounded LRU)
+_INV_CACHE: "OrderedDict[int, DataFrame]" = OrderedDict()
+_INV_CACHE_MAX = 4
+
+
+def _cached_inverted_index(inv: DataFrame) -> DataFrame:
+    """Persist-and-reuse: identical plans (same input, same shingling)
+    share one materialized index; evicted entries are unpersisted."""
+    from pyspark import StorageLevel
+
+    key = inv.semanticHash()
+    hit = _INV_CACHE.get(key)
+    if hit is not None and inv.sameSemantics(hit):  # exact check on hash hit
+        _INV_CACHE.move_to_end(key)
+        return hit
+    persisted = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    _INV_CACHE[key] = persisted
+    while len(_INV_CACHE) > _INV_CACHE_MAX:
+        _, old = _INV_CACHE.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return persisted
 
 
 def shingles_col(text_col: str = "text", k: int = 3) -> Column:
@@ -101,12 +129,14 @@ def ngram_jaccard_pairs(
     # shingle count IS its intersection size (shingles are distinct).
     # Persisted: both self-join branches read the SAME materialized
     # index instead of recomputing the shingle projection twice
-    # (MEMORY_AND_DISK spills gracefully at scale).
-    from pyspark import StorageLevel
-
-    inv = sh.select(
-        *block_cols, "id", "n_sh", F.explode("shingles").alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (MEMORY_AND_DISK spills gracefully at scale). The persist is
+    # LRU-cached by plan identity and unpersisted on eviction —
+    # repeated calls reuse one materialization instead of leaking a
+    # new cached RDD per call (a long session otherwise accumulates
+    # dead cache entries and GC pressure).
+    inv = _cached_inverted_index(
+        sh.select(*block_cols, "id", "n_sh", F.explode("shingles").alias("shingle"))
+    )
     a = inv.select(
         *block_cols, "shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
     )
