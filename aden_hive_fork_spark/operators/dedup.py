@@ -277,3 +277,107 @@ def simhash_neardup_pairs(
         .distinct()
         .orderBy("hamming", "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (large-star / small-star)
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node in an undirected edge list with the MINIMUM node
+    id of its connected component — the step that turns pairwise
+    near-dup hits (Jaccard / MinHash / SimHash / cosine) into dedup
+    CLUSTERS a pipeline can act on.
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges in O(log n) rounds on any graph, versus O(diameter) for
+    naive label propagation, and every round is plain joins +
+    groupBy.min, so Catalyst/AQE handle skew and partial aggregation.
+    Each round truncates lineage with an eager ``localCheckpoint`` (on
+    a real cluster with a fault-tolerance requirement, swap in
+    ``sparkContext.setCheckpointDir`` + ``checkpoint``); the iterated
+    plan stays constant-size instead of growing exponentially.
+
+    Returns (id, comp) with one row per distinct node in ``pairs``;
+    comp == id for the cluster representative. Reference parity: the
+    reference has no clustering operator (SURVEY §2.D drives this as a
+    training-data-pipeline extension).
+    """
+    canon_u = F.greatest(F.col(src).cast("long"), F.col(dst).cast("long"))
+    canon_v = F.least(F.col(src).cast("long"), F.col(dst).cast("long"))
+    nodes = (
+        pairs.select(F.col(src).cast("long").alias("id"))
+        .union(pairs.select(F.col(dst).cast("long").alias("id")))
+        .distinct()
+    )
+    # canonical direction: u (larger) -> v (smaller); both stars keep it
+    edges = (
+        pairs.select(canon_u.alias("u"), canon_v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # -- large-star: every strictly-larger neighbor of u links to
+        #    m(u) = min(u, Γ(u)).
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: every smaller-or-equal neighbor of u (and u
+        #    itself) links to m(u) = min of u's smaller neighborhood.
+        directed = (
+            ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .distinct()
+            .filter(F.col("v") < F.col("u"))
+        )
+        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            directed.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = ss.exceptAll(edges).union(edges.exceptAll(ss)).isEmpty()
+        edges = ss
+        if converged:
+            break
+    labels = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
+    )
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row per near-dup cluster: the member with the
+    minimum id survives, every other cluster member is dropped. Rows
+    that appear in no pair are kept untouched.
+
+    The loser set is tiny relative to the corpus (only clustered
+    non-representatives), so the left_anti join broadcasts under AQE —
+    the full corpus is never shuffled."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

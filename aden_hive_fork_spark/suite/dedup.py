@@ -112,3 +112,96 @@ def q43_simhash_neardup(spark, sf_dir):
     Hamming verify — fully JVM-side column expressions."""
     docs = T(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, id_col="doc_id", text_col="text", k=3, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# q77/q78 — near-dup pairs -> connected components -> canonical keep.
+# Oracle: DuckDB recursive-CTE transitive closure with min-label
+# components (exact at gate scale; the Spark side is the O(log n)
+# large-star/small-star algorithm that survives 100 TB).
+# ---------------------------------------------------------------------------
+_PAIRS_CTE = """
+    sh AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        )) AS shingles
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(NULLIF(len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles)), 0) AS DOUBLE) >= 0.2
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    lab AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    )
+"""
+
+
+@query(
+    "q77_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE}
+    SELECT CAST(comp AS BIGINT) AS comp, COUNT(*) AS n_docs
+    FROM lab GROUP BY comp ORDER BY comp ASC
+    """,
+)
+def q77_neardup_clusters(spark, sf_dir):
+    """Near-dup clusters: q41's exact-Jaccard pairs fed through
+    large-star/small-star connected components; one row per cluster
+    with its min-doc-id label and member count."""
+    from ..operators.dedup import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy(F.col("comp").cast("bigint").alias("comp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("comp")
+    )
+
+
+@query(
+    "q78_near_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    losers AS (SELECT id FROM lab WHERE comp <> id)
+    SELECT d.source, COUNT(*) AS n_docs
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    GROUP BY d.source ORDER BY d.source ASC
+    """,
+)
+def q78_near_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dedup: drop every non-canonical cluster member
+    (min doc id survives) and count surviving documents per source —
+    the shape of a real training-data dedup pass."""
+    from ..operators.dedup import dedup_by_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2
+    )
+    return (
+        dedup_by_components(docs, pairs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )

@@ -305,3 +305,67 @@ def test_rollup_hll_users_estimate(spark, tmp_path):
     assert set(est) == set(exact)
     for t in exact:
         assert abs(est[t] - exact[t]) <= max(3, 0.05 * exact[t]), (t, est[t], exact[t])
+
+
+def _union_find_components(edges, nodes):
+    """Reference oracle: plain union-find, min-id representative."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_differential(spark):
+    """large-star/small-star labels == union-find labels on seeded
+    random graphs, a worst-case chain, and a singleton-free edge list."""
+    import random
+
+    from aden_hive_fork_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    cases = []
+    for n, m in [(30, 15), (60, 40), (80, 120)]:
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    cases.append([(i, i + 1) for i in range(40)])  # one long chain
+    cases.append([(5, 5), (9, 2)])  # self-loop edge must not crash
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if True]
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.comp
+            for r in connected_components(df, max_iter=25).collect()
+        }
+        nodes = {x for e in edges for x in e}
+        want = _union_find_components(
+            [(a, b) for a, b in edges if a != b], nodes
+        )
+        assert got == want
+
+
+def test_dedup_by_components_keeps_canonical(spark):
+    from aden_hive_fork_spark.operators.dedup import dedup_by_components
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_by_components(docs, pairs, "doc_id").collect()
+    )
+    # clusters {1,3,5} -> keep 1; {6,7} -> keep 6; singletons kept
+    assert kept == [0, 1, 2, 4, 6]
