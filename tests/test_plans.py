@@ -94,3 +94,16 @@ def test_q69_no_python_in_row_path(spark, queries):
     plan = _plan(queries["q69_bpe_token_counts"](spark, SF_SMALL))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q02_q03_eager_aggregation_below_join(spark, queries):
+    """The eager-aggregation rewrite must survive: lineitem collapses
+    to per-order partials BEFORE the join, so the optimized plan shows
+    an aggregate keyed on l_orderkey on the lineitem side of the
+    join (for q02 the rewrite removes the outer aggregate entirely),
+    and joins stay shuffle/broadcast hash."""
+    for q in ("q02_top_revenue_orders", "q03_region_nation_revenue"):
+        plan = _plan(queries[q](spark, SF_SMALL))
+        assert "HashAggregate(keys=[l_orderkey" in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
