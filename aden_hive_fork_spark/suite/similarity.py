@@ -193,3 +193,65 @@ def q71_cosine_neardup_exact(spark, sf_dir):
         .filter(F.col("cosine") >= 0.32)
         .orderBy(F.desc("cosine"), "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — embedding-cosine near-dup clusters: q71's exact pairs fed
+# through large-star/small-star connected components (same clustering
+# operator as q77, different pair source — text shingles there,
+# embedding geometry here). Oracle: recursive-CTE closure over the
+# q71 pair SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q79_cosine_neardup_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, i, CAST(val AS DECIMAL(10,8)) AS v
+      FROM (SELECT vec_id, label, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS na, SUM(b.v * b.v) AS nb
+      FROM e a JOIN e b ON a.i = b.i AND a.label = b.label
+                        AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM dots
+      WHERE ROUND(CAST(dot AS DOUBLE)
+                  / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0),
+                  6) >= 0.32
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+    ),
+    lab AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    )
+    SELECT CAST(comp AS BIGINT) AS comp, COUNT(*) AS n_vecs
+    FROM lab GROUP BY comp ORDER BY comp ASC
+    """,
+)
+def q79_cosine_neardup_clusters(spark, sf_dir):
+    """Embedding near-dup clusters: exact label-blocked cosine pairs
+    (q71's plan) labeled by min-vec-id connected component — the
+    semantic-dedup pass of a training pipeline (drop all but one of a
+    cluster of near-identical embeddings)."""
+    from ..operators.dedup import connected_components
+
+    pairs = q71_cosine_neardup_exact(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy(F.col("comp").cast("bigint").alias("comp"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("comp")
+    )
