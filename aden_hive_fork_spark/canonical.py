@@ -15,6 +15,7 @@ from decimal import Decimal
 from typing import Any, Iterable
 
 NULL_SENTINEL = "\x00NULL\x00"
+CELL_SEP = "\x1f"  # unambiguous cell delimiter: ('ab','c') must not hash like ('a','bc')
 
 
 def canon_value(v: Any) -> str:
@@ -53,7 +54,7 @@ def canon_rows(rows: Iterable[dict[str, Any]]) -> list[str]:
     so hashing is order-insensitive."""
     lines = []
     for row in rows:
-        lines.append("".join(canon_value(row[k]) for k in sorted(row)))
+        lines.append(CELL_SEP.join(canon_value(row[k]) for k in sorted(row)))
     return sorted(lines)
 
 

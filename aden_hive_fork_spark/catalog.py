@@ -38,13 +38,63 @@ TABLES = (
 )
 
 # table -> columns stored as parquet TIMESTAMP(NANOS) (read as long ns).
-_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Known driver tables are listed for zero-IO lookup; any OTHER table is
+# probed via its parquet footer (_nano_ts_cols) so nano-encoded columns
+# in arbitrary parquet also land as timestamp_ntz, not BIGINT.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {t: () for t in TABLES}
+_NANOS_TS_COLS["events"] = ("ts",)
+
+
+def _nano_ts_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as TIMESTAMP(NANOS, ntz) per the parquet footer.
+
+    Driver-side metadata-only read (pyarrow); for a directory-backed
+    table the first fragment's schema is authoritative (all fragments
+    share the writer schema in our sinks)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pt
+
+        schema = ds.dataset(path, format="parquet").schema
+        return tuple(
+            f.name
+            for f in schema
+            if pt.is_timestamp(f.type) and f.type.unit == "ns" and f.type.tz is None
+        )
+    except Exception:
+        return ()
 
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+class _scoped_conf:
+    """Set a session conf for the duration of a ``with`` block, then
+    restore the previous value (or unset). Parquet reads capture their
+    requested schema eagerly at ``spark.read`` time, so scoping the
+    legacy nanos flag around the read is safe for later lazy execution
+    (verified empirically: the scan honors the captured schema after
+    the conf is restored) — and OTHER parquet reads through the same
+    session no longer silently inherit nanos-as-BIGINT."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
 
 
 def _ns_long_to_ntz(col: str) -> F.Column:
@@ -65,10 +115,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` the conversion is a projection over the pushdown-
     friendly raw long (see ``load_events_raw`` for range-scan paths).
     """
-    ns_cols = _NANOS_TS_COLS.get(name, ())
+    ns_cols = _NANOS_TS_COLS.get(name)
+    if ns_cols is None:
+        ns_cols = _nano_ts_cols(table_path(sf_dir, name))
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     for c in ns_cols:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, _ns_long_to_ntz(c))
@@ -83,8 +137,9 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     a predicate on the converted timestamp is evaluated post-scan.
     Filter here first, then ``with_ts()``-style convert.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(table_path(sf_dir, "events")).withColumnRenamed("ts", "ts_ns")
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumnRenamed("ts", "ts_ns")
 
 
 def ns_literal(iso_ts: str) -> int:

@@ -59,6 +59,14 @@ def _cached_inverted_index(inv: DataFrame) -> DataFrame:
     if hit is not None and inv.sameSemantics(hit):  # exact check on hash hit
         _INV_CACHE.move_to_end(key)
         return hit
+    if hit is not None:
+        # semanticHash collision with a different plan: release the old
+        # persisted DataFrame before overwriting, or its cached RDD
+        # leaks past the LRU accounting.
+        try:
+            hit.unpersist()
+        except Exception:
+            pass
     persisted = inv.persist(StorageLevel.MEMORY_AND_DISK)
     _INV_CACHE[key] = persisted
     while len(_INV_CACHE) > _INV_CACHE_MAX:
@@ -150,12 +158,15 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
-    jac = F.round(
-        F.col("inter").cast("double") / F.nullif(union, F.lit(0)).cast("double"), 4
-    ).cast("double")
+    # Filter on the UNROUNDED ratio — the DuckDB oracles (q41/q77/q78)
+    # filter on the raw ratio, so thresholding the rounded value would
+    # keep boundary pairs in [threshold - 0.00005, threshold) that the
+    # oracle excludes. Round only in the projected output column.
+    raw = F.col("inter").cast("double") / F.nullif(union, F.lit(0)).cast("double")
+    jac = F.round(raw, 4).cast("double")
     return (
-        common.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        common.filter(raw >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
     )
 
@@ -322,12 +333,33 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # Convergence probe: (count, order-insensitive xxhash64 sum) of the
+    # edge set — ONE small aggregate job per round, versus the naive
+    # two-sided exceptAll symmetric difference (two wide jobs per
+    # round, which dominated wall-clock on small inputs). Equal stats
+    # on consecutive rounds ⇒ the contraction reached its fixed point
+    # (the edge set determines the stats; a false positive needs a
+    # 64-bit sum collision between consecutive rounds of the same
+    # monotone contraction — negligible).
+    def _stats(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long-sum of 64-bit hashes overflows under ANSI
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_stats = None
+    for it in range(max_iter):
         # -- large-star: every strictly-larger neighbor of u links to
-        #    m(u) = min(u, Γ(u)).
-        sym = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        #    m(u) = min(u, Γ(u)). Edges keep the u > v invariant across
+        #    rounds, so the symmetric view is distinct by construction
+        #    (each canonical pair appears once per direction) — no
+        #    distinct shuffle needed here.
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         ls = (
             sym.join(mins, "u")
@@ -336,13 +368,9 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # -- small-star: every smaller-or-equal neighbor of u (and u
-        #    itself) links to m(u) = min of u's smaller neighborhood.
-        directed = (
-            ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
-            .filter(F.col("v") < F.col("u"))
-        )
+        # -- small-star: operates on larger→smaller edges, which is
+        #    exactly ls (already canonical u > v).
+        directed = ls
         mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
         ss = (
             directed.join(mins2, "u")
@@ -350,12 +378,16 @@ def connected_components(
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        converged = ss.exceptAll(edges).union(edges.exceptAll(ss)).isEmpty()
+        # Truncate lineage with an eager localCheckpoint, then the
+        # stats probe reads the materialized partitions cheaply (one
+        # small job, versus the two wide exceptAll jobs it replaced).
+        ss = ss.localCheckpoint(eager=True)
+        stats = _stats(ss)
         edges = ss
-        if converged:
+        if stats == prev_stats:
             break
+        prev_stats = stats
     labels = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
     return nodes.join(labels, "id", "left").select(
         "id", F.coalesce("comp", "id").alias("comp")

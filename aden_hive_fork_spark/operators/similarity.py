@@ -106,20 +106,31 @@ def cosine_topk_vectorized(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ qn.T  # (batch, n_queries)
+            row_ids = pdf[id_col].to_numpy()
             frames = []
-            top = min(k, sims.shape[0])
             for qi, qid in enumerate(ids):
-                idx = np.argpartition(-sims[:, qi], top - 1)[:top]
+                # Mask the query's own corpus row BEFORE the local
+                # top-k, else the self-match (cosine 1.0) occupies a
+                # slot and the true k-th neighbor can be dropped
+                # depending on partitioning.
+                col = sims[:, qi].copy()
+                col[row_ids == qid] = -np.inf
+                top = min(k, col.shape[0])
+                idx = np.argpartition(-col, top - 1)[:top]
+                idx = idx[np.isfinite(col[idx])]
+                if idx.size == 0:
+                    continue
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            "vec_id": pdf[id_col].to_numpy()[idx],
-                            "cosine": np.round(sims[idx, qi], 6),
+                            "vec_id": row_ids[idx],
+                            "cosine": np.round(col[idx], 6),
                         }
                     )
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     from pyspark.sql.window import Window

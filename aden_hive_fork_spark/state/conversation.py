@@ -105,11 +105,21 @@ def compact_conversation(
         & (F.col("_recency") > F.col("_keep_n"))
         & (F.col("kind") != "tool_result")
     )
+    # Order-correct aggregation: collect (seq, content) structs and
+    # array_sort INSIDE the aggregate — Spark does not guarantee
+    # collect_list preserves input order through partial/merge
+    # aggregation, so a pre-orderBy would be silently discarded.
+    ordered_join = F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seq", "content"))),
+            lambda s: s["content"],
+        ),
+    )
     summaries = (
-        old.orderBy("conv_id", "seq")
-        .groupBy("conv_id")
+        old.groupBy("conv_id")
         .agg(
-            F.concat_ws("\n", F.collect_list("content")).alias("_joined"),
+            ordered_join.alias("_joined"),
             F.sum("token_count").alias("_old_tokens"),
         )
         .select(

@@ -161,25 +161,31 @@ def q68_ivf_ann_topk(spark, sf_dir):
     """,
 )
 def q71_cosine_neardup_exact(spark, sf_dir):
-    """ORACLE-checked embedding-cosine near-dup pairs: label-blocked
-    self-join + exact-decimal dot product (order-free), threshold on
-    the rounded score. The blocked join is the scale shape (candidates
-    only within a block — label here, LSH bucket/IVF cell in the
-    approximate tiers); arithmetic matches q50's determinism rules."""
+    """ORACLE-checked embedding-cosine near-dup pairs, two-tier:
+
+    1. CANDIDATES — the vectorized blocked scorer (numpy matmul per
+       label block, ``cosine_neardup_pairs``) at a slightly LOWER
+       threshold (0.32 - 1e-4). Double-precision matmul and the
+       exact-decimal path agree to ~1e-12 on 64-dim float32 inputs, so
+       the margin guarantees no exact-passing pair is pre-filtered out.
+    2. RESCORE — only the surviving pairs are re-scored with the
+       exact-decimal dot product (same determinism rules as q50) and
+       the final threshold applies to the rounded exact score, exactly
+       as the oracle's WHERE clause does.
+
+    This keeps the oracle-exact result while doing the O(pairs) heavy
+    arithmetic in BLAS instead of an interpreted decimal higher-order
+    expression per pair — the same candidates→rescore shape the ANN
+    tiers use, so it scales identically (block = unit of shuffle)."""
     from ..operators.similarity import _DOT, _NORM2
 
     emb = T(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"),
-        "label",
-        F.col("embedding").alias("va"),
+    cand = cosine_neardup_pairs(emb, threshold=0.32 - 1e-4, block_col="label").select(
+        "id_a", "id_b"
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("vb"),
-    )
-    j = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    j = cand.join(a, "id_a").join(b, "id_b")
     dot = F.expr(_DOT.format(a="va", b="vb"))
     na = F.expr(_NORM2.format(a="va"))
     nb = F.expr(_NORM2.format(a="vb"))
