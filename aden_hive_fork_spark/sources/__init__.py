@@ -1,15 +1,25 @@
 """Data sources/sinks (SURVEY.md §2.A rows 1-7, 25, 32-36).
 
-CSV (native Spark), Excel (pandas bridge, gated on openpyxl), JSONL
-(corrupt-line tolerant), text/grep, and binary/multimodal ingestion.
+CSV (native Spark), Excel (pure-stdlib xlsx parser), JSONL
+(corrupt-line tolerant), text/grep, binary/multimodal ingestion, and
+external-database SQL passthrough.
 """
 
 from .csv_source import csv_append, csv_info, csv_read, csv_sql, csv_write
 from .excel_source import (
-    HAVE_OPENPYXL,
+    excel_read,
     excel_sql,
     excel_sql_frames,
+    excel_write,
+    excel_write_df,
+    read_sheets,
     sheets_to_views,
+)
+from .external import (
+    external_query,
+    external_read,
+    jdbc_read,
+    register_external,
 )
 from .binary import extract_metadata, fake_features, read_binary_dir
 from .json_source import read_jsonl
@@ -25,10 +35,17 @@ __all__ = [
     "csv_append",
     "csv_info",
     "csv_sql",
-    "HAVE_OPENPYXL",
+    "excel_read",
     "excel_sql",
     "excel_sql_frames",
+    "excel_write",
+    "excel_write_df",
+    "read_sheets",
     "sheets_to_views",
+    "external_query",
+    "external_read",
+    "jdbc_read",
+    "register_external",
     "read_jsonl",
     "pdf_extract_pages",
     "pdf_read",

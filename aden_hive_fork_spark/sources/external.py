@@ -1,0 +1,356 @@
+"""External-database SQL passthrough (SURVEY.md §2.A row 6 "what's
+missing" #1 — the reference's most-used real query path).
+
+Reference parity:
+- ``pg_query`` — read-only SELECT against an external DB, result
+  envelope {columns, rows, row_count, max_rows, duration_ms, success}
+  (reference: tools/src/aden_tools/tools/postgres_tool/postgres_tool.py:271-355);
+- ``pg_list_schemas`` / ``pg_list_tables`` / ``pg_describe_table`` —
+  information_schema catalog ops (postgres_tool.py:358-475);
+- ``run_bigquery_query`` — max_rows cap + ``query_truncated`` flag
+  (bigquery_tool.py:149-243).
+
+Spark-first architecture — two tiers, mirroring how the reference
+itself splits "interactive query" from "bulk data":
+
+1. **Envelope tier** (``external_query``): driver-side DBAPI
+   passthrough, bounded by ``max_rows`` (the reference fetches at most
+   MAX_ROWS rows driver-side too — this tier is for tool-sized
+   results, never bulk).
+2. **DataFrame tier** (``external_read`` / ``jdbc_read``): the 100 TB
+   path. ``jdbc_read`` wires ``spark.read.jdbc`` with partitioned
+   reads (partitionColumn/lowerBound/upperBound/numPartitions → one
+   range-predicated query per executor task). Where no JDBC driver jar
+   is available (this sandbox), ``external_read`` provides the same
+   partitioned-parallel-fetch shape over any picklable DBAPI
+   connection factory: each Spark task opens its own connection and
+   fetches one range slice — no driver-side materialization.
+
+Works against DuckDB (embedded, used by the tests — the same engine
+the reference delegates its SQL to), SQLite, or any PEP-249 driver
+whose connection factory can be pickled to executors.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..guard import SqlGuardError, ensure_read_only
+
+# Reference row caps: postgres_tool.py MAX_ROWS; bigquery_tool.py hard
+# cap 10000 on max_rows.
+MAX_ROWS = 1_000
+HARD_MAX_ROWS = 10_000
+
+ConnFactory = Callable[[], Any]
+
+
+def _error_response(msg: str, help_text: str | None = None) -> dict:
+    out = {"error": msg, "success": False}
+    if help_text:
+        out["help"] = help_text
+    return out
+
+
+def _cursor_columns(cur) -> list[str]:
+    return [d[0] for d in cur.description] if cur.description else []
+
+
+# ---------------------------------------------------------------------------
+# Envelope tier — pg_query / run_bigquery_query analog
+# ---------------------------------------------------------------------------
+def external_query(
+    conn_factory: ConnFactory,
+    sql: str,
+    params: Sequence | dict | None = None,
+    max_rows: int = MAX_ROWS,
+) -> dict:
+    """Read-only SELECT against an external DB, reference envelope.
+
+    Mirrors pg_query (postgres_tool.py:271-355): guard → execute →
+    fetchmany(max_rows) → {columns, rows, row_count, max_rows,
+    duration_ms, success}; plus bigquery_tool's ``query_truncated``
+    (one extra row probed past the cap). Errors come back as the
+    reference's error envelope, never as raised driver exceptions.
+    """
+    if max_rows < 1:
+        return _error_response("max_rows must be at least 1")
+    if max_rows > HARD_MAX_ROWS:
+        return _error_response(
+            f"max_rows cannot exceed {HARD_MAX_ROWS}",
+            "For larger result sets use external_read/jdbc_read (distributed).",
+        )
+    start = time.monotonic()
+    try:
+        ensure_read_only(sql)
+    except SqlGuardError as exc:
+        return _error_response(str(exc))
+    try:
+        conn = conn_factory()
+        try:
+            cur = conn.cursor() if hasattr(conn, "cursor") else conn
+            cur.execute(sql, params) if params is not None else cur.execute(sql)
+            columns = _cursor_columns(cur)
+            rows = [list(r) for r in cur.fetchmany(max_rows + 1)]
+        finally:
+            if hasattr(conn, "close"):
+                conn.close()
+    except Exception as exc:
+        return _error_response(f"Database error while executing query: {exc}")
+    truncated = len(rows) > max_rows
+    rows = rows[:max_rows]
+    return {
+        "columns": columns,
+        "rows": rows,
+        "row_count": len(rows),
+        "max_rows": max_rows,
+        "duration_ms": int((time.monotonic() - start) * 1000),
+        "query_truncated": truncated,
+        "success": True,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Catalog ops — pg_list_schemas / pg_list_tables / pg_describe_table
+# ---------------------------------------------------------------------------
+_LIST_SCHEMAS_SQL = (
+    "SELECT schema_name FROM information_schema.schemata ORDER BY schema_name"
+)
+_LIST_TABLES_SQL = (
+    "SELECT table_schema, table_name FROM information_schema.tables"
+    " WHERE table_type IN ('BASE TABLE', 'VIEW') ORDER BY table_schema, table_name"
+)
+_DESCRIBE_SQL = (
+    "SELECT column_name, data_type, is_nullable, column_default"
+    " FROM information_schema.columns"
+    " WHERE table_schema = '{schema}' AND table_name = '{table}'"
+    " ORDER BY ordinal_position"
+)
+
+
+def external_list_schemas(conn_factory: ConnFactory) -> dict:
+    """pg_list_schemas analog (postgres_tool.py:358-388)."""
+    env = external_query(conn_factory, _LIST_SCHEMAS_SQL, max_rows=HARD_MAX_ROWS)
+    if not env["success"]:
+        return _error_response("Failed to list schemas")
+    return {"result": [r[0] for r in env["rows"]], "success": True}
+
+
+def external_list_tables(conn_factory: ConnFactory, schema: str | None = None) -> dict:
+    """pg_list_tables analog (postgres_tool.py:391-424)."""
+    env = external_query(conn_factory, _LIST_TABLES_SQL, max_rows=HARD_MAX_ROWS)
+    if not env["success"]:
+        return _error_response("Failed to list tables")
+    result = [
+        {"schema": r[0], "table": r[1]}
+        for r in env["rows"]
+        if schema is None or r[0] == schema
+    ]
+    return {"result": result, "success": True}
+
+
+def external_describe_table(
+    conn_factory: ConnFactory, table: str, schema: str = "main"
+) -> dict:
+    """pg_describe_table analog (postgres_tool.py:427-475)."""
+    if not all(c.isalnum() or c == "_" for c in schema + table):
+        return _error_response("invalid schema/table identifier")
+    env = external_query(
+        conn_factory,
+        _DESCRIBE_SQL.format(schema=schema, table=table),
+        max_rows=HARD_MAX_ROWS,
+    )
+    if not env["success"]:
+        return _error_response("Failed to describe table")
+    return {
+        "result": [
+            {"column": r[0], "type": r[1], "nullable": r[2] in ("YES", True), "default": r[3]}
+            for r in env["rows"]
+        ],
+        "success": True,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DataFrame tier — distributed partitioned fetch
+# ---------------------------------------------------------------------------
+def _probe_schema(spark: SparkSession, conn_factory: ConnFactory, sql: str):
+    """Column names + Spark schema from a LIMIT-0 probe (one tiny
+    driver-side query; the bulk fetch happens on executors)."""
+    conn = conn_factory()
+    try:
+        cur = conn.cursor() if hasattr(conn, "cursor") else conn
+        probe = f"SELECT * FROM ({sql}) AS __probe LIMIT 0"
+        # Arrow fast-path (DuckDB) captures exact types; generic DBAPI
+        # falls back to a 1-row sample inference.
+        if hasattr(cur, "arrow") or hasattr(conn, "arrow"):
+            tbl = (cur if hasattr(cur, "arrow") else conn).execute(probe).arrow()
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            return from_arrow_schema(tbl.schema, prefer_timestamp_ntz=True)
+        cur.execute(f"SELECT * FROM ({sql}) AS __probe LIMIT 1")
+        cols = _cursor_columns(cur)
+        sample = [tuple(r) for r in cur.fetchall()]
+        if sample:
+            return spark.createDataFrame(sample, cols).schema
+        # empty result: no type evidence from a generic DBAPI cursor
+        return spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols)).schema
+    finally:
+        if hasattr(conn, "close"):
+            conn.close()
+
+
+def external_read(
+    spark: SparkSession,
+    conn_factory: ConnFactory,
+    query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Distributed DataFrame over an external-DB query — the scale tier.
+
+    Same partitioning contract as ``spark.read.jdbc``: with a numeric
+    ``partition_column`` and bounds, the query is split into
+    ``num_partitions`` range slices and EACH SPARK TASK opens its own
+    connection and fetches one slice (stride predicates; first/last
+    slices are unbounded so no rows are lost outside the bounds).
+    Without a partition column the fetch is a single task — correct,
+    but not parallel; always pass bounds for big tables.
+
+    ``conn_factory`` must be picklable (top-level function / partial).
+    """
+    ensure_read_only(query)
+    schema = _probe_schema(spark, conn_factory, query)
+
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        num_partitions = max(1, num_partitions)
+        stride = max(1, (upper_bound - lower_bound) // num_partitions)
+        predicates = []
+        for i in range(num_partitions):
+            lo = lower_bound + i * stride
+            hi = lower_bound + (i + 1) * stride
+            if i == 0 and i == num_partitions - 1:
+                predicates.append("1=1")
+            elif i == 0:
+                predicates.append(f"{partition_column} < {hi}")
+            elif i == num_partitions - 1:
+                predicates.append(f"{partition_column} >= {lo}")
+            else:
+                predicates.append(f"{partition_column} >= {lo} AND {partition_column} < {hi}")
+    else:
+        predicates = ["1=1"]
+
+    pred_df = spark.createDataFrame([(p,) for p in predicates], "predicate string").repartition(
+        len(predicates), "predicate"
+    )
+
+    import pandas as pd
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pred in pdf["predicate"]:
+                conn = conn_factory()
+                try:
+                    cur = conn.cursor() if hasattr(conn, "cursor") else conn
+                    sliced = f"SELECT * FROM ({query}) AS __q WHERE {pred}"
+                    if hasattr(cur, "arrow") or hasattr(conn, "arrow"):
+                        tbl = (cur if hasattr(cur, "arrow") else conn).execute(sliced).arrow()
+                        out = tbl.to_pandas()
+                    else:
+                        cur.execute(sliced)
+                        cols = _cursor_columns(cur)
+                        out = pd.DataFrame(cur.fetchall(), columns=cols)
+                    if not out.empty:
+                        yield out
+                finally:
+                    if hasattr(conn, "close"):
+                        conn.close()
+
+    return pred_df.mapInPandas(fetch, schema=schema)
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetchsize: int = 10_000,
+    **options: str,
+) -> DataFrame:
+    """``spark.read.jdbc`` wiring — the canonical external-DB scale
+    path when a JDBC driver jar is on the classpath.
+
+    - ``table_or_query``: a table name, or a SELECT (wrapped as a
+      derived-table ``dbtable`` so the external engine evaluates it —
+      true passthrough, like the reference delegating to Postgres).
+    - Partitioned read options map 1:1 to Spark's JDBC source; the
+      external DB sees ``num_partitions`` concurrent range queries.
+    - Raises a descriptive error when no driver class is resolvable
+      (this sandbox has no JDBC jars; ``external_read`` is the
+      jar-free twin with identical partitioning semantics).
+    """
+    q = table_or_query.strip()
+    if q.lower().startswith(("select", "with")):
+        ensure_read_only(q)
+        dbtable = f"({q}) AS __spark_subq"
+    else:
+        dbtable = q
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .option("fetchsize", str(fetchsize))
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:
+        msg = str(exc)
+        if "No suitable driver" in msg or "ClassNotFoundException" in msg or "driver" in msg.lower():
+            raise RuntimeError(
+                "jdbc_read needs the database's JDBC driver jar on the Spark "
+                "classpath (spark.jars). Without one, use external_read(...) — "
+                "same partitioned-fetch semantics over a Python DBAPI driver."
+            ) from exc
+        raise
+
+
+def register_external(
+    spark: SparkSession,
+    conn_factory: ConnFactory,
+    tables: Sequence[str],
+    schema: str = "main",
+    view_prefix: str = "",
+) -> list[str]:
+    """Register external tables as temp views (catalog twin of
+    register_views) so multi-table SQL can join external + local data
+    in one statement — the excel_sql multi-sheet-join contract applied
+    to an external DB."""
+    registered = []
+    for t in tables:
+        if not all(c.isalnum() or c == "_" for c in t):
+            raise ValueError(f"invalid table identifier: {t}")
+        df = external_read(spark, conn_factory, f"SELECT * FROM {schema}.{t}")
+        df.createOrReplaceTempView(view_prefix + t)
+        registered.append(view_prefix + t)
+    return registered

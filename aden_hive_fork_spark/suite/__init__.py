@@ -46,6 +46,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         dedup,
         events,
+        external_db,
         relational,
         relational2,
         relational3,
