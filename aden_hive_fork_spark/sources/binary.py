@@ -13,11 +13,16 @@ What is REAL here (no external libs needed):
 - WAV sample-rate/channels from the RIFF fmt chunk
 - the mapInPandas plumbing: schema, batching, partitioning
 
-What is STUBBED (decode libs absent in this container):
-- pixel decode / resize / frame sampling -> ``decode_pixels_stub``
-  raises NotImplementedError; ``fake_features`` produces a
-  deterministic hash-derived feature vector so downstream pipelines
-  (dedup, similarity) are exercisable end-to-end.
+REAL pixel decode (round 2): PNG content is decoded with the
+pure-stdlib codec (``png_codec`` — zlib + struct) and
+``image_features`` extracts brightness/contrast/palette stats plus a
+luminance-grid signature, replacing ``fake_features`` for PNGs.
+
+What remains STUBBED (decode libs absent in this container):
+- JPEG/video pixel decode -> ``decode_pixels_stub`` raises
+  NotImplementedError; ``fake_features`` produces a deterministic
+  hash-derived feature vector so downstream pipelines (dedup,
+  similarity) are exercisable end-to-end for any format.
 """
 
 from __future__ import annotations
@@ -181,6 +186,97 @@ def fake_features(df: DataFrame, content_col: str = "content", dim: int = 16) ->
 
     cols = [c for c in ("path", content_col) if c in df.columns]
     return df.select(*cols).mapInPandas(feat, schema="path string, features array<double>")
+
+
+# ---------------------------------------------------------------------------
+# image: REAL PNG pixel decode (stdlib zlib codec — png_codec.py)
+# ---------------------------------------------------------------------------
+IMAGE_FEATURES_SCHEMA = (
+    "path string, mime string, decoded boolean, width int, height int,"
+    " channels int, brightness double, contrast double, n_colors int,"
+    " features array<double>"
+)
+
+
+def image_features(df: DataFrame, content_col: str = "content", grid: int = 4) -> DataFrame:
+    """Per-asset image features with REAL pixel decode for PNG.
+
+    PNG content: stdlib zlib decode → brightness, contrast, distinct-
+    color count, and a grid×grid luminance signature (a tiny
+    perceptual embedding — exact dups match exactly, near-dups land
+    near in cosine; feed it to the similarity/dedup operators).
+    Non-PNG content keeps the deterministic hash-derived vector
+    (decoded=false) so the pipeline is schema-stable across formats.
+
+    Public-primitive analog of the reference's vision extraction
+    (vision_tool.py:371-520 calls a proprietary API; these stats come
+    from the public PNG spec alone). mapInPandas keeps each asset in
+    its ingest task — the op scales with file count.
+    """
+    from .png_codec import png_features
+
+    dim = grid * grid
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col])
+                mime = sniff_mime(b)
+                f = png_features(b, grid=grid) if mime == "image/png" else None
+                if f is not None:
+                    rows.append(
+                        {
+                            "path": r.get("path", ""),
+                            "mime": mime,
+                            "decoded": True,
+                            "width": f["width"],
+                            "height": f["height"],
+                            "channels": f["channels"],
+                            "brightness": f["brightness"],
+                            "contrast": f["contrast"],
+                            "n_colors": f["n_colors"],
+                            "features": f["grid"],
+                        }
+                    )
+                else:
+                    digest = hashlib.sha256(b).digest()
+                    vec = [
+                        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65535.0
+                        for i in range(dim)
+                    ]
+                    rows.append(
+                        {
+                            "path": r.get("path", ""),
+                            "mime": mime,
+                            "decoded": False,
+                            "width": None,
+                            "height": None,
+                            "channels": None,
+                            "brightness": None,
+                            "contrast": None,
+                            "n_colors": None,
+                            "features": vec,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "mime",
+                    "decoded",
+                    "width",
+                    "height",
+                    "channels",
+                    "brightness",
+                    "contrast",
+                    "n_colors",
+                    "features",
+                ],
+            )
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(feats, schema=IMAGE_FEATURES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ def load_all() -> None:
         dedup,
         events,
         external_db,
+        multimodal,
         relational,
         relational2,
         relational3,

@@ -36,6 +36,9 @@ HEADLINE = [
     "q41_ngram_jaccard_pairs",    # near-dup exact jaccard
     "q50_cosine_topk",            # similarity search
     "q69_bpe_token_counts",       # BPE-ish tokenization
+    "q77_neardup_clusters",       # connected-components clustering
+    "q79_cosine_neardup_clusters",# embedding cluster dedup
+    "q80_external_db_join",       # external-DB partitioned fetch + join
 ]
 
 

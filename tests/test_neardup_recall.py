@@ -1,0 +1,141 @@
+"""Differential recall tests for the approximate near-dup tiers
+(VERDICT r1 "Next round" #7): MinHash LSH and SimHash banding measured
+against exact n-gram Jaccard ground truth on a seeded synthetic
+corpus — the reference's golden-result test style
+(test_csv_tool.py:697-850) applied to approximation quality.
+
+Corpus: 40 base documents of 30 words each (seeded vocab draw), 25 of
+which get a near-duplicate with 2 words mutated → shingle-set Jaccard
+≈ 0.65-0.85, the regime a training-data dedup pass must catch.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.dedup import (
+    minhash_neardup_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+)
+
+_SEED = 1234
+
+
+def _corpus_rows():
+    rng = random.Random(_SEED)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    rows = []
+    doc_id = 0
+    for base in range(40):
+        words = [rng.choice(vocab) for _ in range(30)]
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        if base < 25:  # near-duplicate: mutate 1 position (strong,
+            # Jaccard ~0.8) for the first 12, else 2 (Jaccard ~0.65)
+            mutated = list(words)
+            n_mut = 1 if base < 12 else 2
+            for pos in rng.sample(range(30), n_mut):
+                mutated[pos] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(mutated)))
+            doc_id += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def truth(corpus):
+    """Exact ground truth: shingle-Jaccard >= 0.5 pairs."""
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", k=3, threshold=0.5).collect()
+    out = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert len(out) >= 20, "corpus must contain a meaningful near-dup set"
+    return out
+
+
+def test_minhash_recall_at_declared_threshold(corpus, truth):
+    """MinHash LSH (q42's declared parameters: 8 hash tables, distance
+    cap 0.8) must recover >= 90% of true Jaccard>=0.5 pairs — at
+    s=0.5 the OR-amplified collision probability is 1-(1-0.5)^8 ≈
+    0.996, so missing more than ~10% indicates a wiring bug, not
+    sampling noise."""
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_neardup_pairs(
+            corpus, "doc_id", k=3, num_hash_tables=8, max_jaccard_distance=0.8
+        ).collect()
+    }
+    hits = sum(1 for p in truth if p in found)
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"MinHash recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_minhash_estimate_tracks_true_jaccard(corpus, truth):
+    """For recovered pairs the LSH distance estimate (1 - est_jaccard)
+    must track the exact Jaccard (approxSimilarityJoin's distance is
+    the exact column-sparse Jaccard on hashed shingle features, so the
+    only drift source is HashingTF bucket collisions)."""
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_neardup_pairs(
+            corpus, "doc_id", k=3, num_hash_tables=8, max_jaccard_distance=0.8
+        ).collect()
+    }
+    errs = [abs(est[p] - truth[p]) for p in truth if p in est]
+    assert errs and max(errs) <= 0.05
+
+
+def test_simhash_band_join_is_pigeonhole_complete(corpus):
+    """Completeness: EVERY pair within Hamming distance 3 must be
+    found by the 4x16-bit band join (pigeonhole: <=3 flipped bits
+    cannot touch all 4 bands). Differential against a driver-side
+    all-pairs scan of the fingerprints."""
+    fps = {r.id: r.simhash for r in simhash_fingerprints(corpus, "doc_id").collect()}
+    ids = sorted(fps)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                expected.add((a, b))
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(corpus, "doc_id", max_hamming=3).collect()
+    }
+    assert expected <= found
+    assert found == expected  # and nothing beyond the declared distance
+
+
+def test_simhash_separates_neardups_from_random_pairs(corpus, truth):
+    """SimHash carries the similarity signal: every true near-dup pair
+    (Jaccard >= 0.5) must sit at a smaller Hamming distance than the
+    TYPICAL unrelated pair (64-bit fingerprints of independent docs
+    concentrate around distance 32). Hamming <= 3 itself is the
+    near-identical regime — on 30-word docs even a 1-word mutation
+    moves ~5-12 bits (few shingles → small per-bit margins), which is
+    exactly why the declared q43 contract is band-complete distance-3
+    retrieval (previous test), not Jaccard-0.5 recall."""
+    fps = {r.id: r.simhash for r in simhash_fingerprints(corpus, "doc_id").collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(fps)
+    truth_d = [ham(a, b) for (a, b) in truth]
+    rand_d = [
+        ham(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (a, b) not in truth
+    ]
+    rand_d.sort()
+    p10 = rand_d[len(rand_d) // 10]  # 10th percentile of unrelated-pair distances
+    assert max(truth_d) < p10, (
+        f"near-dup hamming {max(truth_d)} not separated from random pairs (p10={p10})"
+    )
