@@ -174,6 +174,22 @@ def external_describe_table(
     }
 
 
+def external_explain(conn_factory: ConnFactory, sql: str) -> dict:
+    """pg_explain analog (postgres_tool.py:478+): the EXTERNAL engine's
+    plan for a read-only query — what you read before deciding whether
+    to push a predicate into the passthrough SQL or fetch-and-filter
+    in Spark."""
+    try:
+        ensure_read_only(sql)
+    except SqlGuardError as exc:
+        return _error_response(str(exc))
+    env = external_query(conn_factory, f"EXPLAIN {sql}", max_rows=HARD_MAX_ROWS)
+    if not env["success"]:
+        return env
+    plan = "\n".join(str(c) for r in env["rows"] for c in r if c is not None)
+    return {"result": plan, "success": True}
+
+
 # ---------------------------------------------------------------------------
 # DataFrame tier — distributed partitioned fetch
 # ---------------------------------------------------------------------------

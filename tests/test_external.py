@@ -194,3 +194,12 @@ def test_jdbc_read_reports_missing_driver(spark):
     with pytest.raises((RuntimeError, Exception)) as exc:
         jdbc_read(spark, "jdbc:postgresql://localhost/x", "users")
     assert "driver" in str(exc.value).lower()
+
+
+def test_external_explain(extdb):
+    from aden_hive_fork_spark.sources.external import external_explain
+
+    out = external_explain(extdb, "SELECT id FROM users WHERE id < 10")
+    assert out["success"] and "users" in out["result"].lower()
+    bad = external_explain(extdb, "DELETE FROM users")
+    assert bad["success"] is False

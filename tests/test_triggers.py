@@ -105,3 +105,67 @@ def test_timer_fires_bounded_schedule(spark, tmp_path):
     rows = df.orderBy("event_id").collect()
     assert [r["value"] for r in rows] == [0.0, 1.0, 2.0]
     assert all(r["event_type"] == "timer_fire" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# cron schedule (stdlib croniter analog)
+# ---------------------------------------------------------------------------
+def test_cron_next_basic_fields():
+    import datetime as dt
+
+    from aden_hive_fork_spark.streaming.triggers import cron_next
+
+    t = dt.datetime(2024, 3, 1, 10, 30)
+    # every minute -> next minute
+    assert cron_next("* * * * *", t) == dt.datetime(2024, 3, 1, 10, 31)
+    # fixed minute
+    assert cron_next("15 * * * *", t) == dt.datetime(2024, 3, 1, 11, 15)
+    # daily at 09:00 -> next day (10:30 already past)
+    assert cron_next("0 9 * * *", t) == dt.datetime(2024, 3, 2, 9, 0)
+    # steps: every 20 minutes
+    assert cron_next("*/20 * * * *", t) == dt.datetime(2024, 3, 1, 10, 40)
+    # month rollover: Feb 30 does not exist -> first fire is Mar 30
+    assert cron_next("0 0 30 * *", dt.datetime(2024, 2, 1)) == dt.datetime(2024, 3, 30)
+
+
+def test_cron_next_dow_and_dom_or_semantics():
+    import datetime as dt
+
+    from aden_hive_fork_spark.streaming.triggers import cron_next
+
+    # 2024-03-01 is a Friday (cron dow 5)
+    t = dt.datetime(2024, 3, 1, 0, 0)
+    # next Sunday (dow 0) at noon
+    assert cron_next("0 12 * * 0", t) == dt.datetime(2024, 3, 3, 12, 0)
+    # dow 7 aliases to Sunday
+    assert cron_next("0 12 * * 7", t) == dt.datetime(2024, 3, 3, 12, 0)
+    # POSIX OR: dom=2 OR dow=Sunday -> Mar 2 (Saturday) wins over Mar 3
+    assert cron_next("0 0 2 * 0", t) == dt.datetime(2024, 3, 2, 0, 0)
+
+
+def test_cron_next_rejects_bad_expressions():
+    import datetime as dt
+
+    from aden_hive_fork_spark.streaming.triggers import cron_next
+
+    with pytest.raises(ValueError):
+        cron_next("* * * *", dt.datetime(2024, 1, 1))  # 4 fields
+    with pytest.raises(ValueError):
+        cron_next("99 * * * *", dt.datetime(2024, 1, 1))  # out of range
+
+
+def test_cron_source_immediate_fire(spark, tmp_path):
+    from aden_hive_fork_spark.streaming.triggers import CronSource
+
+    stream_dir = str(tmp_path / "cron_events")
+    src = CronSource(stream_dir, "* * * * *", max_fires=1, immediate=True).start()
+    deadline = time.time() + 15
+    while time.time() < deadline and src.fires < 1:
+        time.sleep(0.05)
+    src.stop()
+    assert src.fires == 1
+    df = spark.read.schema("event_id long, ts timestamp, event_type string, value double").json(
+        stream_dir
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "cron_fire"
