@@ -1,0 +1,117 @@
+"""Connector roundtrip queries: CSV and Excel sinks/scans under the
+driver's DuckDB oracle gate.
+
+These rows of SURVEY.md §2 (CSV scan/sink rows 1-2, Excel rows 4-5)
+previously had pytest evidence only, because the driver testdata is
+parquet. The roundtrip trick puts the CONNECTOR inside an
+oracle-checked query: Spark writes a deterministic slice through the
+connector, reads it back through the same connector, and aggregates;
+the oracle computes the same aggregate straight from parquet. Any
+loss, duplication, or type corruption in the connector shows up as a
+hash mismatch.
+
+Roundtrip-safety notes:
+- doubles survive CSV/xlsx text both ways (Java's Double.toString and
+  Python's repr are shortest-roundtrip representations);
+- aggregates follow the suite determinism contract (DECIMAL sums,
+  ROUND→DOUBLE, total ORDER BY);
+- writes go under /tmp keyed by the sf name — re-runs overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T, dec, dround
+
+
+def _rt_dir(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join("/tmp", "spark_graft_roundtrip", sf)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+@query(
+    "q82_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+      COUNT(*) AS n_customers,
+      CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal,
+      CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    WHERE c_custkey % 3 = 0
+    GROUP BY c_mktsegment
+    ORDER BY segment ASC
+    """,
+)
+def q82_csv_roundtrip(spark, sf_dir):
+    """CSV SINK + SCAN inside the oracle gate: a customer slice is
+    written to CSV (df.write, header, distributed) and read back with
+    an explicit schema (no inference nondeterminism); the aggregate
+    must hash-match the oracle computed from the original parquet.
+    Proves §2.A rows 1-2 end-to-end, not just in unit tests."""
+    out = _rt_dir(sf_dir, "csv_customer")
+    (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("c_custkey bigint, c_mktsegment string, c_acctbal double")
+        .option("header", True)
+        .csv(out)
+    )
+    return (
+        back.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q83_excel_roundtrip",
+    oracle="""
+    SELECT n.n_name AS nation,
+      COUNT(*) AS n_suppliers,
+      CAST(ROUND(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation ASC
+    """,
+)
+def q83_excel_roundtrip(spark, sf_dir):
+    """EXCEL SINK + SCAN + cross-source join inside the oracle gate:
+    the nation dimension goes out through the stdlib xlsx writer, comes
+    back through the stdlib parser (typed cells), and joins the
+    Spark-local supplier table — the excel_sql multi-sheet contract
+    with one side living in a real workbook file. Proves §2.A rows 4-5
+    under the driver gate."""
+    from ..sources.excel_source import excel_write_df, read_sheets
+
+    path = _rt_dir(sf_dir, "nation.xlsx")
+    excel_write_df(path, {"Nations": T(spark, sf_dir, "nation")})
+    nations = read_sheets(spark, path)["Nations"]
+    supplier = T(spark, sf_dir, "supplier")
+    return (
+        supplier.join(
+            F.broadcast(nations),
+            supplier.s_nationkey == nations.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dround(F.sum(dec("s_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
