@@ -115,3 +115,95 @@ def q83_excel_roundtrip(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "q84_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+      CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM events
+    WHERE user_id % 5 = 0
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def q84_jsonl_roundtrip(spark, sf_dir):
+    """JSONL SINK + corrupt-tolerant SCAN inside the oracle gate
+    (§2.C row 69): an events slice goes out as JSON-lines, a corrupt
+    line is INJECTED into the directory, and the read must skip it
+    (PERMISSIVE corrupt-record drop) while every valid row survives
+    byte-exactly — hash-checked against the oracle over the original
+    parquet. Timestamps are excluded from the projection (JSON text
+    round-trips doubles/longs/strings losslessly; the ts column has
+    its own oracle coverage in q20/q22)."""
+    from ..sources.json_source import read_jsonl
+
+    out = _rt_dir(sf_dir, "jsonl_events")
+    (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("event_id", "event_type", "value", "user_id")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    # inject a corrupt line the scan must survive and drop
+    with open(os.path.join(out, "part-corrupt.json"), "w") as fh:
+        fh.write('{"event_id": 1, "event_type": "broken"\n')  # unterminated
+    back = read_jsonl(
+        spark,
+        out,
+        schema="event_id bigint, event_type string, value double, user_id bigint",
+        drop_corrupt=True,
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum(dec("value"))).alias("total_value"),
+            F.min("event_id").cast("bigint").alias("min_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q85_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+      COUNT(*) AS n_lineitems,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_quantity >= 40
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority ASC
+    """,
+)
+def q85_salted_skew_join(spark, sf_dir):
+    """SALTED skew join under the oracle gate: the fact side carries a
+    content-hash salt, the dimension side is replicated salt ways, and
+    the (key, salt) join must produce EXACTLY the plain-join result —
+    the manual skew-mitigation technique (for when AQE's runtime skew
+    split isn't available, e.g. non-AQE engines or deliberate
+    pre-partitioning) proven value-identical, not just row-identical."""
+    from ..operators.joins import salted_join
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_extendedprice")
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on="l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dround(F.sum(dec("l_extendedprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
