@@ -143,3 +143,78 @@ def pdf_read(binary_df: DataFrame, pages: str | None = None) -> DataFrame:
     return binary_df.select("path", "content").mapInPandas(
         extract, schema="path string, page int, text string"
     )
+
+
+# ---------------------------------------------------------------------------
+# writer — minimal but structurally valid single-column text PDF
+# ---------------------------------------------------------------------------
+def _pdf_escape(text: str) -> bytes:
+    b = text.encode("latin-1", errors="replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def pdf_write(path: str, pages: list[str], compress: bool = True) -> dict:
+    """Write one text page per list entry as a valid PDF 1.4 file
+    (xref table, page tree, Helvetica, FlateDecode content streams) —
+    the sink twin of ``pdf_read``. Each page's text round-trips
+    byte-exactly through ``pdf_extract_pages`` (escape/unescape of
+    ``( ) \\`` included), which is what the oracle roundtrip query
+    (q86) checks. Stdlib only, like the parser."""
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)  # 1-based object number
+
+    page_obj_nums = []
+    content_obj_nums = []
+    n_fixed = 3  # catalog, pages-tree, font — reserved below
+    n_pages = len(pages)
+    # object numbering: 1=catalog, 2=pages, 3=font, then per page:
+    # content stream, page object
+    next_num = n_fixed + 1
+    for _ in pages:
+        content_obj_nums.append(next_num)
+        page_obj_nums.append(next_num + 1)
+        next_num += 2
+
+    kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages_tree = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages)
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    add(catalog)
+    add(pages_tree)
+    add(font)
+    for i, text in enumerate(pages):
+        stream = b"BT /F1 11 Tf 54 740 Td (%s) Tj ET" % _pdf_escape(text)
+        filt = b""
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        add(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(stream), filt, stream)
+        )
+        add(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+            % content_obj_nums[i]
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (num, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+    return {"success": True, "path": path, "pages": n_pages}

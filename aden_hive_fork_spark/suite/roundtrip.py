@@ -207,3 +207,53 @@ def q85_salted_skew_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q86_pdf_roundtrip",
+    oracle="""
+    SELECT doc_id,
+      length(text) AS n_chars,
+      sha256(text) AS text_sha256
+    FROM documents
+    WHERE doc_id < 40
+    ORDER BY doc_id ASC
+    """,
+)
+def q86_pdf_roundtrip(spark, sf_dir):
+    """PDF SINK + distributed SCAN inside the oracle gate (§2.A row
+    34): 40 document texts become 40 pages of one PDF (stdlib writer,
+    FlateDecode streams), the file is re-ingested via binaryFile and
+    the stdlib content-stream parser, and every page's recovered text
+    must be BYTE-EXACT (sha-256 against the original parquet text).
+    Page order is the deterministic doc_id order, so page N maps back
+    to the N-th doc_id."""
+    from ..sources.binary import read_binary_dir
+    from ..sources.pdf_source import pdf_read, pdf_write
+
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    out_dir = _rt_dir(sf_dir, "pdf_docs")
+    os.makedirs(out_dir, exist_ok=True)
+    pdf_write(os.path.join(out_dir, "docs.pdf"), [t for _, t in docs])
+
+    mapping = spark.createDataFrame(
+        [(i + 1, doc_id) for i, (doc_id, _) in enumerate(docs)],
+        "page int, doc_id bigint",
+    )
+    pages = pdf_read(read_binary_dir(spark, out_dir, glob="*.pdf"))
+    return (
+        pages.join(F.broadcast(mapping), "page")
+        .select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.sha2(F.col("text"), 256).alias("text_sha256"),
+        )
+        .orderBy("doc_id")
+    )

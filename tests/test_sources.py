@@ -323,3 +323,16 @@ def test_html_scrape_columns_distributed(spark):
     assert "Header" in rows[1].text
     assert rows[2].text == "plain" and rows[2].title == ""
     assert rows[3].text == "not html at all"  # pass-through for non-HTML
+
+
+def test_pdf_write_roundtrip_escapes():
+    from aden_hive_fork_spark.sources.pdf_source import pdf_extract_pages, pdf_write
+    import tempfile, os
+
+    texts = ["plain text", "parens (and) \\ backslash", "tab\there"]
+    p = os.path.join(tempfile.mkdtemp(), "rt.pdf")
+    out = pdf_write(p, texts)
+    assert out["success"] and out["pages"] == 3
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"%PDF-1.4") and b"startxref" in raw
+    assert [t for _, t in pdf_extract_pages(raw)] == texts
