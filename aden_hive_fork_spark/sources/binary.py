@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 META_SCHEMA = (
     "path string, length long, mime string, width int, height int,"
-    " sample_rate int, channels int, sha256 string"
+    " sample_rate int, channels int, duration_s double, sha256 string"
 )
 
 
@@ -64,6 +64,8 @@ def sniff_mime(b: bytes) -> str:
         return "audio/wav"
     if b.startswith(b"%PDF-"):
         return "application/pdf"
+    if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV/3GP)
+        return "video/mp4"
     return "application/octet-stream"
 
 
@@ -110,6 +112,71 @@ def wav_format(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Iterate (type, payload_start, payload_end) over ISO BMFF boxes
+    in b[start:end] (public ISO/IEC 14496-12 structure)."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", b[i : i + 4])[0]
+        btype = b[i + 4 : i + 8]
+        hdr = 8
+        if size == 1 and i + 16 <= end:  # 64-bit largesize
+            size = struct.unpack(">Q", b[i + 8 : i + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < hdr:
+            return
+        yield btype, i + hdr, min(i + size, end)
+        i += size
+
+
+def _mp4_find(b: bytes, path: list[bytes], start: int = 0, end: int | None = None):
+    """First box at the given nesting path, e.g. [b'moov', b'mvhd']."""
+    end = len(b) if end is None else end
+    for btype, ps, pe in _mp4_boxes(b, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return ps, pe
+            return _mp4_find(b, path[1:], ps, pe)
+    return None
+
+
+def mp4_info(b: bytes) -> tuple[float | None, int | None, int | None]:
+    """(duration_s, width, height) from the moov header — REAL
+    container metadata (mvhd timescale/duration; tkhd 16.16 fixed-
+    point track dimensions), no codec decode. Returns Nones for
+    fragmented/streamed files whose moov lacks these."""
+    try:
+        mvhd = _mp4_find(b, [b"moov", b"mvhd"])
+        duration_s = None
+        if mvhd:
+            ps, _ = mvhd
+            version = b[ps]
+            if version == 1:
+                timescale = struct.unpack(">I", b[ps + 20 : ps + 24])[0]
+                duration = struct.unpack(">Q", b[ps + 24 : ps + 32])[0]
+            else:
+                timescale = struct.unpack(">I", b[ps + 12 : ps + 16])[0]
+                duration = struct.unpack(">I", b[ps + 16 : ps + 20])[0]
+            if timescale:
+                duration_s = round(duration / timescale, 6)
+        tkhd = _mp4_find(b, [b"moov", b"trak", b"tkhd"])
+        width = height = None
+        if tkhd:
+            ps, pe = tkhd
+            version = b[ps]
+            # width/height sit after matrix: payload offset 76 (v0) /
+            # 88 (v1), counting version+flags
+            off = ps + (88 if version == 1 else 76)
+            if off + 8 <= pe:
+                width = struct.unpack(">I", b[off : off + 4])[0] >> 16
+                height = struct.unpack(">I", b[off + 4 : off + 8])[0] >> 16
+        return duration_s, width or None, height or None
+    except Exception:
+        return None, None, None
+
+
 def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas metadata extraction: mime sniff + dimensions/audio
     format + content hash. Arrow-batched; each batch is parsed in pure
@@ -122,6 +189,7 @@ def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                 b = bytes(r[content_col])
                 mime = sniff_mime(b)
                 w = h = rate = ch = None
+                dur = None
                 if mime == "image/png":
                     wh = png_size(b)
                     w, h = wh if wh else (None, None)
@@ -134,6 +202,8 @@ def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                 elif mime == "audio/wav":
                     rc = wav_format(b)
                     rate, ch = rc if rc else (None, None)
+                elif mime == "video/mp4":
+                    dur, w, h = mp4_info(b)
                 rows.append(
                     {
                         "path": r.get("path", ""),
@@ -143,6 +213,7 @@ def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                         "height": h,
                         "sample_rate": rate,
                         "channels": ch,
+                        "duration_s": dur,
                         "sha256": hashlib.sha256(b).hexdigest(),
                     }
                 )
@@ -369,11 +440,14 @@ def video_frame_sample(
     The Spark-side plumbing is real: schema
     (path, frame_idx, ts_s, frame_sha256), Arrow batching, one row per
     sampled frame, frames bounded by ``max_frames`` so a long video
-    cannot blow up a task. The DECODER is the stub: without ffmpeg the
-    per-frame payload is a deterministic sha-derived fingerprint of
-    (content, frame_idx) and the duration is a deterministic fake
-    (1 s per 64 KiB). Swap ``use_stub_decoder=False`` on a cluster
-    with ffmpeg to route through ``decode_pixels_stub`` (raises here).
+    cannot blow up a task. The DURATION is real for MP4 content (moov
+    mvhd header via ``mp4_info`` — frame timestamps follow the actual
+    clip length); only the per-frame PIXEL decode is the stub: without
+    ffmpeg the payload is a deterministic sha-derived fingerprint of
+    (content, frame_idx). Non-MP4 bytes fall back to a deterministic
+    fake duration (1 s per 64 KiB). Swap ``use_stub_decoder=False`` on
+    a cluster with ffmpeg to route through ``decode_pixels_stub``
+    (raises here).
     """
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -383,7 +457,12 @@ def video_frame_sample(
                 b = bytes(r[content_col])
                 if not use_stub_decoder:
                     decode_pixels_stub(b)
-                fake_duration_s = max(1.0, len(b) / 65536.0)
+                real_dur, _, _ = (
+                    mp4_info(b) if sniff_mime(b) == "video/mp4" else (None, None, None)
+                )
+                fake_duration_s = (
+                    real_dur if real_dur else max(1.0, len(b) / 65536.0)
+                )
                 n = min(max_frames, int(fake_duration_s / every_s) + 1)
                 for fi in range(n):
                     ts = round(fi * every_s, 6)

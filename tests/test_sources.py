@@ -336,3 +336,55 @@ def test_pdf_write_roundtrip_escapes():
     raw = open(p, "rb").read()
     assert raw.startswith(b"%PDF-1.4") and b"startxref" in raw
     assert [t for _, t in pdf_extract_pages(raw)] == texts
+
+
+def _mini_mp4(duration_s=7.5, timescale=1000, width=640, height=360) -> bytes:
+    """Hand-built minimal ISO BMFF: ftyp + moov(mvhd + trak(tkhd))."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = (
+        b"\x00" + b"\x00\x00\x00"          # version 0 + flags
+        + b"\x00" * 8                       # creation/modification
+        + struct.pack(">I", timescale)
+        + struct.pack(">I", int(duration_s * timescale))
+        + b"\x00" * 80                      # rate/volume/matrix/etc
+    )
+    tkhd = (
+        b"\x00" + b"\x00\x00\x0f"          # version 0 + flags
+        + b"\x00" * 72                      # ids, times, layer, matrix
+        + struct.pack(">I", width << 16)    # 16.16 fixed at offset 76
+        + struct.pack(">I", height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + box(b"mdat", b"\x00" * 256)
+
+
+def test_mp4_header_metadata(spark):
+    from aden_hive_fork_spark.sources.binary import extract_metadata, mp4_info, sniff_mime
+
+    b = _mini_mp4()
+    assert sniff_mime(b) == "video/mp4"
+    dur, w, h = mp4_info(b)
+    assert dur == 7.5 and w == 640 and h == 360
+    df = spark.createDataFrame([("v.mp4", bytearray(b))], "path string, content binary")
+    row = extract_metadata(df).collect()[0]
+    assert row["mime"] == "video/mp4"
+    assert row["duration_s"] == 7.5
+    assert (row["width"], row["height"]) == (640, 360)
+
+
+def test_video_frame_sample_uses_real_duration(spark):
+    from aden_hive_fork_spark.sources.binary import video_frame_sample
+
+    df = spark.createDataFrame(
+        [("v.mp4", bytearray(_mini_mp4(duration_s=3.0)))], "path string, content binary"
+    )
+    rows = video_frame_sample(df, every_s=1.0, max_frames=16).collect()
+    # 3.0 s clip at 1 fps sampling -> 4 frames (t = 0,1,2,3)
+    assert len(rows) == 4
+    assert sorted(r["ts_s"] for r in rows) == [0.0, 1.0, 2.0, 3.0]
+    assert len({r["frame_sha256"] for r in rows}) == 4  # per-frame fingerprints
