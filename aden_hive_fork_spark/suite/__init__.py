@@ -54,6 +54,7 @@ def load_all() -> None:
         relational4,
         relational5,
         relational6,
+        relational7,
         roundtrip,
         similarity,
         text,
