@@ -29,11 +29,25 @@ Mapped surface:
 | ``x // y``                  | ``x div y``               |
 | ``SELECT * EXCLUDE (...)``  | ``SELECT * EXCEPT (...)`` |
 | ``epoch_ms(ts)``            | ``unix_millis(ts)``       |
+| ``starts_with(s, p)``       | ``startswith(s, p)``      |
+| ``ends_with(s, p)``         | ``endswith(s, p)``        |
+| ``strpos(s, sub)``          | ``instr(s, sub)`` (both 1-based, 0 = absent) |
+| ``list_value(...)``         | ``array(...)``            |
+| ``list_extract(a, i)``      | ``element_at(a, i)`` (both 1-based, negative = from end) |
+| ``array_length(a)``         | ``array_size(a)``         |
+| ``quantile_cont(x, q)``     | ``percentile(x, q)`` (continuous interpolation both) |
+| ``arg_max(a, b)``           | ``max_by(a, b)``          |
+| ``arg_min(a, b)``           | ``min_by(a, b)``          |
+| ``printf(fmt, ...)``        | ``format_string(fmt, ...)`` (%s/%d style both) |
 
 Not mapped (documented): ``len`` (string-vs-list polymorphic in
 DuckDB; Spark splits it into ``length``/``size``), ``string_agg``
-(ordering semantics differ), bracket list literals/indexing, lambda
-``list_transform`` variants, ``struct_pack``.
+(ordering semantics differ), ``log`` (base 10 in DuckDB, natural in
+Spark — arity-dependent, too risky to rewrite), ``list_concat``
+(DuckDB skips NULL inputs, Spark propagates NULL), ``epoch``/
+``to_timestamp`` (session-timezone round-trip hazards on NTZ),
+bracket list literals/indexing, lambda ``list_transform`` variants,
+``struct_pack``.
 """
 
 from __future__ import annotations
@@ -50,6 +64,16 @@ _FN_MAP = {
     "array_to_string": "array_join",
     "regexp_matches": "regexp_like",
     "epoch_ms": "unix_millis",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "strpos": "instr",
+    "list_value": "array",
+    "list_extract": "element_at",
+    "array_length": "array_size",
+    "quantile_cont": "percentile",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "printf": "format_string",
 }
 
 _FN_RE = re.compile(

@@ -271,3 +271,38 @@ def test_time_info_deterministic():
 
     with _pytest.raises(KeyError):
         time_info("Not/AZone", at)
+
+
+def test_dialect_new_mappings_match_duckdb(spark, duck):
+    """Round-2 mappings (starts_with/strpos/list_value/list_extract/
+    array_length/quantile_cont/arg_max/arg_min/printf): the same
+    DuckDB-dialect text produces identical values on both engines."""
+    from aden_hive_fork_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.001")
+    q = """
+      SELECT c_mktsegment,
+        CAST(arg_max(c_custkey, c_acctbal) AS BIGINT) AS richest_key,
+        CAST(arg_min(c_custkey, c_acctbal) AS BIGINT) AS poorest_key,
+        CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS median_bal,
+        CAST(SUM(CASE WHEN starts_with(c_name, 'Customer#0000000') THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(MAX(strpos(c_name, '1')) AS BIGINT) AS max_one_pos,
+        printf('%s:%d', MIN(c_mktsegment), COUNT(*)) AS tag,
+        CAST(array_length(list_value(1, 2, 3)) AS BIGINT) AS three,
+        CAST(list_extract(list_value(10, 20, 30), -1) AS BIGINT) AS last_elem
+      FROM customer
+      WHERE c_custkey <= 400
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment ASC
+    """
+    res = eng.sql(q, dialect="duckdb")
+    assert res["success"], res.get("error")
+
+    def norm(v):
+        from decimal import Decimal
+
+        return float(v) if isinstance(v, (float, Decimal)) else v
+
+    got = [tuple(norm(r[c]) for c in res["columns"]) for r in res["rows"]]
+    want = [tuple(norm(v) for v in row) for row in duck.execute(q).fetchall()]
+    assert got == want
