@@ -79,3 +79,69 @@ def q81_image_dedup_features(spark, sf_dir):
         )
         .orderBy("sig")
     )
+
+
+def _doc_mp4(doc_id: int) -> bytes:
+    """Deterministic minimal ISO BMFF clip: duration/dimensions derive
+    from doc_id, so metadata extraction is oracle-free but exactly
+    reproducible."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    timescale = 1000
+    duration_ms = 1000 + (doc_id % 10) * 500  # 1.0s .. 5.5s
+    width, height = 320 + (doc_id % 4) * 160, 180 + (doc_id % 4) * 90
+    mvhd = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">I", timescale) + struct.pack(">I", duration_ms)
+        + b"\x00" * 80
+    )
+    tkhd = (
+        b"\x00\x00\x00\x0f" + b"\x00" * 72
+        + struct.pack(">I", width << 16) + struct.pack(">I", height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + box(b"mdat", b"\x00" * 64)
+
+
+@query("q89_video_metadata")
+def q89_video_metadata(spark, sf_dir):
+    """Video-tier metadata pipeline: 48 synthetic MP4 containers are
+    built AND header-parsed on executors (mvhd duration, tkhd
+    dimensions — real ISO BMFF parsing, no codec), then grouped by
+    resolution with duration stats, plus frame-sampling counts driven
+    by the REAL container duration. Rows-only (DuckDB has no MP4
+    parser) but fully deterministic."""
+    from ..sources.binary import extract_metadata, video_frame_sample
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": [f"clip_{int(d):04d}.mp4" for d in pdf["doc_id"]],
+                    "content": [_doc_mp4(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    clips = docs.mapInPandas(gen, "path string, content binary")
+    meta = extract_metadata(clips)
+    frames = (
+        video_frame_sample(clips, every_s=1.0, max_frames=8)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    return (
+        meta.join(frames, "path")
+        .groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.min("duration_s"), 3).alias("min_duration_s"),
+            F.round(F.max("duration_s"), 3).alias("max_duration_s"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("width")
+    )
