@@ -16,6 +16,10 @@ from .excel_source import (
     sheets_to_views,
 )
 from .external import (
+    external_describe_table,
+    external_explain,
+    external_list_schemas,
+    external_list_tables,
     external_query,
     external_read,
     jdbc_read,
@@ -42,6 +46,10 @@ __all__ = [
     "excel_write_df",
     "read_sheets",
     "sheets_to_views",
+    "external_describe_table",
+    "external_explain",
+    "external_list_schemas",
+    "external_list_tables",
     "external_query",
     "external_read",
     "jdbc_read",

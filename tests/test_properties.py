@@ -158,3 +158,48 @@ def test_dialect_rewrite_is_idempotent(f1, f2):
     once = d2s(q)
     assert d2s(once) == once  # already-translated SQL is a fixed point
     assert f1 not in once and f2 not in once
+
+
+# ---------------------------------------------------------------------------
+# canonical hashing properties (the oracle gate's comparator — ADVICE r1
+# flagged a cell-boundary collision class; these pin the fixed contract)
+# ---------------------------------------------------------------------------
+def test_canonical_hash_order_insensitive():
+    from aden_hive_fork_spark.canonical import result_hash
+
+    rows_a = [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]
+    rows_b = [{"y": "b", "x": 2}, {"y": "a", "x": 1}]  # row + key order permuted
+    assert result_hash(rows_a) == result_hash(rows_b)
+
+
+def test_canonical_hash_cell_boundaries_distinct():
+    from aden_hive_fork_spark.canonical import result_hash
+
+    # ('ab','c') must not collide with ('a','bc') — the class the
+    # CELL_SEP delimiter exists to prevent
+    assert result_hash([{"a": "ab", "b": "c"}]) != result_hash([{"a": "a", "b": "bc"}])
+
+
+def test_canonical_hash_properties_random():
+    import random
+
+    from aden_hive_fork_spark.canonical import canon_rows, result_hash
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n_cols = rng.randint(1, 4)
+        cols = [f"c{i}" for i in range(n_cols)]
+        rows = [
+            {c: rng.choice([None, rng.randint(-5, 5), "x" * rng.randint(0, 3), 1.5]) for c in cols}
+            for _ in range(rng.randint(0, 6))
+        ]
+        shuffled = list(rows)
+        rng.shuffle(shuffled)
+        shuffled = [dict(reversed(list(r.items()))) for r in shuffled]
+        assert result_hash(rows) == result_hash(shuffled)
+        if rows:
+            # mutating any single cell changes the hash
+            victim = [dict(r) for r in rows]
+            victim[0][cols[0]] = "MUTATED"
+            assert result_hash(victim) != result_hash(rows)
+        assert canon_rows(rows) == sorted(canon_rows(rows))
