@@ -135,17 +135,20 @@ def q60_streaming_hourly_windows(spark, sf_dir):
     driver's own correctness gate."""
     import uuid
 
-    from ..catalog import load_table
-
     # Stream the parquet file directly; ts needs the same nanos
     # handling as the batch path, so stream rows as long and convert.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from ..catalog import _scoped_conf
+
+    # Scoped, not leaked: schema capture happens inside the block and
+    # the streaming scan honors the captured schema after restore
+    # (same verified mechanism as catalog.load_table).
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # grouping time: NTZ (timezone-proof value arithmetic);
     # watermark time: LTZ built from the raw epoch-nanos — an absolute
     # instant, so its construction is also timezone-independent

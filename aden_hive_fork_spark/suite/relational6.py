@@ -145,13 +145,18 @@ def q74_streaming_sessions(spark, sf_dir):
 
     from ..catalog import ns_literal
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from ..catalog import _scoped_conf
+
+    # Scoped, not leaked: schema capture happens inside the block and
+    # the streaming scan honors the captured schema after restore
+    # (same verified mechanism as catalog.load_table).
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # ts_wm: LTZ instant from raw epoch-nanos (absolute — construction
     # is timezone-independent); the cutoff filter compares the RAW
     # nanos long against a UTC-derived literal, never an LTZ literal
