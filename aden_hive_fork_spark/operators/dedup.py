@@ -321,15 +321,20 @@ def connected_components(
     """
     canon_u = F.greatest(F.col(src).cast("long"), F.col(dst).cast("long"))
     canon_v = F.least(F.col(src).cast("long"), F.col(dst).cast("long"))
+    # Materialize the (possibly expensive — e.g. a near-dup scoring
+    # join) pairs plan ONCE; nodes and edges both derive from the
+    # checkpointed projection instead of re-running the upstream plan.
+    canon = pairs.select(canon_u.alias("u"), canon_v.alias("v")).localCheckpoint(
+        eager=True
+    )
     nodes = (
-        pairs.select(F.col(src).cast("long").alias("id"))
-        .union(pairs.select(F.col(dst).cast("long").alias("id")))
+        canon.select(F.col("u").alias("id"))
+        .union(canon.select(F.col("v").alias("id")))
         .distinct()
     )
     # canonical direction: u (larger) -> v (smaller); both stars keep it
     edges = (
-        pairs.select(canon_u.alias("u"), canon_v.alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        canon.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

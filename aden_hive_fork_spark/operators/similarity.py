@@ -23,18 +23,46 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Exact-decimal dot product: float32 elements are cast to
-# DECIMAL(10,8) (correctly-rounded, identical in Spark and DuckDB) and
-# summed exactly — the only floating-point steps are the final sqrt /
-# divide, which are IEEE-deterministic on identical inputs.
+# Exact-decimal dot product: float32 elements are widened to DOUBLE
+# FIRST, then cast to DECIMAL(10,8), and summed exactly — the only
+# floating-point steps are the final sqrt / divide, which are
+# IEEE-deterministic on identical inputs.
+#
+# The double widening is load-bearing: a direct float→DECIMAL cast is
+# NOT portable. DuckDB scales the value by 10^scale in FLOAT32
+# arithmetic (7 significant digits — at 1e8 scale the low digits are
+# garbage: observed 17/128 element mismatches vs Spark on real data),
+# while Spark widens to double first. float→double is exact on both
+# engines, and double→DECIMAL(10,8) agrees everywhere (verified over
+# 128k elements at sf0.1: zero mismatches).
 _DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DECIMAL(10,8)) * CAST(y AS DECIMAL(10,8))),"
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,8))"
+    " * CAST(CAST(y AS DOUBLE) AS DECIMAL(10,8))),"
     " CAST(0 AS DECIMAL(30,16)), (acc, v) -> CAST(acc + v AS DECIMAL(30,16)))"
 )
 _NORM2 = (
-    "aggregate(transform({a}, x -> CAST(x AS DECIMAL(10,8)) * CAST(x AS DECIMAL(10,8))),"
+    "aggregate(transform({a}, x -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,8))"
+    " * CAST(CAST(x AS DOUBLE) AS DECIMAL(10,8))),"
     " CAST(0 AS DECIMAL(30,16)), (acc, v) -> CAST(acc + v AS DECIMAL(30,16)))"
 )
+
+
+def stable_round6(col):
+    """Engine-stable 6-decimal quantization: FLOOR(x*1e6 + 0.5)/1e6.
+
+    ROUND(double, 6) is NOT portable at half-boundaries — Spark rounds
+    the exact binary expansion (BigDecimal HALF_UP) while DuckDB
+    multiplies and rounds, and a 1-ulp difference in which side of
+    .xxxxxx5 the double sits flips the 6th digit (observed on 4 of 840
+    cosine pairs at sf0.1). FLOOR(x*1e6 + 0.5) is pure IEEE multiply/
+    add/floor — bit-identical on both engines for identical inputs.
+    The SQL twin is ``FLOOR(x * 1000000 + 0.5) / 1000000``.
+    """
+    from pyspark.sql import functions as F
+
+    return (F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).cast(
+        "double"
+    )
 
 
 def cosine_topk_exact(
@@ -58,11 +86,10 @@ def cosine_topk_exact(
     dot = F.expr(_DOT.format(a=vec_col, b="q_vec"))
     n_v = F.expr(_NORM2.format(a=vec_col))
     n_q = F.expr(_NORM2.format(a="q_vec"))
-    cosine = F.round(
+    cosine = stable_round6(
         dot.cast("double")
-        / F.nullif(F.sqrt(n_v.cast("double")) * F.sqrt(n_q.cast("double")), F.lit(0.0)),
-        6,
-    ).cast("double")
+        / F.nullif(F.sqrt(n_v.cast("double")) * F.sqrt(n_q.cast("double")), F.lit(0.0))
+    )
     return (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)

@@ -25,12 +25,12 @@ from ._helpers import T
     "q50_cosine_topk",
     oracle="""
     WITH q AS (
-      SELECT i, CAST(val AS DECIMAL(10,8)) AS qv
+      SELECT i, CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) AS qv
       FROM (SELECT unnest(embedding) AS val, generate_subscripts(embedding, 1) AS i
             FROM embeddings WHERE vec_id = 0)
     ),
     e AS (
-      SELECT vec_id, i, CAST(val AS DECIMAL(10,8)) AS ev
+      SELECT vec_id, i, CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) AS ev
       FROM (SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS i
             FROM embeddings)
     ),
@@ -43,8 +43,9 @@ from ._helpers import T
       GROUP BY e.vec_id
     )
     SELECT vec_id,
-      ROUND(CAST(dot AS DOUBLE)
-            / NULLIF(sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)), 0), 6) AS cosine
+      FLOOR(CAST(dot AS DOUBLE)
+            / NULLIF(sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)), 0)
+            * 1000000 + 0.5) / 1000000 AS cosine
     FROM dots
     WHERE vec_id <> 0
     ORDER BY cosine DESC, vec_id ASC
@@ -136,7 +137,7 @@ def q68_ivf_ann_topk(spark, sf_dir):
     "q71_cosine_neardup_exact",
     oracle="""
     WITH e AS (
-      SELECT vec_id, label, i, CAST(val AS DECIMAL(10,8)) AS v
+      SELECT vec_id, label, i, CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) AS v
       FROM (SELECT vec_id, label, unnest(embedding) AS val,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings)
@@ -150,9 +151,9 @@ def q68_ivf_ann_topk(spark, sf_dir):
     ),
     scored AS (
       SELECT id_a, id_b,
-        ROUND(CAST(dot AS DOUBLE)
-              / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0),
-              6) AS cosine
+        FLOOR(CAST(dot AS DOUBLE)
+              / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0)
+              * 1000000 + 0.5) / 1000000 AS cosine
       FROM dots
     )
     SELECT id_a, id_b, cosine FROM scored
@@ -165,9 +166,11 @@ def q71_cosine_neardup_exact(spark, sf_dir):
 
     1. CANDIDATES — the vectorized blocked scorer (numpy matmul per
        label block, ``cosine_neardup_pairs``) at a slightly LOWER
-       threshold (0.32 - 1e-4). Double-precision matmul and the
-       exact-decimal path agree to ~1e-12 on 64-dim float32 inputs, so
-       the margin guarantees no exact-passing pair is pre-filtered out.
+       threshold (0.32 - 1e-4). The decimal path quantizes each
+       element at 1e-8 (DECIMAL(10,8)), so its cosine can drift from
+       the raw-double matmul by at most ~64×1e-8 ≈ 1e-6 — two orders
+       under the 1e-4 margin, so no exact-passing pair is ever
+       pre-filtered out.
     2. RESCORE — only the surviving pairs are re-scored with the
        exact-decimal dot product (same determinism rules as q50) and
        the final threshold applies to the rounded exact score, exactly
@@ -186,14 +189,15 @@ def q71_cosine_neardup_exact(spark, sf_dir):
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     j = cand.join(a, "id_a").join(b, "id_b")
+    from ..operators.similarity import stable_round6
+
     dot = F.expr(_DOT.format(a="va", b="vb"))
     na = F.expr(_NORM2.format(a="va"))
     nb = F.expr(_NORM2.format(a="vb"))
-    cosine = F.round(
+    cosine = stable_round6(
         dot.cast("double")
-        / F.nullif(F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")), F.lit(0.0)),
-        6,
-    ).cast("double")
+        / F.nullif(F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")), F.lit(0.0))
+    )
     return (
         j.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.32)
@@ -212,7 +216,7 @@ def q71_cosine_neardup_exact(spark, sf_dir):
     "q79_cosine_neardup_clusters",
     oracle="""
     WITH RECURSIVE e AS (
-      SELECT vec_id, label, i, CAST(val AS DECIMAL(10,8)) AS v
+      SELECT vec_id, label, i, CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) AS v
       FROM (SELECT vec_id, label, unnest(embedding) AS val,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings)
@@ -226,9 +230,9 @@ def q71_cosine_neardup_exact(spark, sf_dir):
     ),
     pairs AS (
       SELECT id_a, id_b FROM dots
-      WHERE ROUND(CAST(dot AS DOUBLE)
-                  / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0),
-                  6) >= 0.32
+      WHERE FLOOR(CAST(dot AS DOUBLE)
+                  / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0)
+                  * 1000000 + 0.5) / 1000000 >= 0.32
     ),
     sym AS (
       SELECT id_a AS u, id_b AS v FROM pairs
