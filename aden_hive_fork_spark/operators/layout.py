@@ -1,0 +1,157 @@
+"""Data-layout maintenance: small-files compaction and sort-clustered
+rewrite (SCALING.md §9).
+
+Two chronic operational problems of a large parquet lake, both absent
+from the reference (its stores are managed DBs — Postgres/BigQuery —
+so layout is the warehouse's problem; here the lake IS the store):
+
+- **Small files.** Streaming sinks, fine-grained partitioning, and
+  per-task writes leave thousands of KB-sized files; every subsequent
+  query pays per-file open/footer cost and the scheduler pays
+  per-split overhead. At 100 TB this dominates scan time long before
+  bytes do. ``compact`` rewrites a directory to ~``target_bytes``
+  files in one distributed job.
+- **No clustering.** Parquet row-group min/max statistics only prune
+  when values are physically clustered. ``compact(sort_cols=...)``
+  range-partitions on the sort key and sorts within partitions, so a
+  range filter on that key skips whole files (disjoint per-file
+  ranges) and whole row groups within files.
+
+Swap discipline: the rewrite lands in a sibling ``<path>.__compact__``
+directory (Spark job-commit gives all-or-nothing within it), then the
+old directory is renamed aside, the new one renamed into place, and
+the old removed — the standard HDFS/posix recipe. On an object store
+without atomic rename, flip a metastore/manifest location instead
+(documented, not emulated here).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # HDFS-block-sized files
+
+
+def layout_stats(path: str) -> dict:
+    """File-level stats for a parquet directory: count, bytes, sizes.
+
+    Driver-side directory listing — this is a METADATA operation, the
+    same single listing every planner does before a scan; it never
+    reads data bytes. (At cloud scale the listing API differs but the
+    cost shape is identical.)
+    """
+    sizes = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith((".parquet", ".snappy.parquet")) and not f.startswith("_"):
+                sizes.append(os.path.getsize(os.path.join(root, f)))
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+        "avg_bytes": total // len(sizes) if sizes else 0,
+    }
+
+
+def plan_target_files(total_bytes: int, target_bytes: int = DEFAULT_TARGET_BYTES) -> int:
+    """How many output files a compaction should produce. Parquet
+    compresses ~uniformly across a rewrite of the same data, so
+    planning on current on-disk bytes is accurate."""
+    return max(1, math.ceil(total_bytes / max(1, target_bytes)))
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    sort_cols: list[str] | None = None,
+    schema: str | None = None,
+) -> dict:
+    """Rewrite a parquet directory to ~``target_bytes`` files; with
+    ``sort_cols``, also range-cluster so min/max pruning works.
+
+    - plain compaction: ``repartition(n)`` — even-sized files, one
+      round-robin shuffle, no key assumptions;
+    - clustered compaction: ``repartitionByRange(n, cols)`` +
+      ``sortWithinPartitions(cols)`` — per-file key ranges are
+      DISJOINT (range exchange) and row groups inside each file are
+      sorted, so a predicate on the sort key prunes at both levels.
+      Range boundaries come from Spark's reservoir sample of the key —
+      skewed keys still yield even file sizes.
+
+    Returns {"before": stats, "after": stats, "n_files_planned": n}.
+    """
+    before = layout_stats(path)
+    n = plan_target_files(before["total_bytes"], target_bytes)
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    if sort_cols:
+        cols = [F.col(c) for c in sort_cols]
+        df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n)
+
+    tmp = path.rstrip("/") + ".__compact__"
+    bak = path.rstrip("/") + ".__old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return {"before": before, "after": layout_stats(path), "n_files_planned": n}
+
+
+def file_ranges(path: str, column: str) -> list[tuple]:
+    """Per-FILE (min, max) of ``column`` from parquet footer metadata
+    only — the exact information a scan planner prunes with. Used by
+    tests to prove clustering produced disjoint, prunable ranges."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet") or f.startswith("_"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = md.schema.names.index(column)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+    return out
+
+
+def prunable_fraction(path: str, column: str, lo, hi) -> float:
+    """Fraction of row groups a range predicate ``lo <= col < hi`` can
+    SKIP using footer stats alone — 0.0 on unclustered data, → 1.0 as
+    clustering sharpens. This is the measurable value of
+    ``compact(sort_cols=...)`` without needing scan-metrics plumbing."""
+    import pyarrow.parquet as pq
+
+    total = skipped = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith("_"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            idx = md.schema.names.index(column)
+            for rg in range(md.num_row_groups):
+                total += 1
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max and (st.max < lo or st.min >= hi):
+                    skipped += 1
+    return skipped / total if total else 0.0

@@ -210,6 +210,56 @@ def q85_salted_skew_join(spark, sf_dir):
 
 
 @query(
+    "q90_compacted_scan",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n_items,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price,
+      CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+      CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag ASC
+    """,
+)
+def q90_compacted_scan(spark, sf_dir):
+    """LAYOUT MAINTENANCE inside the oracle gate (SCALING §9): the
+    lineitem table is deliberately fragmented into many small files,
+    then compacted with a sort-clustered rewrite
+    (``operators.layout.compact`` — repartitionByRange on l_orderkey +
+    sortWithinPartitions), and the aggregate over the COMPACTED copy
+    must hash-match the oracle over the original parquet. Proves the
+    rewrite is loss- and duplication-free, not just smaller; the
+    clustering itself (disjoint per-file ranges, prunable row groups)
+    is asserted in tests/test_layout.py."""
+    import shutil as _sh
+
+    from ..operators.layout import compact
+
+    frag = _rt_dir(sf_dir, "lineitem_frag")
+    _sh.rmtree(frag, ignore_errors=True)
+    (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .repartition(48)
+        .write.mode("overwrite")
+        .parquet(frag)
+    )
+    compact(spark, frag, target_bytes=1 * 1024 * 1024, sort_cols=["l_orderkey"])
+    back = spark.read.parquet(frag)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum(dec("l_extendedprice"))).alias("total_price"),
+            F.min("l_orderkey").cast("bigint").alias("min_orderkey"),
+            F.max("l_orderkey").cast("bigint").alias("max_orderkey"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "q86_pdf_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,140 @@
+"""Layout maintenance: compaction shrinks file counts losslessly and
+sort-clustering produces footer stats a planner can prune with."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.layout import (
+    compact,
+    file_ranges,
+    layout_stats,
+    plan_target_files,
+    prunable_fraction,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _checksum(spark, path):
+    """Order-insensitive content checksum: (rows, decimal sum of row hashes)."""
+    df = spark.read.parquet(path)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """customer slice written as 40 deliberately tiny files."""
+    out = str(tmp_path / "frag")
+    (
+        spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .repartition(40)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_plan_target_files():
+    assert plan_target_files(0) == 1
+    assert plan_target_files(1, 128) == 1
+    assert plan_target_files(129, 128) == 2
+    assert plan_target_files(10 * 128, 128) == 10
+
+
+def test_compact_shrinks_files_losslessly(spark, fragmented):
+    before_sum = _checksum(spark, fragmented)
+    stats = compact(spark, fragmented, target_bytes=64 * 1024 * 1024)
+    assert stats["before"]["n_files"] == 40
+    assert stats["after"]["n_files"] < stats["before"]["n_files"]
+    assert stats["after"]["n_files"] == stats["n_files_planned"]
+    assert _checksum(spark, fragmented) == before_sum
+    # swap dirs cleaned up
+    assert not os.path.exists(fragmented + ".__compact__")
+    assert not os.path.exists(fragmented + ".__old__")
+
+
+def test_compact_idempotent(spark, fragmented):
+    before_sum = _checksum(spark, fragmented)
+    compact(spark, fragmented, target_bytes=64 * 1024 * 1024)
+    again = compact(spark, fragmented, target_bytes=64 * 1024 * 1024)
+    assert again["after"]["n_files"] == again["before"]["n_files"]
+    assert _checksum(spark, fragmented) == before_sum
+
+
+def test_clustered_compact_disjoint_ranges(spark, fragmented):
+    before_sum = _checksum(spark, fragmented)
+    # force several output files so disjointness is non-trivial
+    compact(spark, fragmented, target_bytes=8 * 1024, sort_cols=["c_custkey"])
+    assert _checksum(spark, fragmented) == before_sum
+    ranges = sorted(file_ranges(fragmented, "c_custkey"))
+    assert len(ranges) >= 3
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # range exchange ⇒ per-file key ranges disjoint
+
+
+def test_clustering_enables_pruning(spark, fragmented):
+    lo, hi = 100, 200
+    # unclustered: every row group's [min,max] spans ~the full key
+    # space, nothing prunable
+    assert prunable_fraction(fragmented, "c_custkey", lo, hi) < 0.5
+    compact(spark, fragmented, target_bytes=8 * 1024, sort_cols=["c_custkey"])
+    frac = prunable_fraction(fragmented, "c_custkey", lo, hi)
+    assert frac > 0.5  # most row groups now skippable by footer stats
+    # and the filtered read still returns exactly the right rows
+    got = (
+        spark.read.parquet(fragmented)
+        .filter((F.col("c_custkey") >= lo) & (F.col("c_custkey") < hi))
+        .count()
+    )
+    want = (
+        spark.read.parquet(os.path.join(SF_SMALL, "customer.parquet"))
+        .filter((F.col("c_custkey") >= lo) & (F.col("c_custkey") < hi))
+        .count()
+    )
+    assert got == want
+
+
+def test_layout_stats_counts_only_parquet(tmp_path):
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 10)
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / "notes.txt").write_bytes(b"y" * 99)
+    st = layout_stats(str(d))
+    assert st == {
+        "n_files": 1,
+        "total_bytes": 10,
+        "min_bytes": 10,
+        "max_bytes": 10,
+        "avg_bytes": 10,
+    }
+
+
+def test_compact_failure_leaves_original(spark, fragmented, monkeypatch):
+    """If the rewrite job dies, the original directory is untouched."""
+    before_sum = _checksum(spark, fragmented)
+    def boom(*a, **k):
+        raise RuntimeError("simulated write failure")
+
+    # patch the CONCRETE DataFrame class (pyspark 4 splits the classic
+    # implementation from the abstract pyspark.sql.DataFrame)
+    monkeypatch.setattr(
+        type(spark.read.parquet(fragmented)), "repartition", boom, raising=True
+    )
+    with pytest.raises(RuntimeError):
+        compact(spark, fragmented)
+    assert _checksum(spark, fragmented) == before_sum
+    shutil.rmtree(fragmented + ".__compact__", ignore_errors=True)
