@@ -67,15 +67,55 @@ def plan_target_files(total_bytes: int, target_bytes: int = DEFAULT_TARGET_BYTES
     return max(1, math.ceil(total_bytes / max(1, target_bytes)))
 
 
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) key over numeric ``cols`` as a pure-JVM Column.
+
+    Each column is min/max-scaled to ``bits`` bits (one tiny agg job
+    collects the bounds — driver-side metadata, like any stats pass),
+    then the bit planes are interleaved: bit i of column j lands at
+    position ``i*len(cols)+j``. Nearby points in ANY dimension stay
+    nearby in z, so range-clustering on z gives min/max pruning on
+    EVERY z-ordered column at once — where a lexicographic sort only
+    prunes its leading column. Linear scaling keeps the expression
+    whole-stage-codegen-able; heavy skew in a column wastes some of
+    its bit range (rank-based scaling would fix that at the cost of a
+    per-column sort — not worth it for a layout pass).
+    """
+    k = len(cols)
+    assert 1 <= k * bits <= 63, "z-value must fit a signed long"
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).first()
+    z = F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top).cast(
+                "long"
+            ),
+        )
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(scaled, i).bitwiseAND(F.lit(1)), i * k + j
+            ).cast("long")
+    return z
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
     schema: str | None = None,
 ) -> dict:
     """Rewrite a parquet directory to ~``target_bytes`` files; with
-    ``sort_cols``, also range-cluster so min/max pruning works.
+    ``sort_cols`` or ``zorder_cols``, also cluster so min/max pruning
+    works.
 
     - plain compaction: ``repartition(n)`` — even-sized files, one
       round-robin shuffle, no key assumptions;
@@ -85,16 +125,29 @@ def compact(
       sorted, so a predicate on the sort key prunes at both levels.
       Range boundaries come from Spark's reservoir sample of the key —
       skewed keys still yield even file sizes.
+    - z-ordered compaction: same, but clustered on the interleaved
+      ``zorder_value`` of several columns — multi-dimension pruning
+      for workloads that filter on more than the leading key.
 
     Returns {"before": stats, "after": stats, "n_files_planned": n}.
     """
+    if sort_cols and zorder_cols:
+        raise ValueError("sort_cols and zorder_cols are mutually exclusive")
     before = layout_stats(path)
     n = plan_target_files(before["total_bytes"], target_bytes)
     reader = spark.read
     if schema:
         reader = reader.schema(schema)
     df = reader.parquet(path)
-    if sort_cols:
+    if zorder_cols:
+        z = zorder_value(df, zorder_cols)
+        df = (
+            df.withColumn("__z__", z)
+            .repartitionByRange(n, F.col("__z__"))
+            .sortWithinPartitions("__z__")
+            .drop("__z__")
+        )
+    elif sort_cols:
         cols = [F.col(c) for c in sort_cols]
         df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     else:

@@ -107,6 +107,42 @@ def test_clustering_enables_pruning(spark, fragmented):
     assert got == want
 
 
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Lexicographic sort prunes only its leading column; z-order
+    makes BOTH filter columns prunable from footer stats."""
+    out_lex = str(tmp_path / "lex")
+    out_z = str(tmp_path / "zord")
+    # two independent uniform dimensions
+    df = spark.range(20000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 149).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    for out in (out_lex, out_z):
+        df.repartition(16).write.mode("overwrite").parquet(out)
+    compact(spark, out_lex, target_bytes=16 * 1024, sort_cols=["x", "y"])
+    compact(spark, out_z, target_bytes=16 * 1024, zorder_cols=["x", "y"])
+
+    # content identical either way
+    want = sorted(
+        (r["x"], r["y"], r["payload"]) for r in df.collect()
+    )
+    got = sorted(
+        (r["x"], r["y"], r["payload"])
+        for r in spark.read.parquet(out_z).collect()
+    )
+    assert got == want
+
+    x_lex = prunable_fraction(out_lex, "x", 40, 60)
+    y_lex = prunable_fraction(out_lex, "y", 40, 60)
+    x_z = prunable_fraction(out_z, "x", 40, 60)
+    y_z = prunable_fraction(out_z, "y", 40, 60)
+    assert x_lex > 0.5  # leading column prunes under lexicographic sort
+    assert y_lex < 0.2  # ...but the second column does not
+    assert x_z > 0.3 and y_z > 0.3  # z-order prunes BOTH dimensions
+    assert y_z > y_lex + 0.2
+
+
 def test_layout_stats_counts_only_parquet(tmp_path):
     d = tmp_path / "mixed"
     d.mkdir()
