@@ -177,6 +177,154 @@ def mp4_info(b: bytes) -> tuple[float | None, int | None, int | None]:
         return None, None, None
 
 
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF 6.0 IFDs — public CIPA DC-008 structure).
+# The reference's vision tool returns image metadata via a proprietary
+# API (vision_tool.py:371-520); this is the public-primitive analog:
+# camera fields, orientation, capture time, and GPS straight from the
+# container bytes, no decode library.
+# ---------------------------------------------------------------------------
+_EXIF_IFD0 = {0x010F: "make", 0x0110: "model", 0x0112: "orientation", 0x0132: "datetime"}
+_EXIF_SUB = {
+    0x829A: "exposure_time",
+    0x829D: "f_number",
+    0x8827: "iso",
+    0x9003: "datetime_original",
+    0xA002: "pixel_width",
+    0xA003: "pixel_height",
+}
+
+
+def _ifd_entries(t: bytes, en: str, off: int) -> list[tuple[int, int, int, bytes]]:
+    if off + 2 > len(t):
+        return []
+    (n,) = struct.unpack_from(en + "H", t, off)
+    out = []
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(t):
+            break
+        tag, etype, count = struct.unpack_from(en + "HHI", t, e)
+        out.append((tag, etype, count, t[e + 8 : e + 12]))
+    return out
+
+
+def _ifd_value(t: bytes, en: str, etype: int, count: int, raw: bytes):
+    size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(etype)
+    if size is None:
+        return None
+    total = size * count
+    if total <= 4:
+        data = raw[:total]
+    else:
+        (off,) = struct.unpack(en + "I", raw)
+        data = t[off : off + total]
+        if len(data) < total:
+            return None
+    if etype == 2:  # ASCII
+        return data.split(b"\x00")[0].decode("ascii", "replace").strip()
+    if etype in (1, 3, 4):
+        fmt = {1: "B", 3: "H", 4: "I"}[etype]
+        vals = struct.unpack(en + fmt * count, data)
+        return vals[0] if count == 1 else list(vals)
+    if etype == 5:  # RATIONAL pairs
+        vals = []
+        for k in range(count):
+            num, den = struct.unpack_from(en + "II", data, 8 * k)
+            vals.append(num / den if den else None)
+        return vals[0] if count == 1 else vals
+    return None
+
+
+def _gps_decimal(coord, ref):
+    if not isinstance(coord, list) or len(coord) != 3 or None in coord:
+        return None
+    deg = coord[0] + coord[1] / 60 + coord[2] / 3600
+    return -deg if ref in ("S", "W") else deg
+
+
+def exif_info(b: bytes) -> dict | None:
+    """EXIF fields from a JPEG's APP1 segment (None if absent): make,
+    model, orientation, datetimes, exposure/aperture/ISO, declared
+    pixel dimensions, GPS decimal degrees. Both byte orders."""
+    if not b.startswith(b"\xff\xd8"):
+        return None
+    i = 2
+    while i + 4 <= len(b) and b[i] == 0xFF:
+        marker = b[i + 1]
+        if marker in (0xD9, 0xDA):  # EOI / image data: no EXIF ahead
+            break
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            t = b[i + 10 : i + 2 + seg_len]
+            en = {b"II": "<", b"MM": ">"}.get(t[:2])
+            if en is None or struct.unpack(en + "H", t[2:4])[0] != 42:
+                return None
+            (ifd0_off,) = struct.unpack(en + "I", t[4:8])
+            out: dict = {}
+            sub_off = gps_off = None
+            for tag, etype, count, raw in _ifd_entries(t, en, ifd0_off):
+                if tag in _EXIF_IFD0:
+                    out[_EXIF_IFD0[tag]] = _ifd_value(t, en, etype, count, raw)
+                elif tag == 0x8769:
+                    sub_off = _ifd_value(t, en, etype, count, raw)
+                elif tag == 0x8825:
+                    gps_off = _ifd_value(t, en, etype, count, raw)
+            if isinstance(sub_off, int):
+                for tag, etype, count, raw in _ifd_entries(t, en, sub_off):
+                    if tag in _EXIF_SUB:
+                        out[_EXIF_SUB[tag]] = _ifd_value(t, en, etype, count, raw)
+            if isinstance(gps_off, int):
+                gps = {
+                    tag: _ifd_value(t, en, etype, count, raw)
+                    for tag, etype, count, raw in _ifd_entries(t, en, gps_off)
+                }
+                out["gps_lat"] = _gps_decimal(gps.get(2), gps.get(1))
+                out["gps_lon"] = _gps_decimal(gps.get(4), gps.get(3))
+            return out or None
+        i += 2 + seg_len
+    return None
+
+
+EXIF_SCHEMA = (
+    "path string, make string, model string, orientation int,"
+    " datetime_original string, exposure_time double, f_number double,"
+    " iso int, gps_lat double, gps_lon double"
+)
+
+
+def exif_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Distributed EXIF projection over a binary table (mapInPandas,
+    one row per asset; non-JPEG / EXIF-less rows keep NULL fields)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                info = exif_info(bytes(r[content_col])) or {}
+                ori = info.get("orientation")
+                iso = info.get("iso")
+                rows.append(
+                    {
+                        "path": r.get("path", ""),
+                        "make": info.get("make"),
+                        "model": info.get("model"),
+                        "orientation": int(ori) if isinstance(ori, int) else None,
+                        "datetime_original": info.get("datetime_original")
+                        or info.get("datetime"),
+                        "exposure_time": info.get("exposure_time"),
+                        "f_number": info.get("f_number"),
+                        "iso": int(iso) if isinstance(iso, int) else None,
+                        "gps_lat": info.get("gps_lat"),
+                        "gps_lon": info.get("gps_lon"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(parse, schema=EXIF_SCHEMA)
+
+
 def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """mapInPandas metadata extraction: mime sniff + dimensions/audio
     format + content hash. Arrow-batched; each batch is parsed in pure
