@@ -39,6 +39,7 @@ HEADLINE = [
     "q77_neardup_clusters",       # connected-components clustering
     "q79_cosine_neardup_clusters",# embedding cluster dedup
     "q80_external_db_join",       # external-DB partitioned fetch + join
+    "q90_compacted_scan",         # small-files compaction + clustered rewrite
 ]
 
 
