@@ -257,6 +257,8 @@ def exif_info(b: bytes) -> dict | None:
         (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
         if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
             t = b[i + 10 : i + 2 + seg_len]
+            if len(t) < 8:  # truncated TIFF header
+                return None
             en = {b"II": "<", b"MM": ">"}.get(t[:2])
             if en is None or struct.unpack(en + "H", t[2:4])[0] != 42:
                 return None

@@ -135,3 +135,31 @@ def test_exif_metadata_distributed(spark):
         assert got[p]["gps_lat"] == 47.375
         assert got[p]["datetime_original"] == "2024:03:01 10:00:01"
     assert got["c.png"]["make"] is None and got["c.png"]["gps_lat"] is None
+
+# ---------------------------------------------------------------------------
+# Fuzz: the parser ingests untrusted bytes on executors — it must
+# never raise, only return None/partial dicts.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_exif_never_raises_on_garbage(blob):
+    exif_info(blob)
+    exif_info(b"\xff\xd8" + blob)  # garbage wearing a JPEG SOI
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 255))
+def test_exif_never_raises_on_mutated_valid(pos, byte):
+    b = bytearray(build_exif_jpeg("<"))
+    b[pos % len(b)] = byte  # single-byte corruption anywhere
+    exif_info(bytes(b))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=2, max_value=200))
+def test_exif_never_raises_on_truncation(n):
+    exif_info(build_exif_jpeg(">")[:n])
