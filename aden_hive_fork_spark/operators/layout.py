@@ -111,6 +111,7 @@ def compact(
     target_bytes: int = DEFAULT_TARGET_BYTES,
     sort_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
     schema: str | None = None,
 ) -> dict:
     """Rewrite a parquet directory to ~``target_bytes`` files; with
@@ -128,11 +129,18 @@ def compact(
     - z-ordered compaction: same, but clustered on the interleaved
       ``zorder_value`` of several columns — multi-dimension pruning
       for workloads that filter on more than the leading key.
+    - hive-partitioned input: pass ``partition_cols`` to preserve the
+      directory partitioning — rows are clustered per partition value
+      so each partition dir gets ~one file per covering task instead
+      of one per (task × partition); ``sort_cols`` then sorts within
+      the partition dirs.
 
     Returns {"before": stats, "after": stats, "n_files_planned": n}.
     """
     if sort_cols and zorder_cols:
         raise ValueError("sort_cols and zorder_cols are mutually exclusive")
+    if partition_cols and zorder_cols:
+        raise ValueError("partition_cols and zorder_cols are mutually exclusive")
     before = layout_stats(path)
     n = plan_target_files(before["total_bytes"], target_bytes)
     reader = spark.read
@@ -147,6 +155,15 @@ def compact(
             .sortWithinPartitions("__z__")
             .drop("__z__")
         )
+    elif partition_cols:
+        # cluster rows of one hive partition into the same task so the
+        # writer emits few files per partition dir (round-robin would
+        # scatter every partition over every task: n_parts × n files);
+        # with sort_cols, also sort inside each task for row-group
+        # pruning within the partition dirs
+        df = df.repartition(n, *[F.col(c) for c in partition_cols])
+        if sort_cols:
+            df = df.sortWithinPartitions(*partition_cols, *sort_cols)
     elif sort_cols:
         cols = [F.col(c) for c in sort_cols]
         df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
@@ -156,7 +173,10 @@ def compact(
     tmp = path.rstrip("/") + ".__compact__"
     bak = path.rstrip("/") + ".__old__"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
     os.rename(tmp, path)

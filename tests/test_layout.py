@@ -143,6 +143,40 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert y_z > y_lex + 0.2
 
 
+def test_partitioned_compact_preserves_layout(spark, tmp_path):
+    """A hive-partitioned directory keeps its partition dirs (and gets
+    few files per dir) instead of being flattened."""
+    out = str(tmp_path / "part")
+    df = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet")).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("bucket"),
+    )
+    df.repartition(24).write.mode("overwrite").partitionBy("bucket").parquet(out)
+    frag = layout_stats(out)
+    before_sum = _checksum(spark, out)
+    stats = compact(
+        spark,
+        out,
+        target_bytes=64 * 1024 * 1024,
+        partition_cols=["bucket"],
+        sort_cols=["o_orderkey"],
+    )
+    assert _checksum(spark, out) == before_sum
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert dirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    assert stats["after"]["n_files"] < frag["n_files"]
+    # each partition dir collapsed to a handful of files
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert 1 <= len(files) <= 2
+    # rows sorted within the partition dirs: per-file ranges exist and
+    # the partition's files are internally ordered
+    for d in dirs:
+        ranges = file_ranges(os.path.join(out, d), "o_orderkey")
+        assert ranges and all(lo <= hi for lo, hi in ranges)
+
+
 def test_layout_stats_counts_only_parquet(tmp_path):
     d = tmp_path / "mixed"
     d.mkdir()
