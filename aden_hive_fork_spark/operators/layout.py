@@ -184,6 +184,72 @@ def compact(
     return {"before": before, "after": layout_stats(path), "n_files_planned": n}
 
 
+# ---------------------------------------------------------------------------
+# Versioned publish: the object-store-safe alternative to the rename
+# swap (public Iceberg/Delta design in miniature — a data layout is
+# immutable once written; ONLY a tiny pointer changes).
+# ---------------------------------------------------------------------------
+_CURRENT = "_current.json"
+
+
+def publish_version(df: DataFrame, table_root: str, **write_kw) -> int:
+    """Write ``df`` as a NEW immutable version directory
+    ``<root>/v=<n>`` and atomically flip the ``_current.json`` pointer
+    to it. Readers that resolved the pointer before the flip keep
+    reading the old version's files (immutable — never rewritten), so
+    there is no torn-read window at all; the pointer write is a
+    single-file atomic replace, which every store offers (object
+    stores: put-if-absent / conditional put). Returns the version."""
+    import json
+
+    os.makedirs(table_root, exist_ok=True)
+    version = current_version(table_root) + 1
+    vdir = os.path.join(table_root, f"v={version}")
+    writer = df.write.mode("overwrite")
+    if write_kw.get("partition_cols"):
+        writer = writer.partitionBy(*write_kw["partition_cols"])
+    writer.parquet(vdir)
+    tmp = os.path.join(table_root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "path": f"v={version}"}, fh)
+    os.replace(tmp, os.path.join(table_root, _CURRENT))
+    return version
+
+
+def current_version(table_root: str) -> int:
+    import json
+
+    try:
+        with open(os.path.join(table_root, _CURRENT)) as fh:
+            return json.load(fh)["version"]
+    except (OSError, ValueError, KeyError):
+        return -1
+
+
+def read_current(spark: SparkSession, table_root: str) -> DataFrame:
+    """Resolve the pointer, read that immutable version."""
+    v = current_version(table_root)
+    if v < 0:
+        raise FileNotFoundError(f"no published version under {table_root}")
+    return spark.read.parquet(os.path.join(table_root, f"v={v}"))
+
+
+def vacuum_versions(table_root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` versions (never the current
+    one). Run with a grace period at scale so in-flight readers of a
+    just-superseded version finish first; returns removed versions."""
+    current = current_version(table_root)
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    removable = [v for v in versions[:-keep] if v != current] if keep else []
+    for v in removable:
+        shutil.rmtree(os.path.join(table_root, f"v={v}"), ignore_errors=True)
+    return removable
+
+
 def file_ranges(path: str, column: str) -> list[tuple]:
     """Per-FILE (min, max) of ``column`` from parquet footer metadata
     only — the exact information a scan planner prunes with. Used by

@@ -193,6 +193,51 @@ def test_layout_stats_counts_only_parquet(tmp_path):
     }
 
 
+def test_versioned_publish_roundtrip(spark, tmp_path):
+    from aden_hive_fork_spark.operators.layout import (
+        current_version,
+        publish_version,
+        read_current,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    df1 = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    df2 = spark.range(5).select(F.col("id"), (F.col("id") * 3).alias("x"))
+    assert current_version(root) == -1
+    assert publish_version(df1, root) == 0
+    old = read_current(spark, root)  # resolve pointer BEFORE next publish
+    assert publish_version(df2, root) == 1
+    # a reader that resolved v=0 still sees v=0's immutable files
+    assert old.count() == 10
+    assert read_current(spark, root).count() == 5
+    assert current_version(root) == 1
+    # third version, then vacuum to newest 2: v=0 goes, v=1/v=2 stay
+    publish_version(df1, root)
+    assert vacuum_versions(root, keep=2) == [0]
+    assert sorted(d for d in os.listdir(root) if d.startswith("v=")) == [
+        "v=1",
+        "v=2",
+    ]
+    assert read_current(spark, root).count() == 10
+
+
+def test_vacuum_never_drops_current(spark, tmp_path):
+    from aden_hive_fork_spark.operators.layout import (
+        publish_version,
+        read_current,
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(3)
+    publish_version(df, root)
+    # keep=0 still refuses to remove the version the pointer names
+    removed = vacuum_versions(root, keep=0)
+    assert 0 not in removed
+    assert read_current(spark, root).count() == 3
+
+
 def test_compact_failure_leaves_original(spark, fragmented, monkeypatch):
     """If the rewrite job dies, the original directory is untouched."""
     before_sum = _checksum(spark, fragmented)
