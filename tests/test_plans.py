@@ -107,3 +107,42 @@ def test_q02_q03_eager_aggregation_below_join(spark, queries):
         assert "HashAggregate(keys=[l_orderkey" in plan, q
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_zorder_expression_stays_jvm_side(spark):
+    """The Morton key must be a pure column expression — a Python UDF
+    here would serialize every row through Arrow during a layout
+    rewrite of the whole table."""
+    from aden_hive_fork_spark.operators.layout import zorder_value
+
+    df = spark.range(1000).select(
+        (F.col("id") % 31).alias("x"), (F.col("id") % 37).alias("y")
+    )
+    z = df.withColumn("z", zorder_value(df, ["x", "y"]))
+    plan = _plan(z, "formatted")
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython stage
+    assert "WholeStageCodegen" in plan
+
+
+def test_zorder_clustering_is_range_exchange(spark):
+    from aden_hive_fork_spark.operators.layout import zorder_value
+
+    df = spark.range(1000).select(
+        (F.col("id") % 31).alias("x"), (F.col("id") % 37).alias("y")
+    )
+    clustered = (
+        df.withColumn("__z__", zorder_value(df, ["x", "y"]))
+        .repartitionByRange(4, F.col("__z__"))
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+    )
+    plan = _plan(clustered)
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_hist_bucket_stays_jvm_side(spark):
+    from aden_hive_fork_spark.operators.rollup import _hist_bucket
+
+    df = spark.range(1000).select((F.col("id") + 1).cast("double").alias("value"))
+    plan = _plan(df.select(_hist_bucket("value").alias("b")))
+    assert "EvalPython" not in plan
