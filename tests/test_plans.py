@@ -121,7 +121,7 @@ def test_zorder_expression_stays_jvm_side(spark):
     z = df.withColumn("z", zorder_value(df, ["x", "y"]))
     plan = _plan(z, "formatted")
     assert "EvalPython" not in plan  # no Batch/ArrowEvalPython stage
-    assert "WholeStageCodegen" in plan
+    assert "[codegen id :" in plan  # inside a whole-stage codegen span
 
 
 def test_zorder_clustering_is_range_exchange(spark):
