@@ -1,0 +1,176 @@
+"""Mutable keyed table over immutable parquet: merge-on-read upserts
+with periodic compaction (the public Delta/Iceberg/Hudi design in
+miniature, built on layout.publish_version's manifest pointer).
+
+Plain parquet is append-only; a training-data pipeline still needs
+point mutations — re-score a document, tombstone a near-dup loser,
+patch a label. The classic answer is an LSM shape:
+
+- the BASE is an immutable published version (`layout.publish_version`);
+- each ``upsert`` batch lands as a new immutable DELTA directory
+  ``_delta/d=<seq>`` (written to a hidden temp dir, then atomically
+  renamed — readers never see a torn delta);
+- ``read_table`` resolves merge-on-read: base ∪ deltas, latest seq
+  wins per key, ``_op = 'delete'`` rows are tombstones that suppress
+  the key;
+- ``compact_table`` folds resolved state into a NEW base version and
+  advances the manifest's ``folded_through`` watermark in the same
+  atomic pointer flip, after which the folded delta dirs are dead
+  (removable by ``vacuum_deltas`` once in-flight readers drain).
+
+Read cost degrades with delta count (one union branch + one window
+shuffle), which is why compaction exists; at 100 TB you compact when
+deltas exceed a few percent of base — the same trigger Delta's
+OPTIMIZE uses. Writer discipline is single-writer (the reference's
+stores assume the same); concurrent writers need a coordinator, out
+of scope here.
+
+Within one upsert batch, keys must be unique (asserted cheaply at
+write time): "latest wins" needs a total order, and seq orders
+batches, not rows inside a batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import _CURRENT, current_version, publish_version
+
+_DELTA = "_delta"
+OP_COL = "_op"  # 'upsert' | 'delete'
+
+
+def _manifest(root: str) -> dict:
+    try:
+        with open(os.path.join(root, _CURRENT)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _delta_seqs(root: str) -> list[int]:
+    d = os.path.join(root, _DELTA)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(d)
+        if e.startswith("d=") and e.split("=", 1)[1].isdigit()
+    )
+
+
+def create_table(df: DataFrame, root: str, key_cols: list[str]) -> int:
+    """Publish the initial base version and record the key columns."""
+    v = publish_version(df, root)
+    man = _manifest(root)
+    man.update({"folded_through": -1, "key_cols": list(key_cols)})
+    tmp = os.path.join(root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(root, _CURRENT))
+    return v
+
+
+def upsert(updates: DataFrame, root: str, key_cols: list[str]) -> int:
+    """Append one immutable delta batch. Rows carry ``_op`` ('upsert'
+    default; 'delete' = tombstone). Keys must be unique in the batch."""
+    if OP_COL not in updates.columns:
+        updates = updates.withColumn(OP_COL, F.lit("upsert"))
+    dup = (
+        updates.groupBy(*key_cols).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError("upsert batch has duplicate keys — latest-wins is undefined")
+    seqs = _delta_seqs(root)
+    # a fresh generation after compact+vacuum must start ABOVE the
+    # folded watermark, or the new delta would be filtered as folded
+    folded = _manifest(root).get("folded_through", -1)
+    seq = max(seqs[-1] + 1 if seqs else 0, folded + 1)
+    final = os.path.join(root, _DELTA, f"d={seq}")
+    tmp = final + ".__tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    updates.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
+    return seq
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame:
+    """Merge-on-read resolution: latest seq wins per key, tombstones
+    suppress. Base rows rank below every live delta."""
+    man = _manifest(root)
+    v = current_version(root)
+    if v < 0:
+        raise FileNotFoundError(f"no table at {root}")
+    folded = man.get("folded_through", -1)
+    base = spark.read.parquet(os.path.join(root, f"v={v}"))
+    if OP_COL not in base.columns:
+        base = base.withColumn(OP_COL, F.lit("upsert"))
+    out = base.withColumn("_seq", F.lit(-1))
+    live = [s for s in _delta_seqs(root) if s > folded]
+    for s in live:
+        d = spark.read.parquet(os.path.join(root, _DELTA, f"d={s}"))
+        if OP_COL not in d.columns:
+            d = d.withColumn(OP_COL, F.lit("upsert"))
+        out = out.unionByName(d.withColumn("_seq", F.lit(s)))
+    keys = man.get("key_cols") or _infer_keys_error(root)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(OP_COL) != "delete"))
+        .drop("_rn", "_seq", OP_COL)
+    )
+
+
+def _infer_keys_error(root: str):
+    raise ValueError(
+        f"manifest at {root} lacks key_cols — create the table with "
+        "set_keys(root, key_cols) or pass them at create time"
+    )
+
+
+def set_keys(root: str, key_cols: list[str]) -> None:
+    """Record the table's key columns in the manifest (atomic)."""
+    man = _manifest(root)
+    man["key_cols"] = list(key_cols)
+    tmp = os.path.join(root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(root, _CURRENT))
+
+
+def compact_table(spark: SparkSession, root: str) -> int:
+    """Fold resolved state into a new base version; the pointer flip
+    atomically both publishes the new base AND advances
+    ``folded_through``, so a crash before the flip leaves the old
+    (base, deltas) view fully intact."""
+    seqs = _delta_seqs(root)
+    if not seqs:
+        return current_version(root)
+    man = _manifest(root)
+    resolved = read_table(spark, root).localCheckpoint(eager=True)
+    v = current_version(root) + 1
+    vdir = os.path.join(root, f"v={v}")
+    resolved.write.mode("overwrite").parquet(vdir)
+    man.update({"version": v, "path": f"v={v}", "folded_through": seqs[-1]})
+    tmp = os.path.join(root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(root, _CURRENT))
+    return v
+
+
+def vacuum_deltas(root: str) -> list[int]:
+    """Remove delta dirs at or below the folded watermark (run after a
+    grace period at scale — same discipline as vacuum_versions)."""
+    folded = _manifest(root).get("folded_through", -1)
+    dead = [s for s in _delta_seqs(root) if s <= folded]
+    for s in dead:
+        shutil.rmtree(os.path.join(root, _DELTA, f"d={s}"), ignore_errors=True)
+    return dead

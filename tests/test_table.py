@@ -1,0 +1,139 @@
+"""Merge-on-read keyed table: upsert/delete resolution, latest-wins
+across batches, compaction equivalence, vacuum discipline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.table import (
+    compact_table,
+    create_table,
+    read_table,
+    upsert,
+    vacuum_deltas,
+)
+
+
+def _rows(spark, root):
+    return {
+        r["doc_id"]: (r["score"], r["label"])
+        for r in read_table(spark, root).collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, float(i), "keep") for i in range(10)],
+        "doc_id long, score double, label string",
+    )
+    create_table(base, root, ["doc_id"])
+    return root
+
+
+def test_upsert_insert_update_delete(spark, table):
+    updates = spark.createDataFrame(
+        [
+            (3, 99.0, "rescored", "upsert"),   # update
+            (42, 1.0, "new", "upsert"),        # insert
+            (7, 0.0, "", "delete"),            # tombstone
+        ],
+        "doc_id long, score double, label string, _op string",
+    )
+    upsert(updates, table, ["doc_id"])
+    got = _rows(spark, table)
+    assert got[3] == (99.0, "rescored")
+    assert got[42] == (1.0, "new")
+    assert 7 not in got
+    assert len(got) == 10  # 10 base - 1 delete + 1 insert
+
+
+def test_latest_batch_wins(spark, table):
+    for val in (10.0, 20.0, 30.0):
+        upsert(
+            spark.createDataFrame(
+                [(5, val, "v")], "doc_id long, score double, label string"
+            ),
+            table,
+            ["doc_id"],
+        )
+    assert _rows(spark, table)[5] == (30.0, "v")
+    # a later tombstone beats every earlier upsert
+    upsert(
+        spark.createDataFrame(
+            [(5, 0.0, "", "delete")],
+            "doc_id long, score double, label string, _op string",
+        ),
+        table,
+        ["doc_id"],
+    )
+    assert 5 not in _rows(spark, table)
+
+
+def test_duplicate_keys_in_batch_rejected(spark, table):
+    dup = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 2.0, "b")], "doc_id long, score double, label string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert(dup, table, ["doc_id"])
+
+
+def test_compact_preserves_resolution_and_vacuum(spark, table):
+    upsert(
+        spark.createDataFrame(
+            [(0, 100.0, "x")], "doc_id long, score double, label string"
+        ),
+        table,
+        ["doc_id"],
+    )
+    upsert(
+        spark.createDataFrame(
+            [(1, 0.0, "", "delete")],
+            "doc_id long, score double, label string, _op string",
+        ),
+        table,
+        ["doc_id"],
+    )
+    before = _rows(spark, table)
+    v = compact_table(spark, table)
+    assert _rows(spark, table) == before
+    assert vacuum_deltas(table) == [0, 1]
+    assert _rows(spark, table) == before  # folded state independent of deltas
+    # post-compaction upserts start a fresh delta generation
+    upsert(
+        spark.createDataFrame(
+            [(2, -1.0, "y")], "doc_id long, score double, label string"
+        ),
+        table,
+        ["doc_id"],
+    )
+    after = _rows(spark, table)
+    assert after[2] == (-1.0, "y")
+    assert os.path.isdir(os.path.join(table, f"v={v}"))
+
+
+def test_compact_without_deltas_is_noop(spark, table):
+    from aden_hive_fork_spark.operators.layout import current_version
+
+    v0 = current_version(table)
+    assert compact_table(spark, table) == v0
+
+
+def test_torn_delta_never_visible(spark, table):
+    """A crashed delta write (temp dir left behind) is invisible to
+    readers and doesn't block the next upsert."""
+    os.makedirs(os.path.join(table, "_delta", "d=0.__tmp__"), exist_ok=True)
+    before = _rows(spark, table)
+    assert len(before) == 10
+    upsert(
+        spark.createDataFrame(
+            [(50, 5.0, "z")], "doc_id long, score double, label string"
+        ),
+        table,
+        ["doc_id"],
+    )
+    assert _rows(spark, table)[50] == (5.0, "z")
