@@ -260,6 +260,72 @@ def q90_compacted_scan(spark, sf_dir):
 
 
 @query(
+    "q91_upsert_resolution",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    resolved AS (
+      SELECT c.c_custkey,
+             COALESCE(u.c_acctbal, c.c_acctbal) AS bal,
+             c.c_mktsegment
+      FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+      WHERE c.c_custkey % 11 <> 0
+    )
+    SELECT c_mktsegment AS segment,
+      COUNT(*) AS n_customers,
+      CAST(ROUND(SUM(CAST(bal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_bal
+    FROM resolved
+    GROUP BY c_mktsegment
+    ORDER BY segment ASC
+    """,
+)
+def q91_upsert_resolution(spark, sf_dir):
+    """MUTATION SEMANTICS inside the oracle gate: the customer table
+    becomes a merge-on-read keyed table (operators.table), one delta
+    batch upserts +1000 to every 7th custkey, a LATER batch tombstones
+    every 11th (so keys divisible by 77 are updated then deleted —
+    delete wins by seq order), and the resolved read must hash-match
+    the oracle's pure-SQL resolution. Exercises create/upsert/delete/
+    latest-wins exactly as a pipeline would re-score and prune
+    documents."""
+    import shutil as _sh
+
+    from ..operators.table import create_table, read_table, upsert
+
+    root = _rt_dir(sf_dir, "cust_mor")
+    _sh.rmtree(root, ignore_errors=True)
+    base = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    create_table(base, root, ["c_custkey"])
+    upsert(
+        base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000.0
+        ),
+        root,
+        ["c_custkey"],
+    )
+    upsert(
+        base.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "_op", F.lit("delete")
+        ),
+        root,
+        ["c_custkey"],
+    )
+    return (
+        read_table(spark, root)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
     "q86_pdf_roundtrip",
     oracle="""
     SELECT doc_id,
