@@ -14,6 +14,29 @@ from .dedup import (
     simhash_fingerprints,
     simhash_neardup_pairs,
 )
+from .layout import (
+    compact,
+    current_version,
+    layout_stats,
+    publish_version,
+    read_current,
+    vacuum_versions,
+    zorder_value,
+)
+from .rollup import (
+    hist_range_percentiles,
+    materialize_rollup,
+    materialize_value_hist,
+    rollup_range_agg,
+    rollup_range_users,
+)
+from .table import (
+    compact_table,
+    create_table,
+    read_table,
+    upsert,
+    vacuum_deltas,
+)
 from .similarity import (
     ann_topk,
     cosine_neardup_pairs,
@@ -23,6 +46,23 @@ from .similarity import (
 )
 
 __all__ = [
+    "compact",
+    "current_version",
+    "layout_stats",
+    "publish_version",
+    "read_current",
+    "vacuum_versions",
+    "zorder_value",
+    "hist_range_percentiles",
+    "materialize_rollup",
+    "materialize_value_hist",
+    "rollup_range_agg",
+    "rollup_range_users",
+    "compact_table",
+    "create_table",
+    "read_table",
+    "upsert",
+    "vacuum_deltas",
     "bucketed_join",
     "salted_join",
     "skewed_key_stats",

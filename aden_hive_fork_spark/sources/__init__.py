@@ -25,12 +25,18 @@ from .external import (
     jdbc_read,
     register_external,
 )
-from .binary import extract_metadata, fake_features, read_binary_dir
+from .binary import exif_info, exif_metadata, extract_metadata, fake_features, read_binary_dir
+from .http_source import crawl_to_text, fetch_urls, partition_by_host
 from .json_source import read_jsonl
 from .pdf_source import pdf_extract_pages, pdf_read
 from .text_source import grep_files
 
 __all__ = [
+    "exif_info",
+    "exif_metadata",
+    "crawl_to_text",
+    "fetch_urls",
+    "partition_by_host",
     "extract_metadata",
     "fake_features",
     "read_binary_dir",

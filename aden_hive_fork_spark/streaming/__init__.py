@@ -12,6 +12,7 @@ from .events import (
     tumbling_windows,
     write_jsonl_sink,
 )
+from .rollup_stream import maintain_rollup, merge_batch
 from .stateful import running_user_state
 
 __all__ = [
@@ -26,4 +27,6 @@ __all__ = [
     "stamp_graph_id",
     "write_jsonl_sink",
     "running_user_state",
+    "maintain_rollup",
+    "merge_batch",
 ]

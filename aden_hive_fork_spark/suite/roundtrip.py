@@ -326,6 +326,61 @@ def q91_upsert_resolution(spark, sf_dir):
 
 
 @query(
+    "q92_streaming_rollup_serve",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start ASC, event_type ASC
+    """,
+)
+def q92_streaming_rollup_serve(spark, sf_dir):
+    """INCREMENTAL ROLLUP MAINTENANCE inside the oracle gate: events
+    stream through the foreachBatch maintenance sink
+    (streaming.rollup_stream), and the MAINTAINED rollup's mergeable
+    aggregates must hash-match the oracle's direct scan — proving the
+    streamed merge path (partials + dynamic partition overwrite +
+    batch-id guard) is exact, not just internally consistent. Same
+    nanos/NTZ discipline as q60."""
+    import shutil as _sh
+
+    from ..catalog import _scoped_conf
+    from ..streaming.rollup_stream import maintain_rollup
+
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    ts_ntz = F.expr(
+        "timestampadd(MICROSECOND, CAST(ts div 1000 AS BIGINT),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    ev = stream.withColumn("ts", ts_ntz).select(
+        "ts", "event_type", "user_id", "value"
+    )
+    root = _rt_dir(sf_dir, "rollup_mor")
+    _sh.rmtree(root, ignore_errors=True)
+    rollup_path, ckpt = os.path.join(root, "rollup"), os.path.join(root, "ckpt")
+    q = maintain_rollup(ev, rollup_path, ckpt)
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(rollup_path)
+        .select(
+            "hour_start",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("sum_value"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
     "q86_pdf_roundtrip",
     oracle="""
     SELECT doc_id,
