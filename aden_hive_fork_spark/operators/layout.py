@@ -113,6 +113,7 @@ def compact(
     zorder_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
     schema: str | None = None,
+    n_files: int | None = None,
 ) -> dict:
     """Rewrite a parquet directory to ~``target_bytes`` files; with
     ``sort_cols`` or ``zorder_cols``, also cluster so min/max pruning
@@ -142,7 +143,10 @@ def compact(
     if partition_cols and zorder_cols:
         raise ValueError("partition_cols and zorder_cols are mutually exclusive")
     before = layout_stats(path)
-    n = plan_target_files(before["total_bytes"], target_bytes)
+    # n_files pins the output layout exactly (deterministic granularity
+    # for tests and for callers that size by row count); otherwise plan
+    # from current on-disk bytes.
+    n = n_files if n_files else plan_target_files(before["total_bytes"], target_bytes)
     reader = spark.read
     if schema:
         reader = reader.schema(schema)

@@ -120,8 +120,11 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
     for out in (out_lex, out_z):
         df.repartition(16).write.mode("overwrite").parquet(out)
-    compact(spark, out_lex, target_bytes=16 * 1024, sort_cols=["x", "y"])
-    compact(spark, out_z, target_bytes=16 * 1024, zorder_cols=["x", "y"])
+    # pin the file count: byte-planned granularity jitters with parquet
+    # encoding noise, and the prunable fractions below are functions of
+    # bucket granularity
+    compact(spark, out_lex, sort_cols=["x", "y"], n_files=32)
+    compact(spark, out_z, zorder_cols=["x", "y"], n_files=32)
 
     # content identical either way
     want = sorted(
