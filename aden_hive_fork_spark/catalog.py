@@ -38,11 +38,13 @@ TABLES = (
 )
 
 # table -> columns stored as parquet TIMESTAMP(NANOS) (read as long ns).
-# Known driver tables are listed for zero-IO lookup; any OTHER table is
-# probed via its parquet footer (_nano_ts_cols) so nano-encoded columns
-# in arbitrary parquet also land as timestamp_ntz, not BIGINT.
+# Known never-nanos driver tables are listed for zero-IO lookup; any
+# other table — INCLUDING events, whose physical unit has changed
+# between driver rounds (NANOS in r1, MICROS in r2) — is probed via its
+# parquet footer (_nano_ts_cols) so the unit actually stored decides
+# the read path, never a stale assumption.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {t: () for t in TABLES}
-_NANOS_TS_COLS["events"] = ("ts",)
+del _NANOS_TS_COLS["events"]  # unit varies by round: probe the footer
 
 
 def _nano_ts_cols(path: str) -> tuple[str, ...]:
@@ -129,17 +131,92 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` left as epoch-nanos BIGINT (``ts_ns``).
+def ts_micros_sql(dtype_simple: str, col: str = "ts") -> str:
+    """SQL expression producing BIGINT epoch-micros from a ``ts``
+    column of ANY physical encoding the driver has shipped so far:
 
-    Scale path: a predicate on the raw long column is pushed down to
-    the parquet scan (row-group pruning on a 100 TB event log), while
-    a predicate on the converted timestamp is evaluated post-scan.
-    Filter here first, then ``with_ts()``-style convert.
+    - ``bigint``        — epoch-nanos long (legacy ``nanosAsLong`` read
+      of parquet TIMESTAMP(NANOS)); truncate ns -> us like DuckDB.
+    - ``timestamp_ntz`` — native parquet TIMESTAMP(MICROS/MILLIS, ntz);
+      NTZ wall-clock treated as UTC. ``timestampdiff`` on two NTZ
+      values is pure value arithmetic: timezone-independent.
+    - ``timestamp``     — LTZ instant; ``unix_micros`` is absolute.
+
+    Every branch is timezone-independent, so results do not shift with
+    the (driver's) session timezone.
     """
-    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumnRenamed("ts", "ts_ns")
+    if dtype_simple == "bigint":
+        return f"CAST(`{col}` div 1000 AS BIGINT)"
+    if dtype_simple == "timestamp_ntz":
+        return f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, `{col}`)"
+    if dtype_simple == "timestamp":
+        return f"unix_micros(`{col}`)"
+    raise TypeError(f"unsupported events ts dtype: {dtype_simple!r}")
+
+
+def adaptive_ts_exprs(schema, col: str = "ts") -> tuple[F.Column, F.Column]:
+    """(ts_ntz, ts_wm) Column pair for an events ``ts`` of any
+    physical encoding (see ``ts_micros_sql``).
+
+    ``ts_ntz`` is ``timestamp_ntz`` for timezone-proof value
+    arithmetic (grouping, oracle comparison); ``ts_wm`` is an absolute
+    LTZ instant for ``withWatermark`` (which rejects NTZ). Both are
+    derived from the same epoch-micros subexpression.
+    """
+    us = ts_micros_sql(schema[col].dataType.simpleString(), col)
+    ts_ntz = F.expr(f"timestampadd(MICROSECOND, {us}, {_EPOCH_NTZ})")
+    ts_wm = F.expr(f"timestamp_micros({us})")
+    return ts_ntz, ts_wm
+
+
+def open_events_stream(spark: SparkSession, sf_dir: str):
+    """``readStream`` over ``events.parquet`` with type-adaptive ts
+    handling. Returns ``(stream_df, ts_ntz, ts_wm)``.
+
+    The nanos legacy flag is applied ONLY when the footer says the file
+    is nano-encoded (it is a no-op otherwise, but scoping keeps other
+    reads from inheriting it). Schema capture happens eagerly at
+    ``spark.read`` time, so the scoped conf is safe for the later lazy
+    stream execution (same verified mechanism as ``load_table``).
+    """
+    import contextlib
+
+    path = table_path(sf_dir, "events")
+    ctx = (
+        _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _nano_ts_cols(path)
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        batch_schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    ts_ntz, ts_wm = adaptive_ts_exprs(batch_schema, "ts")
+    return stream, ts_ntz, ts_wm
+
+
+def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a raw pushdown-friendly ``ts_ns`` BIGINT epoch-nanos
+    column alongside whatever the file natively stores.
+
+    Scale path: for a nano-encoded file the raw long IS the stored
+    column, so a predicate on it is pushed to the parquet scan
+    (row-group pruning on a 100 TB event log). For a natively-typed
+    file (timestamp us/ms) Spark pushes timestamp range predicates
+    down directly — filter on ``ts`` there; ``ts_ns`` is provided as a
+    derived column so callers keep one arithmetic contract either way.
+    """
+    path = table_path(sf_dir, "events")
+    if _nano_ts_cols(path):
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(path)
+        return df.withColumnRenamed("ts", "ts_ns")
+    df = spark.read.parquet(path)
+    us = ts_micros_sql(df.schema["ts"].dataType.simpleString(), "ts")
+    return df.withColumn("ts_ns", F.expr(f"({us}) * CAST(1000 AS BIGINT)")).drop("ts")
 
 
 def ns_literal(iso_ts: str) -> int:

@@ -105,6 +105,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str] | None = None,
     k: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingles for candidate pairs inside a
     block (e.g. same source). Set-size arithmetic is all integers, so
@@ -112,6 +113,20 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     4 decimals, filtered to >= threshold.
+
+    ``max_shingle_df`` is the stop-shingle cutoff (standard in
+    production dedup): a shingle appearing in more than this many
+    documents is dropped from the inverted index BEFORE the self-join,
+    bounding the worst-case posting list — a single degenerate
+    ultra-frequent shingle otherwise produces O(df²) candidate pairs.
+    With the cutoff the per-shingle pair count is analytically capped
+    at max_shingle_df·(max_shingle_df−1)/2. Dropped shingles still
+    count toward |A| and |B| (set sizes are computed pre-cutoff), so a
+    surviving pair's Jaccard can only be UNDER-estimated — boundary
+    pairs near the threshold may be missed if the cutoff actually
+    triggers; pick the cap above the corpus's honest stop-shingle
+    frequency (None disables). The hot-shingle set is tiny, so the
+    exclusion is a broadcast anti-join — no extra wide shuffle.
     """
     block_cols = block_cols or []
     # Repartition BEFORE shingling: small single-row-group parquet
@@ -145,6 +160,17 @@ def ngram_jaccard_pairs(
     inv = _cached_inverted_index(
         sh.select(*block_cols, "id", "n_sh", F.explode("shingles").alias("shingle"))
     )
+    if max_shingle_df is not None:
+        # Stop-shingle exclusion reads the already-persisted index (one
+        # cheap aggregate) and broadcasts only the hot shingles; the
+        # cached index itself stays cap-independent and shared.
+        hot = (
+            inv.groupBy(*block_cols, "shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select(*block_cols, "shingle")
+        )
+        inv = inv.join(F.broadcast(hot), block_cols + ["shingle"], "left_anti")
     a = inv.select(
         *block_cols, "shingle", F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
     )
@@ -298,6 +324,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node in an undirected edge list with the MINIMUM node
     id of its connected component — the step that turns pairwise
@@ -309,35 +336,46 @@ def connected_components(
     converges in O(log n) rounds on any graph, versus O(diameter) for
     naive label propagation, and every round is plain joins +
     groupBy.min, so Catalyst/AQE handle skew and partial aggregation.
-    Each round truncates lineage with an eager ``localCheckpoint`` (on
-    a real cluster with a fault-tolerance requirement, swap in
-    ``sparkContext.setCheckpointDir`` + ``checkpoint``); the iterated
+    Each round truncates lineage with an eager checkpoint; the iterated
     plan stays constant-size instead of growing exponentially.
+
+    ``checkpoint_dir``: None (default) uses ``localCheckpoint`` —
+    fastest, but the materialized blocks live on executors, so an
+    executor loss mid-iteration fails the job (fine on local mode and
+    for restartable batch jobs). On a real cluster where the iteration
+    must survive executor churn, pass a (HDFS/object-store) directory:
+    the rounds then use reliable ``checkpoint`` via
+    ``sparkContext.setCheckpointDir``.
 
     Returns (id, comp) with one row per distinct node in ``pairs``;
     comp == id for the cluster representative. Reference parity: the
     reference has no clustering operator (SURVEY §2.D drives this as a
     training-data-pipeline extension).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     canon_u = F.greatest(F.col(src).cast("long"), F.col(dst).cast("long"))
     canon_v = F.least(F.col(src).cast("long"), F.col(dst).cast("long"))
     # Materialize the (possibly expensive — e.g. a near-dup scoring
     # join) pairs plan ONCE; nodes and edges both derive from the
     # checkpointed projection instead of re-running the upstream plan.
-    canon = pairs.select(canon_u.alias("u"), canon_v.alias("v")).localCheckpoint(
-        eager=True
-    )
+    canon = _ckpt(pairs.select(canon_u.alias("u"), canon_v.alias("v")))
     nodes = (
         canon.select(F.col("u").alias("id"))
         .union(canon.select(F.col("v").alias("id")))
         .distinct()
     )
     # canonical direction: u (larger) -> v (smaller); both stars keep it
-    edges = (
-        canon.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _ckpt(canon.filter(F.col("u") != F.col("v")).distinct())
     # Convergence probe: (count, order-insensitive xxhash64 sum) of the
     # edge set — ONE small aggregate job per round, versus the naive
     # two-sided exceptAll symmetric difference (two wide jobs per
@@ -384,10 +422,10 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # Truncate lineage with an eager localCheckpoint, then the
-        # stats probe reads the materialized partitions cheaply (one
-        # small job, versus the two wide exceptAll jobs it replaced).
-        ss = ss.localCheckpoint(eager=True)
+        # Truncate lineage with an eager checkpoint, then the stats
+        # probe reads the materialized partitions cheaply (one small
+        # job, versus the two wide exceptAll jobs it replaced).
+        ss = _ckpt(ss)
         stats = _stats(ss)
         edges = ss
         if stats == prev_stats:
@@ -405,6 +443,7 @@ def dedup_by_components(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Keep one canonical row per near-dup cluster: the member with the
     minimum id survives, every other cluster member is dropped. Rows
@@ -413,7 +452,7 @@ def dedup_by_components(
     The loser set is tiny relative to the corpus (only clustered
     non-representatives), so the left_anti join broadcasts under AQE —
     the full corpus is never shuffled."""
-    comps = connected_components(pairs, src, dst)
+    comps = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     losers = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

@@ -135,29 +135,15 @@ def q60_streaming_hourly_windows(spark, sf_dir):
     driver's own correctness gate."""
     import uuid
 
-    # Stream the parquet file directly; ts needs the same nanos
-    # handling as the batch path, so stream rows as long and convert.
-    from ..catalog import _scoped_conf
-
-    # Scoped, not leaked: schema capture happens inside the block and
-    # the streaming scan honors the captured schema after restore
-    # (same verified mechanism as catalog.load_table).
-    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    # Stream the parquet file directly; ts handling is type-adaptive
+    # (nanos-long vs native timestamp — the driver has shipped both),
+    # shared with the batch path via catalog.open_events_stream.
     # grouping time: NTZ (timezone-proof value arithmetic);
-    # watermark time: LTZ built from the raw epoch-nanos — an absolute
-    # instant, so its construction is also timezone-independent
-    # (withWatermark only accepts TIMESTAMP, not TIMESTAMP_NTZ).
-    ts_ntz = F.expr(
-        "timestampadd(MICROSECOND, CAST(ts div 1000 AS BIGINT),"
-        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-    )
-    ts_wm = F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)"))
+    # watermark time: LTZ absolute instant (withWatermark only accepts
+    # TIMESTAMP, not TIMESTAMP_NTZ).
+    from ..catalog import open_events_stream
+
+    stream, ts_ntz, ts_wm = open_events_stream(spark, sf_dir)
     ev = (
         stream.withColumn("ts_wm", ts_wm)
         .withColumn("ts", ts_ntz)

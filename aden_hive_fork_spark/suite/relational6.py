@@ -143,27 +143,18 @@ def q73_window_breadth(spark, sf_dir):
 def q74_streaming_sessions(spark, sf_dir):
     import uuid
 
-    from ..catalog import ns_literal
+    # Type-adaptive ts handling (nanos-long vs native timestamp),
+    # shared with the batch path via catalog.open_events_stream.
+    # ts_wm: LTZ absolute instant (timezone-independent construction);
+    # the cutoff filter compares the NTZ value against an NTZ literal —
+    # pure value comparison, never an LTZ literal (those shift with
+    # the caller's session timezone).
+    from ..catalog import open_events_stream
 
-    from ..catalog import _scoped_conf
-
-    # Scoped, not leaked: schema capture happens inside the block and
-    # the streaming scan honors the captured schema after restore
-    # (same verified mechanism as catalog.load_table).
-    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-    # ts_wm: LTZ instant from raw epoch-nanos (absolute — construction
-    # is timezone-independent); the cutoff filter compares the RAW
-    # nanos long against a UTC-derived literal, never an LTZ literal
-    # (those shift with the caller's session timezone).
-    ts_wm = F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)"))
+    stream, ts_ntz, ts_wm = open_events_stream(spark, sf_dir)
     ev = stream.withColumn("ts_wm", ts_wm).filter(
-        (F.col("user_id") < 40) & (F.col("ts") < ns_literal("2024-01-20"))
+        (F.col("user_id") < 40)
+        & (ts_ntz < F.lit("2024-01-20").cast("timestamp_ntz"))
     )
     win = ev.groupBy(
         F.session_window("ts_wm", "30 minutes").alias("sw"), "user_id"

@@ -346,20 +346,10 @@ def q92_streaming_rollup_serve(spark, sf_dir):
     nanos/NTZ discipline as q60."""
     import shutil as _sh
 
-    from ..catalog import _scoped_conf
+    from ..catalog import open_events_stream
     from ..streaming.rollup_stream import maintain_rollup
 
-    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(batch_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-    ts_ntz = F.expr(
-        "timestampadd(MICROSECOND, CAST(ts div 1000 AS BIGINT),"
-        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-    )
+    stream, ts_ntz, _ = open_events_stream(spark, sf_dir)
     ev = stream.withColumn("ts", ts_ntz).select(
         "ts", "event_type", "user_id", "value"
     )

@@ -369,3 +369,67 @@ def test_dedup_by_components_keeps_canonical(spark):
     )
     # clusters {1,3,5} -> keep 1; {6,7} -> keep 6; singletons kept
     assert kept == [0, 1, 2, 4, 6]
+
+
+def test_ngram_jaccard_stop_shingle_default_is_noop(docs):
+    """At the default cap the pair set (and every score) is identical
+    to the uncapped run on honest data — the cutoff only exists to
+    bound degenerate posting lists (VERDICT r2 next-round #3)."""
+    base = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", block_cols=["source"], k=3, threshold=0.2,
+            max_shingle_df=None,
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", block_cols=["source"], k=3, threshold=0.2
+        ).collect()
+    }
+    assert base == capped and len(base) > 0
+
+
+def test_ngram_jaccard_stop_shingle_bounds_degenerate(spark):
+    """A shingle shared by EVERY document is excluded when the cap
+    triggers: docs whose only overlap is the hot shingle produce no
+    pair, while genuinely near-dup docs still pair up."""
+    common = "alpha beta gamma"  # one shared 3-shingle across all docs
+    rows = [
+        (1, f"{common} one two three four"),
+        (2, f"{common} five six seven eight"),
+        (3, f"{common} one two three four"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", k=3, threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    assert (1, 3) in got  # still found via their non-hot shingles
+    assert (1, 2) not in got  # hot-shingle-only overlap suppressed
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint;
+    labels are identical and checkpoint files land in the dir."""
+    import os
+
+    from aden_hive_fork_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(12)] + [(20, 25), (25, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    ckdir = os.path.join(tmp_path, "cc_ckpt")
+    got = {
+        r.id: r.comp
+        for r in connected_components(
+            df, max_iter=25, checkpoint_dir=ckdir
+        ).collect()
+    }
+    local = {
+        r.id: r.comp for r in connected_components(df, max_iter=25).collect()
+    }
+    assert got == local
+    assert any(os.scandir(ckdir))  # reliable checkpoint materialized
