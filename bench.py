@@ -5,10 +5,13 @@ ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = median wall-clock seconds per headline query, steady-state:
-each query is executed twice and the second run is recorded, matching
-BASELINE.md §3's "warm JVM/SparkSession" methodology (the first run
-pays one-time Janino/codegen compilation of the plan, which on a real
-cluster is amortized across the job's lifetime).
+each query is executed once to warm (the first run pays one-time
+Janino/codegen compilation of the plan, which on a real cluster is
+amortized across the job's lifetime), then N_RUNS=3 recorded runs per
+query and the per-query MEDIAN is reported, matching BASELINE.md §3's
+"warm JVM/SparkSession" methodology. Single-run recording was measured
+to swing ±45% on seconds-scale jobs from local[32] scheduling noise
+(r2→r3 investigation: q02 2.30 s single-run vs 1.45 s median-of-5).
 """
 
 from __future__ import annotations
@@ -65,13 +68,17 @@ def main() -> None:
         queries["q41_ngram_jaccard_pairs"](spark, small).collect()
         queries["q50_cosine_topk"](spark, small).collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         fn(spark, sf_dir).collect()  # warm-up: compile this plan's codegen
-        t0 = time.time()
-        fn(spark, sf_dir).collect()  # steady-state run (recorded)
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()  # steady-state run (recorded)
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     print(
         json.dumps(
