@@ -1,0 +1,347 @@
+"""Search-provider clients — offline-stubbed analogs of the
+reference's retrieval APIs, completing the provider layer above the
+fetch/extract tier (http_source / html_source).
+
+Reference analogs (envelope parity, verified field-by-field):
+
+- ``web_search``       — tools/src/aden_tools/tools/web_search_tool/
+  web_search_tool.py:154-239 (validation, provider auto-selection,
+  credential error envelopes, ``{query, results[{title,url,snippet}],
+  total, provider}`` success shape).
+- ``search_wikipedia`` — wikipedia_tool.py:26-95 (result clamp 1..10,
+  HTML-stripped snippets, ``{query, lang, count, results[{title, url,
+  description, snippet}]}``).
+- ``search_papers`` / ``download_paper`` — arxiv_tool.py:26-127 /
+  129-220 (query-or-id_list validation, max_results cap 100, sort
+  criteria, ``{success, query, id_list, results[...], total}``; PDF
+  download to a managed dir with a cleaned filename).
+
+The reference clients call live HTTP APIs (Google/Brave/Wikipedia/
+arXiv). This sandbox has no external network, so the BACKEND is
+pluggable: anything with a ``search(query, num_results) -> envelope``
+method plugs in, and the shipped ``FixtureSearchProvider`` serves a
+local corpus deterministically — unit tests and declared queries run
+hermetically, while a networked deployment swaps in a real provider
+without touching call sites (same hermetic-seam design as the LLM
+tiers, SURVEY §7.5).
+
+Two tiers, by cardinality:
+
+- **Driver-side clients** (this module's ``web_search`` etc.): one
+  query, top-k results — the reference's interactive shape. Scoring a
+  fixture corpus in-process is fine at client cardinality.
+- **Distributed search** (``keyword_search``): a TABLE of queries
+  against a TABLE of documents — the 100 TB shape. Queries are tiny →
+  broadcast; documents never shuffle; scoring is pure JVM column
+  arithmetic (split / array_intersect / size) and per-query top-k is
+  one window over the broadcast-joined result. Declared as q93 with a
+  DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_WS = r" +"
+
+
+def _strip_html(text: str) -> str:
+    """Remove HTML tags (wikipedia_tool.py:19-23 analog)."""
+    if not text:
+        return ""
+    return re.sub(r"<[^>]+>", "", text)
+
+
+def _terms(query: str) -> list[str]:
+    return [t for t in re.split(_WS, query.strip().lower()) if t]
+
+
+def _score(query_terms: list[str], text: str) -> int:
+    """Deterministic relevance: count of DISTINCT query terms present
+    in the document's token set (same definition as the distributed
+    ``keyword_search``, so the two tiers rank identically)."""
+    toks = set(_terms(text))
+    return sum(1 for t in set(query_terms) if t in toks)
+
+
+# ---------------------------------------------------------------------------
+# provider interface + offline fixture backend
+# ---------------------------------------------------------------------------
+class FixtureSearchProvider:
+    """Offline search backend over a local corpus.
+
+    ``docs``: iterable of dicts with ``title``, ``url``, ``text`` (any
+    extra keys ignored). Results are scored by distinct-term overlap,
+    ranked (score desc, then url asc for a stable total order), and
+    snippeted from the document head — all deterministic.
+    """
+
+    def __init__(self, docs, name: str = "fixture", snippet_chars: int = 160):
+        self.docs = list(docs)
+        self.name = name
+        self.snippet_chars = snippet_chars
+
+    def search(self, query: str, num_results: int = 10, **_kw) -> dict:
+        qt = _terms(query)
+        scored = []
+        for d in self.docs:
+            s = _score(qt, f"{d.get('title', '')} {d.get('text', '')}")
+            if s > 0:
+                scored.append((s, d))
+        scored.sort(key=lambda p: (-p[0], p[1].get("url", "")))
+        results = [
+            {
+                "title": d.get("title", ""),
+                "url": d.get("url", ""),
+                "snippet": d.get("text", "")[: self.snippet_chars],
+            }
+            for _, d in scored[:num_results]
+        ]
+        return {
+            "query": query,
+            "results": results,
+            "total": len(results),
+            "provider": self.name,
+        }
+
+
+def web_search(
+    query: str,
+    num_results: int = 10,
+    country: str = "us",
+    language: str = "en",
+    provider: str = "auto",
+    providers: dict[str, object] | None = None,
+) -> dict:
+    """Reference ``web_search`` envelope (web_search_tool.py:154-239)
+    over pluggable backends.
+
+    ``providers`` maps provider name -> backend (anything with
+    ``.search``); None/empty models the no-credentials state. "auto"
+    picks the first configured backend in insertion order (the
+    reference tries Brave then Google; insertion order is the
+    configurable analog).
+    """
+    if not query or len(query) > 500:
+        return {"error": "Query must be 1-500 characters"}
+    providers = providers or {}
+    try:
+        if provider == "auto":
+            for backend in providers.values():
+                return backend.search(
+                    query, num_results=num_results, country=country, language=language
+                )
+            return {
+                "error": "No search credentials configured",
+                "help": "Configure at least one search provider backend",
+            }
+        backend = providers.get(provider)
+        if backend is None:
+            return {
+                "error": f"{provider.capitalize()} credentials not configured",
+                "help": f"Configure the {provider!r} provider backend",
+            }
+        return backend.search(
+            query, num_results=num_results, country=country, language=language
+        )
+    except Exception as e:  # transport parity: errors are data
+        return {"error": f"Search failed: {e}"}
+
+
+# ---------------------------------------------------------------------------
+# wikipedia client (wikipedia_tool.py:26-95)
+# ---------------------------------------------------------------------------
+def search_wikipedia(
+    query: str,
+    lang: str = "en",
+    num_results: int = 3,
+    corpus: list[dict] | None = None,
+) -> dict:
+    """Reference ``search_wikipedia`` envelope over a fixture corpus.
+
+    ``corpus`` entries carry ``title``, ``key``, ``description``,
+    ``excerpt`` (excerpt may contain HTML — stripped for the snippet,
+    exactly like the live API's ``<span class="searchmatch">``
+    markup). Empty description falls back to the reference's literal
+    placeholder string.
+    """
+    if not query:
+        return {"error": "Query cannot be empty"}
+    num_results = max(1, min(num_results, 10))
+    corpus = corpus or []
+    qt = _terms(query)
+    scored = []
+    for page in corpus:
+        s = _score(qt, f"{page.get('title', '')} {page.get('excerpt', '')}")
+        if s > 0:
+            scored.append((s, page))
+    scored.sort(key=lambda p: (-p[0], p[1].get("title", "")))
+    results = []
+    for _, page in scored[:num_results]:
+        key = page.get("key", "")
+        results.append(
+            {
+                "title": page.get("title", ""),
+                "url": f"https://{lang}.wikipedia.org/wiki/{key}",
+                "description": page.get("description") or "No description available.",
+                "snippet": _strip_html(page.get("excerpt") or ""),
+            }
+        )
+    return {"query": query, "lang": lang, "count": len(results), "results": results}
+
+
+# ---------------------------------------------------------------------------
+# arXiv client (arxiv_tool.py:26-220)
+# ---------------------------------------------------------------------------
+def search_papers(
+    query: str = "",
+    id_list: list[str] | None = None,
+    max_results: int = 10,
+    sort_by: str = "relevance",
+    sort_order: str = "descending",
+    corpus: list[dict] | None = None,
+) -> dict:
+    """Reference ``search_papers`` envelope over a fixture corpus.
+
+    ``corpus`` entries: ``id``, ``title``, ``summary``, ``published``
+    (ISO date), ``authors`` (list), ``categories`` (list), optional
+    ``pdf`` (bytes, used by ``download_paper``). Sorting mirrors the
+    reference criteria: relevance = term-overlap score; the date
+    criteria sort on ``published``.
+    """
+    if not query and not id_list:
+        return {
+            "success": False,
+            "error": "Invalid Request: You must provide either a 'query' or an 'id_list'.",
+        }
+    max_results = min(max_results, 100)
+    corpus = corpus or []
+    if id_list:
+        by_id = {p.get("id"): p for p in corpus}
+        picked = [by_id[i] for i in id_list if i in by_id]
+    else:
+        qt = _terms(query)
+        scored = [
+            (s, p)
+            for s, p in (
+                (_score(qt, f"{p.get('title', '')} {p.get('summary', '')}"), p)
+                for p in corpus
+            )
+            if s > 0
+        ]
+        desc = sort_order == "descending"
+        if sort_by == "relevance":
+            scored.sort(key=lambda sp: ((-sp[0] if desc else sp[0]), sp[1].get("id", "")))
+        else:  # lastUpdatedDate / submittedDate — fixture carries one date
+            scored.sort(key=lambda sp: sp[1].get("published", ""), reverse=desc)
+        picked = [p for _, p in scored]
+    picked = picked[:max_results]
+    results = [
+        {
+            "id": p.get("id", ""),
+            "title": p.get("title", ""),
+            "summary": (p.get("summary") or "").replace("\n", " "),
+            "published": p.get("published", ""),
+            "authors": list(p.get("authors") or []),
+            "pdf_url": p.get("pdf_url") or f"https://export.arxiv.org/pdf/{p.get('id', '')}",
+            "categories": list(p.get("categories") or []),
+        }
+        for p in picked
+    ]
+    return {
+        "success": True,
+        "query": query,
+        "id_list": id_list or [],
+        "results": results,
+        "total": len(results),
+    }
+
+
+def download_paper(paper_id: str, corpus: list[dict] | None, dest_dir: str) -> dict:
+    """Reference ``download_paper`` envelope (arxiv_tool.py:129-220):
+    resolve the paper, write its PDF bytes under a cleaned filename,
+    return the path. Fixture corpus carries the bytes; a networked
+    backend would stream them instead — the filename/error contract is
+    the part call sites depend on."""
+    corpus = corpus or []
+    paper = next((p for p in corpus if p.get("id") == paper_id), None)
+    if paper is None:
+        return {"success": False, "error": f"No paper found with ID: {paper_id}"}
+    pdf = paper.get("pdf")
+    if not pdf:
+        return {"success": False, "error": "PDF URL not available for this paper."}
+    clean_title = re.sub(r"[^\w\s-]", "", paper.get("title", "")).strip().replace(" ", "_")
+    clean_id = re.sub(r"[^\w\s-]", "_", paper_id)
+    os.makedirs(dest_dir, exist_ok=True)
+    local_path = os.path.join(dest_dir, f"{clean_title[:50]}_{clean_id}_.pdf")
+    try:
+        with open(local_path, "wb") as f:
+            f.write(pdf)
+    except OSError as e:
+        return {"success": False, "error": f"Failed during download or write: {e}"}
+    return {"success": True, "file_path": local_path, "paper_id": paper_id}
+
+
+# ---------------------------------------------------------------------------
+# distributed tier: a table of queries against a table of documents
+# ---------------------------------------------------------------------------
+def keyword_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "qid",
+    query_col: str = "query",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k documents per query by distinct-term overlap — the
+    batch/scale shape of the provider clients above (same score, same
+    ranking), as one declarative plan.
+
+    100 TB shape: the query table is broadcast (it is tiny relative to
+    the corpus), so documents are scored map-side with zero shuffle of
+    the corpus; the only wide exchange is the per-query top-k window,
+    which operates on the (already score>0-filtered) match set keyed
+    by query id. Tokenization and scoring are built-in column
+    functions — whole-stage codegen, no Python.
+
+    Returns (qid, query, doc_id, score, rank) with rank 1..k,
+    deterministic tie-break on doc id.
+    """
+    doc_toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), _WS))
+    q_terms = F.array_distinct(F.split(F.lower(F.trim(F.col(query_col))), _WS))
+    d = docs.select(F.col(id_col), doc_toks.alias("_toks"))
+    q = queries.select(F.col(query_id_col), F.col(query_col), q_terms.alias("_qt"))
+    scored = d.join(F.broadcast(q)).select(
+        query_id_col,
+        query_col,
+        id_col,
+        F.size(F.array_intersect("_toks", "_qt")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, query_col, id_col, "score", "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
+def results_to_url_table(spark, envelope: dict) -> DataFrame:
+    """Lift a provider envelope's results into a DataFrame so they can
+    pipe straight into the distributed fetch tier
+    (``http_source.crawl_to_text``) — search → crawl → extract as one
+    pipeline, the reference's web_search→web_scrape chain."""
+    rows = [
+        (r.get("title", ""), r.get("url", ""), r.get("snippet", ""))
+        for r in envelope.get("results", [])
+    ]
+    return spark.createDataFrame(rows or [], "title string, url string, snippet string")
