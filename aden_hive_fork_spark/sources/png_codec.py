@@ -128,9 +128,12 @@ def png_decode(b: bytes) -> np.ndarray | None:
     return img
 
 
-def png_encode(img: np.ndarray) -> bytes:
+def png_encode(img: np.ndarray, texts: dict[str, str] | None = None) -> bytes:
     """HxW (gray) or HxWx{1,2,3,4} uint8 array -> PNG bytes
-    (filter 0, one IDAT). Deterministic: same array, same bytes."""
+    (filter 0, one IDAT). Deterministic: same array, same bytes.
+    ``texts`` adds tEXt chunks (keyword -> latin-1 text) — the PNG
+    spec's embedded-metadata mechanism, read back by
+    ``png_text_chunks``."""
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -146,13 +149,31 @@ def png_encode(img: np.ndarray) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    text_chunks = b"".join(
+        chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in sorted((texts or {}).items())
+    )
     scanlines = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (
         _SIG
         + chunk(b"IHDR", ihdr)
+        + text_chunks
         + chunk(b"IDAT", zlib.compress(scanlines, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def png_text_chunks(b: bytes) -> list[tuple[str, str]]:
+    """(keyword, text) pairs from tEXt chunks, in file order — the
+    locally-extractable analog of OCR text for PNG assets."""
+    out = []
+    if b[:8] != _SIG:
+        return out
+    for ctype, data in _chunks(b):
+        if ctype == b"tEXt" and b"\x00" in data:
+            k, _, v = data.partition(b"\x00")
+            out.append((k.decode("latin-1", "replace"), v.decode("latin-1", "replace")))
+    return out
 
 
 def _luminance(img: np.ndarray) -> np.ndarray:

@@ -145,3 +145,63 @@ def q89_video_metadata(spark, sf_dir):
         )
         .orderBy("width")
     )
+
+
+@query("q94_vision_annotations")
+def q94_vision_annotations(spark, sf_dir):
+    """Corpus-scale vision annotation (§2.A row 36 extraction tier):
+    deterministic PNGs — with embedded tEXt metadata as the local OCR
+    analog — are synthesized AND annotated on executors
+    (sources/vision.annotate_images: heuristic labels, text chunks,
+    dominant colors), then label statistics aggregate per top label.
+    Rows-only by declaration (DuckDB has no PNG codec) but exactly
+    reproducible: the same 48 images produce the same annotation
+    rollup every run. At 100 TB the binary column comes from
+    binaryFile ingest; the annotate plan is map-only either way."""
+    from ..sources.png_codec import png_encode
+    from ..sources.vision import annotate_images
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 48)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for d in pdf["doc_id"]:
+                k = int(d) % 6
+                y, x = np.mgrid[0:12, 0:12]
+                img = np.stack(
+                    [
+                        (x * (k + 1) * 9) % 256,
+                        (y * (k + 2) * 9) % 256,
+                        ((x + y) * (k + 1) * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype("uint8")
+                paths.append(f"vimg_{int(d):04d}.png")
+                blobs.append(
+                    png_encode(img, texts={"caption": f"pattern {k}", "group": str(k)})
+                )
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    bin_df = docs.mapInPandas(gen, "path string, content binary")
+    ann = annotate_images(bin_df, max_labels=10)
+    label_sig = F.concat_ws(
+        "|", F.transform(F.col("labels"), lambda l: l["description"])
+    )
+    dom = F.col("colors")[0]
+    return (
+        ann.filter(F.col("error").isNull())
+        .select(
+            F.split(F.col("text"), "\n")[0].alias("caption"),
+            label_sig.alias("label_sig"),
+            F.concat_ws(
+                ",", dom["red"], dom["green"], dom["blue"]
+            ).alias("dominant_rgb"),
+            F.round(dom["pixel_fraction"], 3).alias("dom_fraction"),
+        )
+        .groupBy("caption", "label_sig", "dominant_rgb", "dom_fraction")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .orderBy("caption", "label_sig")
+    )
