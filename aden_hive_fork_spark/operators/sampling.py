@@ -1,0 +1,146 @@
+"""Training-data sampling & curation operators (§2.D extension tier).
+
+The reference has no sampling operators; these are the driver-mandated
+large-scale-training-pipeline extensions (same family as dedup /
+similarity): every serious corpus pipeline needs REPRODUCIBLE
+sampling, splitting, balancing, and benchmark-contamination checks.
+
+Design rules, all 100 TB-safe:
+
+- **Determinism over RNG.** `sample()`/`rand()` give different rows
+  per run, per partitioning, per Spark version — useless for a
+  training corpus that must be re-derivable. Every operator here is
+  content-hash-driven (md5 of the key, a salt for independent
+  resamples) or order-driven (explicit sort keys): same input, same
+  sample, on any cluster shape. md5 was chosen over xxhash64 because
+  both Spark and DuckDB implement it identically, so the oracle can
+  verify the EXACT sample membership, not just its size.
+- **Map-side where possible.** Hash bucketing/splitting is a pure
+  projection — no shuffle, pushdown-friendly. Quota sampling is one
+  window per group key; class weights are one tiny aggregate joined
+  back via broadcast.
+- **Contamination: broadcast the benchmark.** Eval/benchmark sets are
+  small by nature; the corpus never shuffles — candidates stream
+  map-side against the broadcast benchmark shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_bucket(key: Column | str, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of the key.
+
+    The first 8 hex digits give 32 uniform bits — ample for bucket
+    assignment; md5 (not xxhash64) so DuckDB can replay the exact
+    arithmetic (``('0x' || substr(md5(..), 1, 8))::UBIGINT %
+    buckets``). ``salt`` decorrelates independent samples drawn from
+    the same keys.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets).alias(
+        "bucket"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, percent: int, salt: str = ""
+) -> DataFrame:
+    """Keep ~percent% of rows, membership decided per-key by content
+    hash: reproducible on any cluster, stable under repartitioning,
+    and consistent across tables sharing the key (sample orders and
+    their lineitems agree). Pure filter projection — no shuffle, and
+    Catalyst pushes surviving-column pruning to the scan."""
+    return df.filter(hash_bucket(key_col, 100, salt) < percent)
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_percent: int = 20, salt: str = ""
+) -> DataFrame:
+    """Add a ``split`` column ('train' / 'test') by key hash — the
+    reproducible corpus split: a document lands in the same split on
+    every run and every engine, so eval can never leak into training
+    by nondeterminism. Map-side projection, no shuffle."""
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(key_col, 100, salt) < test_percent, "test").otherwise(
+            "train"
+        ),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    order_cols: list[Column | str],
+) -> DataFrame:
+    """At most ``n_per_group`` rows per group, chosen by an EXPLICIT
+    deterministic order (pass unique tie-breakers). The per-source /
+    per-domain cap every web-scale corpus applies so one domain can't
+    dominate training. One shuffle (the window partition); at 100 TB
+    group skew is AQE's problem, not a crash."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_group)
+    )
+
+
+def class_weights(df: DataFrame, class_col: str, ndigits: int = 6) -> DataFrame:
+    """Inverse-frequency class weights: weight(c) = N / (K * n_c),
+    the standard balanced-training reweighting (mean PER-ROW weight
+    1.0: every class contributes equal total weight N/K). Two tiny
+    aggregates; joining weights back onto a corpus is a broadcast
+    join of K rows."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        class_col,
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("k") * F.col("n")).cast("double"),
+            ndigits,
+        ).alias("weight"),
+    )
+
+
+def contamination_pairs(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """(candidate, benchmark) pairs sharing >= min_overlap k-word
+    shingles — the decontamination pass that keeps eval data out of a
+    training corpus.
+
+    Scale shape: the benchmark is SMALL (an eval suite), so its
+    shingle sets broadcast and candidates are scored MAP-SIDE — the
+    corpus is never shuffled and no inverted index is materialized.
+    Returns (id, bench_id, n_overlap); shingling reuses the dedup
+    tier's pure-JVM ``shingles_col``.
+    """
+    from .dedup import shingles_col
+
+    cand = candidates.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh")
+    )
+    bench = benchmark.select(
+        F.col(id_col).alias("bench_id"), shingles_col(text_col, k).alias("bsh")
+    )
+    overlap = F.size(F.array_intersect("sh", "bsh"))
+    return (
+        cand.crossJoin(F.broadcast(bench))
+        .select("id", "bench_id", overlap.alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

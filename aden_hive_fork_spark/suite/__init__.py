@@ -56,6 +56,7 @@ def load_all() -> None:
         relational6,
         relational7,
         roundtrip,
+        sampling,
         search,
         similarity,
         text,

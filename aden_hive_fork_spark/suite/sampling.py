@@ -1,0 +1,151 @@
+"""Sampling/curation declared queries (§2.D training-pipeline tier).
+
+Every query here proves EXACT sample membership against the oracle —
+not just counts — because the operators are content-hash- or
+order-deterministic by design (operators/sampling docstring). The
+md5-bucket arithmetic is replayed verbatim in DuckDB:
+Spark ``conv(substring(md5(x), 1, 8), 16, 10) % 100`` ==
+DuckDB ``('0x' || substr(md5(x), 1, 8))::UBIGINT % 100``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+
+_BUCKET_DUCK = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100)"
+
+
+@query(
+    "q95_train_test_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+        CASE WHEN {_BUCKET_DUCK} < 20 THEN 'test' ELSE 'train' END AS split,
+        n_chars
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM tagged
+    GROUP BY split, lang
+    ORDER BY split ASC, lang ASC
+    """,
+)
+def q95_train_test_split(spark, sf_dir):
+    """Reproducible 80/20 corpus split by doc_id content hash,
+    summarized per (split, lang). The split is a map-side projection
+    (no shuffle before the rollup) and the oracle verifies EXACT
+    membership: a one-document disagreement changes sum_chars."""
+    from ..operators.sampling import train_test_split
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_percent=20)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "q96_quota_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY source ASC, rk ASC
+    """,
+)
+def q96_quota_per_source(spark, sf_dir):
+    """Per-source quota sampling: the 3 longest documents per source
+    (deterministic tie-break on doc_id) — the domain-cap pass of a
+    web-scale corpus. One window shuffle on the group key."""
+    from ..operators.sampling import quota_sample
+
+    docs = T(spark, sf_dir, "documents")
+    out = quota_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"],
+        3,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", F.col("rk").cast("int").alias("rk")
+    ).orderBy("source", "rk")
+
+
+@query(
+    "q97_class_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT SUM(n) AS total, COUNT(*) AS k FROM counts
+    )
+    SELECT c.lang, CAST(c.n AS BIGINT) AS n_rows,
+      ROUND(CAST(t.total AS DOUBLE) / (t.k * c.n), 6) AS weight
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.lang ASC
+    """,
+)
+def q97_class_weights(spark, sf_dir):
+    """Inverse-frequency language weights for balanced training:
+    weight = N / (K * n_lang), mean 1.0 across classes. Tiny
+    aggregates; broadcasting K rows back onto the corpus is free."""
+    from ..operators.sampling import class_weights
+
+    docs = T(spark, sf_dir, "documents")
+    return class_weights(docs, "lang").orderBy("lang")
+
+
+@query(
+    "q98_benchmark_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       for i in range(1, len(ws) - 1)]) AS shingles
+      FROM toks WHERE len(ws) >= 3
+    ),
+    bench AS (SELECT doc_id AS bench_id, shingles AS bsh FROM sh WHERE doc_id < 5),
+    cand AS (SELECT doc_id, shingles FROM sh WHERE doc_id >= 5)
+    SELECT c.doc_id, b.bench_id,
+      CAST(len(list_intersect(c.shingles, b.bsh)) AS INT) AS n_overlap
+    FROM cand c CROSS JOIN bench b
+    WHERE len(list_intersect(c.shingles, b.bsh)) >= 2
+    ORDER BY c.doc_id ASC, b.bench_id ASC
+    """,
+)
+def q98_benchmark_contamination(spark, sf_dir):
+    """Decontamination: candidates sharing >= 2 3-word shingles with a
+    benchmark set (here: doc_id < 5 standing in for an eval suite).
+    The benchmark's shingle sets broadcast; candidates are scored
+    map-side — the corpus never shuffles."""
+    from ..operators.sampling import contamination_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    out = contamination_pairs(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5),
+        min_overlap=2,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "bench_id",
+        F.col("n_overlap").cast("int").alias("n_overlap"),
+    ).orderBy("doc_id", "bench_id")

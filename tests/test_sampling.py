@@ -1,0 +1,99 @@
+"""Sampling/curation operators — the load-bearing properties are
+DETERMINISM (same sample under any partitioning; cross-table key
+consistency) and plan shape (hash split is map-side, contamination
+broadcasts the benchmark)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.sampling import (
+    class_weights,
+    contamination_pairs,
+    hash_sample,
+    quota_sample,
+    train_test_split,
+)
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 30).collect()}
+    b = {r.k for r in hash_sample(df.repartition(17), "k", 30).collect()}
+    assert a == b and 0.2 < len(a) / 2000 < 0.4
+
+
+def test_hash_sample_consistent_across_tables(spark):
+    """Sampling orders and their lineitems by the shared key keeps
+    referential integrity — the reason membership is per-key hash."""
+    orders = spark.range(0, 500).select(F.col("id").alias("okey"))
+    items = spark.range(0, 2000).select((F.col("id") % 500).alias("okey"))
+    kept_orders = {r.okey for r in hash_sample(orders, "okey", 25).collect()}
+    kept_items = {r.okey for r in hash_sample(items, "okey", 25).collect()}
+    assert kept_items == kept_orders
+
+
+def test_salt_decorrelates(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 50, salt="a").collect()}
+    b = {r.k for r in hash_sample(df, "k", 50, salt="b").collect()}
+    assert a != b
+    inter = len(a & b) / max(1, len(a))
+    assert 0.3 < inter < 0.7  # independent ~50% samples overlap ~50%
+
+
+def test_split_partitions_everything(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = train_test_split(df, "k", test_percent=20)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 1000
+    assert 100 < counts["test"] < 300  # ~20%
+
+
+def test_hash_split_is_map_side(spark):
+    """No Exchange before the filter: the sample is a pure projection."""
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = hash_sample(df, "k", 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quota_sample_deterministic_ties(spark):
+    rows = [(i, "s" + str(i % 3), 100) for i in range(30)]  # all-equal order key
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out1 = quota_sample(df, ["source"], 2, [F.desc("n"), F.asc("doc_id")])
+    out2 = quota_sample(df.repartition(7), ["source"], 2, [F.desc("n"), F.asc("doc_id")])
+    assert sorted((r.doc_id, r.rk) for r in out1.collect()) == sorted(
+        (r.doc_id, r.rk) for r in out2.collect()
+    )
+
+
+def test_class_weights_mean_one(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10, "lang string"
+    )
+    rows = {r.lang: r for r in class_weights(df, "lang").collect()}
+    w = {k: r.weight for k, r in rows.items()}
+    assert w["c"] > w["b"] > w["a"]
+    # balanced-training invariant: the MEAN PER-ROW weight is 1.0
+    # (sum over classes of n_c * w_c == N)
+    total = sum(r.n_rows * r.weight for r in rows.values())
+    assert abs(total / 100 - 1.0) < 1e-6
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (10, "alpha beta gamma delta other words"),  # contaminated vs 1
+            (11, "completely unrelated text content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = contamination_pairs(
+        docs.filter(F.col("doc_id") >= 10), docs.filter(F.col("doc_id") < 10)
+    )
+    got = [(r.id, r.bench_id, r.n_overlap) for r in pairs.collect()]
+    assert got == [(10, 1, 2)]
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
