@@ -144,3 +144,42 @@ def contamination_pairs(
         .select("id", "bench_id", overlap.alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str],
+    order_cols: list[Column | str],
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic order and cut into fixed token-budget chunks —
+    chunk_id = floor(start_offset / budget) where start_offset is the
+    running token total before the document. This IS how pretraining
+    batches are packed (concatenate corpus, slice every ``budget``
+    tokens); a document straddling a boundary belongs to the chunk its
+    first token lands in.
+
+    Packing runs WITHIN ``partition_cols`` (shard/source): a running
+    total is a window, and an unpartitioned window is a single-task
+    bottleneck at 100 TB. Real pipelines pack per shard anyway; a
+    corpus-global layout would two-pass it (per-shard totals, then a
+    broadcast prefix-sum of shard offsets composed onto the same
+    per-shard window).
+
+    Adds: ``chunk_id`` (int, per partition), ``chunk_offset`` (tokens
+    into the chunk where the doc starts).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("_start")
+    out = df.withColumn("_start", start)
+    return (
+        out.withColumn(
+            "chunk_id", F.expr(f"CAST(_start div {int(budget)} AS INT)")
+        )
+        .withColumn(
+            "chunk_offset", F.expr(f"CAST(_start % {int(budget)} AS BIGINT)")
+        )
+        .drop("_start")
+    )

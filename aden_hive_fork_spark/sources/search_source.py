@@ -345,3 +345,75 @@ def results_to_url_table(spark, envelope: dict) -> DataFrame:
         for r in envelope.get("results", [])
     ]
     return spark.createDataFrame(rows or [], "title string, url string, snippet string")
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "qid",
+    query_col: str = "query",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k per query — the real relevance ranker above
+    ``keyword_search``'s binary overlap (Robertson/Sparck Jones; the
+    default first-stage ranker in retrieval pipelines).
+
+    score(q,d) = Σ_t IDF(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    IDF(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1).
+
+    Scale shape: doc-side statistics (tf per (doc, term), dl per doc)
+    are corpus-wide aggregates a real deployment materializes once and
+    reuses across query batches; the per-query work is pruned FIRST by
+    a broadcast join on the query terms, so only postings for queried
+    terms flow into scoring. Corpus-global scalars (N, avgdl) ride a
+    1-row broadcast cross join. Ranking sorts on the ROUNDED score
+    (4dp) with a doc-id tie-break so float ulp noise can't reorder —
+    which also makes the ranking engine-reproducible (the DuckDB
+    oracle replays it exactly).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.col(query_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(query_col))), _WS))
+        ).alias("term"),
+    )
+    # prune postings to queried terms before any scoring math
+    matched = tf.join(F.broadcast(qterms), "term")
+    df_t = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        matched.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, query_col, id_col)
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, query_col, id_col, "score", "rank")
+        .orderBy(query_id_col, "rank")
+    )

@@ -149,3 +149,48 @@ def q98_benchmark_contamination(spark, sf_dir):
         "bench_id",
         F.col("n_overlap").cast("int").alias("n_overlap"),
     ).orderBy("doc_id", "bench_id")
+
+
+@query(
+    "q100_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+        len(string_split_regex(lower(trim(text)), ' +')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+      CAST(start // 512 AS INT) AS chunk_id,
+      CAST(start % 512 AS BIGINT) AS chunk_offset
+    FROM c
+    ORDER BY source ASC, doc_id ASC
+    """,
+)
+def q100_sequence_packing(spark, sf_dir):
+    """Concat-and-chunk packing of the documents corpus into
+    512-token chunks per source shard (operators/sampling
+    .pack_sequences) — the pretraining batch-layout pass. The oracle
+    verifies every document's exact chunk assignment and offset."""
+    from ..operators.sampling import pack_sequences
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " +")).alias("n_tokens"),
+    )
+    out = pack_sequences(
+        docs, "n_tokens", 512, ["source"], [F.asc("doc_id")]
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_id",
+        F.col("chunk_offset").cast("bigint").alias("chunk_offset"),
+    ).orderBy("source", "doc_id")

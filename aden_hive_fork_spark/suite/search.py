@@ -75,3 +75,79 @@ def q93_keyword_search(spark, sf_dir):
         F.col("score").cast("int").alias("score"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("qid", "rank")
+
+
+_Q99_QUERIES = [
+    (1, "hash join merge"),
+    (2, "slow scan table"),
+    (3, "batch value part row"),
+]
+
+_Q99_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _Q99_QUERIES)
+
+_Q99_SQL = f"""
+    WITH q(qid, query) AS (VALUES {_Q99_VALUES}),
+    toks AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (
+      SELECT qid, query,
+        unnest(list_distinct(string_split_regex(lower(trim(query)), ' +')))
+          AS term
+      FROM q
+    ),
+    dft AS (
+      SELECT term, COUNT(*) AS df_t FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+    ),
+    scored AS (
+      SELECT qt.qid, qt.query, tf.doc_id,
+        ROUND(SUM(
+          ln((s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+          * (tf.tf * (1.2 + 1)) /
+            (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+        ), 4) AS score
+      FROM qt
+      JOIN tf USING (term)
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT qid, query, doc_id, score,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC)
+          AS rank
+      FROM scored
+    )
+    SELECT qid, query, doc_id, CAST(score AS DOUBLE) AS score,
+      CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY qid ASC, rank ASC
+"""
+
+
+@query("q99_bm25_search", oracle=_Q99_SQL)
+def q99_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-5 per query over the documents corpus
+    (sources/search_source.bm25_search). The oracle replays the exact
+    scoring arithmetic — IDF, length normalization, rounded-score
+    ranking — so this is a full-fidelity relevance-ranking check, not
+    a smoke test."""
+    from ..sources.search_source import bm25_search
+
+    docs = T(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_Q99_QUERIES, "qid int, query string")
+    out = bm25_search(docs, queries, k=5)
+    return out.select(
+        "qid",
+        "query",
+        "doc_id",
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("qid", "rank")

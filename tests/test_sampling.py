@@ -97,3 +97,36 @@ def test_contamination_broadcasts_benchmark(spark):
     assert got == [(10, 1, 2)]
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pack_sequences_chunks_and_offsets(spark):
+    from aden_hive_fork_spark.operators.sampling import pack_sequences
+
+    rows = [(1, "s", 300), (2, "s", 300), (3, "s", 100), (4, "t", 600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = {
+        r.doc_id: (r.chunk_id, r.chunk_offset)
+        for r in pack_sequences(df, "n", 512, ["source"], [F.asc("doc_id")]).collect()
+    }
+    # s: starts 0, 300, 600 -> chunks 0, 0, 1; t restarts at 0
+    assert out == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (0, 0)}
+
+
+def test_pack_sequences_stable_under_repartition(spark):
+    from aden_hive_fork_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3), 10 + i) for i in range(60)],
+        "doc_id long, source string, n long",
+    )
+    a = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_offset)
+        for r in pack_sequences(df, "n", 64, ["source"], [F.asc("doc_id")]).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_offset)
+        for r in pack_sequences(
+            df.repartition(11), "n", 64, ["source"], [F.asc("doc_id")]
+        ).collect()
+    )
+    assert a == b

@@ -191,3 +191,22 @@ def test_search_results_feed_crawl(spark, server):
     assert len(rows) == 1 and rows[0]["status"] == 200
     assert rows[0]["title"] == "Fixture Doc"
     assert "catalyst optimizer" in rows[0]["text"]
+
+
+def test_bm25_ranks_rare_terms_higher(spark):
+    from aden_hive_fork_spark.sources.search_source import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra common common common"),
+            (2, "common common common common"),
+            (3, "zebra zebra common word"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "zebra")], "qid int, query string")
+    out = bm25_search(docs, q, k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 3  # two zebra occurrences outrank one
+    assert 2 not in ids  # no match, no row
+    assert out[0].rank == 1 and all(r.score > 0 for r in out)
