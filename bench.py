@@ -43,6 +43,10 @@ HEADLINE = [
     "q79_cosine_neardup_clusters",# embedding cluster dedup
     "q80_external_db_join",       # external-DB partitioned fetch + join
     "q90_compacted_scan",         # small-files compaction + clustered rewrite
+    "q95_train_test_split",       # content-hash corpus split
+    "q98_benchmark_contamination",# broadcast-benchmark shingle overlap
+    "q99_bm25_search",            # Okapi BM25 relevance ranking
+    "q100_sequence_packing",      # concat-and-chunk batch layout
 ]
 
 
