@@ -127,8 +127,14 @@ def contamination_pairs(
     Scale shape: the benchmark is SMALL (an eval suite), so its
     shingle sets broadcast and candidates are scored MAP-SIDE — the
     corpus is never shuffled and no inverted index is materialized.
-    Returns (id, bench_id, n_overlap); shingling reuses the dedup
-    tier's pure-JVM ``shingles_col``.
+    A UNION-shingle prefilter runs first: overlap(cand, union of all
+    benchmark shingles) >= min_overlap is a NECESSARY condition for
+    overlap with any single benchmark doc, so the per-benchmark
+    intersects (|bench| of them per row) only run on candidates that
+    already cleared one cheap intersect — on a mostly-clean corpus
+    that is a |bench|× reduction of the dominant cost. Returns
+    (id, bench_id, n_overlap); shingling reuses the dedup tier's
+    pure-JVM ``shingles_col``.
     """
     from .dedup import shingles_col
 
@@ -138,9 +144,17 @@ def contamination_pairs(
     bench = benchmark.select(
         F.col(id_col).alias("bench_id"), shingles_col(text_col, k).alias("bsh")
     )
+    union_sh = bench.agg(
+        F.array_distinct(F.flatten(F.collect_list("bsh"))).alias("all_bsh")
+    )
+    prefiltered = (
+        cand.crossJoin(F.broadcast(union_sh))
+        .filter(F.size(F.array_intersect("sh", "all_bsh")) >= min_overlap)
+        .drop("all_bsh")
+    )
     overlap = F.size(F.array_intersect("sh", "bsh"))
     return (
-        cand.crossJoin(F.broadcast(bench))
+        prefiltered.crossJoin(F.broadcast(bench))
         .select("id", "bench_id", overlap.alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
