@@ -205,9 +205,11 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: for a nano-encoded file the raw long IS the stored
     column, so a predicate on it is pushed to the parquet scan
     (row-group pruning on a 100 TB event log). For a natively-typed
-    file (timestamp us/ms) Spark pushes timestamp range predicates
-    down directly — filter on ``ts`` there; ``ts_ns`` is provided as a
-    derived column so callers keep one arithmetic contract either way.
+    file (timestamp us/ms) the native ``ts`` is KEPT alongside the
+    derived ``ts_ns`` — Spark pushes timestamp range predicates on
+    ``ts`` to the scan directly, so filter on ``ts`` there (a
+    predicate on the computed ``ts_ns`` is post-scan); ``ts_ns``
+    keeps one arithmetic contract across encodings.
     """
     path = table_path(sf_dir, "events")
     if _nano_ts_cols(path):
@@ -216,7 +218,7 @@ def load_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumnRenamed("ts", "ts_ns")
     df = spark.read.parquet(path)
     us = ts_micros_sql(df.schema["ts"].dataType.simpleString(), "ts")
-    return df.withColumn("ts_ns", F.expr(f"({us}) * CAST(1000 AS BIGINT)")).drop("ts")
+    return df.withColumn("ts_ns", F.expr(f"({us}) * CAST(1000 AS BIGINT)"))
 
 
 def ns_literal(iso_ts: str) -> int:

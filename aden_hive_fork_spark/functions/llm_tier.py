@@ -222,11 +222,15 @@ def repair_rejects(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = pdf.to_dict("records")
+            # Arrow hands array<string> cells over as numpy arrays,
+            # whose truthiness raises on len > 1 — never `or []` them.
             prompts = [
                 (
                     "Repair this record to satisfy its schema; reply as "
                     + "field=value lines. Problems: "
-                    + ",".join(r.get("_reasons") or [])
+                    + ",".join(
+                        list(r["_reasons"]) if r.get("_reasons") is not None else []
+                    )
                     + " Record: "
                     + "; ".join(
                         f"{k}={r.get(k)}" for k in pdf.columns if k != "_reasons"

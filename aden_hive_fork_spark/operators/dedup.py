@@ -345,15 +345,29 @@ def connected_components(
     for restartable batch jobs). On a real cluster where the iteration
     must survive executor churn, pass a (HDFS/object-store) directory:
     the rounds then use reliable ``checkpoint`` via
-    ``sparkContext.setCheckpointDir``.
+    ``sparkContext.setCheckpointDir``. The previous session checkpoint
+    dir is restored on return (best-effort — the JVM exposes it only
+    through an internal accessor), so unrelated ``checkpoint()`` calls
+    are unaffected. File lifecycle: the CALLER owns ``checkpoint_dir``
+    — each round materializes one edge-set generation there and
+    nothing is auto-deleted (the returned DataFrame lazily READS the
+    final checkpoint, so only delete the dir after consuming it, or
+    enable ``spark.cleaner.referenceTracking.cleanCheckpoints``).
 
     Returns (id, comp) with one row per distinct node in ``pairs``;
     comp == id for the cluster representative. Reference parity: the
     reference has no clustering operator (SURVEY §2.D drives this as a
     training-data-pipeline extension).
     """
+    _restore_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        try:  # remember the previous dir (internal accessor, Option)
+            prev = sc._jsc.sc().getCheckpointDir()
+            _restore_ckpt_dir = prev.get() if prev.isDefined() else None
+        except Exception:
+            _restore_ckpt_dir = None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -431,6 +445,13 @@ def connected_components(
         if stats == prev_stats:
             break
         prev_stats = stats
+    # every checkpoint was EAGER, so nothing writes after this point —
+    # safe to put the session's previous checkpoint dir back.
+    if _restore_ckpt_dir is not None:
+        try:
+            pairs.sparkSession.sparkContext.setCheckpointDir(_restore_ckpt_dir)
+        except Exception:
+            pass
     labels = edges.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
     return nodes.join(labels, "id", "left").select(
         "id", F.coalesce("comp", "id").alias("comp")

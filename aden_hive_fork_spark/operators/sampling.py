@@ -185,7 +185,14 @@ def pack_sequences(
     Adds: ``chunk_id`` (int, per partition), ``chunk_offset`` (tokens
     into the chunk where the doc starts).
     """
-    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    # ROWS frame, not the default RANGE frame: RANGE sums ALL peers of
+    # a tied order key into every tied row's running total, which
+    # would overlap chunk layouts whenever order_cols are not unique.
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).alias("_start")
     out = df.withColumn("_start", start)
     return (

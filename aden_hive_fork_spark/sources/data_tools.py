@@ -165,6 +165,15 @@ def load_data(
                 continue
         if text is None:
             return {"error": "Could not decode file as UTF-8"}
+        if not chunk and raw:
+            # limit_bytes is smaller than the next UTF-8 character: a
+            # zero-progress page would loop a paginating caller forever
+            return {
+                "error": (
+                    "limit_bytes too small for the next UTF-8 character "
+                    "at this offset; increase limit_bytes (>= 4 always works)"
+                )
+            }
         next_offset = offset_bytes + len(chunk)
         return {
             "success": True,

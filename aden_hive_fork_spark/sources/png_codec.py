@@ -149,10 +149,25 @@ def png_encode(img: np.ndarray, texts: dict[str, str] | None = None) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    text_chunks = b"".join(
-        chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
-        for k, v in sorted((texts or {}).items())
-    )
+    text_parts = []
+    for k, v in sorted((texts or {}).items()):
+        # PNG spec: keyword is 1-79 latin-1 bytes, no NUL; text is
+        # latin-1, no NUL (NUL is the keyword/text separator). Raise a
+        # clear error instead of UnicodeEncodeError / a corrupt chunk.
+        try:
+            kb, vb = k.encode("latin-1"), v.encode("latin-1")
+        except UnicodeEncodeError as e:
+            raise ValueError(
+                f"tEXt entries must be latin-1 encodable (key {k!r}): {e}"
+            ) from None
+        if not 1 <= len(kb) <= 79 or b"\x00" in kb:
+            raise ValueError(
+                f"tEXt keyword must be 1-79 latin-1 bytes without NUL: {k!r}"
+            )
+        if b"\x00" in vb:
+            raise ValueError(f"tEXt text must not contain NUL (key {k!r})")
+        text_parts.append(chunk(b"tEXt", kb + b"\x00" + vb))
+    text_chunks = b"".join(text_parts)
     scanlines = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
     return (
         _SIG

@@ -365,10 +365,15 @@ def bm25_search(
     score(q,d) = Σ_t IDF(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     IDF(t) = ln((N − df_t + 0.5)/(df_t + 0.5) + 1).
 
-    Scale shape: doc-side statistics (tf per (doc, term), dl per doc)
-    are corpus-wide aggregates a real deployment materializes once and
-    reuses across query batches; the per-query work is pruned FIRST by
-    a broadcast join on the query terms, so only postings for queried
+    Scale shape: the corpus is tokenized and aggregated to (doc, term,
+    tf) postings EXACTLY ONCE — ``dl`` (doc length) is the per-doc sum
+    of tf, not a second pass over the text, and the postings are
+    materialized (eager localCheckpoint) because three consumers read
+    them (query-term match, df_t, dl); without that, Spark would
+    re-run the dominant tokenize+shuffle subtree per consumer. A real
+    deployment persists these postings across query batches — this is
+    that artifact in-plan. Per-query work is pruned FIRST by a
+    broadcast join on the query terms, so only postings for queried
     terms flow into scoring. Corpus-global scalars (N, avgdl) ride a
     1-row broadcast cross join. Ranking sorts on the ROUNDED score
     (4dp) with a doc-id tie-break so float ulp noise can't reorder —
@@ -378,8 +383,10 @@ def bm25_search(
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -86,7 +86,11 @@ def q41_ngram_jaccard_pairs(spark, sf_dir):
     source block. Integer set arithmetic → deterministic score."""
     docs = T(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2
+        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2,
+        # oracle-exact at ANY scale factor: the DuckDB twin computes
+        # unfiltered Jaccard, so the declared query disables the
+        # stop-shingle cap (an operator-API scale knob, not query semantics)
+        max_shingle_df=None,
     ).selectExpr("CAST(id_a AS BIGINT) AS id_a", "CAST(id_b AS BIGINT) AS id_b", "jaccard")
 
 
@@ -168,7 +172,11 @@ def q77_neardup_clusters(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2
+        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2,
+        # oracle-exact at ANY scale factor: the DuckDB twin computes
+        # unfiltered Jaccard, so the declared query disables the
+        # stop-shingle cap (an operator-API scale knob, not query semantics)
+        max_shingle_df=None,
     )
     comps = connected_components(pairs)
     return (
@@ -197,7 +205,11 @@ def q78_near_dedup_survivors(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2
+        docs, id_col="doc_id", text_col="text", block_cols=["source"], k=3, threshold=0.2,
+        # oracle-exact at ANY scale factor: the DuckDB twin computes
+        # unfiltered Jaccard, so the declared query disables the
+        # stop-shingle cap (an operator-API scale knob, not query semantics)
+        max_shingle_df=None,
     )
     return (
         dedup_by_components(docs, pairs, "doc_id")

@@ -86,3 +86,15 @@ def test_list_data(tmp_path):
         {"filename": "a.txt", "size_bytes": 2},
         {"filename": "b.txt", "size_bytes": 1},
     ]
+
+
+def test_load_rejects_zero_progress_page(tmp_path):
+    """limit_bytes smaller than one UTF-8 char must error, not return
+    an empty page with has_more=True (infinite pagination loop) —
+    review finding r3."""
+    d = str(tmp_path)
+    save_data("jp.txt", "日本語", d)
+    out = load_data("jp.txt", d, offset_bytes=0, limit_bytes=2)
+    assert "limit_bytes too small" in out["error"]
+    ok = load_data("jp.txt", d, offset_bytes=0, limit_bytes=4)
+    assert ok["content"] == "日" and ok["bytes_read"] == 3

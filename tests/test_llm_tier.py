@@ -146,3 +146,18 @@ def test_repair_llm_tier_revalidates(spark):
     fixed, still = repair_rejects(rejects, schema, backend=backend)
     assert {(r.id, r.amount) for r in fixed.collect()} == {(3, 3.0)}
     assert [r.id for r in still.collect()] == ["4"]
+
+
+def test_repair_llm_tier_multi_reason_rows(spark):
+    """Rows with 2+ validation reasons must not crash the repair job
+    (Arrow hands array<string> cells over as numpy arrays whose
+    truthiness raises) — review finding r3."""
+    from aden_hive_fork_spark.functions.validate import enforce_schema
+
+    schema = "id bigint, amount double"
+    df = spark.createDataFrame([("xx", "yy")], "id string, amount string")
+    _, rejects = enforce_schema(df, schema)
+    backend = MockLLMBackend([("xx", "id=7\namount=1.5")])
+    fixed, still = repair_rejects(rejects, schema, backend=backend)
+    assert [(r.id, r.amount) for r in fixed.collect()] == [(7, 1.5)]
+    assert still.count() == 0

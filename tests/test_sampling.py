@@ -130,3 +130,18 @@ def test_pack_sequences_stable_under_repartition(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_pack_sequences_tied_order_keys(spark):
+    """Tied order keys must still get disjoint running totals (ROWS
+    frame, not RANGE) — review finding r3."""
+    from aden_hive_fork_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "s", 10, 5), (2, "s", 10, 5)], "doc_id long, source string, ord long, n long"
+    )
+    out = sorted(
+        (r.chunk_id, r.chunk_offset)
+        for r in pack_sequences(df, "n", 16, ["source"], [F.asc("ord")]).collect()
+    )
+    assert out == [(0, 0), (0, 5)]

@@ -134,3 +134,12 @@ def test_annotate_images_matches_client_and_envelopes(spark):
     assert [l["description"] for l in a["labels"]] == [
         l["description"] for l in client["labels"]
     ]
+
+
+def test_png_text_chunk_validation():
+    """Spec-invalid tEXt entries raise clear errors — review r3."""
+    import pytest as _pytest
+
+    for bad in ({"caption": "snow ☃"}, {"": "x"}, {"k" * 80: "x"}, {"a\x00b": "x"}, {"k": "a\x00b"}):
+        with _pytest.raises(ValueError):
+            _png(texts=bad)
