@@ -215,3 +215,65 @@ def test_dedup_stream_suppresses_redelivery(spark, tmp_path):
     _run_to_memory(dedup_stream(stream), "dedup_t")
     rows = spark.sql("SELECT event_id FROM dedup_t ORDER BY event_id").collect()
     assert [r.event_id for r in rows] == [1, 2, 3]
+
+
+def test_curation_operators_run_on_streams(spark, tmp_path):
+    """hash split and contamination are stateless projections /
+    broadcast joins, so the SAME operators run unchanged on a stream —
+    the corpus-curation pipeline can be incremental. availableNow
+    replay must equal the batch result exactly."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aden_hive_fork_spark.operators.sampling import (
+        contamination_pairs,
+        train_test_split,
+    )
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "zeta eta theta iota kappa"),
+        (10, "alpha beta gamma delta other words"),
+        (11, "totally unrelated text content here"),
+        (12, "zeta eta theta iota words too"),
+    ]
+    d = os.path.join(tmp_path, "docs")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([x[0] for x in docs], pa.int64()),
+                "text": pa.array([x[1] for x in docs]),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    batch = spark.read.parquet(d)
+    bench = batch.filter("doc_id < 10")
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = contamination_pairs(
+        train_test_split(stream.filter("doc_id >= 10"), "doc_id"), bench
+    )
+    sink = f"cur_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.id, r.bench_id, r.n_overlap) for r in spark.table(sink).collect()
+    }
+    batched = {
+        (r.id, r.bench_id, r.n_overlap)
+        for r in contamination_pairs(
+            train_test_split(batch.filter("doc_id >= 10"), "doc_id"), bench
+        ).collect()
+    }
+    assert streamed == batched and len(streamed) >= 2
