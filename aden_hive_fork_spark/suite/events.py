@@ -260,3 +260,73 @@ def q24_user_sessions(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — the CUSTOM STATEFUL streaming operator (applyInPandasWithState,
+# §2.B keyed state / §2.C live tier) under the driver's oracle gate: a
+# full availableNow replay's final per-user state must equal the batch
+# aggregate DuckDB computes directly.
+# ---------------------------------------------------------------------------
+@query(
+    "q101_stateful_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE user_id < 50
+    )
+    SELECT o.user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      ROUND(SUM(o.value), 2) AS total_value,
+      MAX(CASE WHEN o.rn = 1 THEN o.event_type END) AS last_event_type
+    FROM ordered o
+    GROUP BY o.user_id
+    ORDER BY o.user_id ASC
+    """,
+)
+def q101_stateful_user_state(spark, sf_dir):
+    """events streamed (availableNow) through the keyed-state operator
+    (streaming/stateful.running_user_state): per-user counters live in
+    Spark's state store across micro-batches; the final update per
+    user must hash-match the oracle's direct batch aggregate — the
+    proof that the custom stateful operator is exact, not just
+    plausible. Update-mode memory sink: the LAST update per user is
+    the final state (single-source replay emits one)."""
+    import uuid
+
+    from ..catalog import open_events_stream
+    from ..streaming.stateful import running_user_state
+
+    stream, ts_ntz, _ = open_events_stream(spark, sf_dir)
+    ev = (
+        stream.withColumn("ts", ts_ntz)
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    out = running_user_state(ev)
+    sink = f"q101_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink may hold one row per (user, batch); the final
+    # state per user is the row with the largest n_events.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).cast("double").alias("total_value"),
+            "last_event_type",
+        )
+        .orderBy("user_id")
+    )
