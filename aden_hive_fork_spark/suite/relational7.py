@@ -115,3 +115,43 @@ def q88_unpivot_balances(spark, sf_dir):
         .filter(F.col("balance") != 0)
         .orderBy("nation", "segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — EXACT interpolated percentiles per group (§2.A row 27 depth):
+# Spark `percentile` and DuckDB `quantile_cont` implement the same
+# type-7 linear interpolation, so exact quantiles are hash-matchable
+# (unlike approx_percentile, which is rows-only by contract — q47).
+# ---------------------------------------------------------------------------
+@query(
+    "q102_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+      ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+      ROUND(quantile_cont(l_discount, 0.50), 4) AS disc_median
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag ASC, l_linestatus ASC
+    """,
+)
+def q102_exact_percentiles(spark, sf_dir):
+    """Exact per-group quantiles over lineitem. Scale note: exact
+    percentile is a full-sort-per-group aggregate — the right tool at
+    report granularity (bounded groups); for corpus-wide monitoring
+    the mergeable log-bucket histograms (operators/rollup) serve
+    percentiles from pre-aggregated buckets instead."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_discount, 0.50)"), 4).alias("disc_median"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
