@@ -330,3 +330,79 @@ def q101_stateful_user_state(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — EVENT FUNNEL (view -> click -> purchase): the product-analytics
+# sequence operator. Stage k's timestamp is the FIRST qualifying event
+# strictly after stage k-1; conversion requires completing within 7
+# days of the first view. Deterministic (min-timestamps, integer
+# microsecond comparisons), so fully oracle-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "q103_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_view,
+      CAST(COUNT(c.t_click) AS BIGINT) AS n_click,
+      CAST(COUNT(p.t_buy) AS BIGINT) AS n_purchase,
+      CAST(COUNT(CASE WHEN date_diff('microsecond', v.t_view, p.t_buy)
+                       <= 604800000000 THEN 1 END) AS BIGINT) AS n_converted_7d
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON c.user_id = p.user_id
+    """,
+)
+def q103_event_funnel(spark, sf_dir):
+    """view→click→purchase funnel with a 7-day conversion window.
+    Scale shape: three per-user MIN aggregates sharing the user_id
+    partitioning (one shuffle key end-to-end), then two
+    aggregate-then-join steps on key-cardinality inputs — never a
+    row-level self-join of the raw event log. The 7-day window is
+    whole-microsecond integer arithmetic (timezone- and
+    calendar-proof)."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    within = F.expr(
+        "timestampdiff(MICROSECOND, t_view, t_buy) <= 604800000000"
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_buy").alias("n_purchase"),
+        F.count(F.when(within, 1)).alias("n_converted_7d"),
+    )
