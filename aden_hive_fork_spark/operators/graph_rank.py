@@ -1,0 +1,91 @@
+"""PageRank — fixed-iteration power method over an edge DataFrame
+(§2.D extension family with connected_components: graph analytics for
+corpus quality weighting — link-based document importance is a
+standard training-data quality signal).
+
+Design for scale, mirroring `connected_components`' discipline:
+
+- Every iteration is two keyed shuffles (contribution join on src,
+  contribution sum on dst) — AQE handles skew (a hub page is a hot
+  key); no cartesian, no driver-side edge processing.
+- The dangling-mass term (nodes with no out-edges leak rank mass) is
+  ONE scalar aggregate per iteration, collected to the driver — a
+  single double per round, not data.
+- Lineage is truncated per round with an eager checkpoint (local by
+  default, reliable via ``checkpoint_dir`` exactly like
+  connected_components), so the iterated plan stays constant-size.
+- FIXED iteration count, not convergence detection: deterministic
+  output (same input → same ranks bit-for-bit up to float summation
+  order), which is what makes the operator oracle-checkable by an
+  unrolled-CTE DuckDB twin at rounded precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, rank) after ``iterations`` rounds of the power method.
+
+    rank_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_k(u)/outdeg(u)
+                                   + dangling_k / N)
+
+    where dangling_k is the total rank mass on nodes without
+    out-edges. Ranks sum to 1 every round (mass-conserving).
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = _ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        with_deg = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left")
+        # one scalar per round: mass sitting on dangling nodes
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(ranks, e["src"] == ranks["id"])
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = _ckpt(
+            nodes.join(contribs, "id", "left").select(
+                "id",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -47,6 +47,7 @@ def load_all() -> None:
         dedup,
         events,
         external_db,
+        graph,
         multimodal,
         relational,
         relational2,

@@ -1,0 +1,100 @@
+"""Graph-analytics declared queries (§2.D extension family).
+
+q104 runs fixed-iteration PageRank over the customer→supplier
+purchase graph (who buys from whom, via orders⋈lineitem). The oracle
+UNROLLS the same power iterations as chained DuckDB CTEs — each round
+is plain SQL (contribution sum + dangling scalar), so the iterative
+operator is verified exactly at rounded precision, the same way the
+clustering tier is verified by a recursive-CTE closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+
+_ITER = 5
+_D = 0.85
+# suppliers share the integer key space with customers; offset them
+_SUPP_OFFSET = 1_000_000
+
+
+def _oracle_sql(iterations: int) -> str:
+    head = f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src,
+        l.l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+    ),
+    r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+    """
+    steps = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        steps.append(
+            f"""
+    d{k} AS (
+      SELECT COALESCE(SUM(r.rank), 0) AS dangling
+      FROM r{p} r LEFT JOIN outdeg o ON r.id = o.src
+      WHERE o.src IS NULL
+    ),
+    m{k} AS (
+      SELECT e.dst AS id, SUM(r.rank / o.outdeg) AS in_mass
+      FROM edges e JOIN r{p} r ON e.src = r.id
+                   JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT n.id,
+        (1 - {_D}) / nn.n + {_D} * (d{k}.dangling / nn.n
+                                    + COALESCE(m{k}.in_mass, 0)) AS rank
+      FROM nodes n CROSS JOIN nn CROSS JOIN d{k}
+      LEFT JOIN m{k} ON n.id = m{k}.id
+    )"""
+        )
+        # r_{k+1}'s formula: base uses dangling mass spread over n;
+        # note Spark adds d*dangling/n inside the base constant —
+        # identical arithmetic, kept in the same grouping here.
+    tail = f"""
+    SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 8) AS rank
+    FROM r{iterations}
+    ORDER BY rank DESC, id ASC
+    LIMIT 25
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query("q104_purchase_pagerank", oracle=_oracle_sql(_ITER))
+def q104_purchase_pagerank(spark, sf_dir):
+    """Top-25 nodes of the purchase graph by 5-iteration PageRank
+    (operators/graph_rank.pagerank) — link-based importance as a
+    quality/weighting signal. The distinct edge projection is an
+    aggregate of the fact join, each iteration is two keyed shuffles
+    plus a one-double dangling scalar, and lineage is checkpoint-
+    truncated per round."""
+    from ..operators.graph_rank import pagerank
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=_ITER, damping=_D)
+    return (
+        ranks.select(
+            F.col("id").cast("bigint").alias("id"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(25)
+    )

@@ -433,3 +433,34 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     }
     assert got == local
     assert any(os.scandir(ckdir))  # reliable checkpoint materialized
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    from aden_hive_fork_spark.operators.graph_rank import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3), (5, 3), (1, 3)]
+    # node 6: dangling (appears only as dst via 3->6)
+    edges.append((3, 6))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, iterations=8, damping=0.85).collect()}
+
+    # independent model
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(8):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        new = {}
+        for v in nodes:
+            in_mass = sum(
+                rank[u] / len(out[u]) for u in nodes if u in out and v in out[u]
+            )
+            new[v] = (1 - 0.85) / n + 0.85 * (dangling / n + in_mass)
+        rank = new
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
