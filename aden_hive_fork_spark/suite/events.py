@@ -406,3 +406,78 @@ def q103_event_funnel(spark, sf_dir):
         F.count("t_buy").alias("n_purchase"),
         F.count(F.when(within, 1)).alias("n_converted_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — LIVE SLIDING windows (§2.C row 67, third window type): 1-hour
+# windows sliding every 30 minutes over the event stream. Each event
+# belongs to exactly two windows; the oracle enumerates both window
+# starts per event with pure epoch-microsecond arithmetic (no
+# calendar functions, timezone-proof on both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q105_streaming_sliding_windows",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+        date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS us
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+    ),
+    win AS (
+      SELECT event_type, ws FROM e
+      CROSS JOIN LATERAL (VALUES
+        ((us // 1800000000) * 1800000000),
+        ((us // 1800000000) * 1800000000 - 1800000000)
+      ) AS w(ws)
+      WHERE e.us >= w.ws AND e.us < w.ws + 3600000000
+    )
+    SELECT TIMESTAMP '1970-01-01' + to_microseconds(ws) AS window_start,
+      event_type, COUNT(*) AS n_events
+    FROM win
+    GROUP BY 1, 2
+    ORDER BY window_start ASC, event_type ASC
+    """,
+)
+def q105_streaming_sliding_windows(spark, sf_dir):
+    """events streamed (availableNow) into watermarked SLIDING windows
+    (1h length, 30min slide) — with q60 (tumbling) and q74 (session),
+    all three Structured Streaming window types now run LIVE under
+    the oracle gate. Window starts are converted back to NTZ via
+    absolute microseconds (timezone-proof)."""
+    import uuid
+
+    from ..catalog import open_events_stream
+
+    stream, ts_ntz, ts_wm = open_events_stream(spark, sf_dir)
+    ev = (
+        stream.withColumn("ts_wm", ts_wm)
+        .withColumn("ts", ts_ntz)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+        )
+    )
+    win = (
+        ev.withWatermark("ts_wm", "10 minutes")
+        .groupBy(F.window("ts_wm", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"q105_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    start_ntz = F.expr(
+        "timestampadd(MICROSECOND, unix_micros(w.start),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return (
+        spark.table(sink)
+        .select(start_ntz.alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
