@@ -265,3 +265,63 @@ def q79_cosine_neardup_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("comp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — int8-quantized inner-product search (§2.D similarity scale
+# tier): unit-normalize → round(127·v) → INTEGER dot ranking. Exact
+# integer arithmetic end-to-end after quantization, so the oracle
+# replays the ranking bit-for-bit (no float summation-order hazard).
+# ---------------------------------------------------------------------------
+_Q106_QUERY_IDS = (0, 1, 2)
+
+_Q106_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+        [CAST(round(127 * CAST(x AS DOUBLE)
+               / sqrt(list_sum([CAST(y AS DOUBLE) * y for y in embedding])))
+          AS BIGINT) for x in embedding] AS qvec
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, qvec AS qv FROM q
+      WHERE vec_id IN {_Q106_QUERY_IDS}
+    ),
+    cands AS (
+      SELECT vec_id AS id, qvec FROM q
+      WHERE vec_id NOT IN {_Q106_QUERY_IDS}
+    ),
+    scored AS (
+      SELECT query_id, id,
+        list_sum([qvec[i] * qv[i] for i in range(1, len(qvec) + 1)]) AS qdot
+      FROM cands CROSS JOIN queries
+    ),
+    ranked AS (
+      SELECT query_id, id, qdot,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY qdot DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+      CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id ASC, rank ASC
+"""
+
+
+@query("q106_quantized_dot_topk", oracle=_Q106_SQL)
+def q106_quantized_dot_topk(spark, sf_dir):
+    """Top-5 per query by int8-quantized dot product
+    (operators/similarity.quantized_dot_topk): the 4×-smaller-vectors
+    storage tier of similarity search, ranked in exact integer
+    arithmetic — deterministic to the bit on both engines."""
+    from ..operators.similarity import quantized_dot_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = quantized_dot_topk(emb, list(_Q106_QUERY_IDS), k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("qdot").cast("bigint").alias("qdot"),
+        "rank",
+    ).orderBy("query_id", "rank")

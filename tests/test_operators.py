@@ -464,3 +464,34 @@ def test_pagerank_matches_python_power_iteration(spark):
     for v in nodes:
         assert abs(got[v] - rank[v]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_quantized_dot_tracks_true_cosine(spark):
+    """est_cos = qdot/127^2 stays within the scalar-quantization error
+    envelope (~2·sqrt(d)/127) of the true cosine, and ranking is pure
+    integer arithmetic (bit-deterministic)."""
+    import math
+    import random
+
+    from aden_hive_fork_spark.operators.similarity import quantized_dot_topk
+
+    rng = random.Random(3)
+    dim = 64
+    vecs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = quantized_dot_topk(df, [0], k=10).collect()
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    bound = 2.0 * math.sqrt(dim) / 127.0
+    for r in out:
+        true = cos(vecs[0], vecs[r.id])
+        assert abs(r.qdot / (127.0 * 127.0) - true) < bound
+    # deterministic across runs
+    again = quantized_dot_topk(df, [0], k=10).collect()
+    assert [(r.id, r.qdot) for r in out] == [(r.id, r.qdot) for r in again]
