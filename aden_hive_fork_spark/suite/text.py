@@ -252,3 +252,138 @@ def q69_bpe_token_counts(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — REPETITION quality filters (published corpus-cleaning
+# heuristics: a document dominated by a repeated n-gram is boilerplate
+# or spam). Per document: the most-frequent word-2-gram's share of all
+# 2-grams, and the share of 2-grams occurring more than once. Pure
+# integer ratio arithmetic — exact oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q107_repetition_filters",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1]
+                             for i in range(1, len(ws))]) AS g
+      FROM toks WHERE len(ws) >= 2
+    ),
+    counts AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_grams,
+        CAST(MAX(c) AS BIGINT) AS top_gram_count,
+        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS rep_gram_count
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+      ROUND(CAST(top_gram_count AS DOUBLE) / n_grams, 6) AS top_2gram_frac,
+      ROUND(CAST(rep_gram_count AS DOUBLE) / n_grams, 6) AS dup_2gram_frac
+    FROM per_doc
+    WHERE CAST(top_gram_count AS DOUBLE) / n_grams >= 0.04
+    ORDER BY doc_id ASC
+    """,
+)
+def q107_repetition_filters(spark, sf_dir):
+    """Documents whose most-frequent word-2-gram covers >= 4% of all
+    2-grams — the repetition-dominance filter of published corpus
+    pipelines, plus the duplicated-2-gram share. Scale shape: explode
+    to (doc, gram), one (doc, gram) count shuffle with map-side
+    partial aggregation, one per-doc rollup — never a per-doc Python
+    loop."""
+    docs = T(spark, sf_dir, "documents")
+    ws = F.split(F.lower(F.trim(F.col("text"))), " +")
+    wsc = F.col("ws")
+    grams_arr = F.transform(
+        F.sequence(F.lit(0), F.size(wsc) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(wsc, i + 1), F.element_at(wsc, i + 2)),
+    )
+    grams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("rep_gram_count"),
+    )
+    top_frac = F.col("top_gram_count").cast("double") / F.col("n_grams")
+    return (
+        per_doc.filter(top_frac >= 0.04)
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.round(top_frac, 6).alias("top_2gram_frac"),
+            F.round(
+                F.col("rep_gram_count").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — UNICODE NFC normalization (corpus canonicalization before
+# dedup): document text is deterministically mangled into DECOMPOSED
+# form (a -> a + U+0301 combining acute), normalized back with the
+# engine's normalizer (Arrow-batched unicodedata UDF), and
+# fingerprinted. The oracle replays the same mangle + nfc_normalize —
+# both sides implement Unicode TR-15, so hashes match byte-for-byte,
+# proving normalization restores canonical form exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q108_unicode_nfc_dedup",
+    oracle="""
+    WITH mangled AS (
+      SELECT doc_id,
+        replace(text, 'a', 'a' || chr(769)) AS decomposed
+      FROM documents WHERE doc_id < 200
+    ),
+    norm AS (
+      SELECT doc_id, nfc_normalize(decomposed) AS canon,
+        length(decomposed) AS len_decomposed
+      FROM mangled
+    )
+    SELECT doc_id,
+      CAST(length(canon) AS BIGINT) AS len_canon,
+      CAST(len_decomposed AS BIGINT) AS len_decomposed,
+      md5(canon) AS canon_md5
+    FROM norm
+    ORDER BY doc_id ASC
+    """,
+)
+def q108_unicode_nfc_dedup(spark, sf_dir):
+    """NFC canonicalization round-trip under the oracle gate. The
+    decomposed text is LONGER in codepoints (combining marks); after
+    NFC they fuse into precomposed characters and md5(canon) must
+    equal the oracle's — the property that makes content-hash dedup
+    reliable on real-world text."""
+    from ..functions.unicode_norm import normalize_col
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # explicit escapes: "a" + U+0301 combining acute (DECOMPOSED) —
+    # a raw literal would be silently re-composed by a normalizing editor
+    decomposed = F.regexp_replace(F.col("text"), "a", "a\u0301")
+    out = docs.select(
+        "doc_id",
+        decomposed.alias("decomposed"),
+    ).select(
+        "doc_id",
+        normalize_col("decomposed").alias("canon"),
+        F.length("decomposed").cast("bigint").alias("len_decomposed"),
+    )
+    return out.select(
+        "doc_id",
+        F.length("canon").cast("bigint").alias("len_canon"),
+        "len_decomposed",
+        F.md5(F.encode("canon", "UTF-8")).alias("canon_md5"),
+    ).orderBy("doc_id")
