@@ -205,3 +205,71 @@ def q94_vision_annotations(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_images"))
         .orderBy("caption", "label_sig")
     )
+
+
+def _doc_wav(doc_id: int) -> bytes:
+    """Deterministic PCM16 mono WAV: 0.5 s sine, frequency and
+    amplitude derived from doc_id — same id, same bytes."""
+    import io
+    import math
+    import struct as _st
+    import wave as wavmod
+
+    rate = 8000
+    freq = 220 * (1 + doc_id % 4)        # 220/440/660/880 Hz
+    amp = 0.2 + 0.15 * (doc_id % 3)      # 0.2 / 0.35 / 0.5
+    buf = io.BytesIO()
+    with wavmod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                _st.pack(
+                    "<h",
+                    int(amp * 32767 * math.sin(2 * math.pi * freq * i / rate)),
+                )
+                for i in range(rate // 2)
+            )
+        )
+    return buf.getvalue()
+
+
+@query("q109_audio_features")
+def q109_audio_features(spark, sf_dir):
+    """Audio modality under the declared suite (rows-only: DuckDB has
+    no WAV decoder, but the pipeline is exactly reproducible):
+    deterministic sine clips are synthesized AND decoded on executors
+    (sources/binary.wav_pcm_windows — real RIFF parse + PCM16
+    decode), then window RMS/peak statistics aggregate per amplitude
+    class. 24 clips × 2 windows; a sine's RMS is amp/√2, so the
+    grouped means are analytically predictable."""
+    from typing import Iterator as _It
+
+    from ..sources.binary import wav_pcm_windows
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 24)
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": [f"clip_{int(d):04d}.wav" for d in pdf["doc_id"]],
+                    "content": [_doc_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    clips = docs.mapInPandas(gen, "path string, content binary")
+    win = wav_pcm_windows(clips, window_s=0.25)
+    amp_class = F.regexp_extract("path", r"clip_(\d+)", 1).cast("int") % 3
+    return (
+        win.groupBy(amp_class.alias("amp_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.round(F.avg("peak"), 4).alias("avg_peak"),
+            F.round(F.min("rms"), 4).alias("min_rms"),
+            F.round(F.max("rms"), 4).alias("max_rms"),
+        )
+        .orderBy("amp_class")
+    )
