@@ -418,3 +418,79 @@ def q86_pdf_roundtrip(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — SCHEMA EVOLUTION read (the 100 TB lake reality: files written
+# by different producer generations coexist). Generation 1 has the
+# original orders columns; generation 2 adds a column and drops
+# another. A mergeSchema scan reads BOTH with NULL-filled gaps, and
+# the oracle replays it with union_by_name — proving the evolved read
+# is exact, not best-effort.
+# ---------------------------------------------------------------------------
+@query(
+    "q110_schema_evolution",
+    oracle="""
+    WITH g1 AS (
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        NULL AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey <= 2000
+    ),
+    g2 AS (
+      SELECT o_orderkey, o_custkey, NULL AS o_totalprice,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey <= 2000
+    ),
+    unioned AS (
+      SELECT * FROM g1 UNION ALL BY NAME SELECT * FROM g2
+    )
+    SELECT
+      COALESCE(o_channel, 'legacy') AS channel,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(COUNT(o_totalprice) AS BIGINT) AS n_priced,
+      ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_priced
+    FROM unioned
+    GROUP BY 1
+    ORDER BY channel ASC
+    """,
+)
+def q110_schema_evolution(spark, sf_dir):
+    """Two parquet generations with EVOLVED schemas written side by
+    side, then ONE mergeSchema scan over the directory. Generation
+    boundaries disappear at read time: missing columns are NULL, and
+    the rollup over the merged view hash-matches the oracle's
+    union-by-name. At 100 TB this is how a table survives producer
+    upgrades without a rewrite."""
+    import shutil as _sh
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    root = _rt_dir(sf_dir, "schema_evo")
+    _sh.rmtree(root, ignore_errors=True)
+    g1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )
+    g2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, "web").otherwise("store").alias(
+            "o_channel"
+        ),
+    )
+    g1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    g2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_channel", F.lit("legacy")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_totalprice").alias("n_priced"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_priced"
+            ),
+        )
+        .orderBy("channel")
+    )
