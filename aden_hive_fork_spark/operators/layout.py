@@ -238,6 +238,34 @@ def read_current(spark: SparkSession, table_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_root, f"v={v}"))
 
 
+def list_versions(table_root: str) -> list[int]:
+    """All published versions on disk, ascending — the time-travel
+    catalog (current marked by the pointer, older ones readable until
+    vacuumed)."""
+    try:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(table_root)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        )
+    except OSError:
+        return []
+
+
+def read_version(spark: SparkSession, table_root: str, version: int) -> DataFrame:
+    """TIME TRAVEL: read a specific published version. Versions are
+    immutable directories, so reading an old one is exactly as safe as
+    reading the current one — the Iceberg/Delta snapshot-read analog;
+    pair with ``vacuum_versions(keep=...)`` to bound history."""
+    vdir = os.path.join(table_root, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {version} not found under {table_root}"
+            f" (have: {list_versions(table_root)})"
+        )
+    return spark.read.parquet(vdir)
+
+
 def vacuum_versions(table_root: str, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` versions (never the current
     one). Run with a grace period at scale so in-flight readers of a

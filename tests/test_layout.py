@@ -256,3 +256,36 @@ def test_compact_failure_leaves_original(spark, fragmented, monkeypatch):
         compact(spark, fragmented)
     assert _checksum(spark, fragmented) == before_sum
     shutil.rmtree(fragmented + ".__compact__", ignore_errors=True)
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """read_version serves any retained snapshot unchanged; vacuum
+    bounds history; current pointer is unaffected by old reads."""
+    import os
+
+    from aden_hive_fork_spark.operators.layout import (
+        current_version,
+        list_versions,
+        publish_version,
+        read_current,
+        read_version,
+        vacuum_versions,
+    )
+
+    root = os.path.join(tmp_path, "tt")
+    for n in (3, 5, 7):
+        df = spark.range(0, n).withColumnRenamed("id", "k")
+        publish_version(df, root)
+    assert list_versions(root) == [0, 1, 2]
+    assert read_version(spark, root, 0).count() == 3
+    assert read_version(spark, root, 1).count() == 5
+    assert read_current(spark, root).count() == 7
+    assert current_version(root) == 2
+    removed = vacuum_versions(root, keep=2)
+    assert removed == [0]
+    assert list_versions(root) == [1, 2]
+    try:
+        read_version(spark, root, 0)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert "have: [1, 2]" in str(e)
