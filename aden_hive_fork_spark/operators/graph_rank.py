@@ -62,6 +62,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):

@@ -55,8 +55,22 @@ def view_file(
             return {"error": f"Path is not a file: {path}"}
         with open(p, encoding=encoding) as f:
             content = f.read()
-        if len(content.encode(encoding)) > max_size:
-            content = content[:max_size]
+        raw = content.encode(encoding)
+        if len(raw) > max_size:
+            # truncate by BYTES against the byte budget (a char slice
+            # overshoots up to 4x on multi-byte text), snapping back to
+            # a decodable boundary
+            cut = raw[:max_size]
+            for back in range(4):
+                try:
+                    content = cut[: len(cut) - back if back else len(cut)].decode(
+                        encoding
+                    )
+                    break
+                except UnicodeDecodeError:
+                    continue
+            else:
+                content = cut.decode(encoding, "ignore")
             content += "\n\n[... Content truncated due to size limit ...]"
         return {
             "success": True,
@@ -84,11 +98,15 @@ def list_dir(path: str, root: str) -> dict:
         for item in sorted(os.listdir(p)):
             full = os.path.join(p, item)
             is_dir = os.path.isdir(full)
+            try:  # dangling symlink / racing delete: degrade per-entry
+                size = None if is_dir else os.path.getsize(full)
+            except OSError:
+                size = None
             entries.append(
                 {
                     "name": item,
                     "type": "directory" if is_dir else "file",
-                    "size_bytes": None if is_dir else os.path.getsize(full),
+                    "size_bytes": size,
                 }
             )
         return {
@@ -130,12 +148,14 @@ def replace_file_content(path: str, target: str, replacement: str, root: str) ->
             return {"error": f"Path escapes the sandbox: {path}"}
         if not os.path.exists(p):
             return {"error": f"File not found at {path}"}
-        with open(p, encoding="utf-8") as f:
+        # newline="" preserves CRLF byte-for-byte: a one-string edit
+        # must not silently rewrite every line ending in the file
+        with open(p, encoding="utf-8", newline="") as f:
             content = f.read()
         if target not in content:
             return {"error": f"Target string not found in {path}"}
         occurrences = content.count(target)
-        with open(p, "w", encoding="utf-8") as f:
+        with open(p, "w", encoding="utf-8", newline="") as f:
             f.write(content.replace(target, replacement))
         return {
             "success": True,
@@ -162,7 +182,10 @@ def apply_patch(path: str, patch_text: str, root: str) -> dict:
             return {"error": f"Path escapes the sandbox: {path}"}
         if not os.path.exists(p):
             return {"error": f"File not found at {path}"}
-        with open(p, encoding="utf-8") as f:
+        # newline="" so CRLF content is matched literally: a CRLF file
+        # is REJECTED on context mismatch (patch context carries no
+        # \r) rather than silently normalized to LF on every line
+        with open(p, encoding="utf-8", newline="") as f:
             lines = f.read().splitlines(keepends=True)
 
         plines = patch_text.splitlines()
@@ -186,6 +209,7 @@ def apply_patch(path: str, patch_text: str, root: str) -> dict:
             pos = old_start
             i += 1
             consumed = 0
+            prev_tag = None
             while i < len(plines) and not _HUNK_RE.match(plines[i]):
                 tag, text = plines[i][:1], plines[i][1:]
                 if tag not in (" ", "-", "+", "\\"):
@@ -202,15 +226,20 @@ def apply_patch(path: str, patch_text: str, root: str) -> dict:
                 elif tag == "+":
                     out.append(text + "\n")
                 else:  # "\ No newline at end of file"
-                    if out and out[-1].endswith("\n"):
+                    # the marker describes the PRECEDING diff line; it
+                    # only affects the OUTPUT when that line is kept
+                    # ('+' or ' ') — after a '-' it refers to the OLD
+                    # file's removed line and must not strip anything
+                    if prev_tag in ("+", " ") and out and out[-1].endswith("\n"):
                         out[-1] = out[-1][:-1]
+                prev_tag = tag
                 i += 1
             if consumed != old_len:
                 return {"error": f"Hunk {hunks} is truncated"}
         if hunks == 0:
             return {"error": "No hunks found in patch text"}
         out.extend(lines[pos:])
-        with open(p, "w", encoding="utf-8") as f:
+        with open(p, "w", encoding="utf-8", newline="") as f:
             f.write("".join(out))
         return {
             "success": True,

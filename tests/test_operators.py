@@ -495,3 +495,10 @@ def test_quantized_dot_tracks_true_cosine(spark):
     # deterministic across runs
     again = quantized_dot_topk(df, [0], k=10).collect()
     assert [(r.id, r.qdot) for r in out] == [(r.id, r.qdot) for r in again]
+
+
+def test_pagerank_empty_graph(spark):
+    from aden_hive_fork_spark.operators.graph_rank import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iterations=3).collect() == []

@@ -277,3 +277,39 @@ def test_curation_operators_run_on_streams(spark, tmp_path):
         ).collect()
     }
     assert streamed == batched and len(streamed) >= 2
+
+
+def test_running_user_state_out_of_order_across_batches(spark, tmp_path):
+    """The 'last' event must be the global (ts, event_id) max even when
+    a LATER micro-batch delivers an EARLIER event — the state carries
+    the winner's key, not just the last chunk's (review r3b).
+    maxFilesPerTrigger=1 forces one micro-batch per file inside a
+    single availableNow run, so file b1 (the straggler) is processed
+    in a separate batch after b0."""
+    import uuid
+
+    src = tmp_path / "src"
+    # b0: contains the true latest event (purchase at 10:05)
+    _write_events(src, [
+        _evt(1, "2024-01-01 10:00:00", user=1, value=1.0),
+        _evt(2, "2024-01-01 10:05:00", user=1, value=2.0, typ="purchase"),
+    ], name="b0.json")
+    # b1: an out-of-order straggler (click at 10:02), later batch
+    _write_events(src, [
+        _evt(3, "2024-01-01 10:02:00", user=1, value=4.0, typ="click"),
+    ], name="b1.json")
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    state = running_user_state(stream)
+    sink = f"ooo_{uuid.uuid4().hex[:8]}"
+    q = (
+        state.writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # really processed as 2+ batches
+    rows = sorted(
+        spark.sql(f"SELECT * FROM {sink}").collect(), key=lambda r: r.n_events
+    )
+    final = rows[-1]
+    assert final.n_events == 3 and final.total_value == 7.0
+    assert final.last_event_type == "purchase"  # NOT the straggler click
