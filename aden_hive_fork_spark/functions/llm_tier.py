@@ -96,6 +96,11 @@ def llm_route(
 
     if not choices:
         raise ValueError("llm_route needs at least one choice")
+    if route_col in df.columns:
+        raise ValueError(
+            f"llm_route: route_col {route_col!r} already exists in the "
+            "input DataFrame — pass a different route_col or drop it first"
+        )
     text_cols = text_cols or [c for c, t in df.dtypes if t == "string"]
     # fresh StructType: StructType.add would MUTATE df's cached schema
     out_schema = StructType(

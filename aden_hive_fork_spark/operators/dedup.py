@@ -30,11 +30,23 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     """Keep exactly one row per key: the one with MIN(order_col).
 
     Deterministic alternative to ``dropDuplicates`` (which keeps an
-    arbitrary row). Implemented as min-aggregate + self-semi-join so
-    the representative is well-defined; Catalyst plans one shuffle.
+    arbitrary row). Implemented as ``row_number`` over a window keyed
+    on ``key_cols`` — a single shuffle, no join — ordered by
+    ``order_col`` and then by every remaining column (sorted by name)
+    as the tie-break, so even duplicate ``(key, order_col)`` rows keep
+    exactly one survivor. Rows tying on ALL columns are identical, so
+    which physical row survives is content-irrelevant.
     """
-    keep = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
-    return df.join(keep, on=key_cols + [order_col], how="left_semi")
+    from pyspark.sql import Window
+
+    tie_break = sorted(c for c in df.columns
+                       if c not in key_cols and c != order_col)
+    w = Window.partitionBy(*key_cols).orderBy(order_col, *tie_break)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -44,8 +56,12 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), " ")
 
 
-# plan-semantic-hash -> persisted inverted index (bounded LRU)
-_INV_CACHE: "OrderedDict[int, DataFrame]" = OrderedDict()
+# (applicationId, plan-semantic-hash) -> persisted inverted index
+# (bounded LRU). Keying by applicationId scopes entries to one
+# SparkSession lifetime: after a session restart the old entries can
+# never be returned (a DataFrame bound to a dead session would throw
+# on use), they just age out of the LRU.
+_INV_CACHE: "OrderedDict[tuple[str, int], DataFrame]" = OrderedDict()
 _INV_CACHE_MAX = 4
 
 
@@ -54,15 +70,20 @@ def _cached_inverted_index(inv: DataFrame) -> DataFrame:
     share one materialized index; evicted entries are unpersisted."""
     from pyspark import StorageLevel
 
-    key = inv.semanticHash()
+    app_id = inv.sparkSession.sparkContext.applicationId
+    key = (app_id, inv.semanticHash())
     hit = _INV_CACHE.get(key)
-    if hit is not None and inv.sameSemantics(hit):  # exact check on hash hit
-        _INV_CACHE.move_to_end(key)
-        return hit
     if hit is not None:
-        # semanticHash collision with a different plan: release the old
-        # persisted DataFrame before overwriting, or its cached RDD
-        # leaks past the LRU accounting.
+        try:
+            same = inv.sameSemantics(hit)  # exact check on hash hit
+        except Exception:
+            same = False  # stale/dead entry — rebuild below
+        if same:
+            _INV_CACHE.move_to_end(key)
+            return hit
+        # semanticHash collision with a different plan (or a dead
+        # entry): release the old persisted DataFrame before
+        # overwriting, or its cached RDD leaks past the LRU accounting.
         try:
             hit.unpersist()
         except Exception:

@@ -42,8 +42,15 @@ def pagerank(
     where dangling_k is the total rank mass on nodes without
     out-edges. Ranks sum to 1 every round (mass-conserving).
     """
+    _restore_ckpt_dir = None
     if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = edges.sparkSession.sparkContext
+        try:  # remember the previous dir (internal accessor, Option)
+            prev = sc._jsc.sc().getCheckpointDir()
+            _restore_ckpt_dir = prev.get() if prev.isDefined() else None
+        except Exception:
+            _restore_ckpt_dir = None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -90,4 +97,12 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    # every checkpoint was EAGER, so nothing writes after this point —
+    # safe to put the session's previous checkpoint dir back (mirrors
+    # connected_components).
+    if _restore_ckpt_dir is not None:
+        try:
+            edges.sparkSession.sparkContext.setCheckpointDir(_restore_ckpt_dir)
+        except Exception:
+            pass
     return ranks

@@ -483,14 +483,18 @@ def quantize_embeddings(
     Pure JVM higher-order expressions (transform/aggregate) — no
     Python in the row path; at 100 TB this is the WRITE-side pass that
     shrinks the ANN working set 4× (int8 vs float32) before bucketed
-    search."""
+    search. An all-zero embedding has no direction, so it quantizes to
+    the all-zero qvec (guarded divide — never null/NaN components that
+    would poison downstream integer dots)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     q = F.transform(
         F.col(vec_col),
-        lambda x: F.round(F.lit(127.0) * x.cast("double") / nrm).cast("int"),
+        lambda x: F.when(nrm > 0.0, F.round(F.lit(127.0) * x.cast("double") / nrm))
+        .otherwise(F.lit(0.0))
+        .cast("int"),
     )
     return emb.select(F.col(id_col).alias("id"), q.alias("qvec"))
 

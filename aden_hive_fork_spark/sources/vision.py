@@ -104,7 +104,10 @@ def _png_annotations(b: bytes, max_labels: int = 10) -> dict | None:
     flat = img.reshape(-1, img.shape[2])[:, :3]
     if flat.shape[1] < 3:  # grayscale -> replicate
         flat = np.repeat(flat[:, :1], 3, axis=1)
-    colors, counts = np.unique(flat[:65536], axis=0, return_counts=True)
+    # full-image histogram: np.unique over every pixel (decode is
+    # already size-capped upstream, so this is at most a few MB) —
+    # score/pixel_fraction describe the WHOLE image, no sampling.
+    colors, counts = np.unique(flat, axis=0, return_counts=True)
     order = np.argsort(-counts, kind="stable")[:5]
     total = float(counts.sum())
     dom = [

@@ -154,13 +154,16 @@ def await_event(
     events: DataFrame,
     timeout_sec: float,
     sink_table: str = "_await_event",
+    max_rows: int = 100,
     **filters,
 ) -> list:
     """wait_for analog (§2.C row 62, event_bus.py:1062-1115): block
     until a matching event arrives on the stream or the timeout
-    elapses; returns the matched rows (possibly empty). Implemented as
-    a filtered streaming query into a memory sink polled by the
-    driver."""
+    elapses; returns the matched rows (possibly empty, capped at
+    ``max_rows``). Implemented as a filtered streaming query into a
+    memory sink polled by the driver; the poll is LIMIT-bounded and the
+    query stops at the first match, so a high-rate matching stream
+    never accumulates more than one poll interval of rows driver-side."""
     import time as _time
 
     sub = filtered_subscription(events, **filters)
@@ -174,7 +177,9 @@ def await_event(
     deadline = _time.monotonic() + timeout_sec
     try:
         while _time.monotonic() < deadline:
-            rows = spark.sql(f"SELECT * FROM {sink_table}").collect()
+            rows = spark.sql(
+                f"SELECT * FROM {sink_table} LIMIT {int(max_rows)}"
+            ).collect()
             if rows:
                 return rows
             _time.sleep(0.2)

@@ -55,15 +55,17 @@ def _oracle_sql(iterations: int) -> str:
     ),
     r{k} AS (
       SELECT n.id,
-        (1 - {_D}) / nn.n + {_D} * (d{k}.dangling / nn.n
-                                    + COALESCE(m{k}.in_mass, 0)) AS rank
+        ((1 - {_D}) / nn.n + ({_D} * d{k}.dangling) / nn.n)
+          + {_D} * COALESCE(m{k}.in_mass, 0) AS rank
       FROM nodes n CROSS JOIN nn CROSS JOIN d{k}
       LEFT JOIN m{k} ON n.id = m{k}.id
     )"""
         )
-        # r_{k+1}'s formula: base uses dangling mass spread over n;
-        # note Spark adds d*dangling/n inside the base constant —
-        # identical arithmetic, kept in the same grouping here.
+        # r_{k+1}'s formula groups EXACTLY like pagerank's float
+        # arithmetic: Spark computes base = (1-d)/n + (d*dangling)/n
+        # driver-side, then adds d*in_mass — the parenthesisation here
+        # mirrors that association so the two engines agree bit-for-bit
+        # at every iteration, not just to ulps.
     tail = f"""
     SELECT CAST(id AS BIGINT) AS id, ROUND(rank, 8) AS rank
     FROM r{iterations}

@@ -161,3 +161,12 @@ def test_repair_llm_tier_multi_reason_rows(spark):
     fixed, still = repair_rejects(rejects, schema, backend=backend)
     assert [(r.id, r.amount) for r in fixed.collect()] == [(7, 1.5)]
     assert still.count() == 0
+
+
+def test_llm_route_rejects_existing_route_col(spark):
+    df = spark.createDataFrame([("x", "a")], "body string, _route string")
+    backend = MockLLMBackend([], default="triage")
+    import pytest
+
+    with pytest.raises(ValueError, match="_route"):
+        llm_route(df, ["triage"], "route", backend)

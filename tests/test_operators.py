@@ -502,3 +502,70 @@ def test_pagerank_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty, iterations=3).collect() == []
+
+
+def test_exact_dedup_tied_order_keeps_exactly_one(spark):
+    """Contract: exactly one survivor per key even when rows tie on
+    (key, order_col) — the tie-break walks the remaining columns."""
+    df = spark.createDataFrame(
+        [(1, 10, "b"), (1, 10, "a"), (1, 10, "a"), (2, 7, "z")],
+        "k long, ord long, payload string",
+    )
+    out = exact_dedup(df, ["k"], "ord").orderBy("k").collect()
+    assert [(r.k, r.ord, r.payload) for r in out] == [(1, 10, "a"), (2, 7, "z")]
+
+
+def test_inverted_index_cache_is_session_scoped(spark):
+    """Cache keys carry the applicationId, and a dead/poisoned entry is
+    rebuilt (guarded sameSemantics probe) instead of being returned."""
+    from aden_hive_fork_spark.operators import dedup as dmod
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    inv = df.select("doc_id", F.explode(F.split("text", " ")).alias("sh"))
+    dmod._INV_CACHE.clear()
+    got = dmod._cached_inverted_index(inv)
+    assert got.count() == 4
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in dmod._INV_CACHE)
+
+    class _Dead:
+        def sameSemantics(self, other):  # noqa: N802 - Spark API name
+            raise RuntimeError("bound to a stopped session")
+
+        def unpersist(self):
+            pass
+
+    key = (app_id, inv.semanticHash())
+    dmod._INV_CACHE[key] = _Dead()
+    rebuilt = dmod._cached_inverted_index(inv)  # must not raise
+    assert rebuilt.count() == 4
+    assert not isinstance(dmod._INV_CACHE[key], _Dead)
+    dmod._INV_CACHE.clear()
+
+
+def test_quantize_zero_norm_embedding_is_all_zero(spark):
+    from aden_hive_fork_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.id: r.qvec for r in quantize_embeddings(df).collect()}
+    assert out[1] == [0, 0, 0]  # no null/NaN components
+    assert out[2] == [76, 102, 0]  # round(127 * [0.6, 0.8, 0])
+
+
+def test_pagerank_restores_checkpoint_dir(spark, tmp_path):
+    from aden_hive_fork_spark.operators.graph_rank import pagerank
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "prior_ckpt"))
+    # Spark resolves the dir to <path>/<uuid>; capture the resolved form
+    prior_resolved = sc._jsc.sc().getCheckpointDir().get()
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pagerank(edges, iterations=2, checkpoint_dir=str(tmp_path / "pr_ckpt"))
+    cur = sc._jsc.sc().getCheckpointDir()
+    # setCheckpointDir always nests a fresh uuid, so 'restored'
+    # means: subsequent checkpoints land back under the caller's
+    # prior tree, not in pagerank's dir.
+    assert cur.isDefined() and cur.get().startswith(prior_resolved)

@@ -313,3 +313,21 @@ def test_running_user_state_out_of_order_across_batches(spark, tmp_path):
     final = rows[-1]
     assert final.n_events == 3 and final.total_value == 7.0
     assert final.last_event_type == "purchase"  # NOT the straggler click
+
+
+def test_await_event_bounded_on_hot_stream(spark):
+    """A high-rate stream where EVERY row matches must return at most
+    ``max_rows`` rows (LIMIT-bounded poll), not the whole sink."""
+    from aden_hive_fork_spark.streaming.events import await_event
+
+    from pyspark.sql import functions as F
+
+    hot = (
+        spark.readStream.format("rate").option("rowsPerSecond", 5000).load()
+        .withColumn("event_type", F.lit("tick"))
+    )
+    rows = await_event(
+        hot, timeout_sec=60, sink_table="_await_hot", max_rows=7,
+        event_types=["tick"],
+    )
+    assert 0 < len(rows) <= 7
