@@ -196,6 +196,33 @@ def compact(
 _CURRENT = "_current.json"
 
 
+def read_pointer(table_root: str) -> dict:
+    """The current-version pointer payload ({} if none published).
+    Carries at least {"version", "path"}; publishers may stash extra
+    commit metadata (e.g. the streaming rollup's batch_id) so that
+    metadata flips atomically WITH the data pointer."""
+    import json
+
+    try:
+        with open(os.path.join(table_root, _CURRENT)) as fh:
+            d = json.load(fh)
+            return d if isinstance(d, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def write_pointer(table_root: str, version: int, **extra) -> None:
+    """Atomically flip ``_current.json`` to ``version`` (single-file
+    atomic replace — the one primitive every store offers; object
+    stores: conditional put)."""
+    import json
+
+    tmp = os.path.join(table_root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "path": f"v={version}", **extra}, fh)
+    os.replace(tmp, os.path.join(table_root, _CURRENT))
+
+
 def publish_version(df: DataFrame, table_root: str, **write_kw) -> int:
     """Write ``df`` as a NEW immutable version directory
     ``<root>/v=<n>`` and atomically flip the ``_current.json`` pointer
@@ -204,8 +231,6 @@ def publish_version(df: DataFrame, table_root: str, **write_kw) -> int:
     there is no torn-read window at all; the pointer write is a
     single-file atomic replace, which every store offers (object
     stores: put-if-absent / conditional put). Returns the version."""
-    import json
-
     os.makedirs(table_root, exist_ok=True)
     version = current_version(table_root) + 1
     vdir = os.path.join(table_root, f"v={version}")
@@ -213,21 +238,13 @@ def publish_version(df: DataFrame, table_root: str, **write_kw) -> int:
     if write_kw.get("partition_cols"):
         writer = writer.partitionBy(*write_kw["partition_cols"])
     writer.parquet(vdir)
-    tmp = os.path.join(table_root, _CURRENT + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "path": f"v={version}"}, fh)
-    os.replace(tmp, os.path.join(table_root, _CURRENT))
+    write_pointer(table_root, version)
     return version
 
 
 def current_version(table_root: str) -> int:
-    import json
-
-    try:
-        with open(os.path.join(table_root, _CURRENT)) as fh:
-            return json.load(fh)["version"]
-    except (OSError, ValueError, KeyError):
-        return -1
+    v = read_pointer(table_root).get("version")
+    return v if isinstance(v, int) else -1
 
 
 def read_current(spark: SparkSession, table_root: str) -> DataFrame:

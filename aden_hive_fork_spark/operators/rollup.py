@@ -33,6 +33,25 @@ def _hour_bucket(ts_col: str = "ts") -> F.Column:
     )
 
 
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Resolve a rollup store to a DataFrame. A streaming-maintained
+    store is versioned (``_current.json`` pointer + immutable ``v=<n>``
+    generations — see streaming/rollup_stream.py): resolve the pointer
+    and read that generation. A batch-materialized store (plain
+    partitioned parquet, no pointer) reads directly — both write paths
+    share this one read path, and partition pruning on event_date works
+    identically in both layouts."""
+    from .layout import read_pointer
+
+    import os
+
+    ptr = read_pointer(rollup_path)
+    if ptr.get("path"):
+        vdir = os.path.join(rollup_path, ptr["path"])
+        return spark.read.option("basePath", vdir).parquet(vdir)
+    return spark.read.parquet(rollup_path)
+
+
 def materialize_rollup(events: DataFrame, path: str) -> None:
     """Write the hourly rollup: one row per (hour, event_type) with
     decomposable partials, partitioned by event date for pruning.
@@ -88,7 +107,7 @@ def rollup_range_agg(
         lo,
     )  # hi rounded DOWN, clamped to lo (sub-hour ranges never escape)
 
-    rollup = spark.read.parquet(rollup_path).filter(
+    rollup = read_rollup(spark, rollup_path).filter(
         (F.col("hour_start") >= lo_hour_end) & (F.col("hour_start") < hi_hour_start)
     )
     from_rollup = rollup.select(
@@ -220,7 +239,7 @@ def rollup_range_users(
     rollup gap. Approximate by construction (declared non-oracle);
     relative error is the standard HLL ~1.6% at lgConfigK=12.
     """
-    rollup = spark.read.parquet(rollup_path).filter(
+    rollup = read_rollup(spark, rollup_path).filter(
         (F.col("hour_start") >= F.lit(lo_hour_iso).cast("timestamp_ntz"))
         & (F.col("hour_start") < F.lit(hi_hour_iso).cast("timestamp_ntz"))
     )

@@ -12,7 +12,7 @@ from .events import (
     tumbling_windows,
     write_jsonl_sink,
 )
-from .rollup_stream import maintain_rollup, merge_batch
+from .rollup_stream import maintain_rollup, merge_batch, read_rollup, vacuum_rollup
 from .stateful import running_user_state
 
 __all__ = [
@@ -29,4 +29,6 @@ __all__ = [
     "running_user_state",
     "maintain_rollup",
     "merge_batch",
+    "read_rollup",
+    "vacuum_rollup",
 ]

@@ -7,9 +7,10 @@ time rollup are the public designs).
 stream: each micro-batch is pre-aggregated to hourly partials
 (map-side combine — the shuffle carries hours × types, not raw
 events), merged with the existing rollup rows for the AFFECTED dates
-only, and written back with dynamic partition overwrite — untouched
-date partitions are never rewritten, so maintenance cost tracks the
-batch's time spread, not the rollup's total size.
+only, and published as a new immutable generation — untouched date
+partitions are carried forward by file link, never rewritten, so
+maintenance cost tracks the batch's time spread, not the rollup's
+total size.
 
 Maintained aggregates are the MERGEABLE subset:
 
@@ -25,41 +26,48 @@ streaming twin serves distincts from the sketch (same contract as
 ``rollup_range_users``).
 
 Exactly-once discipline: ``foreachBatch`` replays batches on restart,
-and count/sum merges are NOT idempotent, so a committed-batch marker
-(``_last_batch.json`` in the rollup dir) makes replays no-ops. The
-remaining crash window — a failure BETWEEN partition commit and
-marker write — needs a transactional table format (Delta/Iceberg
-MERGE) to close fully; on this engine's plain-parquet store it is
-documented rather than hidden.
+and count/sum merges are NOT idempotent, so each merge publishes
+through the versioned-pointer protocol (``operators/layout.py``): the
+merged generation lands in a fresh immutable ``v=<n>`` directory
+(affected dates written, unaffected date partitions hardlinked from
+the previous generation — the Iceberg data-file-reuse design in
+miniature), and the ``_current.json`` pointer — which carries the
+committed ``batch_id`` IN the same payload — flips in one atomic
+replace. A crash anywhere before the flip leaves the pointer on the
+old (generation, batch_id) pair, so the replayed batch re-merges into
+a fresh generation and readers never observe a torn (marker, data)
+state. On an object store without hardlinks the carry-forward is a
+server-side copy or a manifest entry; the pointer flip is the same
+conditional put.
+
+Reference parity: the reference materializes aggregates inside its
+managed stores (Postgres transactional upsert); this module is the
+lake-native equivalent with the same exactly-once contract.
 """
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import _scoped_conf
-from ..operators.rollup import _hour_bucket
+from ..operators.layout import read_pointer, write_pointer
+from ..operators.rollup import _hour_bucket, read_rollup
 
-_MARKER = "_last_batch.json"
-
-
-def _read_commit(rollup_path: str) -> int:
-    try:
-        with open(os.path.join(rollup_path, _MARKER)) as fh:
-            return json.load(fh)["batch_id"]
-    except (OSError, ValueError, KeyError):
-        return -1
+__all__ = [
+    "batch_partials",
+    "maintain_rollup",
+    "merge_batch",
+    "read_rollup",
+    "vacuum_rollup",
+]
 
 
-def _write_commit(rollup_path: str, batch_id: int) -> None:
-    tmp = os.path.join(rollup_path, _MARKER + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"batch_id": batch_id}, fh)
-    os.replace(tmp, os.path.join(rollup_path, _MARKER))
+def _committed_batch(rollup_path: str) -> int:
+    b = read_pointer(rollup_path).get("batch_id")
+    return b if isinstance(b, int) else -1
 
 
 def batch_partials(batch: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -77,28 +85,56 @@ def batch_partials(batch: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def _carry_forward(prev_vdir: str, new_vdir: str, skip_partitions: set[str]) -> None:
+    """Link every date-partition dir of the previous generation that
+    this merge did NOT touch into the new generation. Hardlinks share
+    inodes — zero data copied, and the carried files are byte-for-byte
+    the previous generation's (object-store analog: manifest reuse /
+    server-side copy)."""
+    if not os.path.isdir(prev_vdir):
+        return
+    for entry in os.listdir(prev_vdir):
+        if not entry.startswith("event_date=") or entry in skip_partitions:
+            continue
+        src = os.path.join(prev_vdir, entry)
+        dst = os.path.join(new_vdir, entry)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            if f.startswith(("_", ".")):
+                continue
+            try:
+                os.link(os.path.join(src, f), os.path.join(dst, f))
+            except OSError:  # cross-device / store without links: copy
+                shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+
+
 def merge_batch(batch: DataFrame, batch_id: int, rollup_path: str) -> None:
     """Merge one micro-batch into the rollup (idempotent per batch_id).
 
     Affected dates come from the (tiny) partials frame; only those
-    partitions are read back and rewritten. All merge operators are
+    partitions are read back and rewritten — untouched partitions are
+    linked forward. The new generation becomes visible ONLY via the
+    atomic pointer flip, whose payload also records ``batch_id``:
+    marker and data commit together, closing the replay double-merge
+    window a separate marker file would leave. All merge operators are
     associative+commutative, so merging partials is exact regardless
     of batch boundaries.
     """
-    if batch_id <= _read_commit(rollup_path):
-        return  # replayed batch — already merged
+    if batch_id <= _committed_batch(rollup_path):
+        return  # replayed batch — already merged and published
     spark = batch.sparkSession
     partials = batch_partials(batch)
     dates = [r["event_date"] for r in partials.select("event_date").distinct().collect()]
     if not dates:
         return
+    ptr = read_pointer(rollup_path)
+    prev_version = ptr.get("version", -1)
+    prev_vdir = os.path.join(rollup_path, ptr["path"]) if ptr.get("path") else None
     existing = None
-    if os.path.isdir(rollup_path) and any(
-        e.startswith("event_date=") for e in os.listdir(rollup_path)
-    ):
+    if prev_vdir is not None and os.path.isdir(prev_vdir):
         existing = (
-            spark.read.option("basePath", rollup_path)
-            .parquet(rollup_path)
+            spark.read.option("basePath", prev_vdir)
+            .parquet(prev_vdir)
             .filter(F.col("event_date").isin(dates))
             .select(partials.columns)
         )
@@ -112,9 +148,26 @@ def merge_batch(batch: DataFrame, batch_id: int, rollup_path: str) -> None:
         )
         .withColumn("event_date", F.to_date("hour_start"))
     )
-    with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
-        merged.write.mode("overwrite").partitionBy("event_date").parquet(rollup_path)
-    _write_commit(rollup_path, batch_id)
+    version = prev_version + 1
+    vdir = os.path.join(rollup_path, f"v={version}")
+    # a crashed earlier attempt may have left an orphan generation dir
+    # (never referenced — the pointer only flips at the end): clear it
+    shutil.rmtree(vdir, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy("event_date").parquet(vdir)
+    if prev_vdir is not None:
+        touched = {f"event_date={d}" for d in dates}
+        _carry_forward(prev_vdir, vdir, skip_partitions=touched)
+    write_pointer(rollup_path, version, batch_id=batch_id)
+
+
+def vacuum_rollup(rollup_path: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` generations (never the current
+    one). Hardlinked files stay alive while ANY retaining generation
+    references their inode, so vacuuming old generations never corrupts
+    newer ones. Returns removed versions."""
+    from ..operators.layout import vacuum_versions
+
+    return vacuum_versions(rollup_path, keep=keep)
 
 
 def maintain_rollup(

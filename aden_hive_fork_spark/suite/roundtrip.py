@@ -341,13 +341,13 @@ def q92_streaming_rollup_serve(spark, sf_dir):
     stream through the foreachBatch maintenance sink
     (streaming.rollup_stream), and the MAINTAINED rollup's mergeable
     aggregates must hash-match the oracle's direct scan — proving the
-    streamed merge path (partials + dynamic partition overwrite +
-    batch-id guard) is exact, not just internally consistent. Same
-    nanos/NTZ discipline as q60."""
+    streamed merge path (partials + versioned atomic publish +
+    pointer-carried batch-id guard) is exact, not just internally
+    consistent. Same nanos/NTZ discipline as q60."""
     import shutil as _sh
 
     from ..catalog import open_events_stream
-    from ..streaming.rollup_stream import maintain_rollup
+    from ..streaming.rollup_stream import maintain_rollup, read_rollup
 
     stream, ts_ntz, _ = open_events_stream(spark, sf_dir)
     ev = stream.withColumn("ts", ts_ntz).select(
@@ -359,7 +359,7 @@ def q92_streaming_rollup_serve(spark, sf_dir):
     q = maintain_rollup(ev, rollup_path, ckpt)
     q.awaitTermination(300)
     return (
-        spark.read.parquet(rollup_path)
+        read_rollup(spark, rollup_path)
         .select(
             "hour_start",
             "event_type",

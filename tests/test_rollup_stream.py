@@ -1,18 +1,24 @@
 """Incremental rollup maintenance: streamed merges must equal the
-batch rebuild, replays must be no-ops, and untouched date partitions
-must not be rewritten."""
+batch rebuild, replays must be no-ops, untouched date partitions must
+not be rewritten (carried forward by link), and a crash between data
+write and commit must leave readers on a consistent (marker, data)
+pair — the versioned-pointer publish closes that window."""
 
 from __future__ import annotations
 
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
+from aden_hive_fork_spark.operators.layout import read_pointer
 from aden_hive_fork_spark.streaming.rollup_stream import (
-    _read_commit,
+    _committed_batch,
     maintain_rollup,
     merge_batch,
+    read_rollup,
+    vacuum_rollup,
 )
 
 SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
@@ -53,7 +59,7 @@ def _run_stream(spark, in_dir, rollup, ckpt):
 def _rollup_rows(spark, rollup):
     return {
         (str(r["hour_start"]), r["event_type"]): (r["n_events"], float(r["sum_value"]))
-        for r in spark.read.parquet(rollup).collect()
+        for r in read_rollup(spark, rollup).collect()
     }
 
 
@@ -77,7 +83,7 @@ def test_streamed_rollup_equals_batch_rebuild(spark, tmp_path):
     # HLL sketches merged across batches still estimate exactly on tiny data
     est = {
         r["event_type"]: r["est"]
-        for r in spark.read.parquet(rollup)
+        for r in read_rollup(spark, rollup)
         .groupBy("event_type")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("est"))
         .collect()
@@ -100,25 +106,79 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     before = _rollup_rows(spark, rollup)
     merge_batch(batch, 0, rollup)  # replay of an already-committed batch
     assert _rollup_rows(spark, rollup) == before
-    assert _read_commit(rollup) == 0
+    assert _committed_batch(rollup) == 0
     merge_batch(batch, 1, rollup)  # a genuinely new batch DOES merge
     after = _rollup_rows(spark, rollup)
     assert after != before
     assert all(after[k][0] == 2 * before[k][0] for k in before)
 
 
-def test_untouched_partitions_not_rewritten(spark, tmp_path):
+def test_untouched_partitions_carried_forward_by_link(spark, tmp_path):
     in_dir, rollup, ckpt = (str(tmp_path / d) for d in ("in", "rollup", "ckpt"))
     _write_events(in_dir, "b1.json", BATCH1)  # only 2024-01-01
     _run_stream(spark, in_dir, rollup, ckpt)
-    day1 = os.path.join(rollup, "event_date=2024-01-01")
-    stamps = {
-        f: os.path.getmtime(os.path.join(day1, f)) for f in os.listdir(day1)
+    v1 = os.path.join(rollup, read_pointer(rollup)["path"])
+    day1_v1 = os.path.join(v1, "event_date=2024-01-01")
+    inodes_v1 = {
+        f: os.stat(os.path.join(day1_v1, f)).st_ino
+        for f in os.listdir(day1_v1) if not f.startswith((".", "_"))
     }
     _write_events(in_dir, "b2.json", BATCH2)  # only 2024-01-02
     _run_stream(spark, in_dir, rollup, ckpt)
-    assert os.path.isdir(os.path.join(rollup, "event_date=2024-01-02"))
-    # dynamic partition overwrite left day-1 files byte-for-byte alone
-    assert stamps == {
-        f: os.path.getmtime(os.path.join(day1, f)) for f in os.listdir(day1)
+    v2 = os.path.join(rollup, read_pointer(rollup)["path"])
+    assert v2 != v1
+    assert os.path.isdir(os.path.join(v2, "event_date=2024-01-02"))
+    # day-1 data files were LINKED forward, not rewritten: same inodes
+    day1_v2 = os.path.join(v2, "event_date=2024-01-01")
+    inodes_v2 = {
+        f: os.stat(os.path.join(day1_v2, f)).st_ino
+        for f in os.listdir(day1_v2) if not f.startswith((".", "_"))
     }
+    assert inodes_v1 == inodes_v2
+
+
+def test_crash_between_data_write_and_commit_is_safe(spark, tmp_path, monkeypatch):
+    """Kill the publish between the generation write and the pointer
+    flip: readers must keep seeing the previous consistent (batch_id,
+    data) pair, and the replayed batch must merge exactly once."""
+    import aden_hive_fork_spark.streaming.rollup_stream as rs
+
+    in_dir, rollup = str(tmp_path / "in"), str(tmp_path / "rollup")
+    _write_events(in_dir, "b1.json", BATCH1)
+    batch = spark.read.schema(SCHEMA).json(in_dir)
+    merge_batch(batch, 0, rollup)
+    committed = _rollup_rows(spark, rollup)
+    ptr_before = read_pointer(rollup)
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated crash before pointer flip")
+
+    monkeypatch.setattr(rs, "write_pointer", _boom)
+    with pytest.raises(RuntimeError):
+        merge_batch(batch, 1, rollup)  # data written, commit never lands
+    monkeypatch.undo()
+
+    # reader view is untouched: old pointer, old batch_id, old rows
+    assert read_pointer(rollup) == ptr_before
+    assert _committed_batch(rollup) == 0
+    assert _rollup_rows(spark, rollup) == committed
+
+    # the replay (driver restarts, batch 1 redelivered) merges ONCE —
+    # the orphan generation from the crashed attempt is overwritten
+    merge_batch(batch, 1, rollup)
+    after = _rollup_rows(spark, rollup)
+    assert _committed_batch(rollup) == 1
+    assert all(after[k][0] == 2 * committed[k][0] for k in committed)
+
+
+def test_vacuum_keeps_current_generation_readable(spark, tmp_path):
+    in_dir, rollup = str(tmp_path / "in"), str(tmp_path / "rollup")
+    _write_events(in_dir, "b1.json", BATCH1)
+    batch = spark.read.schema(SCHEMA).json(in_dir)
+    for b in range(4):  # four generations
+        merge_batch(batch, b, rollup)
+    want = _rollup_rows(spark, rollup)
+    removed = vacuum_rollup(rollup, keep=1)
+    assert removed == [0, 1, 2]
+    # hardlinked carry-forward files survive vacuum of their origin
+    assert _rollup_rows(spark, rollup) == want
