@@ -8,21 +8,29 @@ metadata; decode/feature-extract as Pandas UDFs over mapInPandas.
 
 What is REAL here (no external libs needed):
 - binaryFile ingestion -> (path, modificationTime, length, content)
-- container sniffing (PNG/JPEG/GIF/WAV/PDF magic bytes)
+- container sniffing (PNG/JPEG/GIF/WAV/PDF/MP4/AVI magic bytes)
 - image dimension extraction from PNG IHDR / JPEG SOFn / GIF header
 - WAV sample-rate/channels from the RIFF fmt chunk
 - the mapInPandas plumbing: schema, batching, partitioning
 
-REAL pixel decode (round 2): PNG content is decoded with the
-pure-stdlib codec (``png_codec`` — zlib + struct) and
-``image_features`` extracts brightness/contrast/palette stats plus a
-luminance-grid signature, replacing ``fake_features`` for PNGs.
+REAL pixel decode:
+- PNG (round 2): pure-stdlib codec (``png_codec`` — zlib + struct).
+- JPEG (round 4): pure numpy baseline decoder (``jpeg_codec`` —
+  Huffman + dequant + IDCT per ITU-T T.81), covering the dominant
+  corpus format; ``image_features`` extracts identical statistics for
+  both formats.
+- MJPEG/AVI video (round 4): RIFF container parse + per-frame JPEG
+  decode (``video_frame_sample`` / ``mjpeg_frame_features``) — real
+  frame pixels, not hash fingerprints.
+- PCM16 WAV audio: RIFF parse + int16 windows (``wav_pcm_windows``).
 
 What remains STUBBED (decode libs absent in this container):
-- JPEG/video pixel decode -> ``decode_pixels_stub`` raises
-  NotImplementedError; ``fake_features`` produces a deterministic
-  hash-derived feature vector so downstream pipelines (dedup,
-  similarity) are exercisable end-to-end for any format.
+- inter-frame video codecs (H.264/VP9 in MP4) -> frame SAMPLING is
+  real (container duration drives timestamps) but frame pixels fall
+  back to deterministic fingerprints; ``decode_pixels_stub`` raises
+  NotImplementedError for codecs with no pure-python decode path.
+  ``fake_features`` remains as the deterministic stand-in for any
+  undecodable format so pipelines stay exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -62,6 +70,8 @@ def sniff_mime(b: bytes) -> str:
         return "image/gif"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "audio/wav"
+    if b.startswith(b"RIFF") and b[8:12] == b"AVI ":
+        return "video/x-msvideo"
     if b.startswith(b"%PDF-"):
         return "application/pdf"
     if len(b) >= 12 and b[4:8] == b"ftyp":  # ISO BMFF (MP4/MOV/3GP)
@@ -354,6 +364,10 @@ def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
                     rate, ch = rc if rc else (None, None)
                 elif mime == "video/mp4":
                     dur, w, h = mp4_info(b)
+                elif mime == "video/x-msvideo":
+                    from .jpeg_codec import avi_info
+
+                    dur, w, h = avi_info(b)
                 rows.append(
                     {
                         "path": r.get("path", ""),
@@ -374,15 +388,17 @@ def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# stubs — decode libs are not installed in this container
+# stub — only for codecs with no pure-python decode path (H.264/VP9…)
 # ---------------------------------------------------------------------------
 def decode_pixels_stub(*_args, **_kwargs):
-    """Pixel decode / resize / frame-sample requires an image/video
-    library (e.g. Pillow / ffmpeg) that is not installed here. The
-    Spark-side plumbing (schema, batching, UDF signature) is real —
-    swap this stub for the actual decoder on a cluster that has it."""
+    """Inter-frame video decode (H.264/VP9 in MP4) requires ffmpeg,
+    which is not installed here. PNG, baseline JPEG, MJPEG/AVI frames,
+    and PCM WAV all decode for REAL (png_codec / jpeg_codec) — this
+    stub remains only for codec formats beyond a pure-python
+    implementation; the Spark-side plumbing (schema, batching, UDF
+    signature) is identical either way."""
     raise NotImplementedError(
-        "pixel decode requires an image library not present in this environment"
+        "inter-frame video decode requires ffmpeg, not present in this environment"
     )
 
 
@@ -420,20 +436,23 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def image_features(df: DataFrame, content_col: str = "content", grid: int = 4) -> DataFrame:
-    """Per-asset image features with REAL pixel decode for PNG.
+    """Per-asset image features with REAL pixel decode for PNG + JPEG.
 
-    PNG content: stdlib zlib decode → brightness, contrast, distinct-
-    color count, and a grid×grid luminance signature (a tiny
-    perceptual embedding — exact dups match exactly, near-dups land
-    near in cosine; feed it to the similarity/dedup operators).
-    Non-PNG content keeps the deterministic hash-derived vector
-    (decoded=false) so the pipeline is schema-stable across formats.
+    PNG content: stdlib zlib decode; JPEG content: pure-numpy baseline
+    decode (jpeg_codec — Huffman + IDCT). Both yield brightness,
+    contrast, distinct-color count, and a grid×grid luminance
+    signature (a tiny perceptual embedding — exact dups match exactly,
+    near-dups land near in cosine; feed it to the similarity/dedup
+    operators). Undecodable content keeps the deterministic
+    hash-derived vector (decoded=false) so the pipeline is
+    schema-stable across formats.
 
     Public-primitive analog of the reference's vision extraction
     (vision_tool.py:371-520 calls a proprietary API; these stats come
-    from the public PNG spec alone). mapInPandas keeps each asset in
-    its ingest task — the op scales with file count.
+    from the public PNG/JPEG specs alone). mapInPandas keeps each
+    asset in its ingest task — the op scales with file count.
     """
+    from .jpeg_codec import jpeg_features
     from .png_codec import png_features
 
     dim = grid * grid
@@ -444,7 +463,12 @@ def image_features(df: DataFrame, content_col: str = "content", grid: int = 4) -
             for _, r in pdf.iterrows():
                 b = bytes(r[content_col])
                 mime = sniff_mime(b)
-                f = png_features(b, grid=grid) if mime == "image/png" else None
+                if mime == "image/png":
+                    f = png_features(b, grid=grid)
+                elif mime == "image/jpeg":
+                    f = jpeg_features(b, grid=grid)
+                else:
+                    f = None
                 if f is not None:
                     rows.append(
                         {
@@ -576,7 +600,9 @@ def wav_pcm_windows(
 
 
 # ---------------------------------------------------------------------------
-# video: frame-sampling plumbing (decoder stubbed — no ffmpeg here)
+# video: frame sampling — REAL frames for MJPEG/AVI (per-frame JPEG
+# decode, no inter-frame codec needed); MP4 keeps real container
+# timing with fingerprint payloads (H.264 decode needs ffmpeg).
 # ---------------------------------------------------------------------------
 def video_frame_sample(
     df: DataFrame,
@@ -585,30 +611,54 @@ def video_frame_sample(
     content_col: str = "content",
     use_stub_decoder: bool = True,
 ) -> DataFrame:
-    """Frame-sampling over opaque video content.
+    """Frame-sampling over opaque video content: one row per sampled
+    frame (path, frame_idx, ts_s, frame_sha256), bounded by
+    ``max_frames`` so a long video cannot blow up a task.
 
-    The Spark-side plumbing is real: schema
-    (path, frame_idx, ts_s, frame_sha256), Arrow batching, one row per
-    sampled frame, frames bounded by ``max_frames`` so a long video
-    cannot blow up a task. The DURATION is real for MP4 content (moov
-    mvhd header via ``mp4_info`` — frame timestamps follow the actual
-    clip length); only the per-frame PIXEL decode is the stub: without
-    ffmpeg the payload is a deterministic sha-derived fingerprint of
-    (content, frame_idx). Non-MP4 bytes fall back to a deterministic
-    fake duration (1 s per 64 KiB). Swap ``use_stub_decoder=False`` on
-    a cluster with ffmpeg to route through ``decode_pixels_stub``
-    (raises here).
-    """
+    MJPEG/AVI content is sampled for REAL: the RIFF container is
+    parsed, frame timestamps come from the stream rate, and
+    ``frame_sha256`` fingerprints the ACTUAL sampled frame's JPEG
+    bytes (identical frames collide — the dedup property). MP4
+    content keeps real container DURATION (moov mvhd via ``mp4_info``)
+    but fingerprint payloads derive from (content, frame_idx): the
+    inter-frame codec needs ffmpeg (``decode_pixels_stub`` path).
+    Other bytes fall back to a deterministic fake duration (1 s per
+    64 KiB)."""
+    from .jpeg_codec import avi_info, avi_mjpeg_frames
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 b = bytes(r[content_col])
+                mime = sniff_mime(b)
+                path = r.get("path", "")
+                if mime == "video/x-msvideo":
+                    jframes = avi_mjpeg_frames(b)
+                    dur, _, _ = avi_info(b)
+                    if jframes:
+                        spf = (dur / len(jframes)) if dur else 0.1
+                        stride = max(1, round(every_s / spf)) if spf > 0 else 1
+                        for n_out, fi in enumerate(
+                            range(0, len(jframes), stride)
+                        ):
+                            if n_out >= max_frames:
+                                break
+                            rows.append(
+                                {
+                                    "path": path,
+                                    "frame_idx": fi,
+                                    "ts_s": round(fi * spf, 6),
+                                    "frame_sha256": hashlib.sha256(
+                                        jframes[fi]
+                                    ).hexdigest(),
+                                }
+                            )
+                        continue
                 if not use_stub_decoder:
                     decode_pixels_stub(b)
                 real_dur, _, _ = (
-                    mp4_info(b) if sniff_mime(b) == "video/mp4" else (None, None, None)
+                    mp4_info(b) if mime == "video/mp4" else (None, None, None)
                 )
                 fake_duration_s = (
                     real_dur if real_dur else max(1.0, len(b) / 65536.0)
@@ -619,7 +669,7 @@ def video_frame_sample(
                     fp = hashlib.sha256(b + fi.to_bytes(4, "big")).hexdigest()
                     rows.append(
                         {
-                            "path": r.get("path", ""),
+                            "path": path,
                             "frame_idx": fi,
                             "ts_s": ts,
                             "frame_sha256": fp,
@@ -634,3 +684,100 @@ def video_frame_sample(
         frames,
         schema="path string, frame_idx long, ts_s double, frame_sha256 string",
     )
+
+
+MJPEG_FRAME_SCHEMA = (
+    "path string, frame_idx long, ts_s double, decoded boolean,"
+    " width int, height int, brightness double, contrast double,"
+    " features array<double>"
+)
+
+
+def mjpeg_frame_features(
+    df: DataFrame,
+    every_s: float = 1.0,
+    max_frames: int = 16,
+    content_col: str = "content",
+    grid: int = 4,
+) -> DataFrame:
+    """REAL per-frame pixel features for MJPEG/AVI video: parse the
+    RIFF container, decode each sampled frame with the baseline JPEG
+    decoder, and emit the same luminance-grid signature the image tier
+    produces — video dedup/similarity runs on actual frame pixels.
+
+    Scale shape mirrors ``image_features``: mapInPandas keeps each
+    clip in its ingest task, only (small) feature vectors — never
+    pixels — reach any shuffle, and frames are bounded by
+    ``max_frames``. Undecodable frames yield decoded=false rows with a
+    hash fallback vector (schema-stable)."""
+    from .jpeg_codec import avi_info, avi_mjpeg_frames, jpeg_features
+
+    dim = grid * grid
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r[content_col])
+                path = r.get("path", "")
+                jframes = avi_mjpeg_frames(b)
+                if not jframes:
+                    continue
+                dur, _, _ = avi_info(b)
+                spf = (dur / len(jframes)) if dur else 0.1
+                stride = max(1, round(every_s / spf)) if spf > 0 else 1
+                for n_out, fi in enumerate(range(0, len(jframes), stride)):
+                    if n_out >= max_frames:
+                        break
+                    f = jpeg_features(jframes[fi], grid=grid)
+                    if f is not None:
+                        rows.append(
+                            {
+                                "path": path,
+                                "frame_idx": fi,
+                                "ts_s": round(fi * spf, 6),
+                                "decoded": True,
+                                "width": f["width"],
+                                "height": f["height"],
+                                "brightness": f["brightness"],
+                                "contrast": f["contrast"],
+                                "features": f["grid"],
+                            }
+                        )
+                    else:
+                        digest = hashlib.sha256(jframes[fi]).digest()
+                        vec = [
+                            int.from_bytes(digest[2 * i : 2 * i + 2], "big")
+                            / 65535.0
+                            for i in range(dim)
+                        ]
+                        rows.append(
+                            {
+                                "path": path,
+                                "frame_idx": fi,
+                                "ts_s": round(fi * spf, 6),
+                                "decoded": False,
+                                "width": None,
+                                "height": None,
+                                "brightness": None,
+                                "contrast": None,
+                                "features": vec,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "frame_idx",
+                    "ts_s",
+                    "decoded",
+                    "width",
+                    "height",
+                    "brightness",
+                    "contrast",
+                    "features",
+                ],
+            )
+
+    cols = [c for c in ("path", content_col) if c in df.columns]
+    return df.select(*cols).mapInPandas(feats, schema=MJPEG_FRAME_SCHEMA)

@@ -1,12 +1,14 @@
 """Multimodal suite entries with REAL pixel decode (SURVEY.md §2.D).
 
 q81 exercises the full image pipeline distributively: synthesize
-deterministic PNGs on executors (stdlib encoder), decode them back
-(stdlib zlib decoder), extract brightness/palette/grid features, and
-group identical feature signatures — the image-dedup pass of a
-training-data pipeline. Rows-only by declaration (DuckDB has no PNG
-codec), but fully deterministic: the same 64 images decode to the
-same 8 signature groups on every run.
+deterministic PNGs AND baseline JPEGs on executors (stdlib/numpy
+encoders), decode them back (zlib PNG codec + Huffman/IDCT JPEG
+codec), extract brightness/palette/grid features, and group identical
+feature signatures — the image-dedup pass of a training-data
+pipeline. q111 does the same for VIDEO via MJPEG/AVI (per-frame JPEG
+decode). Rows-only by declaration (DuckDB has no image codecs), but
+fully deterministic: the same inputs decode to the same signature
+groups on every run.
 """
 
 from __future__ import annotations
@@ -21,16 +23,13 @@ from . import query
 from ._helpers import T
 
 
-def _doc_png(doc_id: int) -> bytes:
-    """Deterministic 16x16 RGB test image: the pattern depends only on
-    doc_id % 8, so 64 docs yield exactly 8 distinct images."""
+def _doc_pattern(doc_id: int):
+    """Deterministic 16x16 RGB pixel pattern keyed on doc_id % 8."""
     import numpy as np
-
-    from ..sources.png_codec import png_encode
 
     k = doc_id % 8
     y, x = np.mgrid[0:16, 0:16]
-    img = np.stack(
+    return np.stack(
         [
             (x * (k + 1) * 4) % 256,
             (y * (k + 2) * 4) % 256,
@@ -38,18 +37,36 @@ def _doc_png(doc_id: int) -> bytes:
         ],
         axis=-1,
     ).astype("uint8")
-    return png_encode(img)
+
+
+def _doc_image(doc_id: int) -> tuple[str, bytes]:
+    """(path, bytes): alternating blocks of 8 ids encode the pattern
+    as PNG vs baseline JPEG — the format axis (doc_id // 8) is
+    INDEPENDENT of the pattern axis (doc_id % 8), so 64 docs yield
+    exactly 16 distinct decoded signatures (8 patterns × 2 codecs;
+    JPEG is lossy, so its decoded stats differ deterministically from
+    the PNG of the same pattern), 4 images each."""
+    img = _doc_pattern(doc_id)
+    if (doc_id // 8) % 2 == 0:
+        from ..sources.png_codec import png_encode
+
+        return f"img_{doc_id:04d}.png", png_encode(img)
+    from ..sources.jpeg_codec import jpeg_encode_baseline
+
+    return f"img_{doc_id:04d}.jpg", jpeg_encode_baseline(img, quality=90)
 
 
 @query("q81_image_dedup_features")
 def q81_image_dedup_features(spark, sf_dir):
-    """Image near-dup grouping over decoded pixel features.
+    """Image near-dup grouping over decoded pixel features — BOTH
+    codecs real: PNG via the stdlib zlib codec, JPEG via the numpy
+    baseline decoder (Huffman + IDCT, jpeg_codec.py).
 
-    64 synthetic PNGs (8 distinct patterns) are generated AND decoded
-    on executors; identical decoded signatures (brightness, contrast,
-    color count, luminance grid) collapse to 8 groups of 8. At 100 TB
-    the binary column comes from binaryFile ingest instead — the
-    decode/feature/groupBy plan is identical.
+    64 synthetic images (8 patterns × {PNG, JPEG}) are generated AND
+    decoded on executors; identical decoded signatures (brightness,
+    contrast, color count, luminance grid) collapse to 16 groups of 4.
+    At 100 TB the binary column comes from binaryFile ingest instead —
+    the decode/feature/groupBy plan is identical.
     """
     from ..sources.binary import image_features
 
@@ -57,10 +74,11 @@ def q81_image_dedup_features(spark, sf_dir):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pairs = [_doc_image(int(d)) for d in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
-                    "path": [f"img_{int(d):04d}.png" for d in pdf["doc_id"]],
-                    "content": [_doc_png(int(d)) for d in pdf["doc_id"]],
+                    "path": [p for p, _ in pairs],
+                    "content": [c for _, c in pairs],
                 }
             )
 
@@ -272,4 +290,65 @@ def q109_audio_features(spark, sf_dir):
             F.round(F.max("rms"), 4).alias("max_rms"),
         )
         .orderBy("amp_class")
+    )
+
+
+def _doc_avi(doc_id: int) -> bytes:
+    """Deterministic MJPEG/AVI clip: 4 + doc_id % 3 frames at 4 fps.
+    Frames are solid-color JPEGs whose gray level steps by 32 per
+    frame from a doc-derived base, so per-frame decoded brightness is
+    analytically (base + 32·i)/255 up to DC quantization."""
+    import numpy as np
+
+    from ..sources.jpeg_codec import avi_mjpeg_encode, jpeg_encode_baseline
+
+    base = 40 + (doc_id % 4) * 24
+    n_frames = 4 + doc_id % 3
+    frames = [
+        jpeg_encode_baseline(
+            np.full((16, 16, 3), min(255, base + 32 * i), np.uint8), quality=100
+        )
+        for i in range(n_frames)
+    ]
+    return avi_mjpeg_encode(frames, fps=4)
+
+
+@query("q111_mjpeg_frame_features")
+def q111_mjpeg_frame_features(spark, sf_dir):
+    """VIDEO tier with REAL frame pixels: 36 synthetic MJPEG/AVI clips
+    are packed AND frame-decoded on executors (RIFF parse → baseline
+    JPEG decode per frame → luminance features), replacing the
+    hash-fingerprint fallback for this container. Grouped per clip
+    class: frame counts and brightness stats are analytically
+    predictable (solid frames stepping +32 gray per frame). Rows-only
+    (DuckDB has no JPEG codec) but exactly reproducible. At 100 TB
+    only feature vectors reach the shuffle — never pixels; decode
+    stays in the ingest task (mapInPandas)."""
+    from ..sources.binary import mjpeg_frame_features
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 36)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": [f"clip_{int(d):04d}.avi" for d in pdf["doc_id"]],
+                    "content": [_doc_avi(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    clips = docs.mapInPandas(gen, "path string, content binary")
+    frames = mjpeg_frame_features(clips, every_s=0.25, max_frames=8)
+    clip_class = F.regexp_extract("path", r"clip_(\d+)", 1).cast("int") % 12
+    return (
+        frames.filter(F.col("decoded"))
+        .groupBy(clip_class.alias("clip_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.min("brightness"), 4).alias("first_brightness"),
+            F.round(F.max("brightness"), 4).alias("last_brightness"),
+            F.round(F.avg("contrast"), 4).alias("avg_contrast"),
+            F.min("width").alias("width"),
+        )
+        .orderBy("clip_class")
     )

@@ -151,6 +151,7 @@ def test_q81_image_dedup_groups(spark):
     from aden_hive_fork_spark.suite.multimodal import q81_image_dedup_features
 
     rows = q81_image_dedup_features(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) == 8
-    assert all(r["n_images"] == 8 for r in rows)
+    # 8 patterns x {PNG, JPEG} = 16 signature groups of 4 images each
+    assert len(rows) == 16
+    assert all(r["n_images"] == 4 for r in rows)
     assert all(r["width"] == 16 and r["channels"] == 3 for r in rows)

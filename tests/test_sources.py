@@ -388,3 +388,106 @@ def test_video_frame_sample_uses_real_duration(spark):
     assert len(rows) == 4
     assert sorted(r["ts_s"] for r in rows) == [0.0, 1.0, 2.0, 3.0]
     assert len({r["frame_sha256"] for r in rows}) == 4  # per-frame fingerprints
+
+
+def test_image_features_decodes_jpeg(spark):
+    """image_features must REAL-decode JPEG content (decoded=true with
+    pixel-accurate brightness), same contract as the PNG tier."""
+    import numpy as np
+
+    from aden_hive_fork_spark.sources.binary import image_features
+    from aden_hive_fork_spark.sources.jpeg_codec import jpeg_encode_baseline
+
+    solid = jpeg_encode_baseline(np.full((16, 16, 3), 100, np.uint8), quality=100)
+    grad = jpeg_encode_baseline(
+        np.tile(np.arange(0, 256, 16, dtype=np.uint8), (16, 1)), quality=100
+    )
+    df = spark.createDataFrame(
+        [("a.jpg", bytearray(solid)), ("b.jpg", bytearray(grad))],
+        "path string, content binary",
+    )
+    rows = {r.path: r for r in image_features(df).collect()}
+    assert rows["a.jpg"].decoded and rows["b.jpg"].decoded
+    assert rows["a.jpg"].width == 16 and rows["a.jpg"].channels == 3
+    assert abs(rows["a.jpg"].brightness - 100 / 255) < 0.02
+    assert rows["a.jpg"].contrast < 0.02       # solid: no variance
+    assert rows["b.jpg"].contrast > 0.2        # ramp: high variance
+
+
+def test_video_frame_sample_real_mjpeg_frames(spark):
+    """AVI/MJPEG clips sample REAL frames: fingerprints are of the
+    actual frame bytes, so identical frames collide across clips."""
+    import numpy as np
+
+    from aden_hive_fork_spark.sources.binary import video_frame_sample
+    from aden_hive_fork_spark.sources.jpeg_codec import (
+        avi_mjpeg_encode,
+        jpeg_encode_baseline,
+    )
+
+    shared = jpeg_encode_baseline(np.full((8, 8, 3), 60, np.uint8), quality=100)
+    other = jpeg_encode_baseline(np.full((8, 8, 3), 200, np.uint8), quality=100)
+    avi1 = avi_mjpeg_encode([shared, other], fps=4)
+    avi2 = avi_mjpeg_encode([shared], fps=4)
+    df = spark.createDataFrame(
+        [("one.avi", bytearray(avi1)), ("two.avi", bytearray(avi2))],
+        "path string, content binary",
+    )
+    rows = video_frame_sample(df, every_s=0.25, max_frames=8).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r.path, {})[r.frame_idx] = r.frame_sha256
+    assert by_clip["one.avi"][0] == by_clip["two.avi"][0]  # same frame bytes
+    assert by_clip["one.avi"][0] != by_clip["one.avi"][1]
+
+
+def test_mjpeg_frame_features_pixels(spark):
+    """Per-frame decoded brightness tracks the analytic gray levels of
+    the synthesized frames."""
+    import numpy as np
+
+    from aden_hive_fork_spark.sources.binary import mjpeg_frame_features
+    from aden_hive_fork_spark.sources.jpeg_codec import (
+        avi_mjpeg_encode,
+        jpeg_encode_baseline,
+    )
+
+    frames = [
+        jpeg_encode_baseline(np.full((16, 16, 3), v, np.uint8), quality=100)
+        for v in (50, 150, 250)
+    ]
+    df = spark.createDataFrame(
+        [("c.avi", bytearray(avi_mjpeg_encode(frames, fps=4)))],
+        "path string, content binary",
+    )
+    rows = sorted(
+        mjpeg_frame_features(df, every_s=0.25, max_frames=8).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.decoded for r in rows] == [True, True, True]
+    assert [r.width for r in rows] == [16, 16, 16]
+    got = [r.brightness for r in rows]
+    for b, want in zip(got, (50 / 255, 150 / 255, 250 / 255)):
+        assert abs(b - want) < 0.02
+
+
+def test_avi_metadata_extraction(spark):
+    import numpy as np
+
+    from aden_hive_fork_spark.sources.binary import extract_metadata
+    from aden_hive_fork_spark.sources.jpeg_codec import (
+        avi_mjpeg_encode,
+        jpeg_encode_baseline,
+    )
+
+    frames = [
+        jpeg_encode_baseline(np.full((12, 20, 3), 99, np.uint8), quality=95)
+    ] * 4
+    df = spark.createDataFrame(
+        [("m.avi", bytearray(avi_mjpeg_encode(frames, fps=8)))],
+        "path string, content binary",
+    )
+    r = extract_metadata(df).collect()[0]
+    assert r.mime == "video/x-msvideo"
+    assert (r.width, r.height) == (20, 12)
+    assert abs(r.duration_s - 0.5) < 1e-6
