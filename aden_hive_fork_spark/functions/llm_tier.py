@@ -58,6 +58,141 @@ class MockLLMBackend:
         return out
 
 
+class MessagesApiBackend:
+    """Real-provider adapter for the ``LLMBackend`` seam, speaking the
+    public chat/messages JSON wire shape (request: ``{"model",
+    "max_tokens", "messages": [{"role": "user", "content": ...}]}``;
+    response: ``{"content": [{"type": "text", "text": ...}], ...}`` —
+    the reference ships equivalent litellm/provider adapters in
+    core/framework/llm/).
+
+    ``transport(request_json: dict) -> (status_code, body_bytes)`` is
+    pluggable, so the SAME request-building and reply-parsing runs
+    against a live HTTP endpoint (``messages_http_transport``) or
+    recorded fixtures (``FixtureLLMTransport``) — record/replay keeps
+    routing/judge/repair behavior testable offline, and the adapter is
+    the drop-in for a networked deployment.
+
+    Error discipline mirrors the deterministic-first contract: a
+    failed call yields "" for that prompt (callers' fallback tiers —
+    ``_parse_choice`` fallback, heuristic repair — absorb it; a flaky
+    provider must not wedge a pipeline stage).
+    """
+
+    def __init__(
+        self,
+        transport,
+        model: str = "default-model",
+        max_tokens: int = 256,
+        system: str | None = None,
+    ):
+        self.transport = transport
+        self.model = model
+        self.max_tokens = max_tokens
+        self.system = system
+
+    def _request(self, prompt: str) -> dict:
+        req = {
+            "model": self.model,
+            "max_tokens": self.max_tokens,
+            "messages": [{"role": "user", "content": prompt}],
+        }
+        if self.system:
+            req["system"] = self.system
+        return req
+
+    @staticmethod
+    def _parse_reply(status: int, body: bytes) -> str:
+        import json
+
+        if status != 200:
+            return ""
+        try:
+            data = json.loads(body)
+        except ValueError:
+            return ""
+        content = data.get("content")
+        if isinstance(content, list):  # messages-shaped
+            return "".join(
+                blk.get("text", "")
+                for blk in content
+                if isinstance(blk, dict) and blk.get("type") == "text"
+            )
+        # chat-completions-shaped fallback
+        choices = data.get("choices")
+        if isinstance(choices, list) and choices:
+            msg = choices[0].get("message", {})
+            return msg.get("content", "") or ""
+        return ""
+
+    def complete(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            try:
+                status, body = self.transport(self._request(p))
+            except Exception:
+                out.append("")
+                continue
+            out.append(self._parse_reply(status, body))
+        return out
+
+
+def messages_http_transport(url: str, api_key: str, timeout: float = 60.0):
+    """Live transport (stdlib urllib; exercised via recorded fixtures
+    in this sandbox — the request/parse layers are transport-agnostic)."""
+
+    def send(req: dict):
+        import json
+        import urllib.error
+        import urllib.request
+
+        r = urllib.request.Request(
+            url,
+            data=json.dumps(req).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "x-api-key": api_key,
+            },
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    return send
+
+
+class FixtureLLMTransport:
+    """Record/replay transport: responses keyed by sha256 of the
+    canonical request JSON. With ``live`` set, unseen requests pass
+    through and are recorded; without it, unseen requests return 404
+    (→ "" reply → the caller's deterministic fallback)."""
+
+    def __init__(self, fixtures: dict | None = None, live=None):
+        self.fixtures: dict[str, tuple[int, bytes]] = dict(fixtures or {})
+        self.live = live
+
+    @staticmethod
+    def key(req: dict) -> str:
+        import hashlib
+        import json
+
+        return hashlib.sha256(
+            json.dumps(req, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+    def __call__(self, req: dict):
+        k = self.key(req)
+        if k in self.fixtures:
+            return self.fixtures[k]
+        if self.live is not None:
+            resp = self.live(req)
+            self.fixtures[k] = resp
+            return resp
+        return 404, b"{}"
+
+
 def _parse_choice(reply: str, choices: Sequence[str], fallback: str) -> str:
     """First declared choice mentioned in the reply; declared order
     breaks ties; unparseable replies take the fallback (the

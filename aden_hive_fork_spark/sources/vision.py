@@ -291,3 +291,210 @@ def annotate_images(
             )
 
     return df.select(*cols).mapInPandas(run, ANNOTATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Concrete REST backend for the api_backend seam — the public Vision
+# ``images:annotate`` wire format (request: {"requests": [{"image":
+# {"content": b64}, "features": [{"type", "maxResults"}]}]}; response:
+# {"responses": [{<feature>Annotations: [...]}]}), with the same status
+# →error mapping and annotation→envelope parsing as the reference
+# client (vision_tool.py:60-174). Transport is pluggable so the SAME
+# parsing code runs against live HTTP (urllib) or recorded fixtures —
+# record/replay keeps the adapter fully testable offline.
+# ---------------------------------------------------------------------------
+_FEATURE_MAX = {
+    "FACE_DETECTION": 10,
+    "OBJECT_LOCALIZATION": 10,
+    "LOGO_DETECTION": 5,
+    "LANDMARK_DETECTION": 5,
+}
+
+
+class RestVisionBackend:
+    """``api_backend`` callable for ``LocalVisionClient``: maps
+    (image_bytes, feature) through the public annotate REST shape.
+
+    ``transport(request_json: dict) -> (status_code, body_bytes)``.
+    Use ``http_transport(url, api_key)`` for a live endpoint or
+    ``FixtureVisionTransport`` for recorded responses.
+    """
+
+    def __init__(self, transport: Callable[[dict], tuple[int, bytes]]):
+        self.transport = transport
+
+    def __call__(self, image_bytes: bytes, feature: str) -> dict:
+        import base64
+
+        req = {
+            "requests": [
+                {
+                    "image": {
+                        "content": base64.b64encode(image_bytes).decode("ascii")
+                    },
+                    "features": [
+                        {
+                            "type": feature,
+                            "maxResults": _FEATURE_MAX.get(feature, 10),
+                        }
+                    ],
+                }
+            ]
+        }
+        try:
+            status, body = self.transport(req)
+        except TimeoutError:
+            return {"error": "Request timed out"}
+        except OSError as e:  # pragma: no cover - live-transport only
+            return {"error": f"Network error: {e}"}
+        result = self._handle_response(status, body)
+        if "error" in result:
+            return result
+        return self._parse(feature, result)
+
+    # status mapping — reference vision_tool.py:91-103 parity
+    @staticmethod
+    def _handle_response(status: int, body: bytes) -> dict:
+        import json
+
+        if status == 400:
+            return {"error": "Invalid request. Check image format and size."}
+        if status == 401:
+            return {"error": "Invalid API key"}
+        if status == 403:
+            return {"error": "API key not authorized for the Vision API"}
+        if status == 429:
+            return {"error": "Rate limit exceeded. Try again later."}
+        if status != 200:
+            return {"error": f"Vision API error (HTTP {status})"}
+        try:
+            data = json.loads(body)
+        except ValueError:
+            return {"error": "Malformed API response"}
+        responses = data.get("responses", [])
+        if not responses:
+            return {"error": "Empty response from API"}
+        result = responses[0]
+        if "error" in result:
+            return {"error": result["error"].get("message", "Unknown API error")}
+        return result
+
+    # annotation → envelope parsing — vision_tool.py:108-174 parity
+    @staticmethod
+    def _parse(feature: str, result: dict) -> dict:
+        if feature == "FACE_DETECTION":
+            return {
+                "faces": [
+                    {
+                        "joy": f.get("joyLikelihood", "UNKNOWN"),
+                        "sorrow": f.get("sorrowLikelihood", "UNKNOWN"),
+                        "anger": f.get("angerLikelihood", "UNKNOWN"),
+                        "surprise": f.get("surpriseLikelihood", "UNKNOWN"),
+                        "confidence": round(f.get("detectionConfidence", 0), 3),
+                        "bounds": f.get("boundingPoly", {}).get("vertices", []),
+                    }
+                    for f in result.get("faceAnnotations", [])
+                ]
+            }
+        if feature == "OBJECT_LOCALIZATION":
+            return {
+                "objects": [
+                    {
+                        "name": o.get("name", ""),
+                        "score": round(o.get("score", 0), 3),
+                        "bounds": o.get("boundingPoly", {}).get(
+                            "normalizedVertices", []
+                        ),
+                    }
+                    for o in result.get("localizedObjectAnnotations", [])
+                ]
+            }
+        if feature == "LOGO_DETECTION":
+            return {
+                "logos": [
+                    {
+                        "description": lg.get("description", ""),
+                        "score": round(lg.get("score", 0), 3),
+                    }
+                    for lg in result.get("logoAnnotations", [])
+                ]
+            }
+        if feature == "LANDMARK_DETECTION":
+            landmarks = []
+            for lm in result.get("landmarkAnnotations", []):
+                location = {}
+                locations = lm.get("locations", [])
+                if locations:
+                    lat_lng = locations[0].get("latLng", {})
+                    location = {
+                        "latitude": lat_lng.get("latitude"),
+                        "longitude": lat_lng.get("longitude"),
+                    }
+                landmarks.append(
+                    {
+                        "description": lm.get("description", ""),
+                        "score": round(lm.get("score", 0), 3),
+                        "location": location,
+                    }
+                )
+            return {"landmarks": landmarks}
+        return {"error": f"Unsupported feature: {feature}"}
+
+
+def http_transport(url: str, api_key: str, timeout: float = 30.0):
+    """Live transport for ``RestVisionBackend`` (stdlib urllib — the
+    sandbox has no network, so this path is exercised via recorded
+    fixtures; the request/parse layers above are transport-agnostic)."""
+
+    def send(req: dict) -> tuple[int, bytes]:
+        import json
+        import urllib.error
+        import urllib.request
+
+        data = json.dumps(req).encode()
+        r = urllib.request.Request(
+            f"{url}?key={api_key}",
+            data=data,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    return send
+
+
+class FixtureVisionTransport:
+    """Record/replay transport: responses keyed by (feature,
+    sha256(image)[:16]). ``record`` mode wraps a live transport and
+    stores every response for later offline replay (the pattern the
+    LLM tier uses as well)."""
+
+    def __init__(self, fixtures: dict | None = None,
+                 live: Callable[[dict], tuple[int, bytes]] | None = None):
+        self.fixtures: dict[tuple[str, str], tuple[int, bytes]] = dict(
+            fixtures or {}
+        )
+        self.live = live
+
+    @staticmethod
+    def _key(req: dict) -> tuple[str, str]:
+        import base64
+        import hashlib
+
+        r = req["requests"][0]
+        feature = r["features"][0]["type"]
+        img = base64.b64decode(r["image"]["content"])
+        return feature, hashlib.sha256(img).hexdigest()[:16]
+
+    def __call__(self, req: dict) -> tuple[int, bytes]:
+        key = self._key(req)
+        if key in self.fixtures:
+            return self.fixtures[key]
+        if self.live is not None:  # record mode
+            resp = self.live(req)
+            self.fixtures[key] = resp
+            return resp
+        return 404, b'{"error": {"message": "no fixture for request"}}'
