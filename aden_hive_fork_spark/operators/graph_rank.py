@@ -71,15 +71,19 @@ def pagerank(
     n = nodes.count()
     if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
         return nodes.select("id", F.lit(0.0).alias("rank"))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg is reused by every iteration: checkpoint it once instead
+    # of re-shuffling e per round
+    outdeg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
-        with_deg = ranks.join(outdeg, ranks["id"] == outdeg["src"], "left")
-        # one scalar per round: mass sitting on dangling nodes
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # dangling mass as a ONE-ROW aggregate cross-joined into the
+        # update plan: the whole iteration is a single Spark job (the
+        # eager checkpoint), not scalar-collect + update. Arithmetic
+        # association matches the q104 oracle exactly:
+        # ((1-d)/n + (d*dangling)/n) + d*in_mass, all double ops.
+        dangling_df = (
+            ranks.join(outdeg, ranks["id"] == outdeg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         contribs = (
             e.join(ranks, e["src"] == ranks["id"])
@@ -88,12 +92,17 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = _ckpt(
-            nodes.join(contribs, "id", "left").select(
+            nodes.join(contribs, "id", "left")
+            .crossJoin(dangling_df)  # 1 row: broadcast nested loop
+            .select(
                 "id",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + (F.lit(damping) * F.col("__dangling")) / F.lit(float(n))
+                    )
+                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
                 ).alias("rank"),
             )
         )

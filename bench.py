@@ -47,6 +47,10 @@ HEADLINE = [
     "q98_benchmark_contamination",# broadcast-benchmark shingle overlap
     "q99_bm25_search",            # Okapi BM25 relevance ranking
     "q100_sequence_packing",      # concat-and-chunk batch layout
+    "q102_exact_percentiles",     # exact interpolated percentiles
+    "q104_purchase_pagerank",     # iterative graph rank (checkpointed)
+    "q108_unicode_nfc_dedup",     # Unicode NFC canonical dedup
+    "q110_schema_evolution",      # mergeSchema multi-generation scan
 ]
 
 
