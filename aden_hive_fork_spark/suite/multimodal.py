@@ -352,3 +352,100 @@ def q111_mjpeg_frame_features(spark, sf_dir):
         )
         .orderBy("clip_class")
     )
+
+
+def _variant_pattern(k: int):
+    """Eight STRUCTURALLY distinct 16x16 patterns (stripes, checker,
+    rings, corners, ramps) — unlike the q81 gradient family, their
+    luminance-grid signatures are far apart in cosine, so codec
+    artifacts (small perturbations) can never bridge two patterns."""
+    import numpy as np
+
+    y, x = np.mgrid[0:16, 0:16]
+    base = [
+        np.where(x < 8, 230, 25),                # left half bright
+        np.where(y < 8, 230, 25),                # top half bright
+        np.where(x + y < 16, 230, 25),           # diagonal split
+        np.where((x >= 4) & (x < 12) & (y >= 4) & (y < 12), 240, 20),  # center
+        np.where((x < 8) & (y < 8), 245, 30),    # one bright corner
+        np.where((x >= 8) & (y >= 8), 245, 30),  # opposite corner
+        np.where(((x < 8) & (y >= 8)) | ((x >= 8) & (y < 8)), 235, 20),  # anti-diag corners
+        np.minimum(x, y) * 16,                   # corner-anchored ramp
+    ][k % 8]
+    lum = np.clip(base, 0, 255)
+    return np.stack([lum, lum, lum], axis=-1).astype("uint8")
+
+
+def _doc_variant(doc_id: int) -> tuple[str, bytes]:
+    """Pattern k = doc_id % 8 rendered through 4 encoder variants
+    (doc_id // 8): lossless PNG, JPEG q95, JPEG q75, JPEG q95 4:2:0 —
+    same underlying pixels, different codec artifacts, so decoded
+    feature vectors are NEAR-identical within a pattern and far apart
+    across patterns."""
+    img = _variant_pattern(doc_id % 8)
+    v = (doc_id // 8) % 4
+    if v == 0:
+        from ..sources.png_codec import png_encode
+
+        return f"var_{doc_id:04d}.png", png_encode(img)
+    from ..sources.jpeg_codec import jpeg_encode_baseline
+
+    quality = {1: 95, 2: 75, 3: 95}[v]
+    return (
+        f"var_{doc_id:04d}.jpg",
+        jpeg_encode_baseline(img, quality=quality, subsample=(v == 3)),
+    )
+
+
+@query("q112_image_neardup_clusters")
+def q112_image_neardup_clusters(spark, sf_dir):
+    """END-TO-END multimodal near-dup: the decoded-pixel feature tier
+    (PNG + JPEG codecs) feeds the SAME similarity/clustering operators
+    the text tier uses — cosine pairs over luminance-grid signatures
+    (cosine_neardup_pairs, one matmul per block) → connected
+    components → cluster rollup. 32 images = 8 patterns × 4 codec
+    variants (lossless PNG, JPEG q95/q75/q95-4:2:0) must collapse to
+    exactly 8 clusters of 4: codec artifacts perturb the features but
+    never across the 0.99-cosine boundary, while distinct patterns
+    stay far below it. Rows-only (no DuckDB codecs), fully
+    deterministic. At 100 TB: features (16 doubles) are the shuffle
+    payload; block before pairing (here the resolution is the block)."""
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import cosine_neardup_pairs
+    from ..sources.binary import image_features
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [_doc_variant(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "path": [p for p, _ in pairs],
+                    "content": [c for _, c in pairs],
+                }
+            )
+
+    bin_df = docs.mapInPandas(gen, "path string, content binary")
+    feats = (
+        image_features(bin_df, grid=4)
+        .filter(F.col("decoded"))
+        .select(
+            F.regexp_extract("path", r"var_(\d+)", 1).cast("long").alias("vec_id"),
+            F.col("features").alias("embedding"),
+            F.col("width").alias("block"),
+        )
+    )
+    pairs = cosine_neardup_pairs(
+        feats, threshold=0.99, block_col="block"
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("comp").cast("bigint").alias("cluster_rep"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_rep")
+    )

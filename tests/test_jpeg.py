@@ -254,3 +254,14 @@ def test_avi_frame_pixels_decode():
     assert np.array_equal(decoded[0], decoded[1])
     assert not np.array_equal(decoded[0], decoded[2])
     assert abs(int(decoded[2][0, 0, 0]) - 200) <= 2
+
+
+def test_q112_cross_codec_neardup_clusters(spark):
+    """End-to-end: decoded-pixel features from two codecs and three
+    JPEG settings cluster per pattern — exactly 8 clusters of 4."""
+    from aden_hive_fork_spark.suite.multimodal import q112_image_neardup_clusters
+
+    rows = q112_image_neardup_clusters(spark, "/root/testdata/sf0.001").collect()
+    assert [(r.cluster_rep, r.n_members) for r in rows] == [
+        (i, 4) for i in range(8)
+    ]
