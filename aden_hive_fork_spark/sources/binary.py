@@ -17,8 +17,10 @@ REAL pixel decode:
 - PNG (round 2): pure-stdlib codec (``png_codec`` — zlib + struct).
 - JPEG (round 4): pure numpy baseline decoder (``jpeg_codec`` —
   Huffman + dequant + IDCT per ITU-T T.81), covering the dominant
-  corpus format; ``image_features`` extracts identical statistics for
-  both formats.
+  corpus format.
+- GIF (round 4): LZW decoder (``gif_codec`` — palettes, interlace,
+  transparency, animation frames); ``image_features`` extracts
+  identical statistics for all three formats.
 - MJPEG/AVI video (round 4): RIFF container parse + per-frame JPEG
   decode (``video_frame_sample`` / ``mjpeg_frame_features``) — real
   frame pixels, not hash fingerprints.
@@ -436,10 +438,12 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def image_features(df: DataFrame, content_col: str = "content", grid: int = 4) -> DataFrame:
-    """Per-asset image features with REAL pixel decode for PNG + JPEG.
+    """Per-asset image features with REAL pixel decode for PNG, JPEG,
+    and GIF.
 
     PNG content: stdlib zlib decode; JPEG content: pure-numpy baseline
-    decode (jpeg_codec — Huffman + IDCT). Both yield brightness,
+    decode (jpeg_codec — Huffman + IDCT); GIF content: LZW decode
+    (gif_codec). All yield brightness,
     contrast, distinct-color count, and a grid×grid luminance
     signature (a tiny perceptual embedding — exact dups match exactly,
     near-dups land near in cosine; feed it to the similarity/dedup
@@ -452,6 +456,7 @@ def image_features(df: DataFrame, content_col: str = "content", grid: int = 4) -
     from the public PNG/JPEG specs alone). mapInPandas keeps each
     asset in its ingest task — the op scales with file count.
     """
+    from .gif_codec import gif_features
     from .jpeg_codec import jpeg_features
     from .png_codec import png_features
 
@@ -467,6 +472,8 @@ def image_features(df: DataFrame, content_col: str = "content", grid: int = 4) -
                     f = png_features(b, grid=grid)
                 elif mime == "image/jpeg":
                     f = jpeg_features(b, grid=grid)
+                elif mime == "image/gif":
+                    f = gif_features(b, grid=grid)
                 else:
                     f = None
                 if f is not None:
