@@ -331,3 +331,67 @@ def test_await_event_bounded_on_hot_stream(spark):
         event_types=["tick"],
     )
     assert 0 < len(rows) <= 7
+
+
+def test_image_features_runs_on_streams(spark, tmp_path):
+    """image_features is a stateless mapInPandas projection, so the
+    SAME operator runs unchanged on a binary stream — multimodal
+    ingest can be incremental. availableNow replay must equal the
+    batch result exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aden_hive_fork_spark.sources.binary import image_features
+    from aden_hive_fork_spark.sources.gif_codec import gif_encode
+    from aden_hive_fork_spark.sources.jpeg_codec import jpeg_encode_baseline
+    from aden_hive_fork_spark.sources.png_codec import png_encode
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4] = 200
+    assets = [
+        ("a.png", png_encode(img)),
+        ("b.jpg", jpeg_encode_baseline(img, quality=100)),
+        ("c.gif", gif_encode(img)),
+        ("d.bin", b"\x00undecodable"),
+    ]
+    in_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(in_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "path": [p for p, _ in assets],
+                "content": [c for _, c in assets],
+            }
+        ),
+        os.path.join(in_dir, "batch0.parquet"),
+    )
+    schema = "path string, content binary"
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        image_features(stream)
+        .writeStream.format("memory")
+        .queryName("img_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.path: (r.decoded, r.width, None if r.brightness is None
+                 else round(r.brightness, 4))
+        for r in spark.sql("SELECT * FROM img_stream_t").collect()
+    }
+    batch = spark.createDataFrame(
+        [(p, bytearray(c)) for p, c in assets], schema
+    )
+    want = {
+        r.path: (r.decoded, r.width, None if r.brightness is None
+                 else round(r.brightness, 4))
+        for r in image_features(batch).collect()
+    }
+    assert got == want
+    assert got["a.png"][0] and got["b.jpg"][0] and got["c.gif"][0]
+    assert not got["d.bin"][0]
