@@ -424,3 +424,195 @@ def bm25_search(
         .select(query_id_col, query_col, id_col, "score", "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Concrete live-provider adapters — the public Google Custom Search and
+# Brave Search wire shapes (web_search_tool.py:30-85 / 87-139 parity:
+# request params, retry-on-429 with exponential backoff, status->error
+# mapping, item->result parsing). Transport is pluggable — the SAME
+# request-building and parsing code runs against live HTTP (urllib) or
+# recorded fixtures — so the adapters are fully testable offline and a
+# networked deployment only supplies `get_http_transport()`.
+# ---------------------------------------------------------------------------
+class GoogleSearchProvider:
+    """Google Custom Search JSON API adapter.
+
+    Wire shape (public API): GET customsearch/v1 with params
+    ``key, cx, q, num (<=10), lr=lang_<language>, gl=<country>``;
+    response ``{"items": [{"title", "link", "snippet"}, ...]}``.
+    Plugs into ``web_search(providers={"google": ...})``.
+
+    ``transport(url, params, headers) -> (status, body_bytes)``.
+    """
+
+    URL = "https://www.googleapis.com/customsearch/v1"
+
+    def __init__(self, api_key: str, cse_id: str, transport, *,
+                 max_retries: int = 3, sleep=None):
+        self.api_key = api_key
+        self.cse_id = cse_id
+        self.transport = transport
+        self.max_retries = max_retries
+        self.sleep = sleep if sleep is not None else __import__("time").sleep
+
+    def search(self, query: str, num_results: int = 10, country: str = "us",
+               language: str = "en", **_kw) -> dict:
+        params = {
+            "key": self.api_key,
+            "cx": self.cse_id,
+            "q": query,
+            "num": min(num_results, 10),
+            "lr": f"lang_{language}",
+            "gl": country,
+        }
+        status, body = _retrying_get(
+            self.transport, self.URL, params, {}, self.max_retries, self.sleep
+        )
+        # status mapping — web_search_tool.py:57-65 parity
+        if status == 401:
+            return {"error": "Invalid Google API key"}
+        if status == 403:
+            return {"error": "Google API key not authorized or quota exceeded"}
+        if status == 429:
+            return {"error": "Google rate limit exceeded. Try again later."}
+        if status != 200:
+            return {"error": f"Google API request failed: HTTP {status}"}
+        data = _json_body(body)
+        if data is None:
+            return {"error": "Malformed API response"}
+        results = [
+            {
+                "title": item.get("title", ""),
+                "url": item.get("link", ""),
+                "snippet": item.get("snippet", ""),
+            }
+            for item in data.get("items", [])[:num_results]
+        ]
+        return {"query": query, "results": results, "total": len(results),
+                "provider": "google"}
+
+
+class BraveSearchProvider:
+    """Brave Search API adapter.
+
+    Wire shape (public API): GET res/v1/web/search with params
+    ``q, count (<=20), country`` and headers ``X-Subscription-Token,
+    Accept: application/json``; response ``{"web": {"results":
+    [{"title", "url", "description"}, ...]}}``.
+    """
+
+    URL = "https://api.search.brave.com/res/v1/web/search"
+
+    def __init__(self, api_key: str, transport, *, max_retries: int = 3,
+                 sleep=None):
+        self.api_key = api_key
+        self.transport = transport
+        self.max_retries = max_retries
+        self.sleep = sleep if sleep is not None else __import__("time").sleep
+
+    def search(self, query: str, num_results: int = 10, country: str = "us",
+               **_kw) -> dict:
+        params = {"q": query, "count": min(num_results, 20), "country": country}
+        headers = {"X-Subscription-Token": self.api_key,
+                   "Accept": "application/json"}
+        status, body = _retrying_get(
+            self.transport, self.URL, params, headers, self.max_retries,
+            self.sleep
+        )
+        # status mapping — web_search_tool.py:113-118 parity
+        if status == 401:
+            return {"error": "Invalid Brave API key"}
+        if status == 429:
+            return {"error": "Brave rate limit exceeded. Try again later."}
+        if status != 200:
+            return {"error": f"Brave API request failed: HTTP {status}"}
+        data = _json_body(body)
+        if data is None:
+            return {"error": "Malformed API response"}
+        results = [
+            {
+                "title": item.get("title", ""),
+                "url": item.get("url", ""),
+                "snippet": item.get("description", ""),
+            }
+            for item in data.get("web", {}).get("results", [])[:num_results]
+        ]
+        return {"query": query, "results": results, "total": len(results),
+                "provider": "brave"}
+
+
+def _retrying_get(transport, url, params, headers, max_retries, sleep):
+    """GET with exponential backoff on 429 (web_search_tool.py:38-55
+    retry discipline: up to ``max_retries`` retries, sleep 2**attempt)."""
+    status, body = 0, b""
+    for attempt in range(max_retries + 1):
+        status, body = transport(url, params, headers)
+        if status == 429 and attempt < max_retries:
+            sleep(2 ** attempt)
+            continue
+        break
+    return status, body
+
+
+def _json_body(body: bytes):
+    import json
+
+    try:
+        return json.loads(body)
+    except ValueError:
+        return None
+
+
+def get_http_transport(timeout: float = 30.0):
+    """Live GET transport (stdlib urllib). The sandbox has no external
+    network, so this path is exercised via ``FixtureGetTransport``; the
+    request-building and parsing layers above are transport-agnostic."""
+
+    def send(url: str, params: dict, headers: dict) -> tuple[int, bytes]:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        full = f"{url}?{urllib.parse.urlencode(params)}"
+        req = urllib.request.Request(full, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    return send
+
+
+class FixtureGetTransport:
+    """Record/replay GET transport: responses keyed by
+    (url, sorted(params) minus credential fields). ``record`` mode wraps
+    a live transport and stores every response for offline replay (the
+    same pattern as FixtureVisionTransport / FixtureLLMTransport).
+    Credential params/headers are excluded from the key so fixtures
+    recorded with one key replay under any key."""
+
+    _CRED_PARAMS = {"key", "cx"}
+
+    def __init__(self, fixtures: dict | None = None, live=None):
+        self.fixtures: dict[tuple, tuple[int, bytes]] = dict(fixtures or {})
+        self.live = live
+        self.requests: list[tuple[str, dict, dict]] = []
+
+    @classmethod
+    def key(cls, url: str, params: dict) -> tuple:
+        return (url, tuple(sorted(
+            (k, str(v)) for k, v in params.items() if k not in cls._CRED_PARAMS
+        )))
+
+    def __call__(self, url, params, headers) -> tuple[int, bytes]:
+        self.requests.append((url, dict(params), dict(headers)))
+        k = self.key(url, params)
+        if k in self.fixtures:
+            return self.fixtures[k]
+        if self.live is not None:  # record mode
+            resp = self.live(url, params, headers)
+            self.fixtures[k] = resp
+            return resp
+        return 404, b'{"error": "no fixture for request"}'
