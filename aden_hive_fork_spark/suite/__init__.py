@@ -59,6 +59,7 @@ def load_all() -> None:
         roundtrip,
         sampling,
         search,
+        security,
         similarity,
         text,
     )
