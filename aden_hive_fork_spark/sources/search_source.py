@@ -593,7 +593,7 @@ class FixtureGetTransport:
     Credential params/headers are excluded from the key so fixtures
     recorded with one key replay under any key."""
 
-    _CRED_PARAMS = {"key", "cx"}
+    _CRED_PARAMS = {"key", "cx", "apikey"}
 
     def __init__(self, fixtures: dict | None = None, live=None):
         self.fixtures: dict[tuple, tuple[int, bytes]] = dict(fixtures or {})
