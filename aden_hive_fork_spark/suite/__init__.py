@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every suite module (idempotent)."""
     from . import (  # noqa: F401
+        chunking_suite,
         dedup,
         events,
         external_db,
