@@ -387,3 +387,35 @@ def q108_unicode_nfc_dedup(spark, sf_dir):
         "len_decomposed",
         F.md5(F.encode("canon", "UTF-8")).alias("canon_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q117 — REAL BPE tokenization (rows-only: the merge loop is not
+# SQL-expressible; correctness is pinned by test_bpe's hand-computed
+# merges + driver-vs-distributed differential).
+# ---------------------------------------------------------------------------
+@query("q117_bpe_real_tokens")
+def q117_bpe_real_tokens(spark, sf_dir):
+    """Corpus-trained byte-pair encoding (functions/bpe): merges
+    learned driver-side from a bounded deterministic sample, encoding
+    distributed via an Arrow-batched pandas UDF. Output: per-source
+    real-BPE token totals vs whitespace-word totals — the compression
+    the packing/budgeting passes actually see."""
+    from ..functions.bpe import bpe_token_counts, train_bpe
+    from ._helpers import T
+
+    docs = T(spark, sf_dir, "documents")
+    bpe = train_bpe(docs, text_col="text", n_merges=150,
+                    sample_rows=2000, order_col="doc_id")
+    counted = bpe_token_counts(docs, bpe, "text")
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("bigint")
+            .alias("ws_tokens"),
+        )
+        .orderBy("source")
+    )
