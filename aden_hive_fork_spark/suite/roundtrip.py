@@ -494,3 +494,47 @@ def q110_schema_evolution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q118_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_price,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY priority ASC
+    """,
+)
+def q118_orc_roundtrip(spark, sf_dir):
+    """ORC SINK + SCAN inside the oracle gate: orders written to ORC
+    PARTITIONED BY o_orderstatus (hive-style dirs), read back with a
+    partition-pruning filter, aggregated — must hash-match the oracle
+    computed from the original parquet. Exercises Spark's native ORC
+    connector (predicate pushdown + partition pruning work the same
+    as parquet: the 'O' filter prunes to one partition directory);
+    types survive because ORC is a typed columnar format, no
+    text-roundtrip hazards."""
+    out = _rt_dir(sf_dir, "orc_orders")
+    (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+                "o_totalprice")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .orc(out)
+    )
+    back = spark.read.orc(out).filter(F.col("o_orderstatus") == "O")
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dround(F.sum(dec("o_totalprice"))).alias("total_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("priority")
+    )

@@ -168,3 +168,59 @@ def test_bloom_dict_is_persistable(spark):
     restored = json.loads(json.dumps(bloom))
     survivors = bloom_filter_rows(members, "k", restored).count()
     assert survivors == 500
+
+
+def test_bloom_and_chunking_run_on_streams(spark, tmp_path):
+    """bloom_filter_rows (map + one-row broadcast) and chunk_documents
+    (stateless generator projection) run UNCHANGED on Structured
+    Streaming — the incremental-curation shape: prune and chunk new
+    files as they land. availableNow replay must equal batch."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(tmp_path, "docs")
+    os.makedirs(d)
+    rows = [(i, f"tok{i} " * (5 + i % 7)) for i in range(40)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1].strip() for r in rows]),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    batch = spark.read.parquet(d)
+    keep = spark.createDataFrame(
+        [(i,) for i in range(0, 40, 3)], ["doc_id"]
+    )
+    bloom = bloom_build(keep, "doc_id", expected_n=14)
+
+    def pipeline(df):
+        return chunk_documents(
+            bloom_filter_rows(df, "doc_id", bloom),
+            chunk_size=20, overlap=5,
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    sink = f"bl_{uuid.uuid4().hex[:8]}"
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in spark.table(sink).collect()
+    }
+    batched = {
+        (r.doc_id, r.chunk_id, r.chunk_text)
+        for r in pipeline(batch).collect()
+    }
+    assert streamed == batched
+    # bloom kept (at least) the 14 member docs; chunking multiplied rows
+    assert {r[0] for r in streamed} >= set(range(0, 40, 3))
