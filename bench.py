@@ -51,6 +51,8 @@ HEADLINE = [
     "q104_purchase_pagerank",     # iterative graph rank (checkpointed)
     "q108_unicode_nfc_dedup",     # Unicode NFC canonical dedup
     "q110_schema_evolution",      # mergeSchema multi-generation scan
+    "q114_doc_chunking",          # RAG char-window chunking (map-only)
+    "q116_bloom_semi_join",       # broadcast bloom prune + exact confirm
 ]
 
 
