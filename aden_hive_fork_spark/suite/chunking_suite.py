@@ -131,3 +131,82 @@ def q116_bloom_semi_join(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — grid-bucketed radius join (operators/geo). The grid only
+# bounds candidates; the haversine residual makes the pair set exact,
+# so the oracle is a plain cross-join filter with the same formula.
+# Coordinates derive from integer keys (exact in both engines);
+# distances are rounded to 2 decimals only in the OUTPUT aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q119_geo_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS cust_id,
+        ((c_custkey * 37) % 1200) / 10.0 - 60.0 AS lat,
+        ((c_custkey * 73) % 3600) / 10.0 - 180.0 AS lon
+      FROM customer WHERE c_custkey % 4 = 0
+    ), pois AS (
+      SELECT n_nationkey AS poi_id,
+        ((n_nationkey * 91) % 1200) / 10.0 - 60.0 AS poi_lat,
+        ((n_nationkey * 53) % 3600) / 10.0 - 180.0 AS poi_lon
+      FROM nation
+    ), pairs AS (
+      SELECT p.cust_id, q.poi_id,
+        2 * 6371.0 * ASIN(SQRT(
+          SIN(RADIANS(q.poi_lat - p.lat) / 2) ^ 2
+          + COS(RADIANS(p.lat)) * COS(RADIANS(q.poi_lat))
+            * SIN(RADIANS(q.poi_lon - p.lon) / 2) ^ 2
+        )) AS dist_km
+      FROM pts p CROSS JOIN pois q
+    )
+    SELECT poi_id,
+      CAST(COUNT(*) AS BIGINT) AS n_within,
+      CAST(MIN(cust_id) AS BIGINT) AS min_cust,
+      CAST(ROUND(SUM(ROUND(dist_km, 2)), 2) AS DOUBLE) AS sum_dist
+    FROM pairs
+    WHERE dist_km <= 1500.0
+    GROUP BY poi_id
+    ORDER BY poi_id ASC
+    """,
+)
+def q119_geo_radius_join(spark, sf_dir):
+    """`geo.radius_join`: customers and nation POIs placed on
+    deterministic pseudo-coordinates; all pairs within 1500 km per
+    POI. The operator's 3x3 grid equi-join (constant x9 replication,
+    hash join on cell id) must produce the EXACT pair set of the
+    oracle's cross-join filter — the grid never changes the answer,
+    only the candidate count."""
+    from ..operators.geo import radius_join
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0)
+    pts = c.select(
+        F.col("c_custkey").alias("cust_id"),
+        (((F.col("c_custkey") * 37) % 1200) / 10.0 - 60.0).alias("lat"),
+        (((F.col("c_custkey") * 73) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    n = T(spark, sf_dir, "nation")
+    pois = n.select(
+        F.col("n_nationkey").alias("poi_id"),
+        (((F.col("n_nationkey") * 91) % 1200) / 10.0 - 60.0).alias("poi_lat"),
+        (((F.col("n_nationkey") * 53) % 3600) / 10.0 - 180.0).alias("poi_lon"),
+    )
+    pairs = radius_join(
+        pts, pois, radius_km=1500.0,
+        lat_col="lat", lon_col="lon",
+        right_lat_col="poi_lat", right_lon_col="poi_lon",
+        max_abs_lat=60.0,
+    )
+    return (
+        pairs.groupBy("poi_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_within"),
+            F.min("cust_id").cast("bigint").alias("min_cust"),
+            F.round(F.sum(F.round(F.col("dist_km"), 2)), 2)
+            .cast("double")
+            .alias("sum_dist"),
+        )
+        .orderBy("poi_id")
+    )
