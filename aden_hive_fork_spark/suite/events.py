@@ -481,3 +481,104 @@ def q105_streaming_sliding_windows(spark, sf_dir):
         .select(start_ntz.alias("window_start"), "event_type", "n_events")
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — LIVE STREAM-STREAM JOIN (§2.C extension): view→purchase
+# attribution. Two watermarked event streams (views, purchases from
+# the same source) joined on user with an event-time range condition —
+# the Structured Streaming capability the window family (q60/q74/q105)
+# doesn't exercise. Inner join + both-side watermarks bound the state
+# store; availableNow replay makes the live run oracle-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "q120_streaming_stream_join",
+    oracle="""
+    SELECT DATE_TRUNC('hour', p.ts) AS purchase_hour,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+      CAST(ROUND(SUM(CAST(p.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS attributed_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.ts >= TIMESTAMP '2024-01-01' AND v.ts < TIMESTAMP '2024-01-03'
+      AND p.ts >= TIMESTAMP '2024-01-01' AND p.ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1
+    ORDER BY purchase_hour ASC
+    """,
+)
+def q120_streaming_stream_join(spark, sf_dir):
+    """Purchases attributed to prior views of the same user within
+    30 minutes, computed as a LIVE stream-stream inner join: both
+    sides watermarked 1 hour, join condition carries the event-time
+    range so Spark can evict matched state. The memory sink collects
+    append-mode pairs; the final (batch) rollup buckets purchases by
+    NTZ hour via absolute-micros arithmetic (timezone-proof)."""
+    import uuid
+
+    from ..catalog import open_events_stream
+
+    stream, ts_ntz, ts_wm = open_events_stream(spark, sf_dir)
+    base = (
+        stream.withColumn("ts_ntz", ts_ntz)
+        .withColumn("ts_wm", ts_wm)
+        .filter(
+            (F.col("ts_ntz") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+            & (F.col("ts_ntz") < F.lit("2024-01-03").cast("timestamp_ntz"))
+        )
+    )
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts_wm").alias("v_wm"),
+        )
+        .withWatermark("v_wm", "1 hour")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").alias("p_value"),
+            F.col("ts_wm").alias("p_wm"),
+            F.col("ts_ntz").alias("p_ntz"),
+        )
+        .withWatermark("p_wm", "1 hour")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_wm >= v_wm"
+            " AND p_wm <= v_wm + interval 30 minutes"
+        ),
+        "inner",
+    )
+    sink = f"q120_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    hour_start = F.expr(
+        "timestampadd(HOUR, timestampdiff(HOUR,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', p_ntz),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    return (
+        spark.table(sink)
+        .groupBy(hour_start.alias("purchase_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("p_event_id").cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.col("p_value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("purchase_hour")
+    )
