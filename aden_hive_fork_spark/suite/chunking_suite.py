@@ -210,3 +210,80 @@ def q119_geo_radius_join(spark, sf_dir):
         )
         .orderBy("poi_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — blocked record linkage (operators/linkage): self-resolution
+# of the part catalog by fuzzy name within (brand, size) blocks.
+# ---------------------------------------------------------------------------
+@query(
+    "q122_record_linkage",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+        ROUND(
+          0.8 * (1.0 - levenshtein(a.p_name, b.p_name)
+                 / GREATEST(LENGTH(a.p_name), LENGTH(b.p_name), 1))
+          + 0.2 * (CASE WHEN a.p_type = b.p_type THEN 1.0 ELSE 0.0 END)
+        , 4) AS score
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    ), matched AS (
+      SELECT left_id, right_id, score,
+        ROW_NUMBER() OVER (
+          PARTITION BY left_id ORDER BY score DESC, right_id ASC
+        ) AS rn
+      FROM pairs WHERE score >= 0.55
+    )
+    SELECT left_id, right_id, CAST(score AS DOUBLE) AS score
+    FROM matched WHERE rn = 1
+    ORDER BY left_id ASC
+    """,
+)
+def q122_record_linkage(spark, sf_dir):
+    """`linkage.link_records`: candidates from a (brand, size)
+    blocking join — never all-pairs — scored 0.8×normalized-edit-
+    similarity(name) + 0.2×exact(type), rounded BEFORE the threshold
+    and best-match ranking so decisions are engine-stable. The
+    self-linkage orders the pair (left < right) BEFORE ranking, then
+    keeps the best match per left part."""
+    from pyspark.sql.window import Window
+
+    from ..operators.linkage import link_records
+
+    p = T(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("left_id"),
+        F.col("p_brand").alias("a_brand"),
+        F.col("p_size").alias("a_size"),
+        F.col("p_name").alias("a_name"),
+        F.col("p_type").alias("a_type"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("right_id"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_size").alias("b_size"),
+        F.col("p_name").alias("b_name"),
+        F.col("p_type").alias("b_type"),
+    )
+    pairs = link_records(
+        a, b,
+        block_on=[("a_brand", "b_brand"), ("a_size", "b_size")],
+        fields=[
+            ("a_name", "b_name", 0.8, "levenshtein"),
+            ("a_type", "b_type", 0.2, "exact"),
+        ],
+        threshold=0.55,
+        best_per_left=False,
+    ).filter(F.col("left_id") < F.col("right_id"))
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("score"), F.asc("right_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("left_id", "right_id",
+                F.col("score").cast("double").alias("score"))
+        .orderBy("left_id")
+    )

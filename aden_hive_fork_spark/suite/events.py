@@ -582,3 +582,62 @@ def q120_streaming_stream_join(spark, sf_dir):
         )
         .orderBy("purchase_hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — SCD-2 interval build (operators/scd): events as a user-status
+# change log → validity intervals with no-op collapse.
+# ---------------------------------------------------------------------------
+@query(
+    "q121_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_type
+        ) AS prev
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    ), kept AS (
+      SELECT user_id, ts, event_type
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS status,
+      ts AS valid_from,
+      LEAD(ts) OVER (
+        PARTITION BY user_id ORDER BY ts, event_type
+      ) AS valid_to,
+      (LEAD(ts) OVER (
+        PARTITION BY user_id ORDER BY ts, event_type
+      ) IS NULL) AS is_current,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts, event_type
+      ) AS INT) AS episode
+    FROM kept
+    ORDER BY user_id ASC, episode ASC
+    """,
+)
+def q121_scd2_intervals(spark, sf_dir):
+    """`scd.build_scd2` over the event log (key=user, attr=event_type):
+    consecutive duplicate states collapse, each state episode gets
+    [valid_from, valid_to) with NULL valid_to marking the current
+    state. Both window passes share one hashpartitioning Exchange —
+    the build is a single shuffle of the change log."""
+    from ..operators.scd import build_scd2
+
+    ev = T(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-08").cast("timestamp_ntz"))
+    )
+    scd = build_scd2(
+        ev.select("user_id", "ts", "event_type"),
+        key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+    )
+    return (
+        scd.select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "valid_from", "valid_to", "is_current", "episode",
+        )
+        .orderBy("user_id", "episode")
+    )
