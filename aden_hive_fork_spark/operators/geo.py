@@ -73,10 +73,22 @@ def radius_join(
     rlat = right_lat_col or lat_col
     rlon = right_lon_col or lon_col
 
+    # lat: central angle >= latitude difference on a sphere, so
+    # |dlat_deg| <= R / (pi*Re/180) = R/111.195; 111.0 leaves slack.
     cell_lat = radius_km / KM_PER_DEG_LAT
-    cell_lon = radius_km / (
-        KM_PER_DEG_LAT * math.cos(math.radians(max_abs_lat))
+    # lon: the EXACT spherical bound. From haversine with both points
+    # at |lat| = L: dist = 2*Re*asin(cos L * sin(dlon/2)), so
+    # dlon_max = 2*asin(sin(R/(2*Re)) / cos L). The linear
+    # R/(111*cos L) approximation undershoots this by up to ~0.7% at
+    # large R (asin convexity) — enough to push boundary pairs two
+    # cells apart. The 1.001 factor absorbs float noise on top.
+    sin_half = math.sin(radius_km / (2 * EARTH_RADIUS_KM)) / math.cos(
+        math.radians(max_abs_lat)
     )
+    if sin_half >= 1.0:
+        cell_lon = 360.0  # any longitude separation is reachable
+    else:
+        cell_lon = math.degrees(2 * math.asin(sin_half)) * 1.001
     # longitude cells form a MODULAR RING so pairs across the
     # antimeridian (lon 179 vs -179) land in neighboring cells —
     # haversine is wrap-correct, the grid must be too. Ring width is

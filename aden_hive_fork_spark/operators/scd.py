@@ -53,10 +53,12 @@ def build_scd2(
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tie))
 
     state = F.struct(*[F.col(c) for c in attr_cols])
-    changed = (
-        F.lag(state).over(w).isNull()
-        | (F.lag(state).over(w) != state)
-    )
+    # NULL-SAFE comparison: plain != yields NULL when an attribute
+    # transitions to/from NULL and the filter would silently drop the
+    # episode; <=> treats NULL as a comparable value. The first row
+    # per key has lag()=NULL which never null-safe-equals a struct,
+    # so it is always kept.
+    changed = ~F.lag(state).over(w).eqNullSafe(state)
     kept = (
         changelog.withColumn("_chg", changed)
         .filter(F.col("_chg"))

@@ -616,7 +616,14 @@ def tls_connect_facts(hostname: str, port: int, timeout: float = 10.0) -> dict:
         ctx2.verify_mode = ssl.CERT_NONE
         conn = ctx2.wrap_socket(socket.socket(), server_hostname=hostname)
         conn.settimeout(timeout)
-        conn.connect((hostname, port))
+        try:
+            conn.connect((hostname, port))
+        except BaseException:
+            conn.close()
+            raise
+    except BaseException:
+        conn.close()  # refused/timeout must not leak the socket
+        raise
     try:
         facts["tls_version"] = conn.version() or "unknown"
         cipher = conn.cipher()

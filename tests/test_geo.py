@@ -244,3 +244,46 @@ def test_geocode_table_distributed(spark):
     assert hit["error"] is None
     miss = out["nowhere-ville"]
     assert miss["total"] == 0 and miss["lat"] is None
+
+
+def test_radius_join_high_lat_boundary_pairs(spark):
+    """Adversarial case for the longitude cell bound: at lat 60 with
+    R=1500 km the EXACT max lon separation (2*asin(sin(R/2Re)/cosL)
+    = 27.17 deg) exceeds the linear R/(111*cosL) approximation
+    (27.03 deg). A pair in that window, placed across a cell
+    boundary, is missed by the linear bound — the cell width must
+    come from the exact spherical formula."""
+    base = 27.027027 * 3 - 180.0 - 0.001
+    pts = spark.createDataFrame(
+        [("a", 60.0, base)], ["name", "lat", "lon"]
+    )
+    pois = spark.createDataFrame(
+        [("b", 60.0, base + 27.15)], ["poi", "plat", "plon"]
+    )
+    got = radius_join(
+        pts, pois, radius_km=1500.0,
+        lat_col="lat", lon_col="lon",
+        right_lat_col="plat", right_lon_col="plon",
+        max_abs_lat=60.0,
+    ).collect()
+    assert len(got) == 1  # dist ~1499.05 km <= 1500
+    assert abs(got[0]["dist_km"] - 1499.05) < 0.5
+
+    # dense sweep at the extreme latitude: grid join == brute force
+    lons = [i * 1.7 for i in range(212)]  # 0 .. 358.7 wrapped later
+    cities = [(f"p{i}", 60.0, ((lo + 180) % 360) - 180)
+              for i, lo in enumerate(lons)]
+    df = spark.createDataFrame(cities, ["name", "lat", "lon"])
+    dfr = df.select(F.col("name").alias("poi"),
+                    F.col("lat").alias("plat"),
+                    F.col("lon").alias("plon"))
+    got = {
+        (r["name"], r["poi"])
+        for r in radius_join(
+            df, dfr, radius_km=1500.0,
+            lat_col="lat", lon_col="lon",
+            right_lat_col="plat", right_lon_col="plon",
+            max_abs_lat=60.0,
+        ).collect()
+    }
+    assert got == brute_pairs(cities, 1500.0)

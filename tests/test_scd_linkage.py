@@ -173,3 +173,25 @@ def test_link_records_no_all_pairs_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_build_scd2_null_attr_transitions(spark):
+    """x -> NULL -> x are three episodes: plain struct != would
+    return NULL on the comparisons and silently drop the NULL
+    episode; the builder must compare null-safely."""
+    rows = [
+        ("a", ts("2024-01-01T00:00:00"), "x"),
+        ("a", ts("2024-01-02T00:00:00"), None),
+        ("a", ts("2024-01-03T00:00:00"), None),   # no-op within NULL
+        ("a", ts("2024-01-04T00:00:00"), "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, tier string")
+    out = sorted(
+        build_scd2(df, "k", "ts", ["tier"], tie_col="ts").collect(),
+        key=lambda r: r["episode"],
+    )
+    assert [(r["tier"], r["episode"]) for r in out] == [
+        ("x", 1), (None, 2), ("x", 3)
+    ]
+    assert out[1]["valid_from"] == ts("2024-01-02T00:00:00")
+    assert out[1]["valid_to"] == ts("2024-01-04T00:00:00")
