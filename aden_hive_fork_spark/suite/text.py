@@ -419,3 +419,83 @@ def q117_bpe_real_tokens(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — corpus-trained Naive Bayes classifier (operators/classifier):
+# train AND score inside one relational plan, both oracle-replayed.
+# ---------------------------------------------------------------------------
+@query(
+    "q123_nb_classifier",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS good,
+        unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), counts AS (
+      SELECT token,
+        SUM(CASE WHEN good THEN 1 ELSE 0 END) AS n_good,
+        SUM(CASE WHEN good THEN 0 ELSE 1 END) AS n_bad
+      FROM toks GROUP BY token
+    ), totals AS (
+      SELECT SUM(n_good) AS Ng, SUM(n_bad) AS Nb, COUNT(*) AS V
+      FROM counts
+    ), doc_counts AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS Dg,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS Db
+      FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), odds AS (
+      SELECT token,
+        CAST(ROUND(
+          LN((n_good + 1.0) / (Ng + 1.0 * V))
+          - LN((n_bad + 1.0) / (Nb + 1.0 * V)), 6) AS DECIMAL(18,6))
+          AS odds
+      FROM counts, totals
+    ), consts AS (
+      SELECT
+        CAST(ROUND(LN(Dg / Db), 6) AS DECIMAL(18,6)) AS prior,
+        CAST(ROUND(
+          LN(1.0 / (Ng + 1.0 * V)) - LN(1.0 / (Nb + 1.0 * V)), 6)
+          AS DECIMAL(18,6)) AS unseen_odds
+      FROM totals, doc_counts
+    ), scored AS (
+      SELECT t.doc_id, c.prior + SUM(COALESCE(o.odds, c.unseen_odds))
+        AS nb_score
+      FROM toks t LEFT JOIN odds o ON t.token = o.token
+      CROSS JOIN consts c
+      GROUP BY t.doc_id, c.prior
+    )
+    SELECT s.doc_id, d.lang,
+      CAST(s.nb_score AS DECIMAL(28,6)) AS nb_score,
+      (s.nb_score > 0) AS predicted_en
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ORDER BY s.doc_id ASC
+    """,
+)
+def q123_nb_classifier(spark, sf_dir):
+    """`classifier.nb_train` + `nb_score`: multinomial NB with
+    add-one smoothing, trained on lang='en' labels and scoring the
+    SAME corpus — the fastText-style quality/domain filter expressed
+    entirely in relational ops. Per-token log-odds are rounded to 6
+    decimals and summed as DECIMAL, so scores are exact and
+    partitioning-independent; training is one token shuffle, scoring
+    is a broadcast model join + keyed sum. The >0 sign is stable
+    because scores are exact decimals."""
+    from ..operators.classifier import nb_score, nb_train
+
+    docs = T(spark, sf_dir, "documents")
+    labeled = docs.withColumn("good", F.col("lang") == "en")
+    odds, consts = nb_train(labeled, "good")
+    scored = nb_score(docs, odds, consts)
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("nb_score").cast("decimal(28,6)").alias("nb_score"),
+            (F.col("nb_score") > 0).alias("predicted_en"),
+        )
+        .orderBy("doc_id")
+    )
