@@ -641,3 +641,75 @@ def q121_scd2_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "episode")
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — time-bucket gap filling with LOCF (operators/timeseries):
+# dense per-user hourly series where silent hours carry the last
+# observed hourly total forward.
+# ---------------------------------------------------------------------------
+@query(
+    "q124_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS bucket,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+        AND user_id < 20
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM hourly) u
+      CROSS JOIN generate_series(
+        TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02 23:00:00',
+        INTERVAL 1 HOUR
+      ) g(bucket)
+    ), joined AS (
+      SELECT g.user_id, g.bucket, h.total,
+        (h.total IS NULL) AS filled
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.bucket = h.bucket
+    )
+    SELECT user_id, bucket,
+      LAST_VALUE(total IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS total,
+      filled
+    FROM joined
+    ORDER BY user_id ASC, bucket ASC
+    """,
+)
+def q124_gapfill_locf(spark, sf_dir):
+    """`timeseries.gapfill`: per-user hourly spend totals densified
+    onto the full 48-hour grid, missing hours carrying the last
+    observation forward (leading gaps stay NULL). Grid = keys ×
+    sequence (no driver loop); LOCF shares the join's partitioning —
+    one co-keyed join + one window pass. Hour buckets via
+    absolute-micros arithmetic (timezone-proof)."""
+    from ..operators.timeseries import gapfill
+
+    ev = T(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+        & (F.col("user_id") < 20)
+    )
+    hour_start = F.expr(
+        "timestampadd(HOUR, timestampdiff(HOUR,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    hourly = (
+        ev.groupBy("user_id", hour_start.alias("bucket"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total")
+        )
+    )
+    return gapfill(
+        hourly, "user_id", "bucket", "total",
+        start="2024-01-01 00:00:00", end="2024-01-02 23:00:00",
+        step="1 hour", fill="locf",
+    ).orderBy("user_id", "bucket")
