@@ -115,3 +115,72 @@ def pagerank(
         except Exception:
             pass
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
+                   ) -> DataFrame:
+    """Exact triangle count via degree-ordered edge orientation — the
+    published join-based algorithm (the MapReduce triangle-counting
+    scheme of Suri & Vassilvitskii, WWW'11): orient every undirected
+    edge from its lower-(degree, id) endpoint to the higher one, then
+    count length-2 paths u→v→w that close with an oriented edge u→w.
+
+    Orientation bounds the out-degree of every node by O(sqrt(|E|)),
+    so the path-join's intermediate is O(|E|^1.5) worst case instead
+    of sum(deg^2) — the reason a high-degree hub doesn't explode the
+    join at corpus scale. Three keyed hash joins, no cartesian.
+
+    ``edges`` must be undirected-deduped (one row per pair, any
+    orientation). Returns a 1-row DataFrame: ``n_nodes, n_edges,
+    n_triangles``.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient low (deg, id) -> high (deg, id)
+    ed = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("o")
+        )
+        .select(F.col("o.u").alias("u"), F.col("o.w").alias("w"))
+    )
+    paths = (
+        ed.alias("x")
+        .join(ed.alias("y"), F.col("x.w") == F.col("y.u"))
+        .select(F.col("x.u").alias("u"), F.col("x.w").alias("v"),
+                F.col("y.w").alias("w"))
+    )
+    closing = ed.select(F.col("u").alias("cu"), F.col("w").alias("cw"))
+    tri = paths.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")),
+    )
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+    )

@@ -100,3 +100,55 @@ def q104_purchase_pagerank(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("id"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — exact triangle count (operators/graph_rank.triangle_count)
+# over the part co-order graph. The Spark side uses degree-ordered
+# orientation (O(|E|^1.5) intermediate); the oracle counts the same
+# triangles with the canonical a<b<c three-way join — any correct
+# algorithm agrees on the number.
+# ---------------------------------------------------------------------------
+@query(
+    "q125_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                      GREATEST(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), nodes AS (
+      SELECT COUNT(DISTINCT v) AS n_nodes FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      )
+    )
+    SELECT
+      CAST((SELECT n_nodes FROM nodes) AS BIGINT) AS n_nodes,
+      CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      CAST((
+        SELECT COUNT(*)
+        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+          ON e3.a = e1.a AND e3.b = e2.b
+      ) AS BIGINT) AS n_triangles
+    """,
+)
+def q125_triangle_count(spark, sf_dir):
+    """Triangles in the part co-order graph (edges = part pairs that
+    appear in the same order — per-order item counts are bounded, so
+    the pair explode is constant-factor). Degree-ordered orientation
+    keeps the path join's intermediate O(|E|^1.5) even with hub
+    parts."""
+    from ..operators.graph_rank import triangle_count
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(pairs)

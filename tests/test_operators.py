@@ -569,3 +569,24 @@ def test_pagerank_restores_checkpoint_dir(spark, tmp_path):
     # means: subsequent checkpoints land back under the caller's
     # prior tree, not in pagerank's dir.
     assert cur.isDefined() and cur.get().startswith(prior_resolved)
+
+
+def test_triangle_count_hand_graphs(spark):
+    from aden_hive_fork_spark.operators.graph_rank import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return triangle_count(df).collect()[0].asDict()
+
+    # K4: 4 triangles, 6 edges (given with mixed orientations + dup)
+    k4 = [(1, 2), (1, 3), (1, 4), (3, 2), (2, 4), (4, 3), (2, 1)]
+    assert tri(k4) == {"n_nodes": 4, "n_edges": 6, "n_triangles": 4}
+    # path graph: none
+    assert tri([(1, 2), (2, 3), (3, 4)])["n_triangles"] == 0
+    # star hub: none (orientation must not explode or miscount)
+    star = [(0, i) for i in range(1, 8)]
+    assert tri(star) == {"n_nodes": 8, "n_edges": 7, "n_triangles": 0}
+    # triangle + pendant; self-loops dropped
+    assert tri([(1, 2), (2, 3), (1, 3), (3, 4), (4, 4)]) == {
+        "n_nodes": 4, "n_edges": 4, "n_triangles": 1
+    }
