@@ -713,3 +713,96 @@ def q124_gapfill_locf(spark, sf_dir):
         start="2024-01-01 00:00:00", end="2024-01-02 23:00:00",
         step="1 hour", fill="locf",
     ).orderBy("user_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# q126 — linear interpolation fill (the hypertable interpolate()
+# analog): gaps take the line between the surrounding REAL
+# observations; leading/trailing gaps stay NULL.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_gapfill_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS bucket,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+        AND user_id < 20
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM hourly) u
+      CROSS JOIN generate_series(
+        TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-02 23:00:00',
+        INTERVAL 1 HOUR
+      ) g(bucket)
+    ), joined AS (
+      SELECT g.user_id, g.bucket, h.total, (h.total IS NULL) AS filled
+      FROM grid g LEFT JOIN hourly h
+        ON g.user_id = h.user_id AND g.bucket = h.bucket
+    ), surrounded AS (
+      SELECT user_id, bucket, total, filled,
+        LAST_VALUE(CASE WHEN total IS NOT NULL
+          THEN {'v': total, 't': bucket} END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        FIRST_VALUE(CASE WHEN total IS NOT NULL
+          THEN {'v': total, 't': bucket} END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+      FROM joined
+    )
+    SELECT user_id, bucket,
+      CAST(ROUND(COALESCE(
+        CAST(total AS DOUBLE),
+        CASE WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+          CAST(prev.v AS DOUBLE)
+          + (CAST(next.v AS DOUBLE) - CAST(prev.v AS DOUBLE))
+            * date_diff('microsecond', prev.t, bucket)
+            / NULLIF(date_diff('microsecond', prev.t, next.t), 0)
+        END), 4) AS DOUBLE) AS total,
+      filled
+    FROM surrounded
+    ORDER BY user_id ASC, bucket ASC
+    """,
+)
+def q126_gapfill_interpolate(spark, sf_dir):
+    """`timeseries.gapfill(fill='interpolate')`: the slope uses the
+    surrounding REAL observation times (carried as (value, bucket)
+    structs through ignore-nulls windows), micros arithmetic NTZ-pure.
+    Identical expression order on both engines makes the double
+    arithmetic bit-equal before the 4-decimal output rounding."""
+    from ..operators.timeseries import gapfill
+
+    ev = T(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+        & (F.col("user_id") < 20)
+    )
+    hour_start = F.expr(
+        "timestampadd(HOUR, timestampdiff(HOUR,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts),"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+    hourly = (
+        ev.groupBy("user_id", hour_start.alias("bucket"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total")
+        )
+    )
+    out = gapfill(
+        hourly, "user_id", "bucket", "total",
+        start="2024-01-01 00:00:00", end="2024-01-02 23:00:00",
+        step="1 hour", fill="interpolate",
+    )
+    return (
+        out.select(
+            "user_id", "bucket",
+            F.round(F.col("total"), 4).cast("double").alias("total"),
+            "filled",
+        )
+        .orderBy("user_id", "bucket")
+    )

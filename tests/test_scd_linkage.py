@@ -195,3 +195,49 @@ def test_build_scd2_null_attr_transitions(spark):
     ]
     assert out[1]["valid_from"] == ts("2024-01-02T00:00:00")
     assert out[1]["valid_to"] == ts("2024-01-04T00:00:00")
+
+
+def test_scd2_asof_enriches_streams(spark, tmp_path):
+    """scd2_asof is a stateless stream-static join, so a live event
+    stream can be enriched with point-in-time dimension state —
+    availableNow replay equals batch."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    scd = build_scd2(
+        spark.createDataFrame(CHANGELOG, ["k", "ts", "tier"]),
+        "k", "ts", ["tier"],
+    )
+    probes = [
+        ("a", ts("2024-01-02T12:00:00")),
+        ("a", ts("2024-01-04T00:00:00")),
+        ("b", ts("2024-01-03T00:00:00")),
+    ]
+    d = os.path.join(tmp_path, "probes")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "k": pa.array([p[0] for p in probes]),
+            "ts": pa.array([p[1] for p in probes], pa.timestamp("us")),
+        }),
+        os.path.join(d, "p.parquet"),
+    )
+    batch = spark.read.parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    sink = f"scd_{uuid.uuid4().hex[:8]}"
+    q = (
+        scd2_asof(scd, stream, "k", "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {(r["k"], r["ts"], r["tier"])
+                for r in spark.table(sink).collect()}
+    batched = {(r["k"], r["ts"], r["tier"])
+               for r in scd2_asof(scd, batch, "k", "ts").collect()}
+    assert streamed == batched
+    assert ("a", ts("2024-01-02T12:00:00"), "bronze") in streamed
+    assert ("a", ts("2024-01-04T00:00:00"), "silver") in streamed

@@ -65,7 +65,7 @@ def test_gapfill_zero_and_null_modes(spark):
     assert dense[("a", 0)] is None and dense[("a", 1)] == 10.0
     with pytest.raises(ValueError):
         gapfill(observed_df(spark), "k", "bucket", "v",
-                fill="interpolate", **SPAN)
+                fill="bogus", **SPAN)
 
 
 def test_gapfill_grid_cardinality(spark):
@@ -75,3 +75,26 @@ def test_gapfill_grid_cardinality(spark):
     # observed values never flagged as filled
     obs = out.filter(~F.col("filled")).count()
     assert obs == len(OBSERVED)
+
+
+def test_gapfill_interpolate(spark):
+    rows = [
+        ("a", ts("2024-01-01T00:00:00"), 10.0),
+        ("a", ts("2024-01-01T03:00:00"), 40.0),   # 3h gap: 20, 30
+        ("b", ts("2024-01-01T01:00:00"), 7.0),    # single obs
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = {
+        (r["k"], r["bucket"].hour): (r["v"], r["filled"])
+        for r in gapfill(df, "k", "bucket", "v",
+                         fill="interpolate", **SPAN).collect()
+    }
+    assert out[("a", 0)] == (10.0, False)
+    assert out[("a", 1)] == (20.0, True)   # linear between 10 and 40
+    assert out[("a", 2)] == (30.0, True)
+    assert out[("a", 3)] == (40.0, False)
+    # no surrounding pair → stays NULL (leading + trailing gaps)
+    assert out[("b", 0)] == (None, True)
+    assert out[("b", 1)] == (7.0, False)
+    assert out[("b", 2)] == (None, True)
+    assert out[("b", 3)] == (None, True)
