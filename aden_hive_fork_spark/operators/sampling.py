@@ -204,3 +204,98 @@ def pack_sequences(
         )
         .drop("_start")
     )
+
+
+def es_key(key: Column | str, weight: Column, salt: str = "") -> Column:
+    """Efraimidis-Spirakis weighted-sampling rank key: with
+    u = uniform(0,1) derived from the md5 content hash, the items
+    with the LARGEST u^(1/w) form an exact weighted sample without
+    replacement. We rank by the monotone-equivalent ln(u)/w (no pow
+    precision hazard); ties are impossible in practice and broken by
+    key downstream. md5-derived u keeps the whole construction
+    DuckDB-replayable and repartition-stable, like hash_bucket."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    u = (u32 + 1.0) / 4294967297.0  # (2^32 + 1): u in (0, 1) exclusive
+    return F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exact weighted sample WITHOUT replacement of size k (the
+    published A-ES scheme): inclusion probability tracks weight, the
+    sample is deterministic in the content hash (reproducible on any
+    cluster shape, stable under repartitioning), and a different
+    ``salt`` draws an independent sample. Rows with non-positive or
+    NULL weight are excluded. Top-k compiles to
+    TakeOrderedAndProject — no global sort materializes."""
+    r = es_key(key_col, F.col(weight_col).cast("double"), salt)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es", r)
+        .orderBy(F.desc("_es"), F.col(key_col))
+        .limit(k)
+        .drop("_es")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group A-ES sample: k rows per group, one window pass
+    (rank on the ES key desc, key tiebreak). The quota-sampling
+    twin for weighted draws."""
+    from pyspark.sql.window import Window
+
+    r = es_key(key_col, F.col(weight_col).cast("double"), salt)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_es"), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es", r)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_es", "_rk")
+    )
+
+
+def temperature_weights(
+    df: DataFrame,
+    class_col: str,
+    alpha: float,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mixture-temperature reweighting (the multilingual-pretraining
+    sampling rule: draw class c with probability ∝ p_c^alpha;
+    alpha < 1 upweights rare classes, alpha = 1 is natural, alpha = 0
+    is uniform-over-classes). Emits per-row ``weight`` =
+    (p_c)^(alpha-1) normalized so the mean per-ROW weight is exactly
+    1.0 at ``ndigits`` rounding — feed straight into
+    ``weighted_sample`` for a temperature-mixed corpus draw."""
+    counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = df.count()
+    raw = F.pow(F.col("_n") / F.lit(float(total)), alpha - 1.0)
+    # normalizer: sum over classes of n_c * raw_c == total * mean
+    norm = counts.select(
+        F.sum(F.col("_n") * F.pow(F.col("_n") / F.lit(float(total)),
+                                  alpha - 1.0)).alias("_z")
+    )
+    weights = counts.crossJoin(F.broadcast(norm)).select(
+        class_col,
+        F.round(raw * F.lit(float(total)) / F.col("_z"), ndigits).alias(
+            "weight"
+        ),
+    )
+    return df.join(F.broadcast(weights), class_col)

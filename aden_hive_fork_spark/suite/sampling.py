@@ -194,3 +194,60 @@ def q100_sequence_packing(spark, sf_dir):
         "chunk_id",
         F.col("chunk_offset").cast("bigint").alias("chunk_offset"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q127 — deterministic weighted sampling (Efraimidis-Spirakis) with
+# temperature mixture weights, fully md5-replayable in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_weighted_sample",
+    oracle="""
+    WITH weighted AS (
+      SELECT doc_id, source, n_chars,
+        LN((CAST(('0x' || substr(md5('es1' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::UBIGINT AS DOUBLE) + 1.0) / 4294967297.0)
+          / CAST(n_chars AS DOUBLE) AS es
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY es DESC, doc_id ASC
+        ) AS rk
+      FROM weighted
+    )
+    SELECT source, CAST(rk AS INT) AS rank,
+      CAST(doc_id AS BIGINT) AS doc_id,
+      CAST(n_chars AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= 5
+    ORDER BY source ASC, rank ASC
+    """,
+)
+def q127_weighted_sample(spark, sf_dir):
+    """`sampling.weighted_sample_per_group`: 5 docs per source, drawn
+    by the A-ES scheme with weight = n_chars (longer docs more
+    likely). The uniform comes from the md5 content hash, so the
+    sample is repartition-stable, cluster-shape-independent, and the
+    oracle replays the EXACT draw — a verifiable weighted sample.
+    One window pass; no global sort."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import es_key
+
+    docs = T(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    r = es_key("doc_id", F.col("n_chars").cast("double"), salt="es1")
+    w = Window.partitionBy("source").orderBy(F.desc("_es"), F.col("doc_id"))
+    return (
+        docs.withColumn("_es", r)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "source", "rank",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("source", "rank")
+    )

@@ -145,3 +145,92 @@ def test_pack_sequences_tied_order_keys(spark):
         for r in pack_sequences(df, "n", 16, ["source"], [F.asc("ord")]).collect()
     )
     assert out == [(0, 0), (0, 5)]
+
+
+def test_weighted_sample_tracks_weights(spark):
+    """A-ES property: over many independent salts, heavy items are
+    sampled proportionally more often."""
+    from aden_hive_fork_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0 if i < 10 else 1.0) for i in range(110)]
+    df = spark.createDataFrame(rows, ["k", "w"]).cache()
+    heavy_hits = light_hits = 0
+    for s in range(30):
+        got = {r["k"] for r in
+               weighted_sample(df, "k", "w", 20, salt=f"s{s}").collect()}
+        assert len(got) == 20
+        heavy_hits += sum(1 for k in got if k < 10)
+        light_hits += sum(1 for k in got if k >= 10)
+    # 10 heavy (w=10) vs 100 light (w=1): heavy inclusion rate must be
+    # several times the light rate (exact rates are scheme-dependent)
+    heavy_rate = heavy_hits / (30 * 10)
+    light_rate = light_hits / (30 * 100)
+    assert heavy_rate > 3 * light_rate
+    df.unpersist()
+
+
+def test_weighted_sample_deterministic_and_repartition_stable(spark):
+    from aden_hive_fork_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7 + 1)) for i in range(200)], ["k", "w"]
+    )
+    a = sorted(r["k"] for r in weighted_sample(df, "k", "w", 25).collect())
+    b = sorted(
+        r["k"] for r in
+        weighted_sample(df.repartition(13), "k", "w", 25).collect()
+    )
+    assert a == b
+    # zero/negative/null weights excluded
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 2.0)],
+        "k bigint, w double",
+    )
+    assert [r["k"] for r in weighted_sample(df2, "k", "w", 10).collect()] == [4]
+
+
+def test_weighted_sample_per_group_quota(spark):
+    from aden_hive_fork_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(f"g{i % 3}", i, 1.0 + i % 5) for i in range(90)]
+    df = spark.createDataFrame(rows, ["g", "k", "w"])
+    out = weighted_sample_per_group(df, "g", "k", "w", 4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], []).append(r["k"])
+    assert all(len(v) == 4 for v in per.values())
+    assert set(per) == {"g0", "g1", "g2"}
+
+
+def test_temperature_weights_alpha_laws(spark):
+    from aden_hive_fork_spark.operators.sampling import temperature_weights
+
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["cls", "k"])
+
+    # alpha=1: natural mixture — every weight exactly 1
+    w1 = temperature_weights(df, "cls", 1.0).select("weight").distinct()
+    assert [float(r["weight"]) for r in w1.collect()] == [1.0]
+
+    # alpha=0: uniform over classes — per-CLASS total mass equalizes
+    w0 = temperature_weights(df, "cls", 0.0)
+    mass = {
+        r["cls"]: float(r["m"])
+        for r in w0.groupBy("cls").agg(F.sum("weight").alias("m")).collect()
+    }
+    assert abs(mass["big"] - mass["small"]) < 1e-3
+    # mean per-row weight is 1 → total mass == row count
+    assert abs(sum(mass.values()) - 100) < 1e-3
+
+    # alpha=0.5: w_c = p_c^-0.5 / Z with p=(0.9, 0.1) →
+    # Z = 0.9*0.9^-0.5 + 0.1*0.1^-0.5 ≈ 1.2649 →
+    # w_small ≈ 3.1623/1.2649 = 2.5, w_big ≈ 1.0541/1.2649 = 0.8333
+    w5 = temperature_weights(df, "cls", 0.5)
+    per_row = {
+        r["cls"]: float(r["weight"])
+        for r in w5.select("cls", "weight").distinct().collect()
+    }
+    assert abs(per_row["small"] - 2.5) < 1e-3
+    assert abs(per_row["big"] - 0.8333) < 1e-3
