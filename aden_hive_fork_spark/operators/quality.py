@@ -1,0 +1,179 @@
+"""Data-quality operators: table profiling and declarative
+constraint checking (the deequ/dbt-test-style layer) — the batch
+complement of the streaming dead-letter split (streaming/quarantine)
+and the schema validator (functions/validate).
+
+Both operators are single-pass aggregations:
+
+- ``profile_table`` computes per-column statistics (null rate, exact
+  distinct count, min/max, mean for numerics) in ONE wide aggregate
+  over the table — one job, no per-column scans. Output is LONG
+  (one row per column), so the profile of a 1000-column table is
+  still a small DataFrame.
+- ``check_constraints`` evaluates declarative rules and returns one
+  row per rule with pass/fail, the violating-row count, and the
+  metric value. Rules compile to conditional aggregates in one pass;
+  ``uniqueness`` adds one keyed aggregate. Nothing collects more
+  than the report.
+
+Both outputs are plain DataFrames — persist them next to the data
+they describe, diff them across runs, alert on deltas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  ndigits: int = 4) -> DataFrame:
+    """One row per column: ``column, n_rows, n_nulls, null_frac,
+    n_distinct (exact), min_value, max_value, mean_value`` (min/max as
+    strings for type uniformity; mean NULL for non-numerics, decimals
+    profiled via their numeric cast)."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        is_num = dtypes[c] in _NUMERIC or dtypes[c].startswith("decimal")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+            (
+                F.round(F.avg(F.col(c).cast("double")), ndigits)
+                if is_num else F.lit(None).cast("double")
+            ).alias(f"_av_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # wide -> long: one struct per column, exploded (driver never sees
+    # the data, only the 1-row aggregate plan)
+    structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_rows").cast("bigint").alias("n_rows"),
+            F.col(f"_nn_{c}").cast("bigint").alias("n_nulls"),
+            F.round(F.col(f"_nn_{c}") / F.col("_rows"), ndigits)
+            .alias("null_frac"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"_mn_{c}").alias("min_value"),
+            F.col(f"_mx_{c}").alias("max_value"),
+            F.col(f"_av_{c}").alias("mean_value"),
+        )
+        for c in cols
+    ])
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# declarative constraints
+# ---------------------------------------------------------------------------
+def not_null(col: str) -> dict:
+    return {"rule": f"not_null({col})", "kind": "not_null", "col": col}
+
+
+def unique(col: str) -> dict:
+    return {"rule": f"unique({col})", "kind": "unique", "col": col}
+
+
+def in_range(col: str, lo=None, hi=None) -> dict:
+    return {"rule": f"in_range({col},{lo},{hi})", "kind": "in_range",
+            "col": col, "lo": lo, "hi": hi}
+
+
+def matches(col: str, pattern: str) -> dict:
+    return {"rule": f"matches({col})", "kind": "matches", "col": col,
+            "pattern": pattern}
+
+
+def in_set(col: str, values: list) -> dict:
+    return {"rule": f"in_set({col})", "kind": "in_set", "col": col,
+            "values": list(values)}
+
+
+def min_fraction(col: str, predicate: Column, frac: float,
+                 name: str | None = None) -> dict:
+    """At least ``frac`` of rows satisfy ``predicate`` (a Column)."""
+    return {"rule": name or f"min_fraction({col})", "kind": "min_fraction",
+            "col": col, "pred": predicate, "frac": frac}
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate every rule in (at most) two aggregation passes.
+
+    Output: one row per rule — ``rule, passed, n_violations, metric``
+    (metric = violation fraction, or the duplicate-key count for
+    ``unique``). NULLs violate ``in_range``/``matches``/``in_set``
+    only via ``not_null`` — a NULL is 'unknown', not 'out of range'
+    (3VL, same convention as SQL CHECK constraints).
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    uniq_rules = []
+    for i, rule in enumerate(rules):
+        kind, col = rule["kind"], rule["col"]
+        c = F.col(col)
+        if kind == "not_null":
+            viol = c.isNull()
+        elif kind == "in_range":
+            conds = []
+            if rule["lo"] is not None:
+                conds.append(c < F.lit(rule["lo"]))
+            if rule["hi"] is not None:
+                conds.append(c > F.lit(rule["hi"]))
+            viol = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+            viol = c.isNotNull() & viol
+        elif kind == "matches":
+            viol = c.isNotNull() & ~c.rlike(rule["pattern"])
+        elif kind == "in_set":
+            viol = c.isNotNull() & ~c.isin(rule["values"])
+        elif kind == "min_fraction":
+            viol = ~F.coalesce(rule["pred"], F.lit(False))
+        elif kind == "unique":
+            uniq_rules.append((i, rule))
+            continue
+        else:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+        aggs.append(F.sum(F.when(viol, 1).otherwise(0)).alias(f"_v{i}"))
+
+    wide = df.agg(*aggs).collect()[0]
+    n_rows = wide["_rows"]
+
+    report = []
+    for i, rule in enumerate(rules):
+        if rule["kind"] == "unique":
+            continue
+        nv = int(wide[f"_v{i}"] or 0)
+        frac = round(nv / n_rows, 6) if n_rows else 0.0
+        if rule["kind"] == "min_fraction":
+            passed = (1.0 - frac) >= rule["frac"]
+        else:
+            passed = nv == 0
+        report.append((rule["rule"], passed, nv, float(frac)))
+
+    for i, rule in uniq_rules:
+        dup = (
+            df.filter(F.col(rule["col"]).isNotNull())
+            .groupBy(rule["col"])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .agg(
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("dup_rows"),
+                F.count(F.lit(1)).alias("dup_keys"),
+            )
+            .collect()[0]
+        )
+        nv = int(dup["dup_rows"])
+        report.append((rule["rule"], nv == 0, nv, float(dup["dup_keys"])))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        report, "rule string, passed boolean, n_violations bigint,"
+        " metric double"
+    )

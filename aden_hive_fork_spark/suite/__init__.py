@@ -50,6 +50,7 @@ def load_all() -> None:
         external_db,
         graph,
         multimodal,
+        quality_suite,
         relational,
         relational2,
         relational3,

@@ -1,0 +1,147 @@
+"""Data-quality batch: single-pass table profiling and declarative
+constraint checking (operators/quality) under the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+
+
+# ---------------------------------------------------------------------------
+# q128 — table profile (one wide aggregate → long report). Profiled
+# columns are integer/string so min/max string forms agree across
+# engines (double→string formatting is engine-specific and excluded
+# by design: numeric centrality is reported via mean_value instead).
+# ---------------------------------------------------------------------------
+@query(
+    "q128_table_profile",
+    oracle="""
+    WITH base AS (SELECT * FROM customer)
+    SELECT 'c_custkey' AS "column", COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nulls,
+      CAST(ROUND(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+        / COUNT(*), 4) AS DOUBLE) AS null_frac,
+      CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+      CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+      CAST(MAX(c_custkey) AS VARCHAR) AS max_value,
+      CAST(ROUND(AVG(CAST(c_custkey AS DOUBLE)), 4) AS DOUBLE)
+        AS mean_value
+    FROM base
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*),
+      CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(ROUND(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+        / COUNT(*), 4) AS DOUBLE),
+      CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+      CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR),
+      CAST(ROUND(AVG(CAST(c_nationkey AS DOUBLE)), 4) AS DOUBLE)
+    FROM base
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*),
+      CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(ROUND(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+        / COUNT(*), 4) AS DOUBLE),
+      CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+      MIN(c_mktsegment), MAX(c_mktsegment),
+      CAST(NULL AS DOUBLE)
+    FROM base
+    ORDER BY "column" ASC
+    """,
+)
+def q128_table_profile(spark, sf_dir):
+    """`quality.profile_table` over three customer columns: exact
+    null/distinct/min/max/mean per column computed in ONE wide
+    aggregate (no per-column scans), emitted long-form. The
+    1000-column version is the same single job."""
+    from ..operators.quality import profile_table
+
+    c = T(spark, sf_dir, "customer")
+    return profile_table(
+        c, columns=["c_custkey", "c_nationkey", "c_mktsegment"]
+    ).orderBy("column")
+
+
+# ---------------------------------------------------------------------------
+# q129 — declarative constraint report (deequ/dbt-test analog).
+# ---------------------------------------------------------------------------
+@query(
+    "q129_constraint_report",
+    oracle="""
+    WITH base AS (SELECT * FROM orders), t AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+        SUM(CASE WHEN o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0 OR o_totalprice > 1000000)
+            THEN 1 ELSE 0 END) AS v_rng,
+        SUM(CASE WHEN o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('O','F','P')
+            THEN 1 ELSE 0 END) AS v_set,
+        SUM(CASE WHEN o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+            THEN 1 ELSE 0 END) AS v_re,
+        SUM(CASE WHEN NOT COALESCE(o_totalprice > 1000, FALSE)
+            THEN 1 ELSE 0 END) AS v_frac
+      FROM base
+    ), dup AS (
+      SELECT COALESCE(SUM(cnt), 0) AS dup_rows,
+             COUNT(*) AS dup_keys
+      FROM (
+        SELECT o_orderkey, COUNT(*) AS cnt FROM base
+        WHERE o_orderkey IS NOT NULL
+        GROUP BY o_orderkey HAVING COUNT(*) > 1
+      )
+    )
+    SELECT * FROM (
+      SELECT 'not_null(o_orderkey)' AS rule, v_nn = 0 AS passed,
+        CAST(v_nn AS BIGINT) AS n_violations,
+        CAST(ROUND(v_nn / n, 6) AS DOUBLE) AS metric FROM t
+      UNION ALL
+      SELECT 'in_range(o_totalprice,0,1000000)', v_rng = 0,
+        CAST(v_rng AS BIGINT), CAST(ROUND(v_rng / n, 6) AS DOUBLE) FROM t
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)', v_set = 0,
+        CAST(v_set AS BIGINT), CAST(ROUND(v_set / n, 6) AS DOUBLE) FROM t
+      UNION ALL
+      SELECT 'matches(o_orderpriority)', v_re = 0,
+        CAST(v_re AS BIGINT), CAST(ROUND(v_re / n, 6) AS DOUBLE) FROM t
+      UNION ALL
+      SELECT 'bulk_orders_over_1000', (1.0 - ROUND(v_frac / n, 6)) >= 0.5,
+        CAST(v_frac AS BIGINT), CAST(ROUND(v_frac / n, 6) AS DOUBLE) FROM t
+      UNION ALL
+      SELECT 'unique(o_orderkey)', dup_rows = 0,
+        CAST(dup_rows AS BIGINT), CAST(dup_keys AS DOUBLE) FROM dup
+    )
+    ORDER BY rule ASC
+    """,
+)
+def q129_constraint_report(spark, sf_dir):
+    """`quality.check_constraints`: six declarative rules (not-null,
+    range, set membership, regex, minimum-fraction, uniqueness)
+    evaluated in two aggregation passes; the report rows — passed
+    flag, violation count, violation fraction (dup-key count for
+    uniqueness) — must hash-match the SQL replay."""
+    from ..operators.quality import (
+        check_constraints,
+        in_range,
+        in_set,
+        matches,
+        min_fraction,
+        not_null,
+        unique,
+    )
+
+    o = T(spark, sf_dir, "orders")
+    report = check_constraints(o, [
+        not_null("o_orderkey"),
+        in_range("o_totalprice", 0, 1_000_000),
+        in_set("o_orderstatus", ["O", "F", "P"]),
+        matches("o_orderpriority", "^[1-5]-"),
+        min_fraction("o_totalprice", F.col("o_totalprice") > 1000, 0.5,
+                     name="bulk_orders_over_1000"),
+        unique("o_orderkey"),
+    ])
+    return report.orderBy("rule")
