@@ -53,6 +53,10 @@ HEADLINE = [
     "q110_schema_evolution",      # mergeSchema multi-generation scan
     "q114_doc_chunking",          # RAG char-window chunking (map-only)
     "q116_bloom_semi_join",       # broadcast bloom prune + exact confirm
+    "q121_scd2_intervals",        # SCD-2 interval build (shared-Exchange windows)
+    "q123_nb_classifier",         # relational NB train+score
+    "q125_triangle_count",        # degree-ordered triangle join
+    "q129_constraint_report",     # declarative constraint sweep
 ]
 
 
