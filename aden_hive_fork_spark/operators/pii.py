@@ -1,0 +1,106 @@
+"""PII detection and redaction — the safety-curation pass every
+training-data pipeline runs before text leaves the lake.
+
+Reference analog: the reference's cleansing/validation tier operates
+one payload at a time (core/framework validation + the excel/search
+``search_predicate`` regex mode); this is the TABLE version — scan a
+corpus column, count typed PII hits per document, and rewrite the
+text with typed placeholders.
+
+Spark-first: every detector is a single JVM ``regexp_count`` /
+``regexp_replace`` column expression — whole-stage codegen, zero
+Python in the row path, streaming-safe (stateless projections run
+unchanged under Structured Streaming, like the quarantine split they
+compose with). The patterns are deliberately restricted to the
+regex dialect intersection of Java (Spark) and RE2 (DuckDB): no
+lookbehind/lookahead, no backreferences — so the DuckDB oracle can
+replay detection and redaction byte-for-byte.
+
+100 TB: detection/redaction are narrow map-side projections (no
+shuffle); a corpus-level PII census is one aggregate over the
+projected counts. Redaction order is fixed (longest/most-specific
+pattern first) so card numbers are never half-eaten by the phone
+pattern — and the fixed order is what makes output deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Ordered: more specific / longer shapes first — redaction applies in
+# this order, so a 16-digit card is consumed before the phone pattern
+# could match its tail. Dialect-neutral (Java + RE2): \b \d and
+# character classes only.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("card", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+_BY_NAME = dict(PII_PATTERNS)
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of ``kind`` matches in the text (0 for no match, NULL
+    text counts 0). Non-overlapping left-to-right matches — the same
+    contract in Java regex and RE2, which is what keeps the count
+    oracle-replayable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.regexp_count(c, F.lit(_BY_NAME[kind])), F.lit(0)
+    ).cast("int")
+
+
+def detect_pii(
+    df: DataFrame, text_col: str, kinds: list[str] | None = None
+) -> DataFrame:
+    """Append one ``pii_<kind>_count`` INT column per detector plus a
+    ``pii_total`` sum — a pure projection (no shuffle, streaming-safe).
+    """
+    ks = kinds or [k for k, _ in PII_PATTERNS]
+    out = df
+    for k in ks:
+        out = out.withColumn(f"pii_{k}_count", pii_count(text_col, k))
+    total = None
+    for k in ks:
+        c = F.col(f"pii_{k}_count")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total.cast("int"))
+
+
+def redact_pii(
+    col: Column | str, kinds: list[str] | None = None
+) -> Column:
+    """Rewrite the text with ``[KIND]`` placeholders, applying the
+    detectors in PII_PATTERNS order (most specific first). A card
+    number therefore becomes one ``[CARD]``, never ``[PHONE]-[SSN]``
+    fragments. Pure regexp_replace chain — JVM, codegen, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    wanted = set(kinds) if kinds is not None else None
+    for k, pat in PII_PATTERNS:
+        if wanted is not None and k not in wanted:
+            continue
+        c = F.regexp_replace(c, F.lit(pat), F.lit(f"[{k.upper()}]"))
+    return c
+
+
+def pii_census(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame:
+    """Corpus-level PII report: per group, document count, documents
+    containing any PII, and per-kind hit totals. One projection + one
+    keyed aggregate — the whole census is a single shuffle whatever
+    the corpus size."""
+    kinds = [k for k, _ in PII_PATTERNS]
+    d = detect_pii(df, text_col, kinds)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pii_total") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+    ] + [
+        F.sum(F.col(f"pii_{k}_count")).cast("bigint").alias(f"n_{k}")
+        for k in kinds
+    ]
+    return d.groupBy(*group_cols).agg(*aggs)

@@ -177,3 +177,55 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         report, "rule string, passed boolean, n_violations bigint,"
         " metric double"
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier report: median / MAD (median absolute
+    deviation), the estimator that survives the very outliers it
+    hunts — unlike mean/stddev z-scores, one 1e12 poison value cannot
+    drag the threshold with it.
+
+    Output: one row per group — ``n, n_outliers, med, mad`` with
+    ``n_outliers`` = rows where |x - med| > k·MAD. Exact medians
+    (Spark ``median`` = linear-interpolated 0.5 percentile, the same
+    contract as DuckDB's ``median``), each ROUNDED to ``ndigits``
+    BEFORE the comparison so the flag decision is bit-deterministic
+    across engines and partitionings.
+
+    Two keyed aggregates over the data (med, then MAD over the
+    deviations) plus one small-side broadcast join each — exact MAD
+    is irreducibly two-pass; both passes combine map-side and the
+    group reports stay tiny. MAD = 0 (over half the group identical)
+    flags every row with any deviation, the standard convention.
+    """
+    g = [F.col(c) for c in group_cols]
+    med = df.groupBy(*g).agg(
+        F.round(F.median(F.col(value_col).cast("double")), ndigits).alias(
+            "med"
+        )
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.abs(F.col(value_col).cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy(*g).agg(
+        F.round(F.median("_dev"), ndigits).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols)
+    return (
+        flagged.groupBy(*group_cols, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(k) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(*group_cols, "n", "n_outliers", "med", "mad")
+    )

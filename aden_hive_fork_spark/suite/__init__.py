@@ -44,7 +44,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every suite module (idempotent)."""
     from . import (  # noqa: F401
+        analytics,
         chunking_suite,
+        curation,
         dedup,
         events,
         external_db,

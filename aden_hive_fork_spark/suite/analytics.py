@@ -1,0 +1,205 @@
+"""Analytics batch: cohort retention, market-basket co-occurrence,
+robust (MAD) outlier detection, and native session windows — the
+product/ops-analytics queries the reference serves through its
+generic SQL tier, expressed as first-class operators with plans that
+survive a 100× scale-up (shuffle counts documented per operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.baskets import basket_pairs
+from ..operators.cohorts import retention_matrix
+from ..operators.quality import mad_outliers
+from . import query
+from ._helpers import T, dec, dround
+
+
+# ---------------------------------------------------------------------------
+# q133 — weekly cohort retention over events. Three keyed aggregates
+# (first-touch, activity, matrix) all shuffling on user_id; the
+# retention division runs over the tiny cohort×offset matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "q133_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id AS u,
+        CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events
+    ),
+    ft AS (SELECT u, MIN(p) AS cohort FROM act GROUP BY u),
+    m AS (
+      SELECT ft.cohort AS cohort_period,
+        date_diff('day', ft.cohort, act.p) // 7 AS period_offset,
+        CAST(COUNT(DISTINCT act.u) AS BIGINT) AS n_active
+      FROM act JOIN ft ON act.u = ft.u
+      GROUP BY 1, 2
+    )
+    SELECT cohort_period, CAST(period_offset AS BIGINT) AS period_offset,
+      n_active,
+      CAST(MAX(CASE WHEN period_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cohort_period) AS BIGINT) AS cohort_size,
+      CAST(ROUND(CAST(n_active AS DOUBLE)
+             / CAST(MAX(CASE WHEN period_offset = 0 THEN n_active END)
+                      OVER (PARTITION BY cohort_period) AS DOUBLE), 4)
+           AS DOUBLE) AS retention
+    FROM m
+    ORDER BY cohort_period ASC, period_offset ASC
+    """,
+)
+def q133_cohort_retention(spark, sf_dir):
+    """operators/cohorts.retention_matrix, ISO-week cohorts (Monday
+    date_trunc — the semantics Spark and DuckDB share)."""
+    e = T(spark, sf_dir, "events")
+    return retention_matrix(e, "user_id", "ts", "week").orderBy(
+        "cohort_period", "period_offset"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q134 — market-basket pairs with lift over lineitem baskets. The
+# basket self-join is equi on orderkey (both sides share one
+# partitioning); pair counts combine map-side; per-item totals come
+# back as broadcast joins. Top-20 by support.
+# ---------------------------------------------------------------------------
+@query(
+    "q134_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS nb FROM items
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+        CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+      FROM items GROUP BY item
+    )
+    SELECT p.item_a, p.item_b, p.pair_count,
+      pa.item_count AS count_a, pb.item_count AS count_b,
+      CAST(ROUND(CAST(p.pair_count AS DOUBLE) * t.nb
+             / (CAST(pa.item_count AS DOUBLE)
+                * CAST(pb.item_count AS DOUBLE)), 6) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN per pa ON p.item_a = pa.item
+    JOIN per pb ON p.item_b = pb.item
+    CROSS JOIN tot t
+    ORDER BY p.pair_count DESC, p.item_a ASC, p.item_b ASC
+    LIMIT 20
+    """,
+)
+def q134_basket_pairs(spark, sf_dir):
+    """operators/baskets.basket_pairs on (order, part) baskets."""
+    li = T(spark, sf_dir, "lineitem")
+    bp = basket_pairs(li, "l_orderkey", "l_partkey")
+    return bp.orderBy(
+        F.desc("pair_count"), F.asc("item_a"), F.asc("item_b")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q135 — robust outliers: median/MAD per order priority. Exact
+# interpolated medians, ROUNDED before the |x-med| > 3·MAD decision
+# so the flag is bit-deterministic across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q135_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, ROUND(median(o_totalprice), 6) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.med,
+        ABS(o.o_totalprice - m.med) AS d
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, ROUND(median(d), 6) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN d.d > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers,
+      d.med, m.mad
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, d.med, m.mad
+    ORDER BY d.o_orderpriority ASC
+    """,
+)
+def q135_mad_outliers(spark, sf_dir):
+    """operators/quality.mad_outliers on order totals per priority."""
+    o = T(spark, sf_dir, "orders")
+    return mad_outliers(o, "o_totalprice", ["o_orderpriority"], k=3.0).orderBy(
+        "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136 — NATIVE session windows: Spark's session_window operator (the
+# same state-store primitive Structured Streaming uses — q24 is the
+# gaps-and-islands formulation, this is the built-in). The oracle
+# replays Spark's semantics: a gap >= 30 min starts a new session
+# (session intervals are half-open [start, last+gap)), session_end =
+# last event + gap.
+# ---------------------------------------------------------------------------
+@query(
+    "q136_session_windows",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, value, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id ASC, session_start ASC
+    """,
+)
+def q136_session_windows(spark, sf_dir):
+    """F.session_window — one user-keyed shuffle; the identical
+    groupBy runs unchanged under readStream (watermark + append),
+    which is the point of using the native operator over the window
+    formulation."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dround(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

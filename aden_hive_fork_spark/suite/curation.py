@@ -1,0 +1,222 @@
+"""Curation batch: PII detection/redaction and n-gram language-model
+statistics — the safety and corpus-statistics passes of a training-
+data pipeline (driver-mandated extension family; reference analog is
+the per-payload cleansing/regex tier, here as table operators).
+
+The PII queries synthesize deterministic contact strings FROM the
+customer table inside the query (the synthetic corpus contains no
+natural PII), so the detectors are exercised against real matches
+and the DuckDB oracle replays detection and redaction byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.ngram_lm import conditional_prob
+from ..operators.pii import detect_pii, pii_census, redact_pii
+from . import query
+from ._helpers import T
+
+# Deterministic contact text per customer: email iff custkey%4<2,
+# phone iff %3=0, card iff %3=1, ipv4 iff %5=0, ssn iff %7=0 — some
+# customers end up with several kinds, some with none.
+_CONTACT_SQL = """
+  SELECT c_custkey, c_mktsegment,
+    'Reach ' || c_name || '.'
+    || CASE WHEN c_custkey % 4 < 2
+        THEN ' Mail ' || lower(replace(c_name, '#', '.')) || '@example.com.'
+        ELSE '' END
+    || CASE WHEN c_custkey % 3 = 0
+        THEN ' Phone 415-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '.'
+        ELSE '' END
+    || CASE WHEN c_custkey % 3 = 1
+        THEN ' Card 4111-1111-1111-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '.'
+        ELSE '' END
+    || CASE WHEN c_custkey % 5 = 0
+        THEN ' Host 10.' || CAST(c_custkey % 200 AS VARCHAR) || '.0.'
+             || CAST(c_custkey % 250 AS VARCHAR) || ' logged.'
+        ELSE '' END
+    || CASE WHEN c_custkey % 7 = 0
+        THEN ' SSN 123-45-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '.'
+        ELSE '' END
+    AS text
+  FROM customer
+"""
+
+
+def _contact_df(spark, sf_dir):
+    """The Spark twin of _CONTACT_SQL — identical concatenation order
+    so redacted bytes (and their md5) match the oracle exactly."""
+    c = T(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+
+    def _opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    num4 = F.lpad((key % 10000).cast("string"), 4, "0")
+    text = F.concat(
+        F.lit("Reach "),
+        F.col("c_name"),
+        F.lit("."),
+        _opt(
+            key % 4 < 2,
+            F.lit(" Mail "),
+            F.lower(F.regexp_replace("c_name", "#", ".")),
+            F.lit("@example.com."),
+        ),
+        _opt(key % 3 == 0, F.lit(" Phone 415-555-"), num4, F.lit(".")),
+        _opt(key % 3 == 1, F.lit(" Card 4111-1111-1111-"), num4, F.lit(".")),
+        _opt(
+            key % 5 == 0,
+            F.lit(" Host 10."),
+            (key % 200).cast("string"),
+            F.lit(".0."),
+            (key % 250).cast("string"),
+            F.lit(" logged."),
+        ),
+        _opt(key % 7 == 0, F.lit(" SSN 123-45-"), num4, F.lit(".")),
+    )
+    return c.select("c_custkey", "c_mktsegment", text.alias("text"))
+
+
+# ---------------------------------------------------------------------------
+# q130 — corpus PII census: per-segment counts of typed PII hits.
+# Detection = one regexp_count projection per kind (JVM codegen, no
+# shuffle) + ONE keyed aggregate; at 100 TB the census is one pass.
+# ---------------------------------------------------------------------------
+_PAT_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PAT_CARD = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b"
+_PAT_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PAT_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PAT_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+@query(
+    "q130_pii_census",
+    oracle=f"""
+    WITH contact AS ({_CONTACT_SQL}),
+    hits AS (
+      SELECT c_mktsegment,
+        len(regexp_extract_all(text, '{_PAT_EMAIL}')) AS n_email_d,
+        len(regexp_extract_all(text, '{_PAT_CARD}')) AS n_card_d,
+        len(regexp_extract_all(text, '{_PAT_SSN}')) AS n_ssn_d,
+        len(regexp_extract_all(text, '{_PAT_PHONE}')) AS n_phone_d,
+        len(regexp_extract_all(text, '{_PAT_IPV4}')) AS n_ipv4_d
+      FROM contact)
+    SELECT c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN n_email_d + n_card_d + n_ssn_d + n_phone_d
+                         + n_ipv4_d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS docs_with_pii,
+      CAST(SUM(n_email_d) AS BIGINT) AS n_email,
+      CAST(SUM(n_card_d) AS BIGINT) AS n_card,
+      CAST(SUM(n_ssn_d) AS BIGINT) AS n_ssn,
+      CAST(SUM(n_phone_d) AS BIGINT) AS n_phone,
+      CAST(SUM(n_ipv4_d) AS BIGINT) AS n_ipv4
+    FROM hits
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC
+    """,
+)
+def q130_pii_census(spark, sf_dir):
+    """operators/pii.pii_census over synthesized contact text: typed
+    regexp detectors as pure JVM projections, one aggregate."""
+    docs = _contact_df(spark, sf_dir)
+    return pii_census(docs, "text", ["c_mktsegment"]).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q131 — PII redaction: placeholder rewrite proven byte-identical via
+# md5 of the redacted text (DuckDB replays the same regexp_replace
+# chain with the 'g' flag). Pure map-side projection — the redaction
+# pass over a 100 TB corpus is shuffle-free.
+# ---------------------------------------------------------------------------
+@query(
+    "q131_pii_redact",
+    oracle=f"""
+    WITH contact AS ({_CONTACT_SQL}),
+    red AS (
+      SELECT c_custkey,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '{_PAT_EMAIL}', '[EMAIL]', 'g'),
+                '{_PAT_CARD}', '[CARD]', 'g'),
+              '{_PAT_SSN}', '[SSN]', 'g'),
+            '{_PAT_PHONE}', '[PHONE]', 'g'),
+          '{_PAT_IPV4}', '[IPV4]', 'g') AS redacted,
+        len(regexp_extract_all(text, '{_PAT_EMAIL}'))
+          + len(regexp_extract_all(text, '{_PAT_CARD}'))
+          + len(regexp_extract_all(text, '{_PAT_SSN}'))
+          + len(regexp_extract_all(text, '{_PAT_PHONE}'))
+          + len(regexp_extract_all(text, '{_PAT_IPV4}')) AS pii_total_d
+      FROM contact)
+    SELECT c_custkey, md5(redacted) AS redacted_md5,
+      CAST(pii_total_d AS INT) AS pii_total,
+      CAST(length(redacted) AS INT) AS redacted_len
+    FROM red
+    ORDER BY c_custkey ASC
+    """,
+)
+def q131_pii_redact(spark, sf_dir):
+    """operators/pii.redact_pii: fixed-order regexp_replace chain
+    (card before phone so a 16-digit number is consumed whole)."""
+    docs = _contact_df(spark, sf_dir)
+    d = detect_pii(docs, "text")
+    return d.select(
+        "c_custkey",
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+        F.col("pii_total").cast("int").alias("pii_total"),
+        F.length(redact_pii("text")).cast("int").alias("redacted_len"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q132 — bigram language-model statistics: corpus bigram counts and
+# MLE conditional probability P(w2 | w1). Windows are per-document
+# (shuffle key = doc_id), counts combine map-side; the prefix totals
+# re-aggregate the bigram counts — the corpus is tokenized once.
+# ---------------------------------------------------------------------------
+@query(
+    "q132_bigram_lm",
+    oracle=r"""
+    WITH tok0 AS (
+      SELECT doc_id,
+        unnest(string_split_regex(text, '\s+')) AS word,
+        unnest(generate_series(1, len(string_split_regex(text, '\s+'))))
+          AS pos
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, pos, word FROM tok0 WHERE word <> ''),
+    big AS (
+      SELECT doc_id, word AS w1,
+        LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    cnt AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS ngram_count
+      FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    pre AS (
+      SELECT w1, CAST(SUM(ngram_count) AS BIGINT) AS prefix_count
+      FROM cnt GROUP BY w1
+    )
+    SELECT c.w1, c.w2, c.ngram_count, p.prefix_count,
+      CAST(ROUND(CAST(c.ngram_count AS DOUBLE)
+                 / CAST(p.prefix_count AS DOUBLE), 6) AS DOUBLE) AS cond_p
+    FROM cnt c JOIN pre p USING (w1)
+    ORDER BY c.ngram_count DESC, c.w1 ASC, c.w2 ASC
+    LIMIT 20
+    """,
+)
+def q132_bigram_lm(spark, sf_dir):
+    """operators/ngram_lm.conditional_prob (n=2) over documents,
+    top-20 bigrams — compiles to TakeOrderedAndProject over the
+    already-small count table."""
+    docs = T(spark, sf_dir, "documents")
+    cp = conditional_prob(docs, "text", "doc_id", n=2)
+    return cp.orderBy(
+        F.desc("ngram_count"), F.asc("w1"), F.asc("w2")
+    ).limit(20)

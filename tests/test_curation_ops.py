@@ -1,0 +1,274 @@
+"""Unit tests for the curation/analytics operator wave: PII
+detect/redact edge cases on fixture strings, basket-pair support and
+lift arithmetic (+ the basket cap), cohort retention on a crafted
+event log, MAD outlier robustness, and n-gram LM counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.baskets import basket_pairs
+from aden_hive_fork_spark.operators.cohorts import retention_matrix
+from aden_hive_fork_spark.operators.ngram_lm import conditional_prob, ngram_counts
+from aden_hive_fork_spark.operators.pii import (
+    detect_pii,
+    pii_census,
+    redact_pii,
+)
+from aden_hive_fork_spark.operators.quality import mad_outliers
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+PII_ROWS = [
+    (1, "write to alice.smith+spam@mail.example.co today"),
+    (2, "card 4111-1111-1111-1234 on file"),
+    (3, "ssn 123-45-6789 leaked"),
+    (4, "call 415-555-0199 or 415-555-0200"),
+    (5, "server 10.0.255.7 pinged 192.168.1.1"),
+    (6, "nothing sensitive here 12345"),
+    (7, None),
+    (8, "a@b.io and 1.2.3.4 and 999-88-7777"),
+]
+
+
+def pii_df(spark):
+    return spark.createDataFrame(PII_ROWS, "id bigint, text string")
+
+
+def test_detect_pii_counts(spark):
+    got = {
+        r["id"]: r.asDict()
+        for r in detect_pii(pii_df(spark), "text").collect()
+    }
+    assert got[1]["pii_email_count"] == 1
+    assert got[2]["pii_card_count"] == 1
+    # the card must NOT also register as phone or ssn fragments
+    assert got[2]["pii_phone_count"] == 0
+    assert got[2]["pii_ssn_count"] == 0
+    assert got[3]["pii_ssn_count"] == 1
+    assert got[4]["pii_phone_count"] == 2
+    assert got[5]["pii_ipv4_count"] == 2
+    assert got[6]["pii_total"] == 0
+    assert got[7]["pii_total"] == 0  # NULL text counts zero
+    assert got[8]["pii_total"] == 3
+
+
+def test_redact_pii_bytes(spark):
+    out = {
+        r["id"]: r["red"]
+        for r in pii_df(spark)
+        .select("id", redact_pii("text").alias("red"))
+        .collect()
+    }
+    assert out[1] == "write to [EMAIL] today"
+    # card consumed whole — never [PHONE]/[SSN] fragments
+    assert out[2] == "card [CARD] on file"
+    assert out[3] == "ssn [SSN] leaked"
+    assert out[4] == "call [PHONE] or [PHONE]"
+    assert out[5] == "server [IPV4] pinged [IPV4]"
+    assert out[6] == "nothing sensitive here 12345"
+    assert out[7] is None
+
+
+def test_redact_pii_kind_subset(spark):
+    out = (
+        pii_df(spark)
+        .filter(F.col("id") == 8)
+        .select(redact_pii("text", kinds=["email"]).alias("red"))
+        .collect()[0]["red"]
+    )
+    assert out == "[EMAIL] and 1.2.3.4 and 999-88-7777"
+
+
+def test_pii_census_shape(spark):
+    df = pii_df(spark).withColumn("grp", F.lit("g"))
+    row = pii_census(df, "text", ["grp"]).collect()[0]
+    assert row["n_docs"] == 8
+    assert row["docs_with_pii"] == 6
+    assert row["n_email"] == 2 and row["n_ipv4"] == 3
+
+
+def test_pii_projection_no_shuffle(spark):
+    plan = (
+        detect_pii(pii_df(spark), "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # detection is map-side only
+
+
+# ---------------------------------------------------------------------------
+# baskets
+# ---------------------------------------------------------------------------
+
+BASKETS = [
+    (1, "a"), (1, "b"), (1, "c"),
+    (2, "a"), (2, "b"),
+    (3, "a"), (3, "b"),
+    (4, "c"), (4, "a"),
+    (4, "a"),  # duplicate line within a basket: counted once
+]
+
+
+def basket_df(spark):
+    return spark.createDataFrame(BASKETS, "basket bigint, item string")
+
+
+def test_basket_pairs_support_and_lift(spark):
+    got = {
+        (r["item_a"], r["item_b"]): r.asDict()
+        for r in basket_pairs(basket_df(spark), "basket", "item").collect()
+    }
+    ab = got[("a", "b")]
+    assert ab["pair_count"] == 3
+    assert ab["count_a"] == 4 and ab["count_b"] == 3
+    # lift = 3 * 4 / (4 * 3) = 1.0
+    assert ab["lift"] == 1.0
+    ac = got[("a", "c")]
+    assert ac["pair_count"] == 2
+    # lift = 2 * 4 / (4 * 2) = 1.0
+    assert ac["lift"] == 1.0
+    assert got[("b", "c")]["pair_count"] == 1
+
+
+def test_basket_cap_drops_big_baskets(spark):
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in basket_pairs(
+            basket_df(spark), "basket", "item", max_basket=2
+        ).collect()
+    }
+    # basket 1 (3 items) dropped; only 2-item baskets pair up
+    assert got[("a", "b")] == 2
+    assert got[("a", "c")] == 1
+    assert ("b", "c") not in got
+
+
+def test_basket_min_support(spark):
+    got = basket_pairs(
+        basket_df(spark), "basket", "item", min_support=2
+    ).collect()
+    assert {(r["item_a"], r["item_b"]) for r in got} == {("a", "b"), ("a", "c")}
+
+
+# ---------------------------------------------------------------------------
+# cohorts
+# ---------------------------------------------------------------------------
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_retention_matrix(spark):
+    # Mondays: 2024-01-01, 2024-01-08, 2024-01-15. Users 1,2 join
+    # week 0; user 1 returns weeks 1 and 2, user 2 only week 2.
+    # User 3 joins week 1, never returns.
+    rows = [
+        (1, _ts(2)), (2, _ts(3)),
+        (1, _ts(9)),
+        (1, _ts(16)), (2, _ts(17)),
+        (3, _ts(10)),
+    ]
+    e = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (str(r["cohort_period"]), r["period_offset"]): r.asDict()
+        for r in retention_matrix(e, "user_id", "ts", "week").collect()
+    }
+    w0 = ("2024-01-01", 0)
+    assert got[w0]["n_active"] == 2 and got[w0]["cohort_size"] == 2
+    assert got[("2024-01-01", 1)]["n_active"] == 1
+    assert got[("2024-01-01", 1)]["retention"] == 0.5
+    assert got[("2024-01-01", 2)]["n_active"] == 2
+    assert got[("2024-01-08", 0)]["n_active"] == 1
+    assert ("2024-01-08", 1) not in got
+
+
+def test_retention_rejects_bad_period(spark):
+    e = spark.createDataFrame([(1, _ts(1))], "user_id bigint, ts timestamp")
+    with pytest.raises(ValueError):
+        retention_matrix(e, period="month")
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_poison_value(spark):
+    vals = [("g", float(v)) for v in [10, 11, 12, 13, 14, 1e9]]
+    df = spark.createDataFrame(vals, "grp string, x double")
+    row = mad_outliers(df, "x", ["grp"], k=3.0).collect()[0]
+    # median 12.5, MAD = median(|x-12.5|) = 1.5+... robust: only the
+    # poison value is flagged, and it did not drag the threshold.
+    assert row["n"] == 6
+    assert row["n_outliers"] == 1
+    assert row["med"] == 12.5
+
+
+def test_mad_zero_flags_any_deviation(spark):
+    vals = [("g", 5.0)] * 4 + [("g", 5.1)]
+    df = spark.createDataFrame(vals, "grp string, x double")
+    row = mad_outliers(df, "x", ["grp"], k=3.0).collect()[0]
+    assert row["mad"] == 0.0
+    assert row["n_outliers"] == 1
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ran"),
+    (3, "  spaced   out  "),  # multi-space separators collapse
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_bigram_counts(spark):
+    got = {
+        (r["w1"], r["w2"]): r["ngram_count"]
+        for r in ngram_counts(docs_df(spark), "text", "doc_id", 2).collect()
+    }
+    assert got[("the", "cat")] == 2
+    assert got[("cat", "sat")] == 1
+    assert got[("spaced", "out")] == 1
+    # n-grams never span documents: no ("ran", anything) bridge
+    assert not any(k[0] == "ran" for k in got)
+
+
+def test_trigram_counts(spark):
+    got = {
+        (r["w1"], r["w2"], r["w3"]): r["ngram_count"]
+        for r in ngram_counts(docs_df(spark), "text", "doc_id", 3).collect()
+    }
+    assert got[("the", "cat", "sat")] == 1
+    assert got[("the", "cat", "ran")] == 1
+
+
+def test_conditional_prob_mle(spark):
+    got = {
+        (r["w1"], r["w2"]): r.asDict()
+        for r in conditional_prob(docs_df(spark), "text", "doc_id", 2).collect()
+    }
+    # "the" is followed by cat(2), mat... wait: doc1 "the mat" ends;
+    # prefix_count counts bigram STARTS: the->cat 2, the->mat 1 => 3.
+    assert got[("the", "cat")]["prefix_count"] == 3
+    assert got[("the", "cat")]["cond_p"] == round(2 / 3, 6)
+    assert got[("cat", "sat")]["cond_p"] == 0.5
+
+
+def test_conditional_prob_needs_n2(spark):
+    with pytest.raises(ValueError):
+        conditional_prob(docs_df(spark), "text", "doc_id", n=1)
