@@ -272,3 +272,102 @@ def test_conditional_prob_mle(spark):
 def test_conditional_prob_needs_n2(spark):
     with pytest.raises(ValueError):
         conditional_prob(docs_df(spark), "text", "doc_id", n=1)
+
+
+# ---------------------------------------------------------------------------
+# streaming proofs: the PII projection and the session_window
+# aggregate run UNCHANGED under Structured Streaming — the whole
+# point of keeping detection stateless and sessions native.
+# ---------------------------------------------------------------------------
+
+
+def _write_jsonl(path, rows):
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_pii_redact_on_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 1, "text": "mail bob@x.io now"},
+        {"id": 2, "text": "card 4111-1111-1111-0000"},
+        {"id": 3, "text": "clean"},
+    ])
+    stream = spark.readStream.schema("id bigint, text string").json(src)
+    red = detect_pii(stream, "text").withColumn(
+        "redacted", redact_pii("text")
+    )
+    q = (
+        red.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r.asDict()
+           for r in spark.read.parquet(f"{out}/data").collect()}
+    assert got[1]["redacted"] == "mail [EMAIL] now"
+    assert got[2]["redacted"] == "card [CARD]"
+    assert got[2]["pii_card_count"] == 1
+    assert got[3]["pii_total"] == 0
+
+
+def test_session_window_on_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, value double"
+            ).json(src)
+        )
+        sess = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def rows():
+        return sorted(
+            (r["user_id"], r["n_events"], r["sum_value"])
+            for r in spark.read.parquet(f"{out}/data").collect()
+        )
+
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00", "value": 2.0},
+        # > 30 min gap → second session
+        {"user_id": 1, "ts": "2024-01-01T02:00:00", "value": 5.0},
+        {"user_id": 2, "ts": "2024-01-01T00:05:00", "value": 7.0},
+    ])
+    run()
+    # append mode: only sessions closed by the watermark (02:00 - 1h)
+    # are emitted; the 02:00 session stays in the state store.
+    assert rows() == [(1, 2, 3.0), (2, 1, 7.0)]
+
+    # a later batch pushes the watermark past the open session's end
+    _write_jsonl(f"{src}/b.jsonl", [
+        {"user_id": 2, "ts": "2024-01-01T05:00:00", "value": 9.0},
+    ])
+    run()
+    assert rows() == [(1, 1, 5.0), (1, 2, 3.0), (2, 1, 7.0)]
