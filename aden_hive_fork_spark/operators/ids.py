@@ -1,0 +1,88 @@
+"""Surrogate-key assignment: global contiguous row ids at scale.
+
+Every warehouse load eventually needs ``ROW_NUMBER() OVER (ORDER BY
+...)`` across the whole table — and the naive window is a single-task
+bottleneck (one Exchange to ONE partition sorts 100 TB on one core).
+The reference sidesteps the problem by numbering rows in its
+single-process readers; a distributed engine cannot.
+
+The scalable shape (the classic two-pass zipWithIndex, DataFrame-
+first):
+
+1. ``repartitionByRange`` on the order key + ``sortWithinPartitions``
+   — a range shuffle, the same cost as any global sort, parallel in
+   the partition count. The sorted DataFrame is persisted so both
+   passes see the SAME range boundaries (the range partitioner
+   samples its input; persisting pins the outcome).
+2. count rows per partition — a tiny job collecting #partitions
+   longs to the driver (scale-independent).
+3. cumulative offsets ship back in the task closure; a single
+   ``mapInPandas`` pass numbers each partition locally using
+   ``TaskContext.partitionId()`` — Arrow-batched, no extra shuffle,
+   no JVM→single-task funnel.
+
+Determinism: ids equal DuckDB's ``ROW_NUMBER() OVER (ORDER BY ...)``
+exactly when the order key is unique (enforce with the key columns
+you pass); range partitioning keeps equal keys in one partition, so
+sortWithinPartitions is a true global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``id_col`` = contiguous global row number (``start``,
+    ``start+1``, ...) in ``order_cols`` order, without ever funneling
+    the data through one task. ``order_cols`` must be a unique key
+    for deterministic output. The sorted input stays persisted (it
+    pins the sampled range boundaries both passes depend on); it is
+    released when the session evicts it or the caller unpersists.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    sorted_df = df.repartitionByRange(
+        int(n), *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    sorted_df = sorted_df.persist()
+
+    sizes = (
+        sorted_df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    counts = {r["_pid"]: r["_n"] for r in sizes}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        list(sorted_df.schema.fields) + [StructField(id_col, LongType())]
+    )
+
+    def _number(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = offsets.get(pid, start)
+        for pdf in batches:
+            pdf[id_col] = range(nxt, nxt + len(pdf))
+            nxt += len(pdf)
+            yield pdf
+
+    return sorted_df.mapInPandas(_number, out_schema)

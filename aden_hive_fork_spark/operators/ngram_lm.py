@@ -93,3 +93,44 @@ def conditional_prob(
         .cast("double")
         .alias("cond_p"),
     )
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(doc, word, tf, df_t, tfidf) — raw term frequency × ln(N/df_t)
+    inverse document frequency (the plain Salton weighting; BM25 in
+    sources/search_source.py is the length-normalized cousin).
+
+    One tokenize pass feeds both aggregates: tf is keyed by
+    (doc, word); df_t re-aggregates the tf table (distinct docs per
+    word — never a second corpus scan). N arrives as a broadcast
+    1-row cross join, df_t as a broadcast join on word (vocabulary ≪
+    corpus). The weight is ROUNDED so ranking is engine- and
+    partitioning-stable; ln on the same doubles is identical in
+    Spark and DuckDB (the q99 BM25 precedent).
+    """
+    t = tokens(df, text_col, id_col)
+    tf = t.groupBy("doc", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df_t = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_t")
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("_n_docs")
+    )
+    out = tf.join(F.broadcast(df_t), "word").crossJoin(F.broadcast(n_docs))
+    weight = F.col("tf").cast("double") * F.log(
+        F.col("_n_docs") / F.col("df_t").cast("double")
+    )
+    return out.select(
+        "doc",
+        "word",
+        "tf",
+        "df_t",
+        F.round(weight, ndigits).cast("double").alias("tfidf"),
+    )

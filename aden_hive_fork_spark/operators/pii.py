@@ -104,3 +104,49 @@ def pii_census(df: DataFrame, text_col: str, group_cols: list[str]) -> DataFrame
         for k in kinds
     ]
     return d.groupBy(*group_cols).agg(*aggs)
+
+
+def k_anonymity_classes(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
+    """Equivalence classes over the quasi-identifier columns: one row
+    per distinct quasi-identifier combination with its size and
+    whether it meets a given k is left to the caller (``class_size``
+    is the raw fact). One keyed aggregate — the class table is as
+    small as the quasi-identifier cardinality, never the data."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5, ndigits: int = 6
+) -> DataFrame:
+    """One-row re-identification risk summary: ``n_rows, n_classes,
+    min_class_size, n_unsafe_classes`` (classes smaller than k),
+    ``risky_rows`` (rows living in unsafe classes) and their
+    fraction. The dataset is k-anonymous over ``quasi_cols`` iff
+    ``n_unsafe_classes = 0``. Two aggregates total: data → classes →
+    summary; the second input is already tiny."""
+    classes = k_anonymity_classes(df, quasi_cols)
+    return classes.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("class_size") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unsafe_classes"),
+        F.sum(F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("risky_rows"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "n_unsafe_classes",
+        "risky_rows",
+        F.round(
+            F.col("risky_rows").cast("double") / F.col("n_rows").cast("double"),
+            ndigits,
+        )
+        .cast("double")
+        .alias("risky_frac"),
+    )

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from ..operators.baskets import basket_pairs
 from ..operators.cohorts import retention_matrix
+from ..operators.ids import dense_ids
+from ..operators.pii import k_anonymity_report
 from ..operators.quality import mad_outliers
 from . import query
 from ._helpers import T, dec, dround
@@ -202,4 +204,68 @@ def q136_session_windows(spark, sf_dir):
             "sum_value",
         )
         .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — k-anonymity risk report over customer quasi-identifiers.
+# Two aggregates: data → equivalence classes → 1-row summary.
+# ---------------------------------------------------------------------------
+@query(
+    "q137_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+      CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unsafe_classes,
+      CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+        AS risky_rows,
+      CAST(ROUND(CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(class_size) AS DOUBLE), 6)
+           AS DOUBLE) AS risky_frac
+    FROM classes
+    """,
+)
+def q137_k_anonymity(spark, sf_dir):
+    """operators/pii.k_anonymity_report: re-identification risk of
+    (nation, segment) quasi-identifiers at k=5."""
+    c = T(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# q138 — scalable surrogate keys: dense_ids' two-pass range-partition
+# numbering must equal ROW_NUMBER() OVER (ORDER BY ...) exactly —
+# proven here on orders by (o_orderdate, o_orderkey). The Spark plan
+# has NO single-task global window.
+# ---------------------------------------------------------------------------
+@query(
+    "q138_dense_ids",
+    oracle="""
+    WITH numbered AS (
+      SELECT o_orderkey,
+        ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS row_id
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id
+    FROM numbered
+    WHERE row_id % 97 = 0
+    ORDER BY row_id ASC
+    """,
+)
+def q138_dense_ids(spark, sf_dir):
+    """operators/ids.dense_ids — range shuffle + per-partition Arrow
+    numbering with driver-side offsets (#partitions longs), never a
+    one-task sort. Sampled every 97th id to keep the result small."""
+    o = T(spark, sf_dir, "orders")
+    ids = dense_ids(o, ["o_orderdate", "o_orderkey"], num_partitions=8)
+    return (
+        ids.filter(F.col("row_id") % 97 == 0)
+        .select("o_orderkey", "row_id")
+        .orderBy("row_id")
     )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.ngram_lm import conditional_prob
+from ..operators.ngram_lm import conditional_prob, tfidf
 from ..operators.pii import detect_pii, pii_census, redact_pii
 from . import query
 from ._helpers import T
@@ -220,3 +220,42 @@ def q132_bigram_lm(spark, sf_dir):
     return cp.orderBy(
         F.desc("ngram_count"), F.asc("w1"), F.asc("w2")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q139 — TF-IDF document-term weights: one tokenize pass, tf keyed by
+# (doc, word), df_t re-aggregated from tf (no second corpus scan),
+# N and the vocabulary table broadcast. Top-25 weights.
+# ---------------------------------------------------------------------------
+@query(
+    "q139_tfidf_weights",
+    oracle=r"""
+    WITH tok0 AS (
+      SELECT doc_id,
+        unnest(string_split_regex(text, '\s+')) AS word
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, word FROM tok0 WHERE word <> ''),
+    tf AS (
+      SELECT doc_id AS doc, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, word
+    ),
+    dft AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY word
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs
+          FROM documents)
+    SELECT tf.doc, tf.word, tf.tf, dft.df_t,
+      CAST(ROUND(CAST(tf.tf AS DOUBLE)
+                 * ln(n.n_docs / CAST(dft.df_t AS DOUBLE)), 6) AS DOUBLE)
+        AS tfidf
+    FROM tf JOIN dft USING (word) CROSS JOIN n
+    ORDER BY tfidf DESC, tf.doc ASC, tf.word ASC
+    LIMIT 25
+    """,
+)
+def q139_tfidf_weights(spark, sf_dir):
+    """operators/ngram_lm.tfidf over documents, top-25 by weight."""
+    docs = T(spark, sf_dir, "documents")
+    w = tfidf(docs, "text", "doc_id")
+    return w.orderBy(F.desc("tfidf"), F.asc("doc"), F.asc("word")).limit(25)

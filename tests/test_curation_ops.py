@@ -371,3 +371,91 @@ def test_session_window_on_stream(spark, tmp_path):
     ])
     run()
     assert rows() == [(1, 1, 5.0), (1, 2, 3.0), (2, 1, 7.0)]
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_report(spark):
+    from aden_hive_fork_spark.operators.pii import k_anonymity_report
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)]
+    df = spark.createDataFrame(rows, "seg string, region int")
+    r = k_anonymity_report(df, ["seg", "region"], k=3).collect()[0]
+    assert r["n_rows"] == 8 and r["n_classes"] == 3
+    assert r["min_class_size"] == 1
+    assert r["n_unsafe_classes"] == 2  # (b,1)=2 and (c,2)=1 below k=3
+    assert r["risky_rows"] == 3
+    assert r["risky_frac"] == 0.375
+
+
+# ---------------------------------------------------------------------------
+# dense ids
+# ---------------------------------------------------------------------------
+
+
+def test_dense_ids_match_global_row_number(spark):
+    from aden_hive_fork_spark.operators.ids import dense_ids
+
+    rows = [(i, f"k{i:04d}") for i in range(997)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, "n bigint, key string").repartition(13)
+    out = dense_ids(df, ["key"], num_partitions=5).collect()
+    got = sorted((r["key"], r["row_id"]) for r in out)
+    # contiguous 1..997 in key order
+    assert [g[1] for g in got] == list(range(1, 998))
+    assert got[0] == ("k0000", 1) and got[-1] == ("k0996", 997)
+
+
+def test_dense_ids_no_single_task_sort(spark):
+    from aden_hive_fork_spark.operators.ids import dense_ids
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "n bigint")
+    plan = (
+        dense_ids(df, ["n"], num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # range repartition, never an Exchange to a single partition
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
+
+
+def test_dense_ids_start_offset(spark):
+    from aden_hive_fork_spark.operators.ids import dense_ids
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], "n bigint")
+    got = {r["n"]: r["row_id"]
+           for r in dense_ids(df, ["n"], start=100).collect()}
+    assert got == {1: 100, 2: 101, 3: 102}
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_weights(spark):
+    import math
+
+    from aden_hive_fork_spark.operators.ngram_lm import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "dog fish"), (3, "fish fish fish")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc"], r["word"]): r.asDict()
+        for r in tfidf(docs, "text", "doc_id").collect()
+    }
+    # 'cat' only in doc 1, tf=2, idf=ln(3/1)
+    assert got[(1, "cat")]["tf"] == 2
+    assert got[(1, "cat")]["df_t"] == 1
+    assert got[(1, "cat")]["tfidf"] == round(2 * math.log(3.0), 6)
+    # 'dog' in two docs → idf=ln(3/2)
+    assert got[(2, "dog")]["tfidf"] == round(math.log(1.5), 6)
