@@ -229,3 +229,94 @@ def mad_outliers(
         )
         .select(*group_cols, "n", "n_outliers", "med", "mad")
     )
+
+
+def equi_depth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Equi-depth (quantile) binning WITHOUT the NTILE trap: a global
+    ``NTILE(n) OVER (ORDER BY x)`` funnels 100 TB through one task.
+    Instead: ONE exact-percentile aggregate produces the n-1 interior
+    cut points (a tiny array), which broadcast back and bucket every
+    row map-side by comparison — two jobs, no global sort, no
+    single-task window.
+
+    Bucket b (1-based) = 1 + #(cut points < x is false...): row goes
+    to the first bucket whose upper cut point is >= x (ties at a cut
+    point land in the lower bucket — deterministic, engine-neutral
+    because the cut points are ROUNDED to ``ndigits`` first).
+    Output: one row per non-empty bucket — ``bucket, n, lo, hi``.
+
+    Exact interpolated percentiles (Spark ``percentile`` = DuckDB
+    ``quantile_cont``) keep the oracle replayable; at 100 TB swap in
+    ``approx_percentile`` for one fewer full-accuracy pass — the
+    operator shape is unchanged.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    x = F.col(value_col).cast("double")
+    cuts = df.agg(
+        F.transform(
+            F.percentile(x, F.array(*[F.lit(f) for f in fracs])),
+            lambda c: F.round(c, ndigits),
+        ).alias("_cuts")
+    )
+    b = df.crossJoin(F.broadcast(cuts))
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(x > c, 1).otherwise(0),
+    )
+    return (
+        b.select(x.alias("_x"), bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("_x").alias("lo"),
+            F.max("_x").alias("hi"),
+        )
+    )
+
+
+def kl_drift(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distribution drift per group: KL(p_group || p_corpus) over the
+    categorical column — the mixture-monitoring primitive (is source
+    X's language mix diverging from the corpus?). Two keyed
+    aggregates (group×category, category) + broadcast joins of the
+    tiny distribution tables; the corpus is scanned once.
+
+    KL is finite here by construction: every category observed in a
+    group is also in the corpus distribution (q > 0 whenever p > 0).
+    Counts are exact integers, so both engines derive bit-identical
+    doubles before the final ROUND.
+    """
+    gc = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(cat_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_n_gc"))
+    g = gc.groupBy("_g").agg(F.sum("_n_gc").alias("_n_g"))
+    c = gc.groupBy("_c").agg(F.sum("_n_gc").alias("_n_c"))
+    tot = gc.agg(F.sum("_n_gc").cast("double").alias("_n"))
+    j = (
+        gc.join(F.broadcast(g), "_g")
+        .join(F.broadcast(c), "_c")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("_n_gc").cast("double") / F.col("_n_g").cast("double")
+    q = F.col("_n_c").cast("double") / F.col("_n")
+    term = p * F.log(p / q)
+    return (
+        j.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.round(F.sum(term), ndigits).cast("double").alias("kl_divergence"),
+            F.sum("_n_gc").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -13,7 +13,7 @@ from ..operators.baskets import basket_pairs
 from ..operators.cohorts import retention_matrix
 from ..operators.ids import dense_ids
 from ..operators.pii import k_anonymity_report
-from ..operators.quality import mad_outliers
+from ..operators.quality import equi_depth_bins, kl_drift, mad_outliers
 from . import query
 from ._helpers import T, dec, dround
 
@@ -269,3 +269,82 @@ def q138_dense_ids(spark, sf_dir):
         .select("o_orderkey", "row_id")
         .orderBy("row_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — equi-depth deciles of order totals WITHOUT a global NTILE
+# window: one exact-percentile aggregate → broadcast cut points →
+# map-side bucket assignment. The 100-TB-safe quantile binning.
+# ---------------------------------------------------------------------------
+@query(
+    "q140_equi_depth_bins",
+    oracle="""
+    WITH cuts AS (
+      SELECT list_transform(
+        quantile_cont(o_totalprice,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        q -> ROUND(q, 6)) AS cs
+      FROM orders
+    ),
+    b AS (
+      SELECT o_totalprice AS x,
+        1 + len(list_filter(c.cs, q -> o_totalprice > q)) AS bucket
+      FROM orders, cuts c
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(ROUND(MIN(x), 2) AS DOUBLE) AS lo,
+      CAST(ROUND(MAX(x), 2) AS DOUBLE) AS hi
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket ASC
+    """,
+)
+def q140_equi_depth_bins(spark, sf_dir):
+    """operators/quality.equi_depth_bins — decile histogram of order
+    totals; ties at a cut point land in the lower bucket in both
+    engines because cut points are rounded before comparison."""
+    o = T(spark, sf_dir, "orders")
+    bins = equi_depth_bins(o, "o_totalprice", n_bins=10)
+    return bins.select(
+        "bucket",
+        "n",
+        F.round("lo", 2).cast("double").alias("lo"),
+        F.round("hi", 2).cast("double").alias("hi"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q141 — mixture drift: KL(source's language mix || corpus language
+# mix) per source. Two keyed aggregates over the data; the
+# distribution tables are tiny broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q141_mixture_drift",
+    oracle="""
+    WITH gc AS (
+      SELECT source AS g, lang AS c, CAST(COUNT(*) AS BIGINT) AS n_gc
+      FROM documents GROUP BY source, lang
+    ),
+    gt AS (SELECT g, CAST(SUM(n_gc) AS BIGINT) AS n_g FROM gc GROUP BY g),
+    ct AS (SELECT c, CAST(SUM(n_gc) AS BIGINT) AS n_c FROM gc GROUP BY c),
+    tot AS (SELECT CAST(SUM(n_gc) AS DOUBLE) AS n FROM gc)
+    SELECT gc.g AS source,
+      CAST(ROUND(SUM(
+        (CAST(gc.n_gc AS DOUBLE) / CAST(gt.n_g AS DOUBLE))
+        * ln((CAST(gc.n_gc AS DOUBLE) / CAST(gt.n_g AS DOUBLE))
+             / (CAST(ct.n_c AS DOUBLE) / t.n))), 6) AS DOUBLE)
+        AS kl_divergence,
+      CAST(SUM(gc.n_gc) AS BIGINT) AS n_rows
+    FROM gc
+    JOIN gt USING (g)
+    JOIN ct USING (c)
+    CROSS JOIN tot t
+    GROUP BY gc.g
+    ORDER BY source ASC
+    """,
+)
+def q141_mixture_drift(spark, sf_dir):
+    """operators/quality.kl_drift over (source, lang)."""
+    d = T(spark, sf_dir, "documents")
+    return kl_drift(d, "source", "lang").orderBy("source")

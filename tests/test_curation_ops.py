@@ -459,3 +459,57 @@ def test_tfidf_weights(spark):
     assert got[(1, "cat")]["tfidf"] == round(2 * math.log(3.0), 6)
     # 'dog' in two docs → idf=ln(3/2)
     assert got[(2, "dog")]["tfidf"] == round(math.log(1.5), 6)
+
+
+# ---------------------------------------------------------------------------
+# equi-depth bins + KL drift
+# ---------------------------------------------------------------------------
+
+
+def test_equi_depth_bins_quartiles(spark):
+    from aden_hive_fork_spark.operators.quality import equi_depth_bins
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "x double"
+    )
+    got = {r["bucket"]: r.asDict()
+           for r in equi_depth_bins(df, "x", n_bins=4).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    # 100 uniform values → 25 per quartile (cuts at 25.75/50.5/75.25)
+    assert [got[b]["n"] for b in (1, 2, 3, 4)] == [25, 25, 25, 25]
+    assert got[1]["lo"] == 1.0 and got[4]["hi"] == 100.0
+
+
+def test_equi_depth_bins_rejects_one_bin(spark):
+    from aden_hive_fork_spark.operators.quality import equi_depth_bins
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        equi_depth_bins(df, "x", n_bins=1)
+
+
+def test_kl_drift_zero_for_identical_mix(spark):
+    from aden_hive_fork_spark.operators.quality import kl_drift
+
+    rows = [("s1", "en")] * 6 + [("s1", "fr")] * 2 \
+        + [("s2", "en")] * 3 + [("s2", "fr")] * 1
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r["src"]: r.asDict() for r in kl_drift(df, "src", "lang").collect()}
+    # both sources have the 3:1 corpus mix → zero divergence
+    assert got["s1"]["kl_divergence"] == 0.0
+    assert got["s2"]["kl_divergence"] == 0.0
+    assert got["s1"]["n_rows"] == 8
+
+
+def test_kl_drift_detects_skewed_source(spark):
+    import math
+
+    from aden_hive_fork_spark.operators.quality import kl_drift
+
+    rows = [("bal", "en")] * 5 + [("bal", "fr")] * 5 + [("skew", "en")] * 10
+    df = spark.createDataFrame(rows, "src string, lang string")
+    got = {r["src"]: r["kl_divergence"]
+           for r in kl_drift(df, "src", "lang").collect()}
+    # corpus: en 15/20, fr 5/20. skew: p(en)=1 → KL = ln(1/0.75)
+    assert got["skew"] == round(math.log(1 / 0.75), 6)
+    assert got["bal"] > 0.0
