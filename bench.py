@@ -57,6 +57,10 @@ HEADLINE = [
     "q123_nb_classifier",         # relational NB train+score
     "q125_triangle_count",        # degree-ordered triangle join
     "q129_constraint_report",     # declarative constraint sweep
+    "q130_pii_census",            # regexp PII detectors, map-side census
+    "q132_bigram_lm",             # per-document n-gram windows + counts
+    "q134_basket_pairs",          # basket self-join co-occurrence + lift
+    "q138_dense_ids",             # two-pass range-partition row numbering
 ]
 
 
