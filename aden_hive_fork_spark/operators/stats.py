@@ -1,0 +1,105 @@
+"""Exact second-moment statistics: correlation and simple linear
+regression that are bit-deterministic under any partitioning.
+
+Spark's builtin ``corr``/``covar_samp`` stream doubles through a
+running-moment formula, so the result depends on partition visit
+order — fine for exploration, wrong for an oracle-gated engine (two
+runs of the same query could hash differently). These operators
+compute the five sufficient statistics Σx, Σy, Σxy, Σx², Σy² as
+EXACT DECIMAL sums (addition is associative and exact ⇒
+partitioning-independent), then derive the moments in one fixed
+IEEE expression per group:
+
+    corr  = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),  intercept = ȳ − slope·x̄
+
+One wide keyed aggregate — the same single-pass shape as
+``profile_table``; no second scan, no window. DuckDB replays the
+identical decimal sums and the identical expression tree, so results
+hash-match at full double precision (still rounded for output per
+suite convention).
+
+Input values are quantized to DECIMAL(18, ``scale``) first — that
+quantization IS the contract (exact arithmetic needs a fixed point);
+products/sums carry 38 digits, which bounds safe input magnitude at
+roughly 10^(38-2·scale) summed rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _suff(x: Column, y: Column, scale: int) -> dict[str, Column]:
+    xd = x.cast(f"decimal(18,{scale})")
+    yd = y.cast(f"decimal(18,{scale})")
+    p = f"decimal(38,{2 * scale})"
+    return {
+        "n": F.count(F.lit(1)).cast("bigint"),
+        "sx": F.sum(xd).cast("decimal(38,6)"),
+        "sy": F.sum(yd).cast("decimal(38,6)"),
+        "sxy": F.sum((xd * yd).cast(p)).cast("decimal(38,6)"),
+        "sxx": F.sum((xd * xd).cast(p)).cast("decimal(38,6)"),
+        "syy": F.sum((yd * yd).cast(p)).cast("decimal(38,6)"),
+    }
+
+
+def exact_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pearson correlation per group (or 1-row global) from exact
+    decimal sufficient statistics. NULL when either variance is zero.
+    """
+    s = _suff(F.col(x_col), F.col(y_col), scale)
+    g = df.groupBy(*(group_cols or []))
+    agg = g.agg(*[c.alias(k) for k, c in s.items()])
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return agg.select(
+        *(group_cols or []),
+        F.col("n").alias("n"),
+        F.round(corr, ndigits).cast("double").alias("corr"),
+    )
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Least-squares line y = slope·x + intercept per group, from the
+    same exact sufficient statistics (the trend-detection primitive).
+    slope NULL when x is constant."""
+    s = _suff(F.col(x_col), F.col(y_col), scale)
+    g = df.groupBy(*(group_cols or []))
+    agg = g.agg(*[c.alias(k) for k, c in s.items()])
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    vx = n * sxx - sx * sx
+    slope = F.when(vx > 0, (n * sxy - sx * sy) / vx)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        *(group_cols or []),
+        F.col("n").alias("n"),
+        F.round(slope, ndigits).cast("double").alias("slope"),
+        F.round(intercept, ndigits).cast("double").alias("intercept"),
+    )

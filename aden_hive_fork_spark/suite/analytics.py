@@ -14,6 +14,7 @@ from ..operators.cohorts import retention_matrix
 from ..operators.ids import dense_ids
 from ..operators.pii import k_anonymity_report
 from ..operators.quality import equi_depth_bins, kl_drift, mad_outliers
+from ..operators.stats import exact_corr, linear_fit
 from . import query
 from ._helpers import T, dec, dround
 
@@ -348,3 +349,117 @@ def q141_mixture_drift(spark, sf_dir):
     """operators/quality.kl_drift over (source, lang)."""
     d = T(spark, sf_dir, "documents")
     return kl_drift(d, "source", "lang").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q144 — partitioning-independent Pearson correlation from EXACT
+# decimal sufficient statistics (builtin corr streams doubles and is
+# visit-order dependent — not oracle-able; this is). One wide keyed
+# aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q144_exact_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sxy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      CAST(ROUND(
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+              AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS DOUBLE) AS corr
+    FROM s
+    ORDER BY l_returnflag ASC
+    """,
+)
+def q144_exact_correlation(spark, sf_dir):
+    """operators/stats.exact_corr: quantity vs price per returnflag."""
+    li = T(spark, sf_dir, "lineitem")
+    return exact_corr(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q145 — least-squares trend per priority: order total vs order age
+# in days, from the same exact sufficient statistics.
+# ---------------------------------------------------------------------------
+@query(
+    "q145_linear_trend",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01')
+             AS DOUBLE) AS age_days,
+        o_totalprice
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(age_days AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sx,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sy,
+        CAST(SUM(CAST(age_days AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sxy,
+        CAST(SUM(CAST(age_days AS DECIMAL(18,2))
+                 * CAST(age_days AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sxx
+      FROM base GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+      CAST(ROUND(
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        END, 6) AS DOUBLE) AS slope,
+      CAST(ROUND(
+        (CAST(sy AS DOUBLE)
+         - (CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+        AS intercept
+    FROM s
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def q145_linear_trend(spark, sf_dir):
+    """operators/stats.linear_fit: totalprice ~ age(days) per
+    priority; x derived as integer day distance to a fixed date so
+    both engines quantize identically."""
+    o = T(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.lit("2025-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("double")
+        .alias("age_days"),
+        "o_totalprice",
+    )
+    return linear_fit(
+        base, "age_days", "o_totalprice", ["o_orderpriority"]
+    ).orderBy("o_orderpriority")

@@ -259,3 +259,105 @@ def q139_tfidf_weights(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     w = tfidf(docs, "text", "doc_id")
     return w.orderBy(F.desc("tfidf"), F.asc("doc"), F.asc("word")).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# q142 — exact heavy hitters via Misra-Gries candidates + exact
+# rescore: bounded-memory candidate pass, broadcast semi-join prune,
+# keyed count of survivors only. min_frac > 1/(k+1) makes the result
+# provably identical to the full GROUP BY — which is the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q142_heavy_hitters",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(COUNT(l_partkey) AS BIGINT) AS n FROM lineitem
+    )
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS hh_count
+    FROM lineitem CROSS JOIN tot
+    GROUP BY l_partkey, tot.n
+    HAVING COUNT(*) * 2000 >= n
+    ORDER BY hh_count DESC, l_partkey ASC
+    """,
+)
+def q142_heavy_hitters(spark, sf_dir):
+    """operators/heavy.heavy_hitters: parts in >= 0.05% of lineitem
+    rows. Integer-math threshold (count*2000 >= N) in both engines."""
+    from fractions import Fraction
+
+    from ..operators.heavy import heavy_hitters
+
+    li = T(spark, sf_dir, "lineitem")
+    hh = heavy_hitters(li, "l_partkey", Fraction(1, 2000), k=4096)
+    return hh.orderBy(F.desc("hh_count"), F.asc("l_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# q143 — tokenizer vocabulary coverage: OOV rate per language against
+# the top-20 corpus vocabulary. One tokenize pass; the vocabulary is
+# a 20-row broadcast; OOV is a left-join null test aggregated per
+# language.
+# ---------------------------------------------------------------------------
+@query(
+    "q143_oov_rate",
+    oracle=r"""
+    WITH tok0 AS (
+      SELECT lang,
+        unnest(string_split_regex(text, '\s+')) AS word
+      FROM documents
+    ),
+    tok AS (SELECT lang, word FROM tok0 WHERE word <> ''),
+    cnt AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word),
+    vocab AS (
+      SELECT word FROM cnt ORDER BY c DESC, word ASC LIMIT 20
+    )
+    SELECT tok.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+        AS oov_rate
+    FROM tok LEFT JOIN vocab v ON tok.word = v.word
+    GROUP BY tok.lang
+    ORDER BY tok.lang ASC
+    """,
+)
+def q143_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage metric for tokenizer/corpus fit: fraction
+    of tokens outside the top-20 corpus vocabulary, per language."""
+    from ..operators.ngram_lm import tokens as tok_fn
+
+    docs = T(spark, sf_dir, "documents")
+    t = tok_fn(docs.select(F.col("lang").alias("doc_lang"), "text"),
+               "text", "doc_lang").withColumnRenamed("doc", "lang")
+    cnt = t.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("word"))
+        .limit(20)
+        .select(F.col("word").alias("v_word"))
+    )
+    j = t.join(
+        F.broadcast(vocab), t["word"] == F.col("v_word"), "left"
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("v_word").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -513,3 +513,79 @@ def test_kl_drift_detects_skewed_source(spark):
     # corpus: en 15/20, fr 5/20. skew: p(en)=1 → KL = ln(1/0.75)
     assert got["skew"] == round(math.log(1 / 0.75), 6)
     assert got["bal"] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (MG sketch + exact rescore)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from fractions import Fraction
+
+    from aden_hive_fork_spark.operators.heavy import heavy_hitters
+
+    # cardinality (2000 tail keys) >> k (31): the sketch must drop
+    # values, yet the final result is exactly the full GROUP BY.
+    rows = [(f"hot{i % 7}",) for i in range(1400)]
+    rows += [(f"tail{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {
+        r["v"]: r["hh_count"]
+        for r in heavy_hitters(df, "v", Fraction(1, 25), k=31).collect()
+    }
+    n = len(rows)
+    exact = {
+        r["v"]: r["c"]
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] * 25 >= n
+    }
+    assert got == exact
+    assert set(got) == {f"hot{i}" for i in range(7)}
+
+
+def test_heavy_hitters_rejects_unsound_threshold(spark):
+    from fractions import Fraction
+
+    from aden_hive_fork_spark.operators.heavy import heavy_hitters
+
+    df = spark.createDataFrame([(1,)], "v bigint")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "v", Fraction(1, 100), k=64)
+
+
+# ---------------------------------------------------------------------------
+# exact correlation / linear fit
+# ---------------------------------------------------------------------------
+
+
+def test_exact_corr_perfect_line(spark):
+    from aden_hive_fork_spark.operators.stats import exact_corr, linear_fit
+
+    rows = [("g", float(x), 2.0 * x + 5.0) for x in range(1, 51)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    c = exact_corr(df, "x", "y", ["g"]).collect()[0]
+    assert c["corr"] == 1.0
+    f = linear_fit(df, "x", "y", ["g"]).collect()[0]
+    assert f["slope"] == 2.0 and f["intercept"] == 5.0
+
+
+def test_exact_corr_constant_x_is_null(spark):
+    from aden_hive_fork_spark.operators.stats import exact_corr, linear_fit
+
+    df = spark.createDataFrame(
+        [("g", 1.0, float(i)) for i in range(5)], "g string, x double, y double"
+    )
+    assert exact_corr(df, "x", "y", ["g"]).collect()[0]["corr"] is None
+    assert linear_fit(df, "x", "y", ["g"]).collect()[0]["slope"] is None
+
+
+def test_exact_corr_partitioning_independent(spark):
+    from aden_hive_fork_spark.operators.stats import exact_corr
+
+    rows = [("g", float(i % 13) + 0.07, float((i * 7) % 11) - 3.21)
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = exact_corr(df.repartition(1), "x", "y", ["g"]).collect()[0]["corr"]
+    b = exact_corr(df.repartition(17), "x", "y", ["g"]).collect()[0]["corr"]
+    assert a == b  # bit-identical, not approximately equal
