@@ -533,3 +533,73 @@ def quantized_dot_topk(
         .select("query_id", "id", "qdot", F.col("rank").cast("int").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification of a per-query
+    candidate set: greedily pick argmax of
+
+        lam·relevance − (1−lam)·max_cosine(candidate, selected)
+
+    — the standard redundancy-suppressing re-rank over an ANN
+    shortlist (run it AFTER cosine_topk/ann_topk/ivf_topk, on the
+    few-dozen survivors; the greedy loop is O(k·|candidates|) per
+    query over data that already fits a task).
+
+    ``applyInPandas`` per query group — the shuffle is keyed by
+    query, each group is shortlist-sized. Deterministic: scores and
+    similarities are rounded to ``ndigits`` before argmax and ties
+    break on ascending id, so the selection is partition- and
+    platform-stable. Returns (query, rank 1..k, id, mmr_score).
+    """
+    import numpy as np
+
+    out_schema = (
+        f"{query_col} long, mmr_rank int, {id_col} long, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        unit = mat / nrm
+        sims = np.round(unit @ unit.T, ndigits)
+        rel = np.round(pdf[score_col].to_numpy(dtype="float64"), ndigits)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        rows = []
+        avail = np.ones(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            if picked:
+                red = sims[:, picked].max(axis=1)
+            else:
+                red = np.zeros(n)
+            mmr = np.round(lam * rel - (1.0 - lam) * red, ndigits)
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))  # ties → lowest index = lowest id
+            picked.append(best)
+            avail[best] = False
+            rows.append(
+                (
+                    int(pdf[query_col].iloc[0]),
+                    rank,
+                    int(ids[best]),
+                    float(mmr[best]),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[query_col, "mmr_rank", id_col, "mmr_score"]
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)

@@ -361,3 +361,144 @@ def q143_oov_rate(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — URL canonicalization dedup: case-shifted hosts, default
+# ports, permuted query params, and fragments all collapse to ONE
+# canonical string (compared byte-for-byte against a full SQL mirror
+# of the normalizer, not just counted). Canonicalization is a
+# shuffle-free projection; the dedup count is one keyed aggregate.
+# ---------------------------------------------------------------------------
+_URLS_SQL = """
+  SELECT c_custkey,
+    CASE CAST(c_custkey % 4 AS INT)
+      WHEN 0 THEN 'https://Docs.Example.COM/guide/'
+                  || CAST(c_custkey // 4 AS VARCHAR) || '?page=2&lang=en'
+      WHEN 1 THEN 'https://docs.example.com:443/guide/'
+                  || CAST(c_custkey // 4 AS VARCHAR) || '?lang=en&page=2'
+      WHEN 2 THEN 'HTTP://shop.example.com:80/item/'
+                  || CAST(c_custkey // 4 AS VARCHAR) || '?x=1#frag'
+      ELSE 'http://Shop.Example.com/item/'
+           || CAST(c_custkey // 4 AS VARCHAR) || '?x=1'
+    END AS u
+  FROM customer
+"""
+
+
+@query(
+    "q146_url_canonical_dedup",
+    oracle=f"""
+    WITH urls AS ({_URLS_SQL}),
+    p1 AS (
+      SELECT u,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)', 1) AS rest
+      FROM urls),
+    p2 AS (
+      SELECT u, scheme,
+        regexp_extract(rest, '^([^/]*)', 1) AS hostport,
+        regexp_extract(rest, '^[^/]*(.*)$', 1) AS pathq
+      FROM p1),
+    p3 AS (
+      SELECT u, scheme,
+        lower(split_part(hostport, ':', 1)) AS host,
+        regexp_extract(hostport, ':(\\d+)$', 1) AS port,
+        regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        regexp_extract(pathq, '\\?(.*)$', 1) AS query
+      FROM p2),
+    canon AS (
+      SELECT CASE WHEN scheme = '' THEN trim(u)
+        ELSE scheme || '://' || host
+          || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                     OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END)
+          || (CASE WHEN path = '' THEN '/' ELSE path END)
+          || (CASE WHEN query = '' THEN '' ELSE
+               '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+              END)
+        END AS canonical
+      FROM p3)
+    SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon
+    GROUP BY canonical
+    ORDER BY canonical ASC
+    LIMIT 25
+    """,
+)
+def q146_url_canonical_dedup(spark, sf_dir):
+    """functions/urls.canonical_url over synthesized crawl variants;
+    every canonical group merges exactly the intended variants."""
+    from ..functions.urls import canonical_url
+
+    c = T(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    k8 = F.floor(key / 4).cast("string")
+    v = (key % 4).cast("int")
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://Docs.Example.COM/guide/"), k8,
+            F.lit("?page=2&lang=en")))
+        .when(v == 1, F.concat(
+            F.lit("https://docs.example.com:443/guide/"), k8,
+            F.lit("?lang=en&page=2")))
+        .when(v == 2, F.concat(
+            F.lit("HTTP://shop.example.com:80/item/"), k8, F.lit("?x=1#frag")))
+        .otherwise(F.concat(
+            F.lit("http://Shop.Example.com/item/"), k8, F.lit("?x=1")))
+    )
+    urls = c.select(url.alias("u"))
+    return (
+        urls.select(canonical_url("u").alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_variants"))
+        .orderBy("canonical")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — compression-ratio quality signal (rows-only by contract:
+# deflate output is zlib-build-specific, not engine-replayable).
+# Arrow-batched UDF projection + one keyed aggregate.
+# ---------------------------------------------------------------------------
+@query("q147_compression_quality")
+def q147_compression_quality(spark, sf_dir):
+    """functions/compress.compression_ratio per language: diffuse
+    redundancy the exact n-gram repetition filters (q107) miss."""
+    from ..functions.compress import compression_ratio
+
+    d = T(spark, sf_dir, "documents")
+    r = d.select("lang", compression_ratio("text").alias("ratio"))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 4).cast("double").alias("avg_ratio"),
+            F.round(F.min("ratio"), 4).cast("double").alias("min_ratio"),
+            F.round(F.max("ratio"), 4).cast("double").alias("max_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — MMR-diversified similarity search (rows-only: greedy rerank
+# is not SQL-expressible). Brute-force top-20 shortlist per query →
+# per-query MMR to 5; rerank shuffles only shortlist-sized groups.
+# ---------------------------------------------------------------------------
+@query("q148_mmr_diversified_topk")
+def q148_mmr_diversified_topk(spark, sf_dir):
+    """operators/similarity.mmr_rerank over cosine_topk survivors."""
+    from ..operators.similarity import cosine_topk_vectorized, mmr_rerank
+
+    emb = T(spark, sf_dir, "embeddings")
+    qvecs = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    ]  # bounded: 3 rows
+    topk = cosine_topk_vectorized(emb, qvecs, k=20)
+    cand = topk.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).select("query_id", "vec_id", "embedding", F.col("cosine").alias("score"))
+    return mmr_rerank(cand, k=5, lam=0.7).orderBy("query_id", "mmr_rank")

@@ -589,3 +589,65 @@ def test_exact_corr_partitioning_independent(spark):
     a = exact_corr(df.repartition(1), "x", "y", ["g"]).collect()[0]["corr"]
     b = exact_corr(df.repartition(17), "x", "y", ["g"]).collect()[0]["corr"]
     assert a == b  # bit-identical, not approximately equal
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification + compression ratio
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from aden_hive_fork_spark.operators.similarity import mmr_rerank
+
+    # candidates: 10 and 11 nearly identical (dup cluster), 12
+    # orthogonal with slightly lower relevance. Pure relevance order
+    # is 10, 11, 12 — MMR must pick 10 then 12 (11 is redundant).
+    rows = [
+        (1, 10, [1.0, 0.0], 0.99),
+        (1, 11, [0.999, 0.01], 0.98),
+        (1, 12, [0.0, 1.0], 0.90),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, embedding array<double>, score double"
+    )
+    got = [
+        (r["mmr_rank"], r["vec_id"])
+        for r in mmr_rerank(df, k=2, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == [(1, 10), (2, 12)]
+
+
+def test_mmr_rerank_deterministic_ties(spark):
+    from aden_hive_fork_spark.operators.similarity import mmr_rerank
+
+    # two orthogonal candidates with identical scores: tie breaks to
+    # the lower vec_id, stable across runs/partitionings.
+    rows = [
+        (7, 21, [1.0, 0.0], 0.5),
+        (7, 20, [0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id bigint, vec_id bigint, embedding array<double>, score double"
+    )
+    first = mmr_rerank(df, k=1, lam=0.5).collect()[0]
+    assert first["vec_id"] == 20
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from aden_hive_fork_spark.functions.compress import compression_ratio
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog and then "
+            "wanders through seventeen unrelated clauses about "
+            "meteorology, numismatics, and the price of tin."),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r["id"]: r["r"]
+           for r in df.select("id", compression_ratio("text").alias("r")).collect()}
+    assert got[1] < 0.1          # pure repetition compresses away
+    assert got[2] > 3 * got[1]   # natural prose compresses far less
+    assert got[3] is None
