@@ -76,9 +76,19 @@ def create_table(df: DataFrame, root: str, key_cols: list[str]) -> int:
     return v
 
 
-def upsert(updates: DataFrame, root: str, key_cols: list[str]) -> int:
+def upsert(
+    updates: DataFrame,
+    root: str,
+    key_cols: list[str],
+    marker: dict | None = None,
+) -> int:
     """Append one immutable delta batch. Rows carry ``_op`` ('upsert'
-    default; 'delete' = tombstone). Keys must be unique in the batch."""
+    default; 'delete' = tombstone). Keys must be unique in the batch.
+
+    ``marker`` (JSON-able) is written INSIDE the delta dir before the
+    atomic rename publishes it — marker visible ⟺ delta visible, the
+    hook exactly-once streaming writers (streaming/cdc_sink) use to
+    make batch replays no-ops with no commit-window gap."""
     if OP_COL not in updates.columns:
         updates = updates.withColumn(OP_COL, F.lit("upsert"))
     dup = (
@@ -95,8 +105,24 @@ def upsert(updates: DataFrame, root: str, key_cols: list[str]) -> int:
     tmp = final + ".__tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
     updates.write.mode("overwrite").parquet(tmp)
+    if marker is not None:
+        with open(os.path.join(tmp, "_marker.json"), "w") as fh:
+            json.dump(marker, fh)
     os.rename(tmp, final)
     return seq
+
+
+def delta_markers(root: str) -> dict[int, dict]:
+    """seq → marker payload for every published delta that carries
+    one (crash-safe by construction: the marker rides the delta's
+    atomic rename)."""
+    out: dict[int, dict] = {}
+    for seq in _delta_seqs(root):
+        p = os.path.join(root, _DELTA, f"d={seq}", "_marker.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                out[seq] = json.load(fh)
+    return out
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:

@@ -1,0 +1,77 @@
+"""Streaming CDC apply: a change stream upserted into the keyed
+merge-on-read table, exactly-once.
+
+Completes the CDC story: ``operators/table`` gives batch upsert with
+latest-wins resolution; this wires a Structured Streaming change
+feed (insert/update/delete rows) into it via ``foreachBatch``, with
+replay idempotence — the missing piece, because foreachBatch is
+at-least-once: after a crash between delta publish and checkpoint
+commit, the SAME epoch id is re-delivered and a naive sink would
+apply the batch twice.
+
+Exactly-once here = the epoch id rides INSIDE the delta directory
+(``upsert(marker=...)`` writes ``_marker.json`` before the atomic
+rename that publishes the delta — Spark's scan ignores ``_``-prefixed
+files). Marker visible ⟺ delta visible, so there is NO commit window:
+a re-delivered epoch finds its marker among the published deltas and
+becomes a no-op (the quarantine/rollup discipline — idempotence by
+construction, not by dedup pass).
+
+Scale: each micro-batch costs one append-only delta write; read-side
+merge cost grows with delta count, so pair with ``compact_table`` on
+a cadence — compaction and the sink both publish through the same
+atomic manifest pointer, so neither blocks the other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.table import delta_markers, upsert
+
+
+def applied_epochs(root: str, app_id: str) -> set[int]:
+    """Epoch ids already durably applied to the table BY THIS
+    streaming lineage. Epoch ids are only unique within one
+    checkpoint lineage, so markers are keyed (app_id, epoch) — the
+    Delta txn-appId discipline; ``app_id`` defaults to the
+    checkpoint path, which identifies the lineage."""
+    return {
+        int(m["epoch_id"])
+        for m in delta_markers(root).values()
+        if "epoch_id" in m and m.get("app_id") == app_id
+    }
+
+
+def cdc_upsert_sink(
+    changes,
+    root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start a streaming query applying the change feed to the table
+    at ``root``. Rows may carry ``_op`` = 'upsert' | 'delete' (the
+    table's tombstone convention); absent column means upsert.
+    Returns the StreamingQuery."""
+
+    app_id = checkpoint_dir
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) in applied_epochs(root, app_id):
+            return  # crash-replay of a committed epoch
+        if batch_df.isEmpty():
+            return
+        upsert(
+            batch_df,
+            root,
+            key_cols,
+            marker={"epoch_id": int(epoch_id), "app_id": app_id},
+        )
+
+    writer = changes.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

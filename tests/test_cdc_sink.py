@@ -1,0 +1,154 @@
+"""Streaming CDC upsert sink: change feed applied to the keyed
+merge-on-read table with exactly-once replay semantics (epoch marker
+rides the delta's atomic rename — no commit window)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from aden_hive_fork_spark.operators.table import (
+    create_table,
+    delta_markers,
+    read_table,
+)
+from aden_hive_fork_spark.streaming.cdc_sink import cdc_upsert_sink
+
+SCHEMA = "id bigint, score double, _op string"
+
+
+def _write_jsonl(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, src, root, ckpt):
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = cdc_upsert_sink(stream, root, ["id"], ckpt)
+    q.awaitTermination(120)
+
+
+def _state(spark, root):
+    return {
+        r["id"]: r["score"]
+        for r in read_table(spark, root).select("id", "score").collect()
+    }
+
+
+def test_cdc_apply_and_resolution(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "id bigint, score double"
+    )
+    create_table(base, root, ["id"])
+
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 2, "score": 20.0, "_op": "upsert"},   # update
+        {"id": 4, "score": 40.0, "_op": "upsert"},   # insert
+        {"id": 3, "score": None, "_op": "delete"},   # tombstone
+    ])
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 1.0, 2: 20.0, 4: 40.0}
+
+    # second batch under the SAME checkpoint: later seq wins
+    _write_jsonl(f"{src}/b.jsonl", [
+        {"id": 4, "score": 41.0, "_op": "upsert"},
+    ])
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 1.0, 2: 20.0, 4: 41.0}
+
+
+def test_cdc_replay_is_noop(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 1, "score": 9.0, "_op": "upsert"},
+    ])
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 9.0}
+    n_deltas = len(delta_markers(root))
+    assert n_deltas == 1
+
+    # simulate a crash where the delta published but the streaming
+    # checkpoint commit was lost: Spark re-delivers epoch 0
+    shutil.rmtree(ckpt)
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 9.0}
+    assert len(delta_markers(root)) == n_deltas  # no duplicate delta
+
+
+def test_cdc_distinct_lineages_both_apply(spark, tmp_path):
+    # a DIFFERENT checkpoint is a different lineage: its epoch 0 must
+    # NOT be swallowed by the first lineage's marker
+    root = str(tmp_path / "tbl")
+    src1 = str(tmp_path / "s1")
+    src2 = str(tmp_path / "s2")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src1}/a.jsonl", [{"id": 1, "score": 5.0, "_op": "upsert"}])
+    _run(spark, src1, root, str(tmp_path / "ck1"))
+    _write_jsonl(f"{src2}/a.jsonl", [{"id": 2, "score": 7.0, "_op": "upsert"}])
+    _run(spark, src2, root, str(tmp_path / "ck2"))
+    assert _state(spark, root) == {1: 5.0, 2: 7.0}
+
+
+# ---------------------------------------------------------------------------
+# observation metrics (streaming/observe)
+# ---------------------------------------------------------------------------
+
+
+def test_observed_batch_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.pii import pii_count
+    from aden_hive_fork_spark.streaming.observe import observed
+
+    df = spark.createDataFrame(
+        [(1, "a@b.io"), (2, None), (3, "clean")], "id bigint, text string"
+    )
+    watched, obs = observed(df, "quality", {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_text": F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)),
+        "n_email_hits": F.sum(pii_count("text", "email")),
+    })
+    watched.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 3, "n_null_text": 1, "n_email_hits": 1}
+
+
+def test_observed_streaming_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.streaming.observe import last_observed, observed
+
+    src = str(tmp_path / "src")
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 1, "score": 10.0, "_op": "upsert"},
+        {"id": 2, "score": None, "_op": "upsert"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    watched, obs = observed(stream, "feed", {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_score": F.sum(
+            F.when(F.col("score").isNull(), 1).otherwise(0)
+        ),
+    })
+    assert obs is None  # streaming observations read from progress
+    q = (
+        watched.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = last_observed(q, "feed")
+    assert got == {"n_rows": 2, "n_null_score": 1}
