@@ -463,3 +463,113 @@ def q145_linear_trend(spark, sf_dir):
     return linear_fit(
         base, "age_days", "o_totalprice", ["o_orderpriority"]
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q149 — keyed pseudonymization preserving referential integrity:
+# customer keys replaced by salted sha256 tokens INDEPENDENTLY on
+# both sides of a join, analytics still work (revenue per token ==
+# revenue per customer, renamed). Pure projection + the usual join.
+# ---------------------------------------------------------------------------
+@query(
+    "q149_pseudonymized_revenue",
+    oracle="""
+    WITH pc AS (
+      SELECT substr(sha256('pepper-42' || CAST(c_custkey AS VARCHAR)), 1, 16)
+               AS token,
+        c_mktsegment
+      FROM customer
+    ),
+    po AS (
+      SELECT substr(sha256('pepper-42' || CAST(o_custkey AS VARCHAR)), 1, 16)
+               AS token,
+        o_totalprice
+      FROM orders
+    )
+    SELECT pc.c_mktsegment, pc.token,
+      CAST(COUNT(po.token) AS BIGINT) AS n_orders,
+      CAST(ROUND(SUM(CAST(po.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
+    FROM pc JOIN po ON pc.token = po.token
+    GROUP BY pc.c_mktsegment, pc.token
+    ORDER BY revenue DESC, pc.token ASC
+    LIMIT 15
+    """,
+)
+def q149_pseudonymized_revenue(spark, sf_dir):
+    """Salted sha256 tokens derived independently per table keep
+    joins working with no raw key in the output (deterministic
+    pseudonymization — the GDPR-style analytics pattern; rotate the
+    pepper to unlink releases)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+
+    def tok(col):
+        return F.substring(
+            F.sha2(F.concat(F.lit("pepper-42"), F.col(col).cast("string")), 256),
+            1,
+            16,
+        )
+
+    pc = c.select(tok("c_custkey").alias("token"), "c_mktsegment")
+    po = o.select(tok("o_custkey").alias("token"), "o_totalprice")
+    return (
+        pc.join(po, "token")
+        .groupBy("c_mktsegment", "token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dround(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("token"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 — OHLC resampling bars: tick stream → per-(type, hour) open/
+# high/low/close/volume. Open/close by row_number (deterministic
+# under duplicate timestamps); one Exchange serves windows AND the
+# aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q150_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start, ts, value,
+        event_id,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts ASC, event_id ASC) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, bucket_start,
+      MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      MAX(value) AS high,
+      MIN(value) AS low,
+      MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      CAST(COUNT(*) AS BIGINT) AS n_ticks,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS volume
+    FROM t
+    GROUP BY event_type, bucket_start
+    ORDER BY event_type ASC, bucket_start ASC
+    """,
+)
+def q150_ohlc_bars(spark, sf_dir):
+    """operators/timeseries.ohlc_bars over the event stream."""
+    from ..operators.timeseries import ohlc_bars
+
+    e = T(spark, sf_dir, "events")
+    bars = ohlc_bars(
+        e, "ts", "value", ["event_type"], "1 hour", tiebreak_col="event_id"
+    )
+    return bars.select(
+        "event_type",
+        "bucket_start",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+        F.col("volume").cast("decimal(28,2)").alias("volume"),
+    ).orderBy("event_type", "bucket_start")

@@ -651,3 +651,50 @@ def test_compression_ratio_orders_redundancy(spark):
     assert got[1] < 0.1          # pure repetition compresses away
     assert got[2] > 3 * got[1]   # natural prose compresses far less
     assert got[3] is None
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars
+# ---------------------------------------------------------------------------
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from aden_hive_fork_spark.operators.timeseries import ohlc_bars
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 10, 0), 5.0, 1),
+        ("A", dt.datetime(2024, 1, 1, 10, 20), 9.0, 2),
+        ("A", dt.datetime(2024, 1, 1, 10, 40), 2.0, 3),
+        ("A", dt.datetime(2024, 1, 1, 10, 59), 7.0, 4),
+        ("A", dt.datetime(2024, 1, 1, 11, 5), 1.0, 5),
+        ("B", dt.datetime(2024, 1, 1, 10, 30), 3.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "sym string, ts timestamp, px double, seq bigint"
+    )
+    got = {
+        (r["sym"], str(r["bucket_start"])): r.asDict()
+        for r in ohlc_bars(
+            df, "ts", "px", ["sym"], "1 hour", tiebreak_col="seq"
+        ).collect()
+    }
+    a10 = got[("A", "2024-01-01 10:00:00")]
+    assert (a10["open"], a10["high"], a10["low"], a10["close"]) == (
+        5.0, 9.0, 2.0, 7.0,
+    )
+    assert a10["n_ticks"] == 4 and float(a10["volume"]) == 23.0
+    assert got[("A", "2024-01-01 11:00:00")]["open"] == 1.0
+    assert got[("B", "2024-01-01 10:00:00")]["close"] == 3.0
+
+
+def test_ohlc_duplicate_ts_deterministic(spark):
+    from aden_hive_fork_spark.operators.timeseries import ohlc_bars
+
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [("A", ts, 1.0, 2), ("A", ts, 9.0, 1)]  # tied timestamps
+    df = spark.createDataFrame(
+        rows, "sym string, ts timestamp, px double, seq bigint"
+    )
+    r = ohlc_bars(df, "ts", "px", ["sym"], "1 hour", tiebreak_col="seq").collect()[0]
+    # open = lower seq (9.0), close = higher seq (1.0) — always
+    assert r["open"] == 9.0 and r["close"] == 1.0
