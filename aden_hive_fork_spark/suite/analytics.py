@@ -573,3 +573,133 @@ def q150_ohlc_bars(spark, sf_dir):
         "n_ticks",
         F.col("volume").cast("decimal(28,2)").alias("volume"),
     ).orderBy("event_type", "bucket_start")
+
+
+# ---------------------------------------------------------------------------
+# q151 — snapshot diff: today's orders derived from yesterday's by
+# deterministic edits; diff_tables recovers exactly the edit sets.
+# One full-outer hash join; output is only the differing keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_snapshot_diff",
+    oracle="""
+    WITH today AS (
+      SELECT o_orderkey, o_totalprice
+        + CASE WHEN o_orderkey % 13 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+        o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    d AS (
+      SELECT COALESCE(y.o_orderkey, t.o_orderkey) AS o_orderkey,
+        CASE WHEN y.o_orderkey IS NULL THEN 'added'
+             WHEN t.o_orderkey IS NULL THEN 'removed'
+             WHEN y.o_totalprice IS DISTINCT FROM t.o_totalprice
+               OR y.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+               THEN 'changed' END AS change_type
+      FROM orders y FULL OUTER JOIN today t ON y.o_orderkey = t.o_orderkey
+    )
+    SELECT change_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM d
+    WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    ORDER BY change_type ASC
+    """,
+)
+def q151_snapshot_diff(spark, sf_dir):
+    """operators/diff.diff_tables between two derived order
+    snapshots; summary per change_type."""
+    from ..operators.diff import diff_tables
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    key = F.col("o_orderkey")
+    today = (
+        o.filter(key % 97 != 0)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice")
+                + F.when(key % 13 == 0, 1.0).otherwise(0.0)
+            ).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            o.filter(key % 101 == 0).select(
+                (key + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    d = diff_tables(o, today, ["o_orderkey"])
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — period-over-period growth: month-over-month revenue change
+# per segment via lag windows, guarded division (NULL first month).
+# ---------------------------------------------------------------------------
+@query(
+    "q152_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment,
+        CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, month, revenue,
+      CAST(ROUND(
+        (revenue - LAG(revenue) OVER w)
+        / NULLIF(LAG(revenue) OVER w, 0.0) * 100.0, 4) AS DOUBLE)
+        AS growth_pct
+    FROM m
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY month)
+    ORDER BY c_mktsegment ASC, month ASC
+    """,
+)
+def q152_mom_growth(spark, sf_dir):
+    """Classic BI period-over-period: the window input is the tiny
+    (segment, month) aggregate, never the fact table."""
+    from pyspark.sql.window import Window
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    m = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(dround(F.sum(dec("o_totalprice"))).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "c_mktsegment",
+        "month",
+        "revenue",
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(prev, F.lit(0.0)) * 100.0, 4
+        )
+        .cast("double")
+        .alias("growth_pct"),
+    ).orderBy("c_mktsegment", "month")

@@ -698,3 +698,40 @@ def test_ohlc_duplicate_ts_deterministic(spark):
     r = ohlc_bars(df, "ts", "px", ["sym"], "1 hour", tiebreak_col="seq").collect()[0]
     # open = lower seq (9.0), close = higher seq (1.0) — always
     assert r["open"] == 9.0 and r["close"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# table diff
+# ---------------------------------------------------------------------------
+
+
+def test_diff_tables_classifies_changes(spark):
+    from aden_hive_fork_spark.operators.diff import diff_tables
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "id bigint, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged → absent
+         (2, "B", 20.0),          # s changed
+         (4, "x", 41.0),          # s NULL→x and v changed
+         (5, "new", 50.0)],       # added
+        "id bigint, s string, v double",
+    )
+    got = {r["id"]: r.asDict()
+           for r in diff_tables(left, right, ["id"]).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["change_type"] == "changed"
+    assert got[2]["changed_cols"] == ["s"]
+    assert got[3]["change_type"] == "removed"
+    assert got[4]["changed_cols"] == ["s", "v"]  # null->value IS a change
+    assert got[5]["change_type"] == "added"
+
+
+def test_diff_tables_two_nulls_not_a_change(spark):
+    from aden_hive_fork_spark.operators.diff import diff_tables
+
+    left = spark.createDataFrame([(1, None)], "id bigint, s string")
+    right = spark.createDataFrame([(1, None)], "id bigint, s string")
+    assert diff_tables(left, right, ["id"]).count() == 0
