@@ -61,6 +61,10 @@ HEADLINE = [
     "q132_bigram_lm",             # per-document n-gram windows + counts
     "q134_basket_pairs",          # basket self-join co-occurrence + lift
     "q138_dense_ids",             # two-pass range-partition row numbering
+    "q142_heavy_hitters",         # MG sketch + exact rescore
+    "q144_exact_correlation",     # decimal sufficient statistics
+    "q150_ohlc_bars",             # shared-Exchange resampling bars
+    "q151_snapshot_diff",         # full-outer keyed reconciliation
 ]
 
 
