@@ -16,6 +16,8 @@ counts).
 Normalizations applied (RFC 3986 §6 syntax-based subset, plus the
 conventional query-param sort):
 - scheme and host lowercased;
+- userinfo dropped (credentials never identify a resource — and
+  never belong in a canonical key);
 - default ports stripped (http:80, https:443);
 - empty path → "/";
 - query parameters sorted bytewise; empty query dropped;
@@ -35,8 +37,13 @@ def canonical_url(col: Column | str) -> Column:
     u = F.trim(u)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
-    hostport = F.regexp_extract(rest, r"^([^/]*)", 1)
+    authority = F.regexp_extract(rest, r"^([^/]*)", 1)
     pathq = F.regexp_extract(rest, r"^[^/]*(.*)$", 1)
+    # userinfo ("user:pass@") is NOT part of the host — strip
+    # everything through the last '@', else 'alice:x@a.com' and
+    # 'alice:y@b.com' would both canonicalize to host 'alice' and
+    # distinct resources would merge (silent dedup data loss).
+    hostport = F.regexp_extract(authority, r"([^@]*)$", 1)
     host = F.lower(F.substring_index(hostport, ":", 1))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)

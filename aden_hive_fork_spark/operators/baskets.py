@@ -16,9 +16,9 @@ Plan shape (all equi-joins, no cross join):
    million-item basket alone would emit 5e11 pairs. The cap bounds
    the self-join output at C(max_basket,2) × n_baskets — analytic,
    data-independent (same discipline as the stop-shingle DF cutoff in
-   dedup.py). Dropped baskets are a deliberate, visible knob, not a
-   silent truncation: the operator reports them via ``n_capped`` in
-   the returned plan when requested.
+   dedup.py). The cap is an explicit caller-chosen knob; audit the
+   dropped-basket count separately with
+   ``items.groupBy(basket).count().filter(count > max_basket)``.
 3. self-join on basket with ``item_a < item_b`` — both sides share
    the step-1 partitioning, so AQE plans a single co-partitioned
    hash join; pairs shuffle once on (item_a, item_b) for the count.
@@ -87,16 +87,13 @@ def basket_pairs(
         F.count(F.lit(1)).cast("bigint").alias("item_count")
     )
 
+    # per_item is item-cardinality-sized (unbounded at corpus scale)
+    # — plain hash joins; AQE broadcasts them only when small enough.
+    # Only the 1-row total is force-broadcast.
     out = (
-        pairs.join(
-            F.broadcast(per_item.withColumnRenamed("item", "item_a")),
-            "item_a",
-        )
+        pairs.join(per_item.withColumnRenamed("item", "item_a"), "item_a")
         .withColumnRenamed("item_count", "count_a")
-        .join(
-            F.broadcast(per_item.withColumnRenamed("item", "item_b")),
-            "item_b",
-        )
+        .join(per_item.withColumnRenamed("item", "item_b"), "item_b")
         .withColumnRenamed("item_count", "count_b")
         .crossJoin(F.broadcast(n_baskets))
     )

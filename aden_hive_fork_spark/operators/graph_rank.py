@@ -139,8 +139,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
 
     ``edges`` must be undirected-deduped (one row per pair, any
     orientation). Returns a 1-row DataFrame: ``n_nodes, n_edges,
-    n_triangles``. The oriented edge list is persisted for the span
-    of the returned plan (three consumers share one computation).
+    n_triangles``, computed EAGERLY — the oriented edge list is
+    persisted for its three consumers and unpersisted the moment the
+    row is collected, so repeated calls never accumulate cache.
     """
     e = (
         edges.select(
@@ -184,7 +185,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
         )
         .select(F.size(F.array_intersect("na", "nb")).alias("c"))
     )
-    return (
+    out = (
         per_edge.agg(
             F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles")
         )
@@ -196,3 +197,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
         )
     )
+    # the result is ONE row — compute eagerly so the persisted edge
+    # list can be released immediately instead of pinning executor
+    # storage until the caller's (arbitrary-later) action
+    rows = out.collect()
+    ed.unpersist(blocking=False)
+    return edges.sparkSession.createDataFrame(rows, out.schema)

@@ -44,9 +44,12 @@ def dense_ids(
     """Append ``id_col`` = contiguous global row number (``start``,
     ``start+1``, ...) in ``order_cols`` order, without ever funneling
     the data through one task. ``order_cols`` must be a unique key
-    for deterministic output. The sorted input stays persisted (it
-    pins the sampled range boundaries both passes depend on); it is
-    released when the session evicts it or the caller unpersists.
+    for deterministic output. The sorted input stays persisted while
+    the returned plan is alive (it pins the sampled range boundaries
+    both passes depend on); once the caller drops the returned
+    DataFrame, Spark's ContextCleaner reclaims the cached partitions
+    with the garbage-collected plan — no manual unpersist needed,
+    but long-lived references hold their cache.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")

@@ -203,7 +203,11 @@ def mad_outliers(
     is irreducibly two-pass; both passes combine map-side and the
     group reports stay tiny. MAD = 0 (over half the group identical)
     flags every row with any deviation, the standard convention.
+    NULL values are excluded entirely (from ``n`` too) — they can
+    never be outlier candidates, so counting them would silently
+    dilute n_outliers/n rates.
     """
+    df = df.filter(F.col(value_col).isNotNull())
     g = [F.col(c) for c in group_cols]
     med = df.groupBy(*g).agg(
         F.round(F.median(F.col(value_col).cast("double")), ndigits).alias(
@@ -258,6 +262,9 @@ def equi_depth_bins(
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     fracs = [i / n_bins for i in range(1, n_bins)]
+    # NULLs are not bucketable (every comparison is NULL → they'd
+    # silently land in bucket 1); exclude them up front.
+    df = df.filter(F.col(value_col).isNotNull())
     x = F.col(value_col).cast("double")
     cuts = df.agg(
         F.transform(

@@ -562,9 +562,22 @@ def mmr_rerank(
     platform-stable. Returns (query, rank 1..k, id, mmr_score).
     """
     import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    out_schema = (
-        f"{query_col} long, mmr_rank int, {id_col} long, mmr_score double"
+    # inherit the input's id/query column types — ids need not be
+    # integers for the rerank to work
+    out_schema = StructType(
+        [
+            candidates.schema[query_col],
+            StructField("mmr_rank", IntegerType()),
+            candidates.schema[id_col],
+            StructField("mmr_score", DoubleType()),
+        ]
     )
 
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -592,9 +605,9 @@ def mmr_rerank(
             avail[best] = False
             rows.append(
                 (
-                    int(pdf[query_col].iloc[0]),
+                    pdf[query_col].iloc[0],
                     rank,
-                    int(ids[best]),
+                    ids[best],
                     float(mmr[best]),
                 )
             )

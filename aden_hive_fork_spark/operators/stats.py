@@ -45,6 +45,15 @@ def _suff(x: Column, y: Column, scale: int) -> dict[str, Column]:
     }
 
 
+def _complete_pairs(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Drop rows where either variable is NULL — every sufficient
+    statistic (including n) must come from the SAME subsample, or
+    the moments mix inconsistent populations and the result is
+    silently wrong. This is pairwise-complete semantics, matching
+    SQL's corr()."""
+    return df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+
 def exact_corr(
     df: DataFrame,
     x_col: str,
@@ -54,8 +63,11 @@ def exact_corr(
     ndigits: int = 6,
 ) -> DataFrame:
     """Pearson correlation per group (or 1-row global) from exact
-    decimal sufficient statistics. NULL when either variance is zero.
+    decimal sufficient statistics over pairwise-complete rows (rows
+    with a NULL in either column are excluded — from n too). NULL
+    when either variance is zero.
     """
+    df = _complete_pairs(df, x_col, y_col)
     s = _suff(F.col(x_col), F.col(y_col), scale)
     g = df.groupBy(*(group_cols or []))
     agg = g.agg(*[c.alias(k) for k, c in s.items()])
@@ -85,8 +97,9 @@ def linear_fit(
     ndigits: int = 6,
 ) -> DataFrame:
     """Least-squares line y = slope·x + intercept per group, from the
-    same exact sufficient statistics (the trend-detection primitive).
-    slope NULL when x is constant."""
+    same exact sufficient statistics over pairwise-complete rows (the
+    trend-detection primitive). slope NULL when x is constant."""
+    df = _complete_pairs(df, x_col, y_col)
     s = _suff(F.col(x_col), F.col(y_col), scale)
     g = df.groupBy(*(group_cols or []))
     agg = g.agg(*[c.alias(k) for k, c in s.items()])

@@ -112,16 +112,28 @@ def upsert(
     return seq
 
 
-def delta_markers(root: str) -> dict[int, dict]:
-    """seq → marker payload for every published delta that carries
-    one (crash-safe by construction: the marker rides the delta's
-    atomic rename)."""
+def _live_markers(root: str) -> dict[int, dict]:
     out: dict[int, dict] = {}
     for seq in _delta_seqs(root):
         p = os.path.join(root, _DELTA, f"d={seq}", "_marker.json")
         if os.path.exists(p):
             with open(p) as fh:
                 out[seq] = json.load(fh)
+    return out
+
+
+def delta_markers(root: str) -> dict[int, dict]:
+    """seq → marker payload for every delta EVER applied — live delta
+    dirs plus markers preserved in the manifest by ``compact_table``
+    (crash-safe by construction: a live marker rides the delta's
+    atomic rename; a folded marker rides the compaction's atomic
+    pointer flip). Without the manifest copy, compact+vacuum would
+    erase the exactly-once history and a crash-replayed epoch could
+    be applied twice."""
+    out = {
+        int(k): v for k, v in _manifest(root).get("markers", {}).items()
+    }
+    out.update(_live_markers(root))
     return out
 
 
@@ -184,7 +196,21 @@ def compact_table(spark: SparkSession, root: str) -> int:
     v = current_version(root) + 1
     vdir = os.path.join(root, f"v={v}")
     resolved.write.mode("overwrite").parquet(vdir)
-    man.update({"version": v, "path": f"v={v}", "folded_through": seqs[-1]})
+    # preserve exactly-once markers of the deltas being folded: after
+    # vacuum removes their dirs, the manifest copy (flipped in the
+    # SAME atomic pointer write) keeps crash-replayed epochs no-ops
+    preserved = {str(k): v_ for k, v_ in man.get("markers", {}).items()}
+    preserved.update(
+        {str(s): m for s, m in _live_markers(root).items() if s <= seqs[-1]}
+    )
+    man.update(
+        {
+            "version": v,
+            "path": f"v={v}",
+            "folded_through": seqs[-1],
+            "markers": preserved,
+        }
+    )
     tmp = os.path.join(root, _CURRENT + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(man, fh)

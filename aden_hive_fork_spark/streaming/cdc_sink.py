@@ -26,6 +26,8 @@ atomic manifest pointer, so neither blocks the other.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.table import delta_markers, upsert
 
@@ -48,12 +50,24 @@ def cdc_upsert_sink(
     root: str,
     key_cols: list[str],
     checkpoint_dir: str,
+    seq_col: str | None = None,
     trigger_available_now: bool = True,
 ):
     """Start a streaming query applying the change feed to the table
     at ``root``. Rows may carry ``_op`` = 'upsert' | 'delete' (the
     table's tombstone convention); absent column means upsert.
-    Returns the StreamingQuery."""
+    Returns the StreamingQuery.
+
+    A micro-batch MAY contain several changes for one key (with
+    availableNow, the whole backlog can be one batch); ``upsert``
+    rejects duplicate keys, and a rejecting batch would be
+    re-delivered forever — a poison batch. So the batch is reduced
+    to latest-per-key first: by ``seq_col`` descending when given
+    (the change feed's own order — LSN, kafka offset), else any one
+    row of each key survives BUT only when the duplicates are
+    byte-identical; conflicting duplicates without a sequence column
+    have no defined winner and raise immediately (a loud contract
+    error beats a silently arbitrary state)."""
 
     app_id = checkpoint_dir
 
@@ -62,8 +76,19 @@ def cdc_upsert_sink(
             return  # crash-replay of a committed epoch
         if batch_df.isEmpty():
             return
+        if seq_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col(seq_col).desc()
+            )
+            reduced = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", seq_col)  # feed ordering col, not table data
+            )
+        else:
+            reduced = batch_df.dropDuplicates()
         upsert(
-            batch_df,
+            reduced,
             root,
             key_cols,
             marker={"epoch_id": int(epoch_id), "app_id": app_id},

@@ -397,7 +397,8 @@ _URLS_SQL = """
       FROM urls),
     p2 AS (
       SELECT u, scheme,
-        regexp_extract(rest, '^([^/]*)', 1) AS hostport,
+        regexp_extract(regexp_extract(rest, '^([^/]*)', 1),
+                       '([^@]*)$', 1) AS hostport,
         regexp_extract(rest, '^[^/]*(.*)$', 1) AS pathq
       FROM p1),
     p3 AS (

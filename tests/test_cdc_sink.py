@@ -152,3 +152,52 @@ def test_observed_streaming_metrics(spark, tmp_path):
     q.awaitTermination(120)
     got = last_observed(q, "feed")
     assert got == {"n_rows": 2, "n_null_score": 1}
+
+
+def test_cdc_multi_change_per_key_batch(spark, tmp_path):
+    # the whole backlog lands in ONE availableNow batch with two
+    # changes for key 1 — the seq_col reduction must pick the latest
+    # instead of poisoning the query with a duplicate-key error
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 1, "score": 5.0, "_op": "upsert", "seq": 1},
+        {"id": 1, "score": 6.0, "_op": "upsert", "seq": 2},
+        {"id": 2, "score": 7.0, "_op": "upsert", "seq": 3},
+    ])
+    stream = spark.readStream.schema(SCHEMA + ", seq bigint").json(src)
+    q = cdc_upsert_sink(stream, root, ["id"], str(tmp_path / "ckpt"),
+                        seq_col="seq")
+    q.awaitTermination(120)
+    assert _state(spark, root) == {1: 6.0, 2: 7.0}
+
+
+def test_cdc_replay_noop_survives_compact_and_vacuum(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import (
+        compact_table,
+        vacuum_deltas,
+    )
+
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [{"id": 1, "score": 9.0, "_op": "upsert"}])
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 9.0}
+
+    # maintenance folds the delta and deletes its directory — the
+    # marker must survive in the manifest
+    compact_table(spark, root)
+    vacuum_deltas(root)
+    assert delta_markers(root)  # preserved across vacuum
+
+    # crash-replay of epoch 0 (lost checkpoint commit) stays a no-op
+    shutil.rmtree(ckpt)
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 9.0}
+    live = [s for s in delta_markers(root)]
+    assert len(live) == 1  # no second application
