@@ -6,25 +6,24 @@ is still active N periods later. The reference serves this class of
 question through its event-history SQL tier (events log + generic
 SQL); this is the declarative operator form.
 
-Plan shape — three keyed aggregates, no window functions:
+Plan shape — ONE data-sized shuffle, no join over the events:
 
-1. first-touch: min(ts) per user → cohort period (one shuffle on
-   user, combines map-side).
-2. activity: distinct (user, period) (same user-keyed shuffle — AQE
-   reuses the partitioning from step 1 for the join).
-3. matrix: join activity to first-touch on user (user-keyed hash
-   join, co-partitioned), aggregate to (cohort, period_offset) —
-   the output is tiny (cohorts × horizon), whatever the event
-   volume.
+1. per-user period sets: ``groupBy(user).agg(collect_set(period))``
+   — the single events-sized shuffle, combining map-side; the set is
+   bounded by the analysis horizon (weeks), so state per user is
+   tiny and hub-user skew is structurally impossible.
+2. cohort = ``array_min`` of the set (free — same row); explode the
+   set back out: rows = users × active-periods, already a fraction
+   of the event volume.
+3. matrix: aggregate to (cohort, period_offset) with a plain count —
+   each user appears at most once per period by set construction, so
+   count == distinct users with no countDistinct expansion. Output
+   is cohorts × horizon (tiny).
 
 Retention is divided against the cohort's size at offset 0 computed
-INSIDE the same aggregate via a window over the tiny matrix — no
-second pass over events.
-
-100 TB: everything shuffles on user_id exactly once conceptually;
-the matrix aggregate reduces to a few thousand rows before the
-window. Period arithmetic is integer day math on DATE — no
-timezone, no double.
+via a window over the tiny matrix — no second pass over events.
+Period arithmetic is integer day math on DATE — no timezone, no
+double.
 """
 
 from __future__ import annotations
@@ -52,17 +51,15 @@ def retention_matrix(
     days = _PERIOD_DAYS[period]
 
     bucket = F.date_trunc(period, F.col(ts_col)).cast("date")
-    activity = (
-        events.select(
-            F.col(user_col).alias("_user"), bucket.alias("_period")
-        ).distinct()
+    per_user = events.groupBy(F.col(user_col).alias("_user")).agg(
+        F.collect_set(bucket).alias("_periods")
     )
-    first_touch = activity.groupBy("_user").agg(
-        F.min("_period").alias("_cohort")
+    exploded = per_user.select(
+        F.array_min("_periods").alias("_cohort"),
+        F.explode("_periods").alias("_period"),
     )
     matrix = (
-        activity.join(first_touch, "_user")
-        .groupBy(
+        exploded.groupBy(
             F.col("_cohort").alias("cohort_period"),
             (
                 F.datediff(F.col("_period"), F.col("_cohort")) / days
@@ -70,7 +67,9 @@ def retention_matrix(
             .cast("bigint")
             .alias("period_offset"),
         )
-        .agg(F.countDistinct("_user").cast("bigint").alias("n_active"))
+        # one row per (user, period) by set construction → a plain
+        # count IS the distinct-user count
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
     w = Window.partitionBy("cohort_period")
     size0 = F.max(
