@@ -116,3 +116,78 @@ def linear_fit(
         F.round(slope, ndigits).cast("double").alias("slope"),
         F.round(intercept, ndigits).cast("double").alias("intercept"),
     )
+
+
+def det_sum(col: Column, ndigits: int = 6) -> Column:
+    """Deterministic float reduction: collect the values, sort them,
+    fold in sorted order — the sum no longer depends on partition
+    visit order, so it is bit-identical across runs, partitionings,
+    and engines (DuckDB: ``list_sum(list_sort(list(x)))``). Use ONLY
+    on bounded groups (the list materializes per group); for
+    data-sized sums use exact DECIMAL instead (``_suff`` pattern).
+    """
+    return F.round(
+        F.aggregate(
+            F.sort_array(F.collect_list(col)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        ndigits,
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chi-square test of independence between two categoricals, plus
+    Cramér's V effect size. 1-row output: ``n, df_degrees, chi2,
+    cramers_v``.
+
+    Cell counts are exact integers (one keyed aggregate). The grid
+    is DENSIFIED to the full |A|×|B| margin cross product before the
+    terms — a never-observed combination still contributes its
+    (0-exp)²/exp mass, which a sparse observed-cells sum would
+    silently drop (a 2×2 with perfect association loses exactly half
+    its chi² that way). The per-cell terms are doubles, reduced with
+    ``det_sum`` so the statistic is partitioning- and
+    engine-deterministic (the grid is margin-bounded, which is what
+    makes the sorted-fold affordable).
+    """
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
+    ra = cells.groupBy("_a").agg(F.sum("_o").cast("bigint").alias("_ra"))
+    rb = cells.groupBy("_b").agg(F.sum("_o").cast("bigint").alias("_rb"))
+    tot = cells.agg(
+        F.sum("_o").cast("double").alias("_n"),
+        F.countDistinct("_a").cast("bigint").alias("_ka"),
+        F.countDistinct("_b").cast("bigint").alias("_kb"),
+    )
+    grid = ra.crossJoin(F.broadcast(rb))  # dense margins incl. 0 cells
+    j = (
+        grid.join(cells, ["_a", "_b"], "left")
+        .withColumn("_o", F.coalesce(F.col("_o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("_ra").cast("double") * F.col("_rb").cast("double") / F.col("_n")
+    term = (F.col("_o").cast("double") - exp) ** 2 / exp
+    agg = j.agg(
+        F.max("_n").alias("_n"),
+        F.max("_ka").alias("_ka"),
+        F.max("_kb").alias("_kb"),
+        det_sum(term, ndigits).alias("chi2"),
+    )
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("_n") * F.least(F.col("_ka") - 1, F.col("_kb") - 1))
+    )
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("df_degrees"),
+        F.col("chi2").cast("double").alias("chi2"),
+        F.round(v, ndigits).cast("double").alias("cramers_v"),
+    )

@@ -703,3 +703,58 @@ def q152_mom_growth(spark, sf_dir):
         .cast("double")
         .alias("growth_pct"),
     ).orderBy("c_mktsegment", "month")
+
+
+# ---------------------------------------------------------------------------
+# q153 — chi-square independence (segment ⟂ priority?) + Cramér's V.
+# Exact integer cell counts; the float per-cell terms are reduced by
+# SORTED fold (det_sum / list_sum∘list_sort) so the statistic is
+# bit-deterministic across partitionings AND engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q153_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+        CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(SUM(obs) AS BIGINT) AS ra FROM cells GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(obs) AS BIGINT) AS rb FROM cells GROUP BY b),
+    tot AS (
+      SELECT CAST(SUM(obs) AS DOUBLE) AS n,
+        CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+        CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+      FROM cells
+    ),
+    terms AS (
+      -- dense margin grid: zero cells still contribute (0-exp)^2/exp
+      SELECT t.n, t.ka, t.kb,
+        (CAST(COALESCE(c.obs, 0) AS DOUBLE)
+         - CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / t.n) ^ 2
+        / (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / t.n) AS term
+      FROM ra CROSS JOIN rb
+      LEFT JOIN cells c ON c.a = ra.a AND c.b = rb.b
+      CROSS JOIN tot t
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+      CAST((MAX(ka) - 1) * (MAX(kb) - 1) AS BIGINT) AS df_degrees,
+      CAST(ROUND(list_sum(list_sort(list(term))), 6) AS DOUBLE) AS chi2,
+      CAST(ROUND(sqrt(ROUND(list_sum(list_sort(list(term))), 6)
+                      / (MAX(n) * LEAST(MAX(ka) - 1, MAX(kb) - 1))), 6)
+           AS DOUBLE) AS cramers_v
+    FROM terms
+    """,
+)
+def q153_chi_square(spark, sf_dir):
+    """operators/stats.chi_square: is order priority independent of
+    customer segment? det_sum makes the float reduction replayable."""
+    from ..operators.stats import chi_square
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderpriority"
+    )
+    return chi_square(j, "c_mktsegment", "o_orderpriority")

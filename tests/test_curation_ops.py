@@ -810,3 +810,35 @@ def test_mmr_rerank_string_ids(spark):
         for r in mmr_rerank(df, k=2, lam=0.5).orderBy("mmr_rank").collect()
     ]
     assert got == [(1, "doc-1"), (2, "doc-2")]
+
+
+def test_chi_square_independent_uniform(spark):
+    from aden_hive_fork_spark.operators.stats import chi_square
+
+    # perfectly independent 2x2 with equal margins → chi2 = 0
+    rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, "a", "b").collect()[0]
+    assert r["n"] == 20 and r["df_degrees"] == 1
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+
+def test_chi_square_perfect_association(spark):
+    from aden_hive_fork_spark.operators.stats import chi_square
+
+    # a fully determines b → chi2 = n, Cramér's V = 1
+    rows = [("x", "p")] * 7 + [("y", "q")] * 7
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, "a", "b").collect()[0]
+    assert r["chi2"] == 14.0
+    assert r["cramers_v"] == 1.0
+
+
+def test_chi_square_partitioning_independent(spark):
+    from aden_hive_fork_spark.operators.stats import chi_square
+
+    rows = [(f"a{i % 3}", f"b{(i * 7) % 4}") for i in range(300)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r1 = chi_square(df.repartition(1), "a", "b").collect()[0]["chi2"]
+    r2 = chi_square(df.repartition(13), "a", "b").collect()[0]["chi2"]
+    assert r1 == r2
