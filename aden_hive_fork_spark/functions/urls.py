@@ -37,8 +37,11 @@ def canonical_url(col: Column | str) -> Column:
     u = F.trim(u)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^#]*)", 1)
-    authority = F.regexp_extract(rest, r"^([^/]*)", 1)
-    pathq = F.regexp_extract(rest, r"^[^/]*(.*)$", 1)
+    # authority ends at '/', '?', or '#' — a path-less URL like
+    # 'http://h.com?x=a@b.c' must not leak its query into the
+    # authority (the '@' strip below would then eat the real host)
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    pathq = F.regexp_extract(rest, r"^[^/?#]*(.*)$", 1)
     # userinfo ("user:pass@") is NOT part of the host — strip
     # everything through the last '@', else 'alice:x@a.com' and
     # 'alice:y@b.com' would both canonicalize to host 'alice' and

@@ -22,13 +22,17 @@ Plan shape (all equi-joins, no cross join):
 3. self-join on basket with ``item_a < item_b`` — both sides share
    the step-1 partitioning, so AQE plans a single co-partitioned
    hash join; pairs shuffle once on (item_a, item_b) for the count.
-4. per-item basket counts (one aggregate) broadcast back onto the
-   pair counts — two broadcast hash joins, no extra shuffle — to
-   derive lift = support(a,b) · N / (support(a) · support(b)).
+4. per-item basket counts (one map-side-combining aggregate) joined
+   back onto the pair counts by plain hash join — AQE broadcasts
+   them only when the item cardinality is small enough (a forced
+   broadcast would be unbounded); with a large vocabulary the pair
+   table re-shuffles on item_a then item_b. Lift = support(a,b) · N
+   / (support(a) · support(b)); only the 1-row N is force-broadcast.
 
-100 TB: the only data-sized shuffles are the distinct and the pair
-count; both are keyed and combine map-side. Lift arithmetic is exact
-until the final rounded division.
+100 TB: the data-sized shuffles are the distinct, the pair count,
+and (for large item vocabularies) the two lift joins; all keyed,
+aggregates combine map-side. Lift arithmetic is exact until the
+final rounded division.
 """
 
 from __future__ import annotations

@@ -11,9 +11,11 @@ first):
 
 1. ``repartitionByRange`` on the order key + ``sortWithinPartitions``
    — a range shuffle, the same cost as any global sort, parallel in
-   the partition count. The sorted DataFrame is persisted so both
-   passes see the SAME range boundaries (the range partitioner
-   samples its input; persisting pins the outcome).
+   the partition count. The sorted DataFrame is eagerly
+   local-checkpointed so both passes see the SAME range boundaries
+   (the range partitioner samples its input; materializing once
+   pins the outcome, and checkpoint blocks are ContextCleaner-
+   reclaimed when the plan is dropped).
 2. count rows per partition — a tiny job collecting #partitions
    longs to the driver (scale-independent).
 3. cumulative offsets ship back in the task closure; a single
@@ -44,12 +46,14 @@ def dense_ids(
     """Append ``id_col`` = contiguous global row number (``start``,
     ``start+1``, ...) in ``order_cols`` order, without ever funneling
     the data through one task. ``order_cols`` must be a unique key
-    for deterministic output. The sorted input stays persisted while
-    the returned plan is alive (it pins the sampled range boundaries
-    both passes depend on); once the caller drops the returned
-    DataFrame, Spark's ContextCleaner reclaims the cached partitions
-    with the garbage-collected plan — no manual unpersist needed,
-    but long-lived references hold their cache.
+    for deterministic output. The sorted input is eagerly
+    LOCAL-CHECKPOINTED — materialized once, lineage truncated — which
+    pins the sampled range boundaries both passes depend on (a bare
+    re-execution would re-sample them and corrupt the offsets).
+    Unlike ``persist`` (CacheManager holds a strong reference until
+    an explicit unpersist), checkpoint blocks belong to the RDD and
+    are reclaimed by the ContextCleaner once the returned plan is
+    garbage-collected — repeated calls don't accumulate storage.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
@@ -59,7 +63,7 @@ def dense_ids(
     sorted_df = df.repartitionByRange(
         int(n), *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
-    sorted_df = sorted_df.persist()
+    sorted_df = sorted_df.localCheckpoint(eager=True)
 
     sizes = (
         sorted_df.withColumn("_pid", F.spark_partition_id())

@@ -105,28 +105,31 @@ def tfidf(
     inverse document frequency (the plain Salton weighting; BM25 in
     sources/search_source.py is the length-normalized cousin).
 
-    The corpus is TOKENIZED EXACTLY ONCE: df_t (documents per word)
-    is a count window over the tf table partitioned by word — the
-    same shuffle that would feed a word-keyed aggregate, with no
-    recompute of the tokenize tree (a groupBy+join formulation plans
-    the tf subtree twice; exchange reuse does not rescue it). N is a
-    1-row aggregate over just the id column — a column-pruned scan
-    that reads no text — broadcast in. The weight is ROUNDED so
-    ranking is engine- and partitioning-stable; ln on the same
-    doubles is identical in Spark and DuckDB (the q99 BM25
-    precedent).
+    df_t (documents per word) is a MAP-SIDE-COMBINING groupBy over
+    the tf table joined back on word. Spark plans the tf subtree
+    twice for that (exchange reuse does not dedupe it), so the
+    corpus is tokenized twice — a deliberate tradeoff: the
+    alternatives are worse at scale. A count window partitioned by
+    word has NO partial aggregation, so a stopword's entire tf row
+    set funnels through one task (hot-key OOM); persisting tf pins a
+    data-sized cache for the session. Two passes over a columnar
+    scan + split are cheap and skew-proof. N is a 1-row aggregate
+    over just the id column — a column-pruned scan that reads no
+    text — broadcast in. The weight is ROUNDED so ranking is
+    engine- and partitioning-stable; ln on the same doubles is
+    identical in Spark and DuckDB (the q99 BM25 precedent).
     """
     t = tokens(df, text_col, id_col)
     tf = t.groupBy("doc", "word").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    df_t = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_t")
+    )
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).cast("double").alias("_n_docs")
     )
-    w = Window.partitionBy("word")
-    out = tf.withColumn(
-        "df_t", F.count(F.lit(1)).over(w).cast("bigint")
-    ).crossJoin(F.broadcast(n_docs))
+    out = tf.join(df_t, "word").crossJoin(F.broadcast(n_docs))
     weight = F.col("tf").cast("double") * F.log(
         F.col("_n_docs") / F.col("df_t").cast("double")
     )

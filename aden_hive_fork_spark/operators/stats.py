@@ -155,7 +155,14 @@ def chi_square(
     ``det_sum`` so the statistic is partitioning- and
     engine-deterministic (the grid is margin-bounded, which is what
     makes the sorted-fold affordable).
+
+    NULL categories are excluded (complete-case, matching the other
+    stats operators): a NULL key would enter the margins but never
+    match the non-null-safe grid join, silently skewing the
+    statistic. ``cramers_v`` is NULL when either variable has a
+    single category (dof = 0 — the test is undefined, not NaN).
     """
+    df = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     cells = df.groupBy(
         F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
@@ -181,9 +188,12 @@ def chi_square(
         det_sum(term, ndigits).alias("chi2"),
     )
     dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
-    v = F.sqrt(
-        F.col("chi2")
-        / (F.col("_n") * F.least(F.col("_ka") - 1, F.col("_kb") - 1))
+    v = F.when(
+        dof > 0,
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("_n") * F.least(F.col("_ka") - 1, F.col("_kb") - 1))
+        ),
     )
     return agg.select(
         F.col("_n").cast("bigint").alias("n"),

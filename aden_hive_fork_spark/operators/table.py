@@ -123,18 +123,27 @@ def _live_markers(root: str) -> dict[int, dict]:
 
 
 def delta_markers(root: str) -> dict[int, dict]:
-    """seq → marker payload for every delta EVER applied — live delta
-    dirs plus markers preserved in the manifest by ``compact_table``
-    (crash-safe by construction: a live marker rides the delta's
-    atomic rename; a folded marker rides the compaction's atomic
-    pointer flip). Without the manifest copy, compact+vacuum would
-    erase the exactly-once history and a crash-replayed epoch could
-    be applied twice."""
-    out = {
-        int(k): v for k, v in _manifest(root).get("markers", {}).items()
-    }
-    out.update(_live_markers(root))
-    return out
+    """seq → marker payload for every LIVE delta dir (crash-safe by
+    construction: the marker rides the delta's atomic rename).
+    Progress of folded-and-vacuumed deltas lives in the manifest's
+    bounded ``applied`` map instead — see ``last_applied_epoch``."""
+    return _live_markers(root)
+
+
+def last_applied_epoch(root: str, app_id: str) -> int | None:
+    """Highest epoch durably applied by the given streaming lineage —
+    max over live delta markers and the manifest ``applied`` entry
+    (which ``compact_table`` advances in the same atomic pointer flip
+    that folds the deltas, so compact+vacuum can never lose it).
+    Epochs are monotonic per lineage, so a single high-water mark is
+    a complete replay guard."""
+    best = _manifest(root).get("applied", {}).get(str(app_id))
+    best = int(best) if best is not None else None
+    for m in _live_markers(root).values():
+        if m.get("app_id") == app_id and "epoch_id" in m:
+            e = int(m["epoch_id"])
+            best = e if best is None else max(best, e)
+    return best
 
 
 def read_table(spark: SparkSession, root: str) -> DataFrame:
@@ -196,19 +205,24 @@ def compact_table(spark: SparkSession, root: str) -> int:
     v = current_version(root) + 1
     vdir = os.path.join(root, f"v={v}")
     resolved.write.mode("overwrite").parquet(vdir)
-    # preserve exactly-once markers of the deltas being folded: after
-    # vacuum removes their dirs, the manifest copy (flipped in the
-    # SAME atomic pointer write) keeps crash-replayed epochs no-ops
-    preserved = {str(k): v_ for k, v_ in man.get("markers", {}).items()}
-    preserved.update(
-        {str(s): m for s, m in _live_markers(root).items() if s <= seqs[-1]}
-    )
+    # preserve exactly-once progress of the deltas being folded:
+    # after vacuum removes their dirs, the manifest copy (flipped in
+    # the SAME atomic pointer write) keeps crash-replayed epochs
+    # no-ops. Epochs are monotonic per lineage, so retention is
+    # BOUNDED: one (app_id → max applied epoch) entry per lineage,
+    # not one per micro-batch — the manifest cannot grow with stream
+    # lifetime.
+    applied = dict(man.get("applied", {}))
+    for s, m in _live_markers(root).items():
+        if s <= seqs[-1] and "app_id" in m and "epoch_id" in m:
+            a = str(m["app_id"])
+            applied[a] = max(int(applied.get(a, -1)), int(m["epoch_id"]))
     man.update(
         {
             "version": v,
             "path": f"v={v}",
             "folded_through": seqs[-1],
-            "markers": preserved,
+            "applied": applied,
         }
     )
     tmp = os.path.join(root, _CURRENT + ".tmp")

@@ -13,9 +13,12 @@ Exactly-once here = the epoch id rides INSIDE the delta directory
 (``upsert(marker=...)`` writes ``_marker.json`` before the atomic
 rename that publishes the delta — Spark's scan ignores ``_``-prefixed
 files). Marker visible ⟺ delta visible, so there is NO commit window:
-a re-delivered epoch finds its marker among the published deltas and
-becomes a no-op (the quarantine/rollup discipline — idempotence by
-construction, not by dedup pass).
+a re-delivered epoch compares against the lineage's applied
+high-water mark (max over live delta markers and the manifest entry
+``compact_table`` advances when it folds them — bounded at ONE value
+per lineage, epochs being monotonic) and becomes a no-op (the
+quarantine/rollup discipline — idempotence by construction, not by
+dedup pass).
 
 Scale: each micro-batch costs one append-only delta write; read-side
 merge cost grows with delta count, so pair with ``compact_table`` on
@@ -29,20 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.table import delta_markers, upsert
-
-
-def applied_epochs(root: str, app_id: str) -> set[int]:
-    """Epoch ids already durably applied to the table BY THIS
-    streaming lineage. Epoch ids are only unique within one
-    checkpoint lineage, so markers are keyed (app_id, epoch) — the
-    Delta txn-appId discipline; ``app_id`` defaults to the
-    checkpoint path, which identifies the lineage."""
-    return {
-        int(m["epoch_id"])
-        for m in delta_markers(root).values()
-        if "epoch_id" in m and m.get("app_id") == app_id
-    }
+from ..operators.table import last_applied_epoch, upsert
 
 
 def cdc_upsert_sink(
@@ -65,25 +55,42 @@ def cdc_upsert_sink(
     to latest-per-key first: by ``seq_col`` descending when given
     (the change feed's own order — LSN, kafka offset), else any one
     row of each key survives BUT only when the duplicates are
-    byte-identical; conflicting duplicates without a sequence column
-    have no defined winner and raise immediately (a loud contract
-    error beats a silently arbitrary state)."""
+    byte-identical. Conflicts with NO defined winner — duplicate
+    (key, seq) pairs, or conflicting rows without a sequence column
+    — raise immediately (a loud contract error beats a silently
+    arbitrary, run-to-run-varying table state)."""
 
     app_id = checkpoint_dir
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if int(epoch_id) in applied_epochs(root, app_id):
+        last = last_applied_epoch(root, app_id)
+        if last is not None and int(epoch_id) <= last:
             return  # crash-replay of a committed epoch
         if batch_df.isEmpty():
             return
         if seq_col is not None:
             w = Window.partitionBy(*key_cols).orderBy(
-                F.col(seq_col).desc()
+                F.col(seq_col).desc_nulls_last()
             )
+            wt = Window.partitionBy(*key_cols, seq_col)
+            marked = batch_df.withColumn(
+                "_rn", F.row_number().over(w)
+            ).withColumn("_nties", F.count(F.lit(1)).over(wt))
+            poison = (
+                marked.filter((F.col("_rn") == 1) & (F.col("_nties") > 1))
+                .limit(1)
+                .count()
+            )
+            if poison:
+                raise ValueError(
+                    "cdc_upsert_sink: duplicate (key, seq) with no "
+                    "defined winner — the feed's sequence column must "
+                    "totally order changes per key"
+                )
             reduced = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", seq_col)  # feed ordering col, not table data
+                marked.filter(F.col("_rn") == 1)
+                # feed ordering col, not table data
+                .drop("_rn", "_nties", seq_col)
             )
         else:
             reduced = batch_df.dropDuplicates()

@@ -397,9 +397,9 @@ _URLS_SQL = """
       FROM urls),
     p2 AS (
       SELECT u, scheme,
-        regexp_extract(regexp_extract(rest, '^([^/]*)', 1),
+        regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
                        '([^@]*)$', 1) AS hostport,
-        regexp_extract(rest, '^[^/]*(.*)$', 1) AS pathq
+        regexp_extract(rest, '^[^/?#]*(.*)$', 1) AS pathq
       FROM p1),
     p3 AS (
       SELECT u, scheme,

@@ -190,14 +190,55 @@ def test_cdc_replay_noop_survives_compact_and_vacuum(spark, tmp_path):
     assert _state(spark, root) == {1: 9.0}
 
     # maintenance folds the delta and deletes its directory — the
-    # marker must survive in the manifest
+    # applied high-water mark must survive in the manifest
+    from aden_hive_fork_spark.operators.table import last_applied_epoch
+
     compact_table(spark, root)
     vacuum_deltas(root)
-    assert delta_markers(root)  # preserved across vacuum
+    assert not delta_markers(root)  # delta dirs (and markers) gone
+    assert last_applied_epoch(root, ckpt) == 0  # progress preserved
 
     # crash-replay of epoch 0 (lost checkpoint commit) stays a no-op
     shutil.rmtree(ckpt)
     _run(spark, src, root, ckpt)
     assert _state(spark, root) == {1: 9.0}
-    live = [s for s in delta_markers(root)]
-    assert len(live) == 1  # no second application
+    assert not delta_markers(root)  # no second delta was written
+
+
+def test_cdc_duplicate_seq_raises(spark, tmp_path):
+    # duplicate (key, seq): no defined winner — the sink must refuse
+    # loudly rather than pick an arbitrary surviving row
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 1, "score": 5.0, "_op": "upsert", "seq": 7},
+        {"id": 1, "score": 6.0, "_op": "upsert", "seq": 7},
+    ])
+    stream = spark.readStream.schema(SCHEMA + ", seq bigint").json(src)
+    q = cdc_upsert_sink(stream, root, ["id"], str(tmp_path / "ckpt"),
+                        seq_col="seq")
+    import pytest as _pytest
+
+    from pyspark.errors import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert _state(spark, root) == {1: 1.0}  # nothing applied
+
+
+def test_cdc_null_seq_loses_to_real_seq(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"id": 1, "score": 5.0, "_op": "upsert", "seq": None},
+        {"id": 1, "score": 6.0, "_op": "upsert", "seq": 3},
+    ])
+    stream = spark.readStream.schema(SCHEMA + ", seq bigint").json(src)
+    q = cdc_upsert_sink(stream, root, ["id"], str(tmp_path / "ckpt"),
+                        seq_col="seq")
+    q.awaitTermination(120)
+    assert _state(spark, root) == {1: 6.0}

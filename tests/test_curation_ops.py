@@ -421,8 +421,11 @@ def test_dense_ids_no_single_task_sort(spark):
         .executedPlan()
         .toString()
     )
-    # range repartition, never an Exchange to a single partition
-    assert "rangepartitioning" in plan.lower()
+    # the numbering pass runs over the local-checkpointed range-sorted
+    # RDD: no further Exchange of any kind — and in particular never
+    # an Exchange to a single partition (the global-window trap)
+    assert "existingrdd" in plan.lower() or "scan existing" in plan.lower()
+    assert "exchange" not in plan.lower()
     assert "singlepartition" not in plan.lower()
 
 
@@ -842,3 +845,41 @@ def test_chi_square_partitioning_independent(spark):
     r1 = chi_square(df.repartition(1), "a", "b").collect()[0]["chi2"]
     r2 = chi_square(df.repartition(13), "a", "b").collect()[0]["chi2"]
     assert r1 == r2
+
+
+def test_canonical_url_pathless_with_at_in_query(spark):
+    from aden_hive_fork_spark.functions.urls import canonical_url
+
+    rows = [
+        (1, "http://example.com?user=a@x.com"),
+        (2, "http://other.org?contact=b@x.com"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, u string")
+    got = {r["id"]: r["c"]
+           for r in df.select("id", canonical_url("u").alias("c")).collect()}
+    # the query's '@' must not be mistaken for userinfo — hosts stay
+    # distinct and the query survives
+    assert got[1] == "http://example.com/?user=a@x.com"
+    assert got[2] == "http://other.org/?contact=b@x.com"
+
+
+def test_chi_square_null_categories_excluded(spark):
+    from aden_hive_fork_spark.operators.stats import chi_square
+
+    rows = [("x", "p"), (None, "p"), ("x", "q"), (None, "q"),
+            ("y", "p"), ("y", "q")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, "a", "b").collect()[0]
+    assert r["n"] == 4  # NULL-keyed rows excluded entirely
+    assert r["chi2"] == 0.0
+
+
+def test_chi_square_single_category_null_v(spark):
+    from aden_hive_fork_spark.operators.stats import chi_square
+
+    df = spark.createDataFrame(
+        [("x", "p"), ("y", "p")], "a string, b string"
+    )
+    r = chi_square(df, "a", "b").collect()[0]
+    assert r["df_degrees"] == 0
+    assert r["cramers_v"] is None  # undefined, not NaN

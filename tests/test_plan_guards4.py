@@ -109,8 +109,11 @@ def test_tfidf_no_second_corpus_scan(spark):
 
     d = load_table(spark, SF_SMALL, "documents")
     plan = _plan(tfidf(d, "text", "doc_id"))
-    # df_t is a window over tf (no recompute of the tokenize tree);
-    # only the tf tree and the 1-row N aggregate touch the parquet —
-    # and the N scan is column-pruned to the id (reads no text)
-    assert plan.count("documents.parquet") == 2
+    # df_t is partial-aggregated (hot-word-safe) at the cost of the
+    # tokenize tree planning twice — never more; the N scan is
+    # column-pruned to the id (reads no text); and no Window node
+    # may reappear (a word-partitioned count window has no partial
+    # aggregation and funnels stopwords through one task)
+    assert plan.count("documents.parquet") <= 3
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "Window" not in plan
