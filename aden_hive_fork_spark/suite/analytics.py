@@ -758,3 +758,73 @@ def q153_chi_square(spark, sf_dir):
         "c_mktsegment", "o_orderpriority"
     )
     return chi_square(j, "c_mktsegment", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q154 — DAU / trailing-30-day MAU / stickiness per day. The day
+# spine (tiny) joins events on a day-range condition — Catalyst
+# plans a broadcast nested-loop over the 30-row spine; at a large
+# horizon the binned range join (operators/joins, q75 discipline)
+# replaces it. Rolling DISTINCT cannot use a window frame (distinct
+# over RANGE isn't supported), hence the spine join.
+# ---------------------------------------------------------------------------
+@query(
+    "q154_dau_mau_stickiness",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ev),
+    dau AS (SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+            FROM ev GROUP BY d),
+    mau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS mau
+      FROM days JOIN ev
+        ON date_diff('day', ev.d, days.d) BETWEEN 0 AND 29
+      GROUP BY days.d
+    )
+    SELECT dau.d AS day, dau.dau, mau.mau,
+      CAST(ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 4)
+           AS DOUBLE) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    ORDER BY day ASC
+    """,
+)
+def q154_dau_mau_stickiness(spark, sf_dir):
+    """The DAU/MAU engagement ratio — day spine × events range join
+    for the rolling distinct."""
+    e = T(spark, sf_dir, "events")
+    ev = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    )
+    days = ev.select("d").distinct()
+    dau = ev.groupBy("d").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    spine = days.select(F.col("d").alias("day"))
+    mau = (
+        F.broadcast(spine)
+        .join(
+            ev,
+            (F.datediff(F.col("day"), ev["d"]) >= 0)
+            & (F.datediff(F.col("day"), ev["d"]) <= 29),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    )
+    return (
+        dau.withColumnRenamed("d", "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 4
+            )
+            .cast("double")
+            .alias("stickiness"),
+        )
+        .orderBy("day")
+    )
