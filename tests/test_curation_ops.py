@@ -883,3 +883,62 @@ def test_chi_square_single_category_null_v(spark):
     r = chi_square(df, "a", "b").collect()[0]
     assert r["df_degrees"] == 0
     assert r["cramers_v"] is None  # undefined, not NaN
+
+
+# ---------------------------------------------------------------------------
+# dataset manifest
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
+    from aden_hive_fork_spark.operators.manifest import (
+        dataset_manifest,
+        load_manifest,
+        save_manifest,
+        verify_manifest,
+    )
+
+    data = str(tmp_path / "data")
+    man_path = str(tmp_path / "manifest")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id bigint, s string"
+    )
+    df.repartition(3).write.parquet(data)
+
+    man = dataset_manifest(spark, data)
+    rows = man.collect()
+    assert len(rows) == 3
+    assert sum(r["n_rows"] for r in rows) == 100
+    assert all(len(r["content_md5"]) == 32 for r in rows)
+
+    save_manifest(man, man_path)
+    recorded = load_manifest(spark, man_path)
+
+    # untouched dataset verifies clean
+    assert verify_manifest(spark, data, recorded).count() == 0
+
+    # tamper: silently drop a row from one file (rows change, name
+    # stays — the hardest case: a naive size-only audit can miss it)
+    import glob
+    import os
+
+    victim = sorted(glob.glob(f"{data}/part-*.parquet"))[0]
+    part = spark.read.parquet(victim)
+    tmp_out = str(tmp_path / "rewrite")
+    part.limit(part.count() - 1).coalesce(1).write.parquet(tmp_out)
+    new_file = glob.glob(f"{tmp_out}/part-*.parquet")[0]
+    os.replace(new_file, victim)
+    # drop the stale Hadoop CRC sidecar of the replaced file (a real
+    # tamperer would too; we're testing the manifest, not local-FS
+    # checksums)
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    report = verify_manifest(spark, data, recorded).collect()
+    assert len(report) == 1
+    assert report[0]["change_type"] == "changed"
+    assert "content_md5" in report[0]["changed_cols"]
+    assert "n_rows" in report[0]["changed_cols"]
