@@ -499,3 +499,71 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_doc_frac: float = 0.5,
+    sep: str = r"\. ",
+    join_sep: str = ". ",
+) -> DataFrame:
+    """Strip lines/sentences that recur across the corpus — the
+    C4-style boilerplate pass (nav bars, cookie banners, license
+    headers repeat across pages; dropping any segment present in
+    more than ``max_doc_frac`` of documents removes them without
+    touching unique prose).
+
+    Plan: posexplode the segments (per-document positions), one
+    keyed aggregate for per-segment document frequency, broadcast
+    the (small) boilerplate set back as a left-anti condition, then
+    reassemble each document IN ORIGINAL ORDER with
+    ``array_sort(collect_list(struct(pos, segment)))`` — order
+    restoration is deterministic because pos is part of the sort
+    key. Segments shuffle once on content, docs once on id; the
+    boilerplate table is df-capped like the stop-shingle cutoff.
+
+    Returns (id, text) with the cleaned text. Documents consisting
+    ONLY of boilerplate come back with empty text (not dropped —
+    the caller decides whether empties die, same contract as the
+    quality filters)."""
+    segs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_seg"),
+    ).filter(F.col("_seg") != "")
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("_n")
+    )
+    seg_df = (
+        segs.groupBy("_seg")
+        .agg(F.countDistinct("_id").cast("double").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") / F.col("_n") > max_doc_frac)
+        .select("_seg")
+    )
+    kept = segs.join(F.broadcast(seg_df), "_seg", "left_anti")
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_seg"))
+                    ),
+                    lambda x: x["_seg"],
+                ),
+                join_sep,
+            ).alias("_text")
+        )
+    )
+    # left join keeps boilerplate-only docs (empty text)
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        )
+    )

@@ -503,3 +503,75 @@ def q148_mmr_diversified_topk(spark, sf_dir):
         emb.select("vec_id", "embedding"), "vec_id"
     ).select("query_id", "vec_id", "embedding", F.col("cosine").alias("score"))
     return mmr_rerank(cand, k=5, lam=0.7).orderBy("query_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# q155 — C4-style boilerplate removal: a shared header is injected
+# into every document, a unique footer into a quarter of them; the
+# corpus-frequency pass strips exactly the header (doc_frac > 0.5)
+# and keeps unique prose, proven by md5 of the reassembled text.
+# ---------------------------------------------------------------------------
+@query(
+    "q155_boilerplate_removal",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id,
+        'Subscribe to our newsletter today. ' || text
+        || CASE WHEN doc_id % 4 = 0
+             THEN '. Unique footer ' || CAST(doc_id AS VARCHAR) ELSE '' END
+        AS text
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+        unnest(string_split_regex(text, '\. ')) AS seg,
+        unnest(generate_series(1, len(string_split_regex(text, '\. '))))
+          AS pos
+      FROM docs
+    ),
+    nz AS (SELECT doc_id, pos, seg FROM segs WHERE seg <> ''),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM docs),
+    boiler AS (
+      SELECT seg FROM nz CROSS JOIN n
+      GROUP BY seg, n.n_docs
+      HAVING CAST(COUNT(DISTINCT doc_id) AS DOUBLE) / n.n_docs > 0.5
+    ),
+    kept AS (
+      SELECT nz.doc_id, nz.pos, nz.seg
+      FROM nz ANTI JOIN boiler ON nz.seg = boiler.seg
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+      CAST(length(COALESCE(r.text, '')) AS INT) AS text_len
+    FROM (SELECT DISTINCT doc_id FROM docs) d
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id ASC
+    """,
+)
+def q155_boilerplate_removal(spark, sf_dir):
+    """operators/dedup.remove_boilerplate_lines over documents with
+    an injected corpus-wide header; cleaned text proven byte-exact."""
+    from ..operators.dedup import remove_boilerplate_lines
+
+    d = T(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter today. "),
+            F.col("text"),
+            F.when(
+                key % 4 == 0,
+                F.concat(F.lit(". Unique footer "), key.cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate_lines(docs, "text", "doc_id", 0.5)
+    return cleaned.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("int").alias("text_len"),
+    ).orderBy("doc_id")

@@ -942,3 +942,42 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert report[0]["change_type"] == "changed"
     assert "content_md5" in report[0]["changed_cols"]
     assert "n_rows" in report[0]["changed_cols"]
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def test_remove_boilerplate_lines(spark):
+    from aden_hive_fork_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        (1, "Cookie banner. real content one. more prose"),
+        (2, "Cookie banner. different text here"),
+        (3, "Cookie banner. third body"),
+        (4, "Cookie banner"),  # boilerplate-only document
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(df, "text", "doc_id", 0.5).collect()}
+    assert got[1] == "real content one. more prose"  # order preserved
+    assert got[2] == "different text here"
+    assert got[4] == ""  # kept as empty, not dropped
+
+
+def test_remove_boilerplate_keeps_minority_segments(spark):
+    from aden_hive_fork_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        (1, "shared tail. body A"),
+        (2, "shared tail. body B"),
+        (3, "solo line. body C"),
+        (4, "another. body D"),
+        (5, "fifth. body E"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(df, "text", "doc_id", 0.5).collect()}
+    # 'shared tail' is only in 2/5 docs (0.4 <= 0.5) → retained
+    assert got[1] == "shared tail. body A"
