@@ -65,6 +65,7 @@ HEADLINE = [
     "q144_exact_correlation",     # decimal sufficient statistics
     "q150_ohlc_bars",             # shared-Exchange resampling bars
     "q151_snapshot_diff",         # full-outer keyed reconciliation
+    "q155_boilerplate_removal",   # corpus-frequency segment strip + reassembly
 ]
 
 
