@@ -828,3 +828,74 @@ def q154_dau_mau_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — Pareto / cumulative-contribution analysis: brand revenue
+# share, cumulative share in descending order, and the 80%-coverage
+# flag. The window runs over the tiny brand aggregate; cumulative
+# arithmetic is exact DECIMAL until the final rounded division.
+# ---------------------------------------------------------------------------
+@query(
+    "q156_pareto_brands",
+    oracle="""
+    WITH b AS (
+      SELECT p.p_brand,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+             AS DECIMAL(38,2)) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    t AS (SELECT CAST(SUM(revenue) AS DECIMAL(38,2)) AS total FROM b),
+    c AS (
+      SELECT b.p_brand, b.revenue, t.total,
+        CAST(SUM(b.revenue) OVER (ORDER BY b.revenue DESC, b.p_brand ASC
+                                  ROWS UNBOUNDED PRECEDING)
+             AS DECIMAL(38,2)) AS cum_revenue
+      FROM b CROSS JOIN t
+    )
+    SELECT p_brand,
+      CAST(ROUND(revenue, 2) AS DOUBLE) AS revenue,
+      CAST(ROUND(CAST(cum_revenue AS DOUBLE) / CAST(total AS DOUBLE), 6)
+           AS DOUBLE) AS cum_share,
+      CAST(cum_revenue * 100 <= total * 80 AS BOOLEAN) AS in_top80
+    FROM c
+    ORDER BY cum_share ASC, p_brand ASC
+    """,
+)
+def q156_pareto_brands(spark, sf_dir):
+    """Which brands make up 80% of revenue — cumulative DECIMAL sums
+    over the descending-ordered brand aggregate (the in_top80 flag
+    compares exact decimals, no float threshold)."""
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    b = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec("l_extendedprice"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    t = b.agg(F.sum("revenue").cast("decimal(38,2)").alias("total"))
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.crossJoin(F.broadcast(t)).withColumn(
+        "cum_revenue", F.sum("revenue").over(w).cast("decimal(38,2)")
+    )
+    return c.select(
+        "p_brand",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("cum_revenue").cast("double") / F.col("total").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("cum_share"),
+        (F.col("cum_revenue") * 100 <= F.col("total") * 80).alias("in_top80"),
+    ).orderBy("cum_share", "p_brand")

@@ -242,3 +242,56 @@ def test_cdc_null_seq_loses_to_real_seq(spark, tmp_path):
                         seq_col="seq")
     q.awaitTermination(120)
     assert _state(spark, root) == {1: 6.0}
+
+
+def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
+    """Integration: a document stream is PII-redacted and measured
+    (observe) on the way into a parquet sink; the sink is then
+    manifested and verified — the full curation path composes from
+    the individual operators with no glue code."""
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.manifest import (
+        dataset_manifest,
+        verify_manifest,
+    )
+    from aden_hive_fork_spark.operators.pii import detect_pii, redact_pii
+    from aden_hive_fork_spark.streaming.observe import last_observed, observed
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    _write_jsonl(f"{src}/a.jsonl", [
+        {"doc_id": 1, "text": "contact bob@corp.io for the dataset"},
+        {"doc_id": 2, "text": "card 4111-1111-1111-9999 found in dump"},
+        {"doc_id": 3, "text": "clean prose only"},
+    ])
+    stream = spark.readStream.schema("doc_id bigint, text string").json(src)
+    curated = detect_pii(stream, "text").withColumn(
+        "text", redact_pii("text")
+    )
+    watched, _ = observed(curated, "curation", {
+        "n_docs": F.count(F.lit(1)),
+        "docs_with_pii": F.sum(
+            F.when(F.col("pii_total") > 0, 1).otherwise(0)
+        ),
+    })
+    q = (
+        watched.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert last_observed(q, "curation") == {"n_docs": 3, "docs_with_pii": 2}
+
+    rows = {r["doc_id"]: r for r in
+            spark.read.parquet(f"{out}/data").collect()}
+    assert rows[1]["text"] == "contact [EMAIL] for the dataset"
+    assert rows[2]["text"] == "card [CARD] found in dump"
+    assert rows[3]["text"] == "clean prose only"
+
+    man = dataset_manifest(spark, f"{out}/data")
+    assert sum(r["n_rows"] for r in man.collect()) == 3
+    assert verify_manifest(spark, f"{out}/data", man).count() == 0
