@@ -806,3 +806,74 @@ def q126_gapfill_interpolate(spark, sf_dir):
         )
         .orderBy("user_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — funnel latency: per-user first view → first purchase delay,
+# summarized with exact interpolated percentiles in integer seconds
+# (NTZ epoch math — timezone-proof, and the percentile inputs are
+# exact integers so interpolation is bit-identical across engines).
+# One user-keyed aggregate over events + a 1-row summary.
+# ---------------------------------------------------------------------------
+@query(
+    "q157_funnel_latency",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events
+      GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+        CAST(date_diff('second', first_view, first_buy) AS BIGINT) AS delay_s
+      FROM f
+      WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+      CAST(MIN(delay_s) AS BIGINT) AS min_s,
+      CAST(ROUND(quantile_cont(delay_s, 0.50), 4) AS DOUBLE) AS p50_s,
+      CAST(ROUND(quantile_cont(delay_s, 0.90), 4) AS DOUBLE) AS p90_s,
+      CAST(MAX(delay_s) AS BIGINT) AS max_s
+    FROM conv
+    """,
+)
+def q157_funnel_latency(spark, sf_dir):
+    """Time-to-convert distribution for the view→purchase funnel."""
+    e = T(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    conv = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        # DuckDB date_diff('second') counts BOUNDARY crossings, not
+        # full elapsed seconds — truncate each side to the second
+        # first, then the NTZ-pure diff matches exactly
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', first_view),"
+            " date_trunc('second', first_buy))"
+        )
+        .cast("bigint")
+        .alias("delay_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("delay_s").cast("bigint").alias("min_s"),
+        F.round(F.expr("percentile(delay_s, 0.50)"), 4)
+        .cast("double")
+        .alias("p50_s"),
+        F.round(F.expr("percentile(delay_s, 0.90)"), 4)
+        .cast("double")
+        .alias("p90_s"),
+        F.max("delay_s").cast("bigint").alias("max_s"),
+    )
