@@ -57,6 +57,12 @@ def dense_ids(
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
+    if id_col in df.columns:
+        raise ValueError(
+            f"dense_ids: column {id_col!r} already exists in the input "
+            "— pass a different id_col (appending would duplicate the "
+            "field in the output schema)"
+        )
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )

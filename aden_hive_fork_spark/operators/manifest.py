@@ -18,28 +18,57 @@ compaction bounds file size), row counts from one
 
 from __future__ import annotations
 
-import os
+import re
+import urllib.parse
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SCHEME = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*"
+
+
+def _norm_base(path: str) -> str:
+    """The dataset root in the same normal form ``_rel_path`` puts
+    file URIs in: URL-decoded, scheme stripped to a single leading
+    slash, duplicate slashes collapsed."""
+    b = urllib.parse.unquote(path)
+    b = re.sub(_SCHEME, "/", b)
+    return re.sub(r"/+", "/", b).rstrip("/")
+
+
+def _rel_path(c: Column, norm_base: str) -> Column:
+    """Path column → path relative to the dataset root. binaryFile
+    and input_file_name render the same file differently (file:/ vs
+    file:///, URL-encoding), so both sides normalize identically
+    before the root prefix is stripped. Relative — not basename —
+    because nested/partitioned layouts repeat basenames across
+    subdirectories, and a basename join would go many-to-many."""
+    n = F.url_decode(c)
+    n = F.regexp_replace(n, _SCHEME, "/")
+    n = F.regexp_replace(n, "/+", "/")
+    prefix = norm_base + "/"
+    return F.when(
+        n.startswith(prefix), F.substring(n, len(prefix) + 1, 2**31 - 1)
+    ).otherwise(n)
 
 
 def dataset_manifest(
     spark: SparkSession, path: str, pattern: str = "*.parquet"
 ) -> DataFrame:
     """(file_name, n_bytes, content_md5, n_rows) per data file under
-    ``path``. ``file_name`` is relative — manifests survive dataset
+    ``path`` (recursively — partitioned layouts included).
+    ``file_name`` is root-relative — manifests survive dataset
     relocation (bucket migration must not read as corruption)."""
     base = path.rstrip("/")
-    # binaryFile and input_file_name render the scheme differently
-    # (file:/ vs file:///, URL-encoding) — join on the basename,
-    # which is also what makes the manifest relocation-proof
+    nb = _norm_base(base)
+
     def _rel(c):
-        return F.element_at(F.split(c, "/"), -1)
+        return _rel_path(c, nb)
 
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", "true")
         .load(base)
         .select(
             _rel(F.col("path")).alias("file_name"),
@@ -48,7 +77,8 @@ def dataset_manifest(
         )
     )
     rows = (
-        spark.read.parquet(base)
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(base)
         .groupBy(_rel(F.input_file_name()).alias("file_name"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
@@ -87,6 +117,7 @@ def save_manifest(manifest: DataFrame, target: str) -> None:
 
 
 def load_manifest(spark: SparkSession, target: str) -> DataFrame:
-    if not os.path.exists(target):
-        raise FileNotFoundError(f"no manifest at {target}")
+    # no local-FS existence probe: target may be any URI the reader
+    # understands — a missing manifest surfaces as the reader's own
+    # AnalysisException (path does not exist)
     return spark.read.parquet(target)

@@ -199,9 +199,13 @@ def mad_outliers(
     across engines and partitionings.
 
     Two keyed aggregates over the data (med, then MAD over the
-    deviations) plus one small-side broadcast join each — exact MAD
-    is irreducibly two-pass; both passes combine map-side and the
-    group reports stay tiny. MAD = 0 (over half the group identical)
+    deviations) plus one per-group join each — exact MAD is
+    irreducibly two-pass; both passes combine map-side. The per-group
+    median/MAD tables are one row per group, i.e. unbounded when
+    group_cols is high-cardinality, so the joins are left to AQE:
+    it broadcasts them when they measure small and falls back to
+    shuffle join otherwise (no forced unbounded broadcast — the
+    baskets.py discipline). MAD = 0 (over half the group identical)
     flags every row with any deviation, the standard convention.
     NULL values are excluded entirely (from ``n`` too) — they can
     never be outlier candidates, so counting them would silently
@@ -214,13 +218,13 @@ def mad_outliers(
             "med"
         )
     )
-    dev = df.join(F.broadcast(med), group_cols).withColumn(
+    dev = df.join(med, group_cols).withColumn(
         "_dev", F.abs(F.col(value_col).cast("double") - F.col("med"))
     )
     mad = dev.groupBy(*g).agg(
         F.round(F.median("_dev"), ndigits).alias("mad")
     )
-    flagged = dev.join(F.broadcast(mad), group_cols)
+    flagged = dev.join(mad, group_cols)
     return (
         flagged.groupBy(*group_cols, "med", "mad")
         .agg(

@@ -146,6 +146,33 @@ def last_applied_epoch(root: str, app_id: str) -> int | None:
     return best
 
 
+def reset_applied(root: str, app_id: str) -> bool:
+    """Drop a retired lineage's ``applied`` high-water mark from the
+    manifest (atomic). Lineage ids include the streaming query id
+    (``cdc_lineage_id``), so entries for deleted checkpoints are dead
+    weight — this is the manifest-hygiene escape hatch. Returns True
+    when an entry was removed. Refuses while a LIVE delta still
+    carries the lineage's marker (resetting then would re-apply a
+    published epoch on replay)."""
+    for m in _live_markers(root).values():
+        if m.get("app_id") == app_id:
+            raise ValueError(
+                f"lineage {app_id!r} still has live delta markers — "
+                "compact_table + vacuum_deltas first"
+            )
+    man = _manifest(root)
+    applied = dict(man.get("applied", {}))
+    if str(app_id) not in applied:
+        return False
+    del applied[str(app_id)]
+    man["applied"] = applied
+    tmp = os.path.join(root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(root, _CURRENT))
+    return True
+
+
 def read_table(spark: SparkSession, root: str) -> DataFrame:
     """Merge-on-read resolution: latest seq wins per key, tombstones
     suppress. Base rows rank below every live delta."""

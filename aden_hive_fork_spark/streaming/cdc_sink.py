@@ -24,15 +24,47 @@ Scale: each micro-batch costs one append-only delta write; read-side
 merge cost grows with delta count, so pair with ``compact_table`` on
 a cadence — compaction and the sink both publish through the same
 atomic manifest pointer, so neither blocks the other.
+
+Lineage identity: epochs only order batches WITHIN one streaming
+query incarnation — Spark restarts batch ids at 0 whenever the
+checkpoint directory is recreated. A high-water mark keyed on the
+checkpoint *path* alone would therefore swallow all post-recreate
+batches numbered below the old mark (silently dropping new data the
+reprocess was meant to apply). So the lineage id is
+``<checkpoint path>#<query id>``: the query id is the uuid Spark
+persists in ``<checkpoint>/metadata``, which survives every genuine
+crash/restart (replay stays a no-op) but is regenerated when the
+checkpoint is deleted (a fresh checkpoint is a fresh lineage that
+re-applies from scratch). The id alone — not the path — is the
+lineage key, so a checkpoint restored from backup at a different
+path is still the same lineage. Retired lineage entries in the
+manifest can be dropped with ``operators.table.reset_applied``.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.table import last_applied_epoch, upsert
+
+
+def cdc_lineage_id(checkpoint_dir: str) -> str:
+    """The lineage id a sink on this checkpoint uses for its applied
+    high-water mark: ``query:<streaming query id>``. The query id is
+    read from the ``metadata`` file Spark writes at query start —
+    call only after the query has started (foreachBatch time always
+    qualifies)."""
+    path = checkpoint_dir
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    with open(os.path.join(path, "metadata")) as fh:
+        qid = json.load(fh)["id"]
+    return f"query:{qid}"
 
 
 def cdc_upsert_sink(
@@ -60,9 +92,9 @@ def cdc_upsert_sink(
     — raise immediately (a loud contract error beats a silently
     arbitrary, run-to-run-varying table state)."""
 
-    app_id = checkpoint_dir
-
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # resolved lazily: the metadata file exists once the query runs
+        app_id = cdc_lineage_id(checkpoint_dir)
         last = last_applied_epoch(root, app_id)
         if last is not None and int(epoch_id) <= last:
             return  # crash-replay of a committed epoch

@@ -63,6 +63,27 @@ def test_cdc_apply_and_resolution(spark, tmp_path):
     assert _state(spark, root) == {1: 1.0, 2: 20.0, 4: 41.0}
 
 
+def _crash_restore(ckpt, epoch=0):
+    """Simulate the real at-least-once crash window: the delta
+    published but the streaming commit was lost. The checkpoint (and
+    with it the persisted query id) survives a crash — only the
+    commit record of the in-flight epoch is missing, so on restart
+    Spark re-delivers that epoch under the SAME query id. Restored
+    to a sibling path (a backup restore) because Spark 4 flags
+    in-place external edits of a live commit log as a concurrent
+    query; the query id, not the path, is the lineage key."""
+    restored = ckpt + ".restored"
+    shutil.copytree(ckpt, restored)
+    os.remove(os.path.join(restored, "commits", str(epoch)))
+    # drop the local-FS checksum sidecar too, or the re-commit's
+    # atomic rename fails on the stale crc and is misread as a
+    # concurrent query
+    crc = os.path.join(restored, "commits", f".{epoch}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return restored
+
+
 def test_cdc_replay_is_noop(spark, tmp_path):
     root = str(tmp_path / "tbl")
     src = str(tmp_path / "src")
@@ -77,12 +98,32 @@ def test_cdc_replay_is_noop(spark, tmp_path):
     n_deltas = len(delta_markers(root))
     assert n_deltas == 1
 
-    # simulate a crash where the delta published but the streaming
-    # checkpoint commit was lost: Spark re-delivers epoch 0
-    shutil.rmtree(ckpt)
-    _run(spark, src, root, ckpt)
+    _run(spark, src, root, _crash_restore(ckpt))
     assert _state(spark, root) == {1: 9.0}
     assert len(delta_markers(root)) == n_deltas  # no duplicate delta
+
+
+def test_cdc_fresh_checkpoint_is_fresh_lineage(spark, tmp_path):
+    # deleting the checkpoint is NOT a crash — it is an intentional
+    # reprocess. Batch ids restart at 0, so a replay guard keyed on
+    # the checkpoint path alone would silently swallow every new
+    # batch numbered <= the old high-water mark. The lineage id folds
+    # in the persisted query id, so the restarted stream re-applies.
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [{"id": 1, "score": 9.0, "_op": "upsert"}])
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 9.0}
+
+    # operator deletes the checkpoint to reprocess after new source
+    # data arrived; the new batch 0 (<= old mark) must NOT be dropped
+    shutil.rmtree(ckpt)
+    _write_jsonl(f"{src}/b.jsonl", [{"id": 2, "score": 7.0, "_op": "upsert"}])
+    _run(spark, src, root, ckpt)
+    assert _state(spark, root) == {1: 9.0, 2: 7.0}
 
 
 def test_cdc_distinct_lineages_both_apply(spark, tmp_path):
@@ -192,17 +233,51 @@ def test_cdc_replay_noop_survives_compact_and_vacuum(spark, tmp_path):
     # maintenance folds the delta and deletes its directory — the
     # applied high-water mark must survive in the manifest
     from aden_hive_fork_spark.operators.table import last_applied_epoch
+    from aden_hive_fork_spark.streaming.cdc_sink import cdc_lineage_id
 
+    lineage = cdc_lineage_id(ckpt)
     compact_table(spark, root)
     vacuum_deltas(root)
     assert not delta_markers(root)  # delta dirs (and markers) gone
-    assert last_applied_epoch(root, ckpt) == 0  # progress preserved
+    assert last_applied_epoch(root, lineage) == 0  # progress preserved
 
     # crash-replay of epoch 0 (lost checkpoint commit) stays a no-op
-    shutil.rmtree(ckpt)
-    _run(spark, src, root, ckpt)
+    _run(spark, src, root, _crash_restore(ckpt))
     assert _state(spark, root) == {1: 9.0}
     assert not delta_markers(root)  # no second delta was written
+
+
+def test_reset_applied_drops_retired_lineage(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import (
+        compact_table,
+        last_applied_epoch,
+        reset_applied,
+        vacuum_deltas,
+    )
+    from aden_hive_fork_spark.streaming.cdc_sink import cdc_lineage_id
+
+    root = str(tmp_path / "tbl")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, score double")
+    create_table(base, root, ["id"])
+    _write_jsonl(f"{src}/a.jsonl", [{"id": 1, "score": 9.0, "_op": "upsert"}])
+    _run(spark, src, root, ckpt)
+    lineage = cdc_lineage_id(ckpt)
+
+    # with a LIVE delta marker the reset must refuse (it would make a
+    # crash-replay of the published epoch re-apply)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reset_applied(root, lineage)
+
+    compact_table(spark, root)
+    vacuum_deltas(root)
+    assert last_applied_epoch(root, lineage) == 0
+    assert reset_applied(root, lineage) is True
+    assert last_applied_epoch(root, lineage) is None
+    assert reset_applied(root, lineage) is False  # already gone
 
 
 def test_cdc_duplicate_seq_raises(spark, tmp_path):

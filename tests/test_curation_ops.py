@@ -411,6 +411,20 @@ def test_dense_ids_match_global_row_number(spark):
     assert got[0] == ("k0000", 1) and got[-1] == ("k0996", 997)
 
 
+def test_dense_ids_rejects_existing_id_col(spark):
+    import pytest as _pytest
+
+    from aden_hive_fork_spark.operators.ids import dense_ids
+
+    df = spark.createDataFrame([(1, 2)], "n bigint, row_id bigint")
+    with _pytest.raises(ValueError, match="row_id"):
+        dense_ids(df, ["n"])  # default id_col collides
+    # a non-colliding name still works
+    assert dense_ids(df, ["n"], id_col="rid").columns == [
+        "n", "row_id", "rid",
+    ]
+
+
 def test_dense_ids_no_single_task_sort(spark):
     from aden_hive_fork_spark.operators.ids import dense_ids
 
@@ -942,6 +956,54 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     assert report[0]["change_type"] == "changed"
     assert "content_md5" in report[0]["changed_cols"]
     assert "n_rows" in report[0]["changed_cols"]
+
+
+def test_manifest_partitioned_duplicate_basenames(spark, tmp_path):
+    """Hive-partitioned layouts repeat part-file basenames across
+    subdirectories; file_name must be root-RELATIVE so the
+    checksum↔rowcount join stays one-to-one (a basename join goes
+    many-to-many and corrupts n_rows)."""
+    import os
+    import shutil
+
+    from aden_hive_fork_spark.operators.manifest import (
+        dataset_manifest,
+        verify_manifest,
+    )
+
+    data = str(tmp_path / "data")
+    df = spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(60)],
+        "id bigint, p bigint, s string",
+    )
+    df.repartition(1).write.partitionBy("p").parquet(data)
+    # force identical basenames in both partitions
+    parts = {}
+    for p in (0, 1):
+        d = f"{data}/p={p}"
+        f = [e for e in os.listdir(d) if e.endswith(".parquet")][0]
+        parts[p] = f
+        os.replace(os.path.join(d, f), os.path.join(d, "part-00000.parquet"))
+        for e in list(os.listdir(d)):
+            if e.endswith(".crc"):
+                os.remove(os.path.join(d, e))
+
+    man = dataset_manifest(spark, data)
+    rows = man.collect()
+    assert len(rows) == 2  # one row per file, no fan-out
+    names = sorted(r["file_name"] for r in rows)
+    assert names == ["p=0/part-00000.parquet", "p=1/part-00000.parquet"]
+    assert sum(r["n_rows"] for r in rows) == 60
+    assert verify_manifest(spark, data, man).count() == 0
+
+    # removing one partition's file is localized to that file_name
+    # (the recorded manifest is a snapshot, as when loaded from disk)
+    recorded = spark.createDataFrame(rows, man.schema)
+    shutil.rmtree(f"{data}/p=1")
+    report = verify_manifest(spark, data, recorded).collect()
+    assert [
+        (r["file_name"], r["change_type"]) for r in report
+    ] == [("p=1/part-00000.parquet", "removed")]
 
 
 # ---------------------------------------------------------------------------
