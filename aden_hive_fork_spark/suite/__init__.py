@@ -48,6 +48,7 @@ def load_all() -> None:
         chunking_suite,
         curation,
         dedup,
+        dml,
         events,
         external_db,
         graph,

@@ -1,0 +1,125 @@
+"""DML surface: MERGE INTO over the keyed merge-on-read table.
+
+The reference serves point mutations through its generic SQL tier
+(reference: core/framework SQL tool surface); the Spark-first
+equivalent is ``operators/table.merge_into`` — one left join + one
+delta append, never a base rewrite. The suite query proves the full
+three-clause semantics (conditional delete, conditional update with
+expressions over source AND target, insert-by-default) hash-exactly
+against a declarative oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T, dec, dround
+
+
+def _dml_dir(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join("/tmp", "spark_graft_dml", sf)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+# ---------------------------------------------------------------------------
+# q158 — MERGE INTO with all three clauses. The target is a keyed
+# table of every customer whose key is not divisible by 3 (so the
+# source has genuinely unmatched keys); the source is per-customer
+# order spend. Matched negative-balance customers are purged, matched
+# big spenders get a 1% cashback credit, unmatched spenders are
+# inserted as new (segment-less) accounts. Scale shape: one key
+# shuffle for the join, delta sized by the action set — a merge
+# touching 0.1% of a 100 TB table writes 0.1% worth of delta.
+# ---------------------------------------------------------------------------
+@query(
+    "q158_merge_into",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    src AS (
+      SELECT o_custkey AS c_custkey,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS c_acctbal
+      FROM orders GROUP BY o_custkey
+    ),
+    kept AS (
+      SELECT t.c_custkey,
+        CASE WHEN s.c_custkey IS NOT NULL AND NOT (t.c_acctbal < 0)
+                  AND s.c_acctbal > 5000
+             THEN CAST(ROUND(CAST(t.c_acctbal + s.c_acctbal * 0.01
+                                  AS DECIMAL(18,4)), 2) AS DOUBLE)
+             ELSE t.c_acctbal END AS c_acctbal,
+        t.c_mktsegment
+      FROM tgt t LEFT JOIN src s ON s.c_custkey = t.c_custkey
+      WHERE NOT (s.c_custkey IS NOT NULL AND t.c_acctbal < 0)
+    ),
+    ins AS (
+      SELECT s.c_custkey, s.c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment
+      FROM src s LEFT JOIN tgt t ON t.c_custkey = s.c_custkey
+      WHERE t.c_custkey IS NULL
+    ),
+    state AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+    )
+    SELECT COALESCE(c_mktsegment, '(new)') AS segment,
+      COUNT(*) AS n_accounts,
+      CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_bal,
+      CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM state
+    GROUP BY COALESCE(c_mktsegment, '(new)')
+    ORDER BY segment ASC
+    """,
+)
+def q158_merge_into(spark, sf_dir):
+    """operators/table.merge_into — delete, conditional update with a
+    mixed s./t. expression, and default insert, resolved by one
+    merge-on-read read back. The update expression rounds through
+    DECIMAL so the merged balance is bit-identical to the oracle's
+    CASE arithmetic."""
+    from ..operators.table import create_table, merge_into, read_table
+
+    root = _dml_dir(sf_dir, "merge_customers")
+    shutil.rmtree(root, ignore_errors=True)
+    tgt = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
+    create_table(tgt, root, ["c_custkey"])
+    src = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(dround(F.sum(dec("o_totalprice"))).alias("c_acctbal"))
+    )
+    merge_into(
+        spark,
+        root,
+        src,
+        when_matched_update={
+            "c_acctbal": "CAST(ROUND(CAST(t.c_acctbal + s.c_acctbal * 0.01"
+            " AS DECIMAL(18,4)), 2) AS DOUBLE)"
+        },
+        update_condition="s.c_acctbal > 5000",
+        when_matched_delete="t.c_acctbal < 0",
+    )
+    return (
+        read_table(spark, root)
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(new)")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_accounts"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_bal"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy("segment")
+    )

@@ -137,3 +137,88 @@ def test_torn_delta_never_visible(spark, table):
         ["doc_id"],
     )
     assert _rows(spark, table)[50] == (5.0, "z")
+
+# ---------------------------------------------------------------------------
+# merge_into
+# ---------------------------------------------------------------------------
+
+
+def _mk_table(spark, tmp_path, rows):
+    from aden_hive_fork_spark.operators.table import create_table
+
+    root = str(tmp_path / "merge_tbl")
+    df = spark.createDataFrame(rows, "id bigint, score double, tag string")
+    create_table(df, root, ["id"])
+    return root
+
+
+def _snap(spark, root):
+    from aden_hive_fork_spark.operators.table import read_table
+
+    return {
+        r["id"]: (r["score"], r["tag"])
+        for r in read_table(spark, root).collect()
+    }
+
+
+def test_merge_into_three_clauses(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import merge_into
+
+    root = _mk_table(
+        spark, tmp_path,
+        [(1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del"),
+         (4, 40.0, "upd")],
+    )
+    src = spark.createDataFrame(
+        [(2, 21.0), (3, 0.0), (4, 39.0), (5, 50.0)],
+        "id bigint, score double",
+    )
+    stats = merge_into(
+        spark, root, src,
+        when_matched_update={"score": "s.score", "tag": "'merged'"},
+        update_condition="s.score > t.score",
+        when_matched_delete="t.tag = 'del'",
+    )
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 1}
+    snap = _snap(spark, root)
+    assert snap[1] == (10.0, "keep")          # untouched by source
+    assert snap[2] == (21.0, "merged")        # update cond true
+    assert 3 not in snap                      # delete clause wins
+    assert snap[4] == (40.0, "upd")           # update cond false → no-op
+    assert snap[5] == (50.0, None)            # insert, tag absent → NULL
+
+
+def test_merge_into_default_update_overwrites_source_cols(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import merge_into
+
+    root = _mk_table(spark, tmp_path, [(1, 1.0, "a"), (2, 2.0, "b")])
+    src = spark.createDataFrame([(1, 9.0), (7, 70.0)],
+                                "id bigint, score double")
+    stats = merge_into(spark, root, src)
+    assert stats == {"inserted": 1, "updated": 1, "deleted": 0}
+    snap = _snap(spark, root)
+    assert snap[1] == (9.0, "a")   # score from source, tag preserved
+    assert snap[7] == (70.0, None)
+
+
+def test_merge_into_no_insert_clause(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import merge_into
+
+    root = _mk_table(spark, tmp_path, [(1, 1.0, "a")])
+    src = spark.createDataFrame([(1, 5.0), (9, 9.0)],
+                                "id bigint, score double")
+    stats = merge_into(spark, root, src, when_not_matched_insert=False)
+    assert stats == {"inserted": 0, "updated": 1, "deleted": 0}
+    snap = _snap(spark, root)
+    assert 9 not in snap and snap[1] == (5.0, "a")
+
+
+def test_merge_into_missing_keys_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from aden_hive_fork_spark.operators.table import merge_into
+
+    root = _mk_table(spark, tmp_path, [(1, 1.0, "a")])
+    src = spark.createDataFrame([(5.0,)], "score double")
+    with _pytest.raises(ValueError, match="key columns"):
+        merge_into(spark, root, src)
