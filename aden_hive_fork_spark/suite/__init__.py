@@ -52,6 +52,7 @@ def load_all() -> None:
         events,
         external_db,
         graph,
+        ml,
         multimodal,
         quality_suite,
         relational,

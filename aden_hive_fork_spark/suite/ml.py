@@ -1,0 +1,116 @@
+"""ML-adjacent relational operators: distributed k-means under the
+oracle gate.
+
+The oracle is Lloyd's algorithm UNROLLED into SQL — init, then
+(assign, update) × n_iter as chained CTEs — which DuckDB replays
+bit-exactly because every step of the Spark implementation is
+deterministic by construction (hash-order init, tie-broken argmin,
+rounded exact-decimal centroid means). Iterative ML on an engine
+usually gets a rows-only check at best; the determinism contract
+makes it hash-checkable like any relational query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T, dec, dround
+
+_K = 4
+_ITER = 3
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as CTEs (assign aN → mean uN →
+    carry-forward cN), mirroring operators/kmeans.kmeans exactly."""
+    sql = """
+    WITH pts AS (
+      SELECT c.c_custkey AS pid, c.c_acctbal AS x,
+        CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_acctbal
+    ),
+    c0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY
+                md5('kmeans' || CAST(pid AS VARCHAR)) ASC, pid ASC)) - 1
+             AS cid, x, y
+      FROM pts
+      ORDER BY md5('kmeans' || CAST(pid AS VARCHAR)) ASC, pid ASC
+      LIMIT {k}
+    )"""
+    for i in range(1, _ITER + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT pid, x, y, cid FROM (
+        SELECT p.pid, p.x, p.y, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+            (p.x-c.x)*(p.x-c.x) + (p.y-c.y)*(p.y-c.y) ASC, c.cid ASC) AS rn
+        FROM pts p CROSS JOIN c{i - 1} c
+      ) WHERE rn = 1
+    ),
+    u{i} AS (
+      SELECT cid,
+        ROUND(CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS x,
+        ROUND(CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS y
+      FROM a{i} GROUP BY cid
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(u.x, p.x) AS x, COALESCE(u.y, p.y) AS y
+      FROM c{i - 1} p LEFT JOIN u{i} u ON u.cid = p.cid
+    )"""
+    sql += f"""
+    SELECT CAST(c.cid AS BIGINT) AS cluster_id,
+      n.n_points, c.x AS cx, c.y AS cy
+    FROM c{_ITER} c
+    JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM a{_ITER} GROUP BY cid) n ON n.cid = c.cid
+    ORDER BY cluster_id ASC
+    """
+    return sql.format(k=_K)
+
+
+# ---------------------------------------------------------------------------
+# q159 — customer segmentation: k-means over (account balance, total
+# spend). Per iteration: one codegen-fused assignment pass (argmin
+# over k literal centroids — no join) + one k·d-row keyed aggregate.
+# Driver state is k·d doubles — scale-independent.
+# ---------------------------------------------------------------------------
+@query("q159_kmeans_segments", oracle=_kmeans_oracle())
+def q159_kmeans_segments(spark, sf_dir):
+    """operators/kmeans.kmeans — 3 Lloyd iterations, k=4,
+    hash-order init, exact-decimal centroid means."""
+    from ..operators.kmeans import kmeans
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    spend = o.groupBy(F.col("o_custkey").alias("pid")).agg(
+        dround(F.sum(dec("o_totalprice"))).alias("y")
+    )
+    pts = (
+        c.select(F.col("c_custkey").alias("pid"), F.col("c_acctbal").alias("x"))
+        .join(spend, "pid")
+    )
+    assigned, cents = kmeans(
+        pts, ["x", "y"], "pid", k=_K, n_iter=_ITER, salt="kmeans"
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    cent_df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(cents)],
+        "cid int, cx double, cy double",
+    )
+    return (
+        cent_df.join(counts, "cid")
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "n_points",
+            "cx",
+            "cy",
+        )
+        .orderBy("cluster_id")
+    )

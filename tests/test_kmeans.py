@@ -1,0 +1,71 @@
+"""Distributed k-means: deterministic init/assign/update and the
+no-join assignment plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.operators.kmeans import assign_clusters, kmeans
+
+
+def test_assign_argmin_and_tiebreak(spark):
+    df = spark.createDataFrame([(0.0,), (4.0,), (5.0,)], "x double")
+    # centroids at 0 and 10: 5.0 is equidistant -> lower cid wins
+    out = {r["x"]: r["cid"] for r in
+           assign_clusters(df, ["x"], [[0.0], [10.0]]).collect()}
+    assert out == {0.0: 0, 4.0: 0, 5.0: 0}
+    out2 = {r["x"]: r["cid"] for r in
+            assign_clusters(df, ["x"], [[0.0], [8.0]]).collect()}
+    assert out2[5.0] == 1
+
+
+def test_assignment_plan_has_no_join_or_exchange(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    plan = (
+        assign_clusters(df, ["x"], [[0.0], [50.0], [99.0]])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "join" not in plan.lower()
+    assert "exchange" not in plan.lower()
+
+
+def test_kmeans_converges_on_separated_blobs(spark):
+    rows = [(i, float(i % 10)) for i in range(50)]            # blob at 0-9
+    rows += [(100 + i, 1000.0 + float(i % 10)) for i in range(50)]
+    df = spark.createDataFrame(rows, "pid bigint, x double")
+    assigned, cents = kmeans(df, ["x"], "pid", k=2, n_iter=3)
+    got = assigned.groupBy("cid").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    by_cid = {r["cid"]: r for r in got}
+    assert len(by_cid) == 2
+    for r in by_cid.values():
+        assert r["n"] == 50
+        assert r["hi"] - r["lo"] <= 9.0  # each cluster is one blob
+    assert sorted(round(c[0], 1) for c in cents) == [4.5, 1004.5]
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 over two identical points: at most 2 non-empty clusters;
+    # the emptied one must keep its previous (seed) coordinates
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 100.0)], "pid bigint, x double"
+    )
+    _, cents = kmeans(df, ["x"], "pid", k=2, n_iter=2)
+    assert sorted(c[0] for c in cents) == [0.0, 100.0]
+    _, cents3 = kmeans(
+        spark.createDataFrame([(1, 0.0), (2, 0.0), (3, 90.0)],
+                              "pid bigint, x double"),
+        ["x"], "pid", k=3, n_iter=2,
+    )
+    assert len(cents3) == 3  # no cluster lost even if emptied
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    rows = [(i, float((i * 37) % 500)) for i in range(300)]
+    a = spark.createDataFrame(rows, "pid bigint, x double").repartition(2)
+    b = spark.createDataFrame(rows, "pid bigint, x double").repartition(17)
+    _, ca = kmeans(a, ["x"], "pid", k=4, n_iter=3)
+    _, cb = kmeans(b, ["x"], "pid", k=4, n_iter=3)
+    assert ca == cb
