@@ -331,3 +331,92 @@ def kl_drift(
             F.sum("_n_gc").cast("bigint").alias("n_rows"),
         )
     )
+
+
+def quantile_scores(
+    df: DataFrame,
+    score_cols: list[str],
+    n_bins: int = 5,
+    ndigits: int = 6,
+    suffix: str = "_score",
+) -> DataFrame:
+    """Append ``<col>_score`` ∈ [1, n_bins] for each listed column:
+    1 + the number of interior quantile cut points strictly below the
+    value (ties at a cut stay in the lower bin — equi_depth_bins'
+    convention). The RFM-scoring primitive.
+
+    ONE aggregate computes every column's cut array in a single pass;
+    the tiny (1 × cols·(n_bins-1)) result broadcasts and scoring is a
+    map-side fold per row — no NTILE, no global sort, no per-column
+    job. Cuts are ROUNDed to ``ndigits`` before comparison so scores
+    are bit-deterministic across engines and partitionings. NULL
+    values score NULL.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        *[
+            F.transform(
+                F.percentile(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(f) for f in fracs]),
+                ),
+                lambda v: F.round(v, ndigits),
+            ).alias(f"_cuts_{c}")
+            for c in score_cols
+        ]
+    )
+    out = df.crossJoin(F.broadcast(cuts))
+    for c in score_cols:
+        x = F.col(c).cast("double")
+        score = F.lit(1) + F.aggregate(
+            F.col(f"_cuts_{c}"),
+            F.lit(0),
+            lambda acc, cut: acc + F.when(x > cut, 1).otherwise(0),
+        )
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(x.isNotNull(), score.cast("int")),
+        )
+    return out.drop(*[f"_cuts_{c}" for c in score_cols])
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group winsorized summary: values clamped to the group's
+    [lower, upper] interpolated percentiles (ROUNDed to ``ndigits``
+    so the clamp decision is engine-neutral), then n / mean / lo_cap /
+    hi_cap per group. Robust mean without MAD's two data passes over
+    deviations: one grouped percentile aggregate (tiny result, joined
+    back — AQE broadcasts when small), one clamp+aggregate pass.
+    Mean is the exact-decimal avg2 form at DECIMAL(28,6) (clamped
+    values are ndigits-decimal by construction).
+    """
+    df = df.filter(F.col(value_col).isNotNull())
+    x = F.col(value_col).cast("double")
+    caps = df.groupBy(*group_cols).agg(
+        F.round(F.percentile(x, F.lit(lower)), ndigits).alias("lo_cap"),
+        F.round(F.percentile(x, F.lit(upper)), ndigits).alias("hi_cap"),
+    )
+    clamped = df.join(caps, group_cols).withColumn(
+        "_w", F.least(F.greatest(x, F.col("lo_cap")), F.col("hi_cap"))
+    )
+    return (
+        clamped.groupBy(*group_cols, "lo_cap", "hi_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("_w").cast(f"decimal(28,{ndigits})")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                2,
+            ).alias("w_mean"),
+        )
+        .select(*group_cols, "n", "w_mean", "lo_cap", "hi_cap")
+    )

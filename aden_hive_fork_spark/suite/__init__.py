@@ -45,6 +45,7 @@ def load_all() -> None:
     """Import every suite module (idempotent)."""
     from . import (  # noqa: F401
         analytics,
+        analytics2,
         chunking_suite,
         curation,
         dedup,

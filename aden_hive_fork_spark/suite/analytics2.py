@@ -1,0 +1,268 @@
+"""Analytics batch 2: exponential smoothing, rolling-window anomaly
+flags, RFM segmentation, touch attribution, winsorized means — the
+forecasting/marketing tier of the reference's generic SQL surface,
+each with the plan a 100 TB deployment needs (no NTILE, no global
+sort, no float window reassociation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T, dec, dround
+
+_DAILY_REV_SQL = """
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS rev
+      FROM orders GROUP BY 1, 2
+"""
+
+
+def _daily_rev(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(dround(F.sum(dec("o_totalprice"))).alias("rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — EWMA level per priority. The recursion is a left fold (not a
+# window sum — engines reassociate float window sums); Spark folds the
+# per-key sorted array JVM-side with aggregate(), DuckDB replays the
+# identical left-to-right IEEE order with list_reduce.
+# ---------------------------------------------------------------------------
+@query(
+    "q160_ewma_forecast",
+    oracle=f"""
+    WITH s AS ({_DAILY_REV_SQL})
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_obs,
+      CAST(ROUND(list_reduce(list(rev ORDER BY d ASC),
+                             (acc, x) -> 0.3*x + (1.0 - 0.3)*acc), 6)
+           AS DOUBLE) AS ewma_level
+    FROM s GROUP BY priority ORDER BY priority ASC
+    """,
+)
+def q160_ewma_forecast(spark, sf_dir):
+    """operators/timeseries.ewma — deterministic exponential
+    smoothing; the final level is the one-step-ahead forecast."""
+    from ..operators.timeseries import ewma
+
+    return ewma(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev", alpha=0.3
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q161 — trailing 28-day z-score anomalies on the same daily series.
+# Exact DECIMAL window sums make mean/var order-independent (a DOUBLE
+# window sum would diverge: DuckDB aggregates frames via segment
+# tree); z rounds to 6 digits before the threshold compare.
+# ---------------------------------------------------------------------------
+@query(
+    "q161_rolling_anomalies",
+    oracle=f"""
+    WITH s AS ({_DAILY_REV_SQL}),
+    w AS (
+      SELECT priority, d, rev,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
+             OVER win AS DOUBLE) AS s2,
+        COUNT(*) OVER win AS n
+      FROM s
+      WINDOW win AS (PARTITION BY priority ORDER BY d ASC
+                     ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, d, rev,
+      ROUND((rev - s1/n)
+            / NULLIF(sqrt(GREATEST(s2/n - (s1/n)*(s1/n), 0.0)), 0.0), 6) AS z
+    FROM w
+    WHERE n = 28
+      AND ABS(ROUND((rev - s1/n)
+            / NULLIF(sqrt(GREATEST(s2/n - (s1/n)*(s1/n), 0.0)), 0.0), 6))
+          > 2.5
+    ORDER BY priority ASC, d ASC
+    """,
+)
+def q161_rolling_anomalies(spark, sf_dir):
+    """operators/timeseries.rolling_zscore — full-window trailing
+    anomalies, |z| > 2.5."""
+    from ..operators.timeseries import rolling_zscore
+
+    return rolling_zscore(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
+        window=28, z_threshold=2.5,
+    ).orderBy("priority", "d")
+
+
+# ---------------------------------------------------------------------------
+# q162 — RFM segmentation. One aggregate computes ALL quintile cuts
+# (no NTILE — a global NTILE(5) funnels 100 TB through one task);
+# scores are a broadcast map-side fold.
+# ---------------------------------------------------------------------------
+@query(
+    "q162_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+        date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+          AS recency,
+        CAST(COUNT(*) AS DOUBLE) AS frequency,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT
+        list_transform(quantile_cont(CAST(recency AS DOUBLE),
+          [0.2, 0.4, 0.6, 0.8]), c -> ROUND(c, 6)) AS rc,
+        list_transform(quantile_cont(frequency,
+          [0.2, 0.4, 0.6, 0.8]), c -> ROUND(c, 6)) AS fc,
+        list_transform(quantile_cont(monetary,
+          [0.2, 0.4, 0.6, 0.8]), c -> ROUND(c, 6)) AS mc
+      FROM rfm
+    ),
+    scored AS (
+      SELECT
+        1 + len(list_filter(rc, c -> CAST(recency AS DOUBLE) > c))
+          AS r_score,
+        1 + len(list_filter(fc, c -> frequency > c)) AS f_score,
+        1 + len(list_filter(mc, c -> monetary > c)) AS m_score,
+        monetary
+      FROM rfm CROSS JOIN cuts
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      CAST(m_score AS INT) AS m_score,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(ROUND(SUM(CAST(monetary AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_monetary
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score ASC, f_score ASC, m_score ASC
+    """,
+)
+def q162_rfm_segments(spark, sf_dir):
+    """operators/quality.quantile_scores over per-customer recency /
+    frequency / monetary."""
+    from ..operators.quality import quantile_scores
+
+    o = T(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("_anchor"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("_last"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            dround(F.sum(dec("o_totalprice"))).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency", F.datediff(F.col("_anchor"), F.col("_last")))
+        .drop("_anchor", "_last")
+    )
+    scored = quantile_scores(rfm, ["recency", "frequency", "monetary"])
+    return (
+        scored.groupBy(
+            F.col("recency_score").alias("r_score"),
+            F.col("frequency_score").alias("f_score"),
+            F.col("monetary_score").alias("m_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dround(F.sum(dec("monetary"))).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — first/last-touch attribution: keyed range join (user key +
+# bounded time predicate — pair volume tracks touches-per-window, not
+# corpus size), credit via one conversion-keyed window.
+# ---------------------------------------------------------------------------
+@query(
+    "q163_touch_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id AS u, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, ts AS touch_ts, event_id AS touch_id,
+        event_type AS channel
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    pairs AS (
+      SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+      FROM conv c JOIN touch t ON t.u = c.u
+        AND t.touch_ts < c.conv_ts
+        AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    ranked AS (
+      SELECT channel,
+        ROW_NUMBER() OVER (PARTITION BY conv_id
+          ORDER BY touch_ts ASC, touch_id ASC) AS rn_first,
+        ROW_NUMBER() OVER (PARTITION BY conv_id
+          ORDER BY touch_ts DESC, touch_id DESC) AS rn_last
+      FROM pairs
+    )
+    SELECT channel,
+      CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_first_touch,
+      CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_last_touch
+    FROM ranked
+    GROUP BY channel
+    ORDER BY channel ASC
+    """,
+)
+def q163_touch_attribution(spark, sf_dir):
+    """operators/attribution.touch_attribution — 7-day lookback,
+    purchase conversions."""
+    from ..operators.attribution import touch_attribution
+
+    e = T(spark, sf_dir, "events")
+    return touch_attribution(e, conversion_type="purchase",
+                             lookback_days=7).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# q164 — winsorized mean per priority: grouped percentile caps joined
+# back (AQE broadcasts the tiny cap table), clamp map-side, one
+# exact-decimal aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q164_winsorized_stats",
+    oracle="""
+    WITH caps AS (
+      SELECT o_orderpriority AS priority,
+        ROUND(quantile_cont(o_totalprice, 0.05), 6) AS lo_cap,
+        ROUND(quantile_cont(o_totalprice, 0.95), 6) AS hi_cap
+      FROM orders GROUP BY 1
+    ),
+    clamped AS (
+      SELECT o.o_orderpriority AS priority, c.lo_cap, c.hi_cap,
+        LEAST(GREATEST(o.o_totalprice, c.lo_cap), c.hi_cap) AS w
+      FROM orders o JOIN caps c ON c.priority = o.o_orderpriority
+    )
+    SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+      ROUND(CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 2) AS w_mean,
+      lo_cap, hi_cap
+    FROM clamped
+    GROUP BY priority, lo_cap, hi_cap
+    ORDER BY priority ASC
+    """,
+)
+def q164_winsorized_stats(spark, sf_dir):
+    """operators/quality.winsorized_stats on order totals."""
+    from ..operators.quality import winsorized_stats
+
+    return winsorized_stats(
+        T(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    ).withColumnRenamed("o_orderpriority", "priority").orderBy("priority")

@@ -1,0 +1,108 @@
+"""EWMA, rolling z-score, quantile scores, winsorized stats, touch
+attribution — unit-level semantics (suite q160-q164 covers the
+cross-engine hash contract)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_ewma_matches_hand_recursion(spark):
+    from aden_hive_fork_spark.operators.timeseries import ewma
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+            ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {r["k"]: (r["n_obs"], r["ewma_level"]) for r in
+           ewma(df, ["k"], "t", "x", alpha=0.5).collect()}
+    # a: y0=10, y1=.5*20+.5*10=15, y2=.5*30+.5*15=22.5
+    assert got["a"] == (3, 22.5)
+    assert got["b"] == (1, 5.0)
+
+
+def test_ewma_order_independent_of_input_partitioning(spark):
+    from aden_hive_fork_spark.operators.timeseries import ewma
+
+    rows = [("k", i, float((i * 13) % 97)) for i in range(200)]
+    import random
+
+    random.Random(3).shuffle(rows)
+    a = spark.createDataFrame(rows, "k string, t int, x double").repartition(7)
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "k string, t int, x double").repartition(2)
+    va = ewma(a, ["k"], "t", "x").collect()[0]["ewma_level"]
+    vb = ewma(b, ["k"], "t", "x").collect()[0]["ewma_level"]
+    assert va == vb
+
+
+def test_rolling_zscore_flags_spike_only_with_full_window(spark):
+    from aden_hive_fork_spark.operators.timeseries import rolling_zscore
+
+    # 9 flat values then a spike: window=5 → spike z is large; early
+    # rows lack a full window and must never be flagged
+    rows = [("k", i, 100.0) for i in range(9)] + [("k", 9, 500.0)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    out = rolling_zscore(df, ["k"], "t", "x", window=5, z_threshold=1.9)
+    got = out.collect()
+    assert [(r["t"], r["x"]) for r in got] == [(9, 500.0)]
+    assert got[0]["z"] == 2.0  # mean 180, popstd 160 → (500-180)/160
+
+
+def test_quantile_scores_bins_and_nulls(spark):
+    from aden_hive_fork_spark.operators.quality import quantile_scores
+
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = quantile_scores(df, ["v"], n_bins=5)
+    got = dict((r["v"], r["v_score"]) for r in out.collect())
+    assert got[1.0] == 1 and got[100.0] == 5
+    assert got[50.0] == 3 and got[61.0] == 4
+    assert got[None] is None
+    # ~20 rows per bin
+    from collections import Counter
+
+    c = Counter(v for k, v in got.items() if k is not None)
+    assert all(18 <= n <= 22 for n in c.values())
+
+
+def test_winsorized_stats_clamps_tails(spark):
+    from aden_hive_fork_spark.operators.quality import winsorized_stats
+
+    rows = [("g", float(i)) for i in range(1, 100)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = winsorized_stats(df, "v", ["g"], lower=0.0, upper=0.9).collect()[0]
+    assert r["n"] == 100
+    assert r["hi_cap"] < 1000        # the 1e9 outlier got capped
+    assert r["w_mean"] < 100
+
+
+def test_touch_attribution_first_vs_last(spark):
+    from aden_hive_fork_spark.operators.attribution import touch_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view → click → purchase  (first=view, last=click)
+        (1, ts(0), 1, "view"), (2, ts(5), 1, "click"),
+        (3, ts(10), 1, "purchase"),
+        # user 2: click 8 days before purchase → outside lookback
+        (4, t0 - dt.timedelta(days=8), 2, "click"),
+        (5, ts(0), 2, "purchase"),
+        # user 3: two touches same ts → event_id breaks the tie
+        (6, ts(0), 3, "view"), (7, ts(0), 3, "click"),
+        (8, ts(1), 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint,"
+        " event_type string"
+    )
+    got = {r["channel"]: (r["n_first_touch"], r["n_last_touch"])
+           for r in touch_attribution(df).collect()}
+    # user1: first view / last click; user3: first view(id6) / last click(id7)
+    assert got["view"] == (2, 0)
+    assert got["click"] == (0, 2)
