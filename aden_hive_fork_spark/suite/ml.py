@@ -114,3 +114,84 @@ def q159_kmeans_segments(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+_LR_ITER = 3
+
+
+def _logreg_oracle() -> str:
+    """Unrolled full-batch GD: per iteration one gradient CTE (gN)
+    and one weight CTE (wN), mirroring operators/logreg.logreg_fit
+    expression-for-expression (same rounding points, same
+    left-associated z)."""
+    feats = ["x1", "x2"]
+    sql = """
+    WITH d AS (
+      SELECT o_totalprice / 100000.0 AS x1,
+        CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS x2,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+      FROM orders
+    ),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS wx1, 0.0 AS wx2)"""
+    wcols = ["b", "wx1", "wx2"]
+    for i in range(1, _LR_ITER + 1):
+        z = f"(w.b + w.wx1*x1 + w.wx2*x2)"
+        p = f"1.0/(1.0+exp(-{z}))"
+        terms = ["1.0"] + feats
+        gsel = ", ".join(
+            f"ROUND(CAST(SUM(CAST(ROUND(({p} - y) * {t}, 6)"
+            f" AS DECIMAL(28,6))) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE), 6) AS g{j}"
+            for j, t in enumerate(terms)
+        )
+        wsel = ", ".join(
+            f"ROUND(w.{c} - 1.0*g.g{j}, 6) AS {c}"
+            for j, c in enumerate(wcols)
+        )
+        sql += f""",
+    g{i} AS (SELECT {gsel} FROM d CROSS JOIN w{i - 1} w),
+    w{i} AS (SELECT {wsel} FROM w{i - 1} w CROSS JOIN g{i} g)"""
+    z = "(w.b + w.wx1*x1 + w.wx2*x2)"
+    sql += f"""
+    SELECT w.b AS bias, w.wx1 AS w_x1, w.wx2 AS w_x2,
+      CAST(SUM(CASE WHEN (CASE WHEN ROUND(1.0/(1.0+exp(-{z})), 6) >= 0.5
+                          THEN 1.0 ELSE 0.0 END) = y
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d CROSS JOIN w{_LR_ITER} w
+    GROUP BY w.b, w.wx1, w.wx2
+    """
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# q165 — logistic regression: 3 full-batch GD steps, quantized
+# sigmoid, exact-decimal gradient sums; one aggregate pass per
+# iteration, driver state = d+1 doubles.
+# ---------------------------------------------------------------------------
+@query("q165_logreg_urgent", oracle=_logreg_oracle())
+def q165_logreg_urgent(spark, sf_dir):
+    """operators/logreg — predict 1-URGENT priority from scaled
+    price + fulfilled-status; reports weights and training accuracy
+    counts (bit-deterministic, see module docstring)."""
+    from ..operators.logreg import logreg_fit, logreg_score
+
+    d = T(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice") / F.lit(100000.0)).alias("x1"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    w = logreg_fit(d, ["x1", "x2"], "y", n_iter=_LR_ITER, lr=1.0)
+    scored = logreg_score(d, ["x1", "x2"], w)
+    pred = F.when(F.col("prob") >= 0.5, 1.0).otherwise(0.0)
+    return scored.agg(
+        F.lit(w[0]).alias("bias"),
+        F.lit(w[1]).alias("w_x1"),
+        F.lit(w[2]).alias("w_x2"),
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
