@@ -203,3 +203,52 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     rows = out.collect()
     ed.unpersist(blocking=False)
     return edges.sparkSession.createDataFrame(rows, out.schema)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS: (id, hops) = minimum hop distance from the
+    source set, bounded by ``max_hops`` (unreached nodes are absent).
+
+    Frontier-relaxation rounds — the scalable shape for huge sparse
+    graphs (each round is one keyed equi-join frontier⋈edges plus one
+    anti-join against the visited set; per-round volume tracks the
+    frontier, not the graph). Lineage is truncated with an eager
+    localCheckpoint every round (the connected-components discipline
+    — without it the plan doubles per iteration), and an empty
+    frontier short-circuits. Integer hop labels — no float anywhere —
+    so the result is trivially engine-exact (DuckDB: bounded
+    recursive CTE with UNION dedup).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    dist = (
+        sources.select(F.col(id_col).cast("long").alias(id_col))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
+    )
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[id_col] == e["_s"])
+            .select(F.col("_d").alias(id_col))
+            .distinct()
+            .join(dist.select(id_col), id_col, "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

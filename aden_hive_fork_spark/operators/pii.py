@@ -150,3 +150,51 @@ def k_anonymity_report(
         .cast("double")
         .alias("risky_frac"),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Distinct-l-diversity companion to ``k_anonymity_report``:
+    k-anonymity bounds re-identification, but a class whose rows all
+    share one SENSITIVE value still leaks it (homogeneity attack) —
+    each equivalence class must also contain >= l distinct sensitive
+    values. One-row summary: ``n_rows, n_classes, min_diversity,
+    n_weak_classes`` (diversity < l), ``exposed_rows`` (rows in weak
+    classes) and their fraction. Same two-aggregate shape as the
+    k-report: data → per-class (count, exact distinct) → tiny
+    summary."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct(F.col(sensitive_col)).cast("bigint").alias("diversity"),
+    )
+    return classes.agg(
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("diversity").cast("bigint").alias("min_diversity"),
+        F.sum(F.when(F.col("diversity") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_weak_classes"),
+        F.sum(
+            F.when(F.col("diversity") < l, F.col("class_size")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("exposed_rows"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "min_diversity",
+        "n_weak_classes",
+        "exposed_rows",
+        F.round(
+            F.col("exposed_rows").cast("double")
+            / F.col("n_rows").cast("double"),
+            ndigits,
+        )
+        .cast("double")
+        .alias("exposed_frac"),
+    )

@@ -266,3 +266,55 @@ def q164_winsorized_stats(spark, sf_dir):
     return winsorized_stats(
         T(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
     ).withColumnRenamed("o_orderpriority", "priority").orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q167 — l-diversity: k-anonymity's homogeneity-attack companion.
+# Quasi-identifiers (nation, segment, order year) against the
+# sensitive order priority; same data → classes → summary shape as
+# q137.
+# ---------------------------------------------------------------------------
+@query(
+    "q167_l_diversity",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+        CAST(year(o.o_orderdate) AS INT) AS yr,
+        o.o_orderpriority AS sens
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, yr,
+        CAST(COUNT(*) AS BIGINT) AS class_size,
+        CAST(COUNT(DISTINCT sens) AS BIGINT) AS diversity
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(MIN(diversity) AS BIGINT) AS min_diversity,
+      CAST(SUM(CASE WHEN diversity < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_weak_classes,
+      CAST(SUM(CASE WHEN diversity < 5 THEN class_size ELSE 0 END) AS BIGINT)
+        AS exposed_rows,
+      CAST(ROUND(CAST(SUM(CASE WHEN diversity < 5 THEN class_size ELSE 0 END)
+                      AS DOUBLE)
+           / CAST(SUM(class_size) AS DOUBLE), 6) AS DOUBLE) AS exposed_frac
+    FROM cls
+    """,
+)
+def q167_l_diversity(spark, sf_dir):
+    """operators/pii.l_diversity_report — quasi (nation, segment,
+    order year), sensitive priority, l=5."""
+    from ..operators.pii import l_diversity_report
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(c, c["c_custkey"] == o["o_custkey"]).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    return l_diversity_report(
+        j, ["c_nationkey", "c_mktsegment", "yr"], "sens", l=5
+    )

@@ -152,3 +152,73 @@ def q125_triangle_count(spark, sf_dir):
         .distinct()
     )
     return triangle_count(pairs)
+
+
+# ---------------------------------------------------------------------------
+# q166 — multi-source BFS over the (thinned, undirected) purchase
+# graph: hop histogram from the nation-0 customer seed set. Each
+# round is frontier⋈edges + anti-join vs visited (volume tracks the
+# frontier); integer hop labels make the oracle a bounded recursive
+# CTE with no float anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "q166_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE edges0 AS (
+      SELECT DISTINCT o.o_custkey AS src,
+        l.l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > 480000
+    ),
+    edges AS (
+      SELECT src, dst FROM edges0
+      UNION SELECT dst AS src, src AS dst FROM edges0
+    ),
+    srcs AS (
+      SELECT DISTINCT c_custkey AS id FROM customer WHERE c_nationkey = 0
+    ),
+    w(id, hops) AS (
+      SELECT id, 0 FROM srcs
+      UNION
+      SELECT e.dst, w.hops + 1 FROM w JOIN edges e ON e.src = w.id
+      WHERE w.hops < 4
+    ),
+    d AS (SELECT id, MIN(hops) AS hops FROM w GROUP BY id)
+    SELECT CAST(hops AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+    FROM d GROUP BY hops ORDER BY hops ASC
+    """,
+)
+def q166_bfs_hops(spark, sf_dir):
+    """operators/graph_rank.bfs_hops — 4-hop frontier BFS, seeds =
+    nation-0 customers, purchase edges with totalprice > 480k."""
+    from ..operators.graph_rank import bfs_hops
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    li = T(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    d = bfs_hops(edges, seeds, max_hops=4)
+    return (
+        d.groupBy(F.col("hops").cast("int").alias("hops"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("hops")
+    )

@@ -106,3 +106,44 @@ def test_touch_attribution_first_vs_last(spark):
     # user1: first view / last click; user3: first view(id6) / last click(id7)
     assert got["view"] == (2, 0)
     assert got["click"] == (0, 2)
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    from aden_hive_fork_spark.operators.graph_rank import bfs_hops
+
+    # chain 1-2-3-4-5 plus a shortcut 1-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src bigint, dst bigint"
+    )
+    und = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {r["id"]: r["hops"] for r in
+           bfs_hops(und, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}  # shortcut wins
+    # bounded: max_hops=1 reaches only direct neighbors
+    got1 = {r["id"]: r["hops"] for r in
+            bfs_hops(und, seeds, max_hops=1).collect()}
+    assert got1 == {1: 0, 2: 1, 4: 1}
+
+
+def test_bfs_hops_multi_source_and_isolated_seed(spark):
+    from aden_hive_fork_spark.operators.graph_rank import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(2,), (99,)], "id bigint")  # 99 isolated
+    got = {r["id"]: r["hops"] for r in
+           bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {2: 0, 99: 0}  # directed: 2 has no outgoing edge
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    from aden_hive_fork_spark.operators.pii import l_diversity_report
+
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z"),
+            ("b", 2, "x"), ("b", 2, "x")]   # class (b,2): 1 distinct
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens string")
+    r = l_diversity_report(df, ["q1", "q2"], "sens", l=2).collect()[0]
+    assert r["n_rows"] == 5 and r["n_classes"] == 2
+    assert r["min_diversity"] == 1
+    assert r["n_weak_classes"] == 1 and r["exposed_rows"] == 2
+    assert r["exposed_frac"] == 0.4
