@@ -66,6 +66,13 @@ HEADLINE = [
     "q150_ohlc_bars",             # shared-Exchange resampling bars
     "q151_snapshot_diff",         # full-outer keyed reconciliation
     "q155_boilerplate_removal",   # corpus-frequency segment strip + reassembly
+    "q158_merge_into",            # three-clause MERGE on the keyed table
+    "q159_kmeans_segments",       # deterministic Lloyd iterations
+    "q160_ewma_forecast",         # JVM-fold exponential smoothing
+    "q162_rfm_segments",          # one-pass quantile cuts + map-side scoring
+    "q163_touch_attribution",     # keyed range join + conversion window
+    "q165_logreg_urgent",         # full-batch GD, quantized sigmoid
+    "q166_bfs_hops",              # frontier BFS with checkpointed rounds
 ]
 
 
