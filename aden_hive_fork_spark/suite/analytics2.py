@@ -318,3 +318,52 @@ def q167_l_diversity(spark, sf_dir):
     return l_diversity_report(
         j, ["c_nationkey", "c_mktsegment", "yr"], "sens", l=5
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — Holt level+trend forecast: the two-state recursion as ONE
+# JVM struct-accumulator fold per key (pure +-*/ arithmetic — no
+# per-step rounding needed); DuckDB replays it with a struct-list
+# list_reduce whose head is the init state.
+# ---------------------------------------------------------------------------
+@query(
+    "q168_holt_forecast",
+    oracle=f"""
+    WITH s AS ({_DAILY_REV_SQL}),
+    arr AS (
+      SELECT priority, list(rev ORDER BY d ASC) AS xs,
+        COUNT(*) AS n
+      FROM s GROUP BY priority HAVING COUNT(*) >= 2
+    ),
+    f AS (
+      -- state rides as a 2-list [level, trend]: this DuckDB's
+      -- list_reduce mis-evaluates STRUCT accumulators past one fold
+      -- step (single-step folds are fine — verified), while list
+      -- accumulators replay the recursion exactly
+      SELECT priority, n,
+        list_reduce(
+          [[xs[1], xs[2] - xs[1]]] ||
+            list_transform(xs[2:], x -> [x, CAST(0.0 AS DOUBLE)]),
+          (acc, e) -> [
+            0.3*e[1] + (1.0 - 0.3)*(acc[1] + acc[2]),
+            0.1*((0.3*e[1] + (1.0 - 0.3)*(acc[1] + acc[2])) - acc[1])
+                 + (1.0 - 0.1)*acc[2]]
+        ) AS st
+      FROM arr
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_obs,
+      CAST(ROUND(st[1], 6) AS DOUBLE) AS level,
+      CAST(ROUND(st[2], 6) AS DOUBLE) AS trend,
+      CAST(ROUND(st[1] + st[2], 6) AS DOUBLE) AS forecast_1
+    FROM f ORDER BY priority ASC
+    """,
+)
+def q168_holt_forecast(spark, sf_dir):
+    """operators/timeseries.holt — α=0.3, β=0.1 over the daily
+    revenue series."""
+    from ..operators.timeseries import holt
+
+    return holt(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
+        alpha=0.3, beta=0.1,
+    ).orderBy("priority")

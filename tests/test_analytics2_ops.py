@@ -147,3 +147,39 @@ def test_l_diversity_homogeneous_class_flagged(spark):
     assert r["min_diversity"] == 1
     assert r["n_weak_classes"] == 1 and r["exposed_rows"] == 2
     assert r["exposed_frac"] == 0.4
+
+
+def test_holt_matches_hand_recursion(spark):
+    from aden_hive_fork_spark.operators.timeseries import holt
+
+    xs = [10.0, 12.0, 11.0, 15.0, 18.0]
+    a, b = 0.3, 0.1
+    l, bb = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        ln = a * x + (1.0 - a) * (l + bb)
+        bn = b * (ln - l) + (1.0 - b) * bb
+        l, bb = ln, bn
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)] + [("solo", 0, 1.0)],
+        "k string, t int, x double",
+    )
+    rows = holt(df, ["k"], "t", "x", alpha=a, beta=b).collect()
+    assert len(rows) == 1  # <2 observations -> dropped
+    r = rows[0]
+    assert r["level"] == round(l, 6)
+    assert r["trend"] == round(bb, 6)
+    assert r["forecast_1"] == round(l + bb, 6)
+
+
+def test_holt_tracks_linear_trend(spark):
+    from aden_hive_fork_spark.operators.timeseries import holt
+
+    df = spark.createDataFrame(
+        [("k", i, 100.0 + 5.0 * i) for i in range(50)],
+        "k string, t int, x double",
+    )
+    r = holt(df, ["k"], "t", "x").collect()[0]
+    # a perfectly linear series: level = last value, trend = slope
+    assert abs(r["level"] - 345.0) < 1e-6
+    assert abs(r["trend"] - 5.0) < 1e-6
+    assert abs(r["forecast_1"] - 350.0) < 1e-6
