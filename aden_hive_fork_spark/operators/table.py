@@ -391,3 +391,41 @@ def merge_into(
     upsert(watched.drop("_action"), root, keys)
     got = obs.get
     return {k: int(got[k] or 0) for k in ("inserted", "updated", "deleted")}
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_seq: int = -1,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Change data feed (the Delta CDF analog): every change row the
+    table accepted with delta sequence in (``from_seq``, ``to_seq``]
+    — columns = table schema + ``_op`` ('upsert' | 'delete') +
+    ``_seq``. Because upserts land as immutable delta directories,
+    the feed is a DIRECT read of those parquet dirs: no diffing, no
+    base scan, cost proportional to the changes themselves. Feed a
+    downstream incremental consumer by remembering its last ``_seq``
+    high-water mark (monotonic). Deltas folded by compaction and
+    vacuumed are gone — consumers must drain before ``vacuum_deltas``
+    (the same retention contract Delta's CDF has).
+    """
+    seqs = [
+        s
+        for s in _delta_seqs(root)
+        if s > from_seq and (to_seq is None or s <= to_seq)
+    ]
+    if not seqs:
+        schema = read_table(spark, root).schema
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn(OP_COL, F.lit("")).withColumn(
+            "_seq", F.lit(0).cast("bigint")
+        ).limit(0)
+    out = None
+    for s in seqs:
+        d = spark.read.parquet(os.path.join(root, _DELTA, f"d={s}"))
+        if OP_COL not in d.columns:
+            d = d.withColumn(OP_COL, F.lit("upsert"))
+        d = d.withColumn("_seq", F.lit(s).cast("bigint"))
+        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+    return out

@@ -367,3 +367,66 @@ def q168_holt_forecast(spark, sf_dir):
         _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
         alpha=0.3, beta=0.1,
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q170 — CUSUM mean-shift detection (Page's test) on the daily
+# series: the third member of the fold family (ewma, holt) — 4-list
+# accumulator, replayed by list_reduce with the same init-prepend
+# trick.
+# ---------------------------------------------------------------------------
+@query(
+    "q170_cusum_shifts",
+    oracle=f"""
+    WITH s AS ({_DAILY_REV_SQL}),
+    arr AS (
+      SELECT priority, list(rev ORDER BY d ASC) AS xs,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
+             AS DOUBLE) AS s2,
+        COUNT(*) AS n
+      FROM s GROUP BY priority
+    ),
+    p AS (
+      -- FLOOR-quantization, not ROUND: Spark ROUND(double) rounds the
+      -- shortest decimal repr, DuckDB the exact binary value — they
+      -- disagree at digit boundaries; floor(x*1e6)/1e6 is pure IEEE
+      SELECT priority, xs, n,
+        CAST(FLOOR((s1 / n) * 1000000.0) AS DOUBLE) / 1000000.0 AS mu,
+        CAST(FLOOR(sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0))
+                   * 1000000.0) AS DOUBLE) / 1000000.0 AS sg
+      FROM arr
+    ),
+    f AS (
+      SELECT priority, n, mu, sg,
+        0.5 * sg AS k, 4.0 * sg AS h,
+        list_reduce(
+          [[CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+            CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]] ||
+            list_transform(xs, x -> [x, CAST(0.0 AS DOUBLE),
+                                     CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+          (acc, e) -> [
+            GREATEST(0.0, acc[1] + ((e[1] - mu) - 0.5 * sg)),
+            GREATEST(0.0, acc[2] + ((mu - 0.5 * sg) - e[1])),
+            GREATEST(acc[3], GREATEST(0.0, acc[1] + ((e[1] - mu) - 0.5 * sg))),
+            GREATEST(acc[4], GREATEST(0.0, acc[2] + ((mu - 0.5 * sg) - e[1])))]
+        ) AS st
+      FROM p
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_obs, mu, sg AS sigma,
+      CAST(FLOOR(st[3] * 1000000.0) AS DOUBLE) / 1000000.0 AS max_pos,
+      CAST(FLOOR(st[4] * 1000000.0) AS DOUBLE) / 1000000.0 AS max_neg,
+      (CAST(FLOOR(st[3] * 1000000.0) AS DOUBLE) / 1000000.0 > h
+       OR CAST(FLOOR(st[4] * 1000000.0) AS DOUBLE) / 1000000.0 > h)
+        AS shift_detected
+    FROM f ORDER BY priority ASC
+    """,
+)
+def q170_cusum_shifts(spark, sf_dir):
+    """operators/timeseries.cusum — k=0.5σ slack, h=4σ threshold."""
+    from ..operators.timeseries import cusum
+
+    return cusum(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
+        slack_sigmas=0.5, threshold_sigmas=4.0,
+    ).orderBy("priority")

@@ -123,3 +123,69 @@ def q158_merge_into(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — change data feed: the Delta-CDF analog. Changes are read
+# DIRECTLY from the immutable delta dirs (no diffing, no base scan —
+# cost tracks the changes, not the table); the oracle reconstructs
+# the same two change batches declaratively.
+# ---------------------------------------------------------------------------
+@query(
+    "q169_change_feed",
+    oracle="""
+    WITH d0 AS (
+      SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    d1 AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 = 0
+    ),
+    feed AS (
+      SELECT 0 AS seq, 'upsert' AS op, c_custkey, c_acctbal FROM d0
+      UNION ALL
+      SELECT 1 AS seq, 'delete' AS op, c_custkey, c_acctbal FROM d1
+    )
+    SELECT CAST(seq AS BIGINT) AS seq, op,
+      CAST(COUNT(*) AS BIGINT) AS n_changes,
+      CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+      CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_bal
+    FROM feed GROUP BY seq, op ORDER BY seq ASC
+    """,
+)
+def q169_change_feed(spark, sf_dir):
+    """operators/table.table_changes — incremental consumers read the
+    delta log itself; each batch surfaces with its _op and _seq."""
+    from ..operators.table import create_table, table_changes, upsert
+
+    root = _dml_dir(sf_dir, "cdf_customers")
+    shutil.rmtree(root, ignore_errors=True)
+    base = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    create_table(base, root, ["c_custkey"])
+    upsert(
+        base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000.0
+        ),
+        root,
+        ["c_custkey"],
+    )
+    upsert(
+        base.filter(F.col("c_custkey") % 11 == 0).withColumn(
+            "_op", F.lit("delete")
+        ),
+        root,
+        ["c_custkey"],
+    )
+    return (
+        table_changes(spark, root)
+        .groupBy(
+            F.col("_seq").alias("seq"), F.col("_op").alias("op")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+            F.sum("c_custkey").cast("bigint").alias("sum_key"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("seq")
+    )

@@ -183,3 +183,21 @@ def test_holt_tracks_linear_trend(spark):
     assert abs(r["level"] - 345.0) < 1e-6
     assert abs(r["trend"] - 5.0) < 1e-6
     assert abs(r["forecast_1"] - 350.0) < 1e-6
+
+
+def test_cusum_detects_mean_shift(spark):
+    from aden_hive_fork_spark.operators.timeseries import cusum
+
+    # 40 points around 100, then 40 points around 130 — a real shift
+    rows = [("s", i, 100.0 + (i % 5)) for i in range(40)]
+    rows += [("s", 40 + i, 130.0 + (i % 5)) for i in range(40)]
+    # control: stationary series
+    rows += [("c", i, 100.0 + (i % 5)) for i in range(80)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {r["k"]: r for r in
+           cusum(df, ["k"], "t", "x", slack_sigmas=0.5,
+                 threshold_sigmas=4.0).collect()}
+    assert got["s"]["shift_detected"] is True
+    assert got["c"]["shift_detected"] is False
+    assert got["s"]["max_pos"] > got["c"]["max_pos"]
+    assert got["s"]["n_obs"] == 80

@@ -222,3 +222,59 @@ def test_merge_into_missing_keys_raises(spark, tmp_path):
     src = spark.createDataFrame([(5.0,)], "score double")
     with _pytest.raises(ValueError, match="key columns"):
         merge_into(spark, root, src)
+
+
+# ---------------------------------------------------------------------------
+# table_changes (change data feed)
+# ---------------------------------------------------------------------------
+
+
+def test_table_changes_feed_and_range(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import (
+        create_table,
+        table_changes,
+        upsert,
+    )
+
+    root = str(tmp_path / "cdf")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    create_table(base, root, ["id"])
+    upsert(spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+           root, ["id"])
+    upsert(
+        spark.createDataFrame([(1, 0.0)], "id bigint, v double")
+        .selectExpr("id", "v", "'delete' AS _op"),
+        root, ["id"],
+    )
+    feed = table_changes(spark, root).collect()
+    assert [(r["_seq"], r["id"], r["_op"]) for r in
+            sorted(feed, key=lambda r: r["_seq"])] == [
+        (0, 2, "upsert"), (1, 1, "delete")]
+    # high-water-mark consumption: only changes after seq 0
+    tail = table_changes(spark, root, from_seq=0).collect()
+    assert [(r["_seq"], r["_op"]) for r in tail] == [(1, "delete")]
+    # bounded upper end
+    head = table_changes(spark, root, to_seq=0).collect()
+    assert [(r["_seq"], r["_op"]) for r in head] == [(0, "upsert")]
+
+
+def test_table_changes_empty_and_post_vacuum(spark, tmp_path):
+    from aden_hive_fork_spark.operators.table import (
+        compact_table,
+        create_table,
+        table_changes,
+        upsert,
+        vacuum_deltas,
+    )
+
+    root = str(tmp_path / "cdf2")
+    base = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    create_table(base, root, ["id"])
+    assert table_changes(spark, root).count() == 0
+    upsert(spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+           root, ["id"])
+    assert table_changes(spark, root).count() == 1
+    # retention contract: folded+vacuumed deltas leave the feed
+    compact_table(spark, root)
+    vacuum_deltas(root)
+    assert table_changes(spark, root).count() == 0
