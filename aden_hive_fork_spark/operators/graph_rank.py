@@ -75,6 +75,15 @@ def pagerank(
     # of re-shuffling e per round
     outdeg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    # rank/contribution tables are |V| rows — KNOWN (n was counted).
+    # When the measured size fits, broadcast them so each iteration's
+    # joins are map-side over the (checkpointed) edge list instead of
+    # re-shuffling it; checkpointed RDDs carry no stats, so AQE can't
+    # make this call itself. Above the cap, plain shuffle joins.
+    small_v = 48 * n < 64 * 1024 * 1024
+
+    def _mb(df_side):
+        return F.broadcast(df_side) if small_v else df_side
     for _ in range(iterations):
         # dangling mass as a ONE-ROW aggregate cross-joined into the
         # update plan: the whole iteration is a single Spark job (the
@@ -86,14 +95,14 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         contribs = (
-            e.join(ranks, e["src"] == ranks["id"])
-            .join(outdeg, "src")
+            e.join(_mb(ranks), e["src"] == ranks["id"])
+            .join(_mb(outdeg), "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = _ckpt(
-            nodes.join(contribs, "id", "left")
+            nodes.join(_mb(contribs), "id", "left")
             .crossJoin(dangling_df)  # 1 row: broadcast nested loop
             .select(
                 "id",
