@@ -420,3 +420,105 @@ def winsorized_stats(
         )
         .select(*group_cols, "n", "w_mean", "lo_cap", "hi_cap")
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit screen (the classic fraud /
+    fabricated-data detector): observed vs expected leading-digit
+    distribution of a positive numeric column. One row per digit
+    1-9: ``digit, n_obs, obs_frac, exp_frac, abs_dev``.
+
+    The leading significant digit is extracted from the DECIMAL
+    string representation (regexp first [1-9]) — NOT via
+    floor(x/10^floor(log10 x)), whose log10 is a transcendental that
+    can land on either side of an integer at exact powers of ten.
+    Decimal-to-string is exact and identical across engines, so the
+    digit histogram is exact integers. Expected fractions
+    log10(1+1/d) pass through floor-quantization (see
+    stats.fquant) to collapse log10 ulp noise.
+
+    Zero/NULL/negative-free by filter: Benford applies to positive
+    magnitudes. One groupBy(digit) aggregate — map-side combine into
+    9 groups, no other shuffle.
+    """
+    from .stats import fquant
+
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    d = df.filter(v > 0).select(
+        F.regexp_extract(v.cast("string"), "[1-9]", 0).alias("digit")
+    )
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = counts.agg(F.sum("n_obs").cast("double").alias("_n"))
+    out = counts.crossJoin(F.broadcast(tot))
+    dd = F.col("digit").cast("double")
+    obs = F.col("n_obs").cast("double") / F.col("_n")
+    exp = fquant(F.log10(F.lit(1.0) + F.lit(1.0) / dd), 9)
+    return out.select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n_obs"),
+        F.round(obs, ndigits).cast("double").alias("obs_frac"),
+        F.round(exp, ndigits).cast("double").alias("exp_frac"),
+        F.round(F.abs(obs - exp), ndigits).cast("double").alias("abs_dev"),
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    dependencies: list[tuple[list[str], str]],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Functional-dependency audit: for each declared ``(lhs_cols,
+    rhs_col)`` report whether LHS → RHS holds and how badly it fails.
+    One row per dependency: ``fd, n_lhs_values, n_violating_lhs,
+    max_distinct_rhs, violating_rows, violation_frac``.
+
+    A violating LHS value is one mapping to >1 distinct RHS value;
+    ``violating_rows`` counts every row under such a value (the rows
+    a cleaner would have to reconcile). Each dependency is one keyed
+    aggregate (exact distinct per LHS group) + one tiny rollup —
+    results union into the report. Complete-case per dependency:
+    NULL in LHS or RHS drops the row (SQL FDs are defined over
+    non-NULL tuples).
+    """
+    reports = []
+    for lhs, rhs in dependencies:
+        name = ",".join(lhs) + "->" + rhs
+        cc = df.filter(
+            F.col(rhs).isNotNull()
+            & F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in lhs))
+        )
+        per = cc.groupBy(*lhs).agg(
+            F.count(F.lit(1)).cast("bigint").alias("_rows"),
+            F.countDistinct(rhs).cast("bigint").alias("_k"),
+        )
+        rep = per.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+            F.sum(F.when(F.col("_k") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+            F.max("_k").cast("bigint").alias("max_distinct_rhs"),
+            F.sum(F.when(F.col("_k") > 1, F.col("_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("violating_rows"),
+            F.round(
+                F.sum(F.when(F.col("_k") > 1, F.col("_rows")).otherwise(0))
+                .cast("double")
+                / F.sum("_rows").cast("double"),
+                ndigits,
+            )
+            .cast("double")
+            .alias("violation_frac"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,78 @@
+"""Event-sequence mining: the first-order Markov transition matrix.
+
+``transition_matrix`` turns per-key ordered event streams into the
+(from_state, to_state, count, probability) table — the behavioral
+fingerprint behind next-action prediction, funnel drop-off analysis,
+and bot detection (a scripted client's transition rows are
+near-deterministic; a human's are diffuse — feed the per-key
+matrices to ``stats.mutual_information`` or ``quality.kl_drift`` to
+score them).
+
+Shape for scale: consecutive pairs come from ONE ``lead`` window
+partitioned by the sequence key — the shuffle moves each event
+exactly once, keyed by the sequence key (bounded per-key state, no
+cross-key ordering). The pair table then aggregates by (from, to):
+|states|² groups at most, map-side combined. Probabilities divide by
+the from-state total via a second tiny aggregate joined back
+(broadcast — the state alphabet is small by construction; if yours
+is not, the join degrades to shuffle gracefully).
+
+Reference parity: the reference's event-log analytics expose
+"what happens after X" queries over `core/framework` event streams;
+this is the batch matrix form (see SURVEY.md §2.C row 61).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-order Markov transitions between consecutive
+    ``state_col`` values within each key's ``order_cols``-ordered
+    sequence. Output: ``from_state, to_state, n_transitions,
+    prob`` (row-stochastic per from_state). ``order_cols`` must be a
+    per-key unique ordering (include an id tie-break) or the lead
+    pairing — and thus the counts — would be nondeterministic under
+    timestamp ties.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        df.select(
+            *key_cols,
+            *order_cols,
+            F.col(state_col).alias("from_state"),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n_transitions").cast("bigint").alias("_tot")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.col("_tot").cast("double"),
+                ndigits,
+            )
+            .cast("double")
+            .alias("prob"),
+        )
+    )

@@ -136,6 +136,152 @@ def det_sum(col: Column, ndigits: int = 6) -> Column:
     )
 
 
+def fquant(col: Column, digits: int = 6) -> Column:
+    """FLOOR-quantize a double: ``floor(x·10^d)/10^d`` — pure IEEE
+    arithmetic, identical in Spark and DuckDB. Used to collapse
+    cross-engine ulp noise from transcendentals (ln/exp/log10) before
+    a compare or a float reduction; plain ROUND is NOT safe for that
+    (Spark rounds the shortest decimal repr of the double, DuckDB the
+    exact binary value — they disagree at digit boundaries)."""
+    p = float(10**digits)
+    return F.floor(col * F.lit(p)).cast("double") / F.lit(p)
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two named
+    groups. 1-row output: ``n_a, n_b, mean_a, mean_b, t_stat,
+    dof_welch`` (Welch–Satterthwaite degrees of freedom).
+
+    Same discipline as ``exact_corr``: per-group sufficient statistics
+    as exact DECIMAL sums in ONE aggregate over the filtered scan
+    (conditional sums — no second pass, no join), then one fixed IEEE
+    expression. Everything downstream of the sums is +-*/ and sqrt
+    (all correctly rounded in IEEE 754), so the statistic is
+    bit-deterministic across partitionings and engines; rounded for
+    output per suite convention. NULL t when either group has < 2
+    rows or both variances are zero.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    p = f"decimal(38,{2 * scale})"
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    df = df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+
+    def side(cond: Column, tag: str) -> list[Column]:
+        x = F.when(cond, v)
+        return [
+            F.count(x).cast("bigint").alias(f"n_{tag}"),
+            F.sum(x).cast("decimal(38,6)").alias(f"s_{tag}"),
+            F.sum(F.when(cond, (v * v).cast(p)))
+            .cast("decimal(38,6)")
+            .alias(f"ss_{tag}"),
+        ]
+
+    agg = df.agg(*side(in_a, "a"), *side(in_b, "b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ssa, ssb = F.col("ss_a").cast("double"), F.col("ss_b").cast("double")
+    ma, mb = sa / na, sb / nb
+    # sample variances from the raw moments
+    va = (ssa - sa * sa / na) / (na - 1)
+    vb = (ssb - sb * sb / nb) / (nb - 1)
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (ma - mb) / F.sqrt(se2),
+    )
+    dof = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0),
+        (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1)),
+    )
+    return agg.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(ma, ndigits).cast("double").alias("mean_a"),
+        F.round(mb, ndigits).cast("double").alias("mean_b"),
+        F.round(t, ndigits).cast("double").alias("t_stat"),
+        F.round(dof, ndigits).cast("double").alias("dof_welch"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Shannon entropies H(A), H(B), mutual information I(A;B) (nats)
+    and the normalized MI ``I/sqrt(H(A)·H(B))`` between two
+    categorical columns. 1-row output: ``n, h_a, h_b, mi, nmi``.
+
+    Cell/margin counts are exact integers (one keyed aggregate +
+    two tiny margin aggregates). Unlike ``chi_square`` no grid
+    densification is needed: an unobserved cell contributes
+    lim x→0 x·ln x = 0. Each per-cell term passes through ``fquant``
+    (floor-quantization) BEFORE the sorted-fold reduction — ln is the
+    one operation here that is not guaranteed correctly rounded
+    across engines, and quantizing each term collapses that ulp noise
+    so the folded sum is engine-deterministic. NULL ``nmi`` when
+    either marginal entropy is zero (single-category variable).
+
+    Complete-case semantics: NULL in either column drops the row
+    (matching ``chi_square``).
+    """
+    df = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = df.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_o"))
+    ra = cells.groupBy("_a").agg(F.sum("_o").cast("bigint").alias("_ra"))
+    rb = cells.groupBy("_b").agg(F.sum("_o").cast("bigint").alias("_rb"))
+    tot = cells.agg(F.sum("_o").cast("double").alias("_n"))
+
+    n = F.col("_n")
+    mi_term = fquant(
+        (F.col("_o").cast("double") / n)
+        * F.log(
+            n * F.col("_o").cast("double")
+            / (F.col("_ra").cast("double") * F.col("_rb").cast("double"))
+        ),
+        9,
+    )
+    mi = (
+        cells.join(ra, "_a")
+        .join(rb, "_b")
+        .crossJoin(F.broadcast(tot))
+        .agg(det_sum(mi_term, ndigits).alias("mi"), F.max("_n").alias("_n"))
+    )
+
+    def entropy(margin: DataFrame, cnt: str, out: str) -> DataFrame:
+        p_i = F.col(cnt).cast("double") / F.col("_n")
+        return margin.crossJoin(F.broadcast(tot)).agg(
+            det_sum(fquant(-p_i * F.log(p_i), 9), ndigits).alias(out)
+        )
+
+    ha = entropy(ra, "_ra", "h_a")
+    hb = entropy(rb, "_rb", "h_b")
+    out = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.when(
+        (F.col("h_a") > 0) & (F.col("h_b") > 0),
+        F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")),
+    )
+    return out.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("h_a").cast("double").alias("h_a"),
+        F.col("h_b").cast("double").alias("h_b"),
+        F.col("mi").cast("double").alias("mi"),
+        F.round(nmi, ndigits).cast("double").alias("nmi"),
+    )
+
+
 def chi_square(
     df: DataFrame,
     a_col: str,
@@ -200,4 +346,55 @@ def chi_square(
         dof.cast("bigint").alias("df_degrees"),
         F.col("chi2").cast("double").alias("chi2"),
         F.round(v, ndigits).cast("double").alias("cramers_v"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Gini inequality coefficient of a non-negative quantity (the
+    Lorenz-curve companion to the Pareto contribution query). 1-row
+    output: ``n, total, gini``; NULL gini for n < 2 or zero total.
+
+        G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  x sorted ascending
+
+    Ranks come from ``ids.dense_ids`` (range-partitioned two-pass
+    numbering), NOT a global ROW_NUMBER window — the input is
+    typically a per-entity aggregate, but at 100 TB even that can be
+    billions of rows and a single-task sort is the one shape this
+    engine never emits. ``(value, id)`` makes the order total, so
+    ranks — and therefore the statistic — are deterministic under
+    ties. Both Σ are exact DECIMAL sums; the closed form is one IEEE
+    expression, so the result hash-matches the ROW_NUMBER-based SQL
+    replay.
+    """
+    from .ids import dense_ids
+
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    d = df.filter(v.isNotNull() & (v >= 0)).select(
+        F.col(id_col).alias("_id"), v.alias("_x")
+    )
+    ranked = dense_ids(d, ["_x", "_id"], id_col="_i", start=1)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_x").cast("decimal(38,6)").alias("_sx"),
+        F.sum((F.col("_i") * F.col("_x")).cast(f"decimal(38,{scale})"))
+        .cast("decimal(38,6)")
+        .alias("_six"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    six = F.col("_six").cast("double")
+    g = F.when(
+        (F.col("n") >= 2) & (sx > 0),
+        (2.0 * six - (n + 1.0) * sx) / (n * sx),
+    )
+    return agg.select(
+        F.col("n"),
+        F.round(sx, scale).cast("double").alias("total"),
+        F.round(g, ndigits).cast("double").alias("gini"),
     )

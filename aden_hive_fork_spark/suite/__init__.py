@@ -46,6 +46,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         analytics,
         analytics2,
+        analytics3,
         chunking_suite,
         curation,
         dedup,

@@ -1,0 +1,339 @@
+"""Analytics batch 3: inferential statistics and sequence mining —
+Welch's t-test, mutual information, Benford fraud screening, Markov
+transition matrices, functional-dependency audits, Gini inequality.
+
+Every statistic follows the determinism contract: exact integer /
+DECIMAL sufficient statistics, transcendental terms floor-quantized
+(stats.fquant) before sorted-fold reduction, one fixed IEEE
+expression for the derived value, ROUND for output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+
+# ---------------------------------------------------------------------------
+# q171 — Welch's two-sample t-test: do urgent orders spend differently
+# from low-priority ones? Conditional DECIMAL sums in ONE aggregate
+# (no per-group second pass); everything after the sums is +-*/ and
+# sqrt, all IEEE-correctly-rounded, so Spark and DuckDB produce the
+# identical double before the final ROUND.
+# ---------------------------------------------------------------------------
+@query(
+    "q171_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+             AS BIGINT) AS n_a,
+        CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+             AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+             AS DECIMAL(38,6)) AS sa,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+             AS DECIMAL(38,6)) AS sb,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)) END)
+             AS DECIMAL(38,6)) AS ssa,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2)) END)
+             AS DECIMAL(38,6)) AS ssb
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_totalprice IS NOT NULL
+    ),
+    d AS (
+      SELECT n_a, n_b,
+        CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+        CAST(ssa AS DOUBLE) AS ssa, CAST(ssb AS DOUBLE) AS ssb
+      FROM s
+    ),
+    v AS (
+      SELECT n_a, n_b, na, nb, sa / na AS ma, sb / nb AS mb,
+        ((ssa - sa * sa / na) / (na - 1)) / na AS sea,
+        ((ssb - sb * sb / nb) / (nb - 1)) / nb AS seb
+      FROM d
+    )
+    SELECT n_a, n_b,
+      CAST(ROUND(ma, 6) AS DOUBLE) AS mean_a,
+      CAST(ROUND(mb, 6) AS DOUBLE) AS mean_b,
+      CAST(ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+        THEN (ma - mb) / sqrt(sea + seb) END, 6) AS DOUBLE) AS t_stat,
+      CAST(ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND sea + seb > 0
+        THEN ((sea + seb) * (sea + seb))
+             / (sea * sea / (na - 1) + seb * seb / (nb - 1)) END, 6)
+        AS DOUBLE) AS dof_welch
+    FROM v
+    """,
+)
+def q171_welch_ttest(spark, sf_dir):
+    """operators/stats.welch_ttest — order totals, urgent vs low."""
+    from ..operators.stats import welch_ttest
+
+    return welch_ttest(
+        T(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        "1-URGENT", "5-LOW",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — entropies + mutual information between customer segment and
+# order priority (the effect-size companion to q153's chi-square on
+# the same pair). ln terms floor-quantized at 1e-9 before the sorted
+# fold — ln is the one non-correctly-rounded op in the chain.
+# ---------------------------------------------------------------------------
+@query(
+    "q172_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS a, o.o_orderpriority AS b,
+        CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+    rb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS rb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cells),
+    mi AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+        CAST(ROUND(list_sum(list_sort(list(term))), 6) AS DOUBLE) AS mi
+      FROM (
+        SELECT t.n,
+          CAST(FLOOR(((CAST(c.o AS DOUBLE) / t.n)
+            * ln(t.n * CAST(c.o AS DOUBLE)
+                 / (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE))))
+            * 1000000000.0) AS DOUBLE) / 1000000000.0 AS term
+        FROM cells c JOIN ra ON ra.a = c.a JOIN rb ON rb.b = c.b
+        CROSS JOIN tot t
+      )
+    ),
+    ha AS (
+      SELECT CAST(ROUND(list_sum(list_sort(list(term))), 6) AS DOUBLE) AS h_a
+      FROM (
+        SELECT CAST(FLOOR((-(CAST(ra AS DOUBLE) / t.n)
+            * ln(CAST(ra AS DOUBLE) / t.n)) * 1000000000.0) AS DOUBLE)
+          / 1000000000.0 AS term
+        FROM ra CROSS JOIN tot t
+      )
+    ),
+    hb AS (
+      SELECT CAST(ROUND(list_sum(list_sort(list(term))), 6) AS DOUBLE) AS h_b
+      FROM (
+        SELECT CAST(FLOOR((-(CAST(rb AS DOUBLE) / t.n)
+            * ln(CAST(rb AS DOUBLE) / t.n)) * 1000000000.0) AS DOUBLE)
+          / 1000000000.0 AS term
+        FROM rb CROSS JOIN tot t
+      )
+    )
+    SELECT mi.n, ha.h_a, hb.h_b, mi.mi,
+      CAST(ROUND(CASE WHEN ha.h_a > 0 AND hb.h_b > 0
+        THEN mi.mi / sqrt(ha.h_a * hb.h_b) END, 6) AS DOUBLE) AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def q172_mutual_information(spark, sf_dir):
+    """operators/stats.mutual_information — segment × priority."""
+    from ..operators.stats import mutual_information
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderpriority"
+    )
+    return mutual_information(j, "c_mktsegment", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q173 — Benford first-digit screen on order totals. Leading digit
+# from the DECIMAL string (exact, engine-identical) — never from
+# log10 of the value; expected fractions log10(1+1/d) floor-quantized.
+# ---------------------------------------------------------------------------
+@query(
+    "q173_benford_totals",
+    oracle="""
+    WITH d AS (
+      SELECT regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 AS VARCHAR), '[1-9]') AS digit
+      FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM c)
+    SELECT CAST(digit AS INT) AS digit, n_obs,
+      CAST(ROUND(CAST(n_obs AS DOUBLE) / t.n, 6) AS DOUBLE) AS obs_frac,
+      CAST(ROUND(CAST(FLOOR(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+            * 1000000000.0) AS DOUBLE) / 1000000000.0, 6) AS DOUBLE)
+        AS exp_frac,
+      CAST(ROUND(ABS(CAST(n_obs AS DOUBLE) / t.n
+        - CAST(FLOOR(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+            * 1000000000.0) AS DOUBLE) / 1000000000.0), 6) AS DOUBLE)
+        AS abs_dev
+    FROM c CROSS JOIN tot t
+    ORDER BY digit ASC
+    """,
+)
+def q173_benford_totals(spark, sf_dir):
+    """operators/quality.benford_deviation on o_totalprice."""
+    from ..operators.quality import benford_deviation
+
+    return benford_deviation(
+        T(spark, sf_dir, "orders"), "o_totalprice"
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# q174 — first-order Markov transition matrix over per-user event
+# sequences. One lead window keyed by user (each event shuffles
+# once), |types|² groups after; (ts, event_id) makes the order total
+# so the pairing is deterministic under timestamp ties.
+# ---------------------------------------------------------------------------
+@query(
+    "q174_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_state,
+        LEAD(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC) AS to_state
+      FROM events
+    ),
+    c AS (
+      SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS tot
+      FROM c GROUP BY 1
+    )
+    SELECT c.from_state, c.to_state, c.n_transitions,
+      CAST(ROUND(CAST(c.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+           AS DOUBLE) AS prob
+    FROM c JOIN t ON t.from_state = c.from_state
+    ORDER BY c.from_state ASC, c.to_state ASC
+    """,
+)
+def q174_event_transitions(spark, sf_dir):
+    """operators/sequences.transition_matrix — user behavior model."""
+    from ..operators.sequences import transition_matrix
+
+    return transition_matrix(
+        T(spark, sf_dir, "events"), ["user_id"], ["ts", "event_id"],
+        "event_type",
+    ).orderBy("from_state", "to_state")
+
+
+# ---------------------------------------------------------------------------
+# q175 — functional-dependency audit on lineitem: one key FD that
+# holds ((orderkey, linenumber) → partkey) and two that fail. Each FD
+# is one keyed aggregate + a tiny rollup; the report unions.
+# ---------------------------------------------------------------------------
+_FD_REPORT = """
+      SELECT '{name}' AS fd,
+        CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+        CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating_lhs,
+        CAST(MAX(k) AS BIGINT) AS max_distinct_rhs,
+        CAST(SUM(CASE WHEN k > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+          AS violating_rows,
+        CAST(ROUND(CAST(SUM(CASE WHEN k > 1 THEN rows_ ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(rows_) AS DOUBLE), 6) AS DOUBLE) AS violation_frac
+      FROM (
+        SELECT {lhs}, CAST(COUNT(*) AS BIGINT) AS rows_,
+          CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS k
+        FROM lineitem
+        WHERE {rhs} IS NOT NULL AND {notnull}
+        GROUP BY {lhs}
+      )
+"""
+
+
+@query(
+    "q175_fd_violations",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        _FD_REPORT.format(
+            name=name,
+            lhs=lhs,
+            rhs=rhs,
+            notnull=" AND ".join(
+                f"{c} IS NOT NULL" for c in lhs.split(", ")
+            ),
+        )
+        for name, lhs, rhs in [
+            ("l_orderkey,l_linenumber->l_partkey",
+             "l_orderkey, l_linenumber", "l_partkey"),
+            ("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+            ("l_partkey->l_suppkey", "l_partkey", "l_suppkey"),
+        ]
+    )
+    + "\n) ORDER BY fd ASC",
+)
+def q175_fd_violations(spark, sf_dir):
+    """operators/quality.fd_violations — one holding key FD, two
+    violated candidate FDs."""
+    from ..operators.quality import fd_violations
+
+    return fd_violations(
+        T(spark, sf_dir, "lineitem"),
+        [
+            (["l_orderkey", "l_linenumber"], "l_partkey"),
+            (["l_orderkey"], "l_returnflag"),
+            (["l_partkey"], "l_suppkey"),
+        ],
+    ).orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# q176 — Gini coefficient of per-customer revenue. Ranks via
+# ids.dense_ids (range-partitioned numbering — no single-task sort
+# even when the entity table is huge); oracle replays with the
+# ROW_NUMBER equivalence q138 already proved for dense_ids.
+# ---------------------------------------------------------------------------
+@query(
+    "q176_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey AS id,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, id ASC) AS i
+      FROM rev WHERE x IS NOT NULL AND x >= 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS DECIMAL(38,6)) AS sx,
+        CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS DECIMAL(38,6)) AS six
+      FROM ranked
+    )
+    SELECT n,
+      CAST(ROUND(CAST(sx AS DOUBLE), 2) AS DOUBLE) AS total,
+      CAST(ROUND(CASE WHEN n >= 2 AND CAST(sx AS DOUBLE) > 0
+        THEN (2.0 * CAST(six AS DOUBLE)
+              - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS DOUBLE)
+        AS gini
+    FROM s
+    """,
+)
+def q176_revenue_gini(spark, sf_dir):
+    """operators/stats.gini_coefficient over per-customer revenue
+    (the Lorenz companion to q156's Pareto contribution)."""
+    from ..operators.stats import gini_coefficient
+    from ._helpers import dec
+
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
+    )
+    return gini_coefficient(rev, "x", "id")

@@ -1,0 +1,151 @@
+"""Welch t-test, mutual information, Benford, transition matrix,
+FD audit, Gini — unit semantics against hand-computed values (suite
+q171-q176 covers the cross-engine hash contract)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    from aden_hive_fork_spark.operators.stats import welch_ttest
+
+    a = [10.0, 12.0, 14.0, 16.0]
+    b = [20.0, 21.0, 22.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = welch_ttest(df, "x", "g", "a", "b").collect()[0]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((v - ma) ** 2 for v in a) / (len(a) - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (len(b) - 1)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert abs(r["t_stat"] - t) < 1e-5
+    assert abs(r["dof_welch"] - dof) < 1e-5
+    assert r["mean_a"] == 13.0 and r["mean_b"] == 21.0
+
+
+def test_welch_ttest_null_on_degenerate_group(spark):
+    from aden_hive_fork_spark.operators.stats import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, x double"
+    )
+    r = welch_ttest(df, "x", "g", "a", "b").collect()[0]
+    assert r["t_stat"] is None and r["dof_welch"] is None
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    from aden_hive_fork_spark.operators.stats import mutual_information
+
+    # perfectly dependent: b == a → MI == H(A) == ln 2, NMI == 1
+    dep = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string"
+    )
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert abs(r["mi"] - math.log(2)) < 1e-5
+    assert abs(r["nmi"] - 1.0) < 1e-5
+    # independent uniform 2×2 → MI 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(3)],
+        "a string, b string",
+    )
+    r2 = mutual_information(ind, "a", "b").collect()[0]
+    assert abs(r2["mi"]) < 1e-5
+    assert abs(r2["h_a"] - math.log(2)) < 1e-5
+
+
+def test_mutual_information_partitioning_invariant(spark):
+    from aden_hive_fork_spark.operators.stats import mutual_information
+
+    rows = [(f"a{i % 3}", f"b{(i * 7) % 4}") for i in range(100)]
+    d1 = spark.createDataFrame(rows, "a string, b string").repartition(13)
+    d2 = spark.createDataFrame(list(reversed(rows)), "a string, b string")
+    r1 = mutual_information(d1, "a", "b").collect()[0]
+    r2 = mutual_information(d2, "a", "b").collect()[0]
+    assert r1 == r2
+
+
+def test_benford_digit_extraction_and_expected(spark):
+    from aden_hive_fork_spark.operators.quality import benford_deviation
+
+    # 0.05 → leading digit 5; 1234.00 → 1; negatives/zero dropped
+    df = spark.createDataFrame(
+        [(0.05,), (1234.0,), (190.0,), (-7.0,), (0.0,), (None,)],
+        "x double",
+    )
+    out = {r["digit"]: r for r in benford_deviation(df, "x").collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["n_obs"] == 2  # 1234.00 and 190.00
+    assert out[5]["n_obs"] == 1
+    assert abs(out[1]["exp_frac"] - math.log10(2)) < 1e-6
+
+
+def test_transition_matrix_hand_counts(spark):
+    from aden_hive_fork_spark.operators.sequences import transition_matrix
+
+    rows = [
+        ("u1", 1, "a"), ("u1", 2, "b"), ("u1", 3, "a"), ("u1", 4, "b"),
+        ("u2", 1, "a"), ("u2", 2, "b"),
+        ("u3", 1, "c"),  # single event: no transitions
+    ]
+    df = spark.createDataFrame(rows, "u string, t int, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["prob"])
+        for r in transition_matrix(df, ["u"], ["t"], "s").collect()
+    }
+    assert got[("a", "b")] == (3, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert ("c", None) not in got and len(got) == 2
+
+
+def test_transition_matrix_tie_break_deterministic(spark):
+    from aden_hive_fork_spark.operators.sequences import transition_matrix
+
+    # equal timestamps: id tie-break orders (t=1,id=1,a) before
+    # (t=1,id=2,b) → a→b, b→c
+    rows = [("u", 1, 2, "b"), ("u", 1, 1, "a"), ("u", 2, 3, "c")]
+    df = spark.createDataFrame(rows, "u string, t int, id int, s string")
+    got = {
+        (r["from_state"], r["to_state"])
+        for r in transition_matrix(df, ["u"], ["t", "id"], "s").collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_fd_violations_holding_and_failing(spark):
+    from aden_hive_fork_spark.operators.quality import fd_violations
+
+    rows = [
+        (1, "x", 10), (1, "x", 11),   # a=1 → b='x' consistent
+        (2, "y", 12), (2, "z", 13),   # a=2 → two b values: violated
+        (3, None, 14),                # NULL rhs dropped
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c int")
+    out = {r["fd"]: r for r in
+           fd_violations(df, [(["a"], "b"), (["c"], "b")]).collect()}
+    fd_ab = out["a->b"]
+    assert fd_ab["n_lhs_values"] == 2          # a=3 dropped (NULL b)
+    assert fd_ab["n_violating_lhs"] == 1
+    assert fd_ab["max_distinct_rhs"] == 2
+    assert fd_ab["violating_rows"] == 2
+    assert fd_ab["violation_frac"] == 0.5
+    assert out["c->b"]["n_violating_lhs"] == 0  # c unique per row
+
+
+def test_gini_uniform_zero_and_concentrated_high(spark):
+    from aden_hive_fork_spark.operators.stats import gini_coefficient
+
+    eq = spark.createDataFrame(
+        [(i, 10.0) for i in range(8)], "id int, x double"
+    )
+    assert gini_coefficient(eq, "x", "id").collect()[0]["gini"] == 0.0
+    # one entity owns everything: G = (n-1)/n
+    conc = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "id int, x double"
+    )
+    assert gini_coefficient(conc, "x", "id").collect()[0]["gini"] == 0.8
