@@ -22,7 +22,7 @@ Design for scale, mirroring `connected_components`' discipline:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -297,3 +297,67 @@ def bfs_hops(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection: every node
+    starts as its own community; each round it adopts the most
+    frequent label among its neighbors (ties broken by SMALLEST
+    label — the tie-break is what makes the algorithm, and therefore
+    the oracle replay, deterministic; free-running LPA is famously
+    run-order-dependent). Returns ``(id, label)`` after exactly
+    ``iterations`` rounds over the SYMMETRIZED edge set.
+
+    Per-round cost: one keyed join (edges ⋈ labels, keyed by node),
+    one (node, label) aggregate, one per-node rank window bounded by
+    the node's distinct neighbor-label count (≤ degree — hub-safe the
+    same way triangle_count's orientation is). Lineage truncated with
+    an eager localCheckpoint per round (the pagerank/bfs discipline).
+    Fixed iteration count, not convergence polling: the number of
+    driver round-trips is known up front, and the DuckDB oracle can
+    unroll the identical rounds as chained CTEs.
+    """
+    e0 = edges.select(
+        F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
+    )
+    und = (
+        e0.unionByName(
+            e0.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("_s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        msgs = und.join(labels, und["_d"] == labels["id"]).select(
+            F.col("_s").alias("id"), "label"
+        )
+        counts = msgs.groupBy("id", "label").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.desc("_c"), F.asc("label")
+        )
+        pick = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(pick, "id", "left")
+            .select(
+                "id", F.coalesce("_new", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

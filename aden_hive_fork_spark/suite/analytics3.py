@@ -337,3 +337,119 @@ def q176_revenue_gini(spark, sf_dir):
         .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("x"))
     )
     return gini_coefficient(rev, "x", "id")
+
+
+# ---------------------------------------------------------------------------
+# q177 — Kaplan-Meier customer-lifetime curve. The cohort collapses
+# to one row per 30-day duration bucket (the time grid — bounded by
+# resolution, not cohort size); at-risk counts are an integer window
+# sum over the grid; survival is the per-grid prefix product, folded
+# left-to-right so both engines multiply the identical IEEE chain.
+# ---------------------------------------------------------------------------
+@query(
+    "q177_km_customer_lifetime",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+        MIN(CAST(o_orderdate AS DATE)) AS f,
+        MAX(CAST(o_orderdate AS DATE)) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    coh AS (
+      SELECT CAST(FLOOR(date_diff('day', f, l) / 30) AS BIGINT) AS t,
+        CASE WHEN l < DATE '1998-01-01' THEN 1 ELSE 0 END AS ev
+      FROM cust
+    ),
+    per AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS m
+      FROM coh GROUP BY t
+    ),
+    r AS (
+      SELECT t, d,
+        CAST(SUM(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM per
+    ),
+    a AS (
+      SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+        list(n_risk ORDER BY t) AS ns,
+        list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             ORDER BY t) AS fs
+      FROM r
+    )
+    SELECT ts[i] AS t, ns[i] AS n_risk, ds[i] AS n_events,
+      CAST(ROUND(list_reduce(fs[1:i], (x, y) -> x * y), 6) AS DOUBLE)
+        AS survival
+    FROM a, unnest(generate_series(1, len(ts))) AS u(i)
+    WHERE ds[i] > 0
+    ORDER BY t ASC
+    """,
+)
+def q177_km_customer_lifetime(spark, sf_dir):
+    """operators/survival.kaplan_meier — duration = months between a
+    customer's first and last order; churn (event) = last order
+    before 1998, later actives censored."""
+    from ..operators.survival import kaplan_meier
+
+    cust = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("f"),
+            F.max(F.to_date("o_orderdate")).alias("l"),
+        )
+    )
+    coh = cust.select(
+        F.floor(F.datediff("l", "f") / 30).cast("bigint").alias("t"),
+        F.when(F.col("l") < F.lit("1998-01-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return kaplan_meier(coh, "t", "ev").orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q178 — KMV distinct sketch: cardinality ESTIMATION inside the hash
+# gate (md5-order k-minimums are engine-replayable where HLL is not).
+# The '1-URGENT'-class priorities hold ~thousands of distinct
+# customers against k=64 — a genuine estimate, not the exact branch.
+# ---------------------------------------------------------------------------
+@query(
+    "q178_kmv_distinct_customers",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS priority,
+        ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+          ::UBIGINT::BIGINT AS hv
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    r AS (
+      SELECT priority, hv,
+        ROW_NUMBER() OVER (PARTITION BY priority ORDER BY hv ASC) AS rn
+      FROM h
+    ),
+    k AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        MAX(CASE WHEN rn = 64 THEN hv END) AS kth
+      FROM r WHERE rn <= 64 GROUP BY priority
+    )
+    SELECT priority, n_kept,
+      CAST(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        ELSE FLOOR(63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)) END
+        AS BIGINT) AS est_distinct
+    FROM k ORDER BY priority ASC
+    """,
+)
+def q178_kmv_distinct_customers(spark, sf_dir):
+    """operators/sketch.kmv_sketch + kmv_estimate — distinct
+    customers per priority, k=64."""
+    from ..operators.sketch import kmv_estimate, kmv_sketch
+
+    sk = kmv_sketch(
+        T(spark, sf_dir, "orders"), "o_custkey", ["o_orderpriority"], k=64
+    )
+    return (
+        kmv_estimate(sk, 64, ["o_orderpriority"])
+        .withColumnRenamed("o_orderpriority", "priority")
+        .orderBy("priority")
+    )

@@ -233,3 +233,86 @@ def q166_bfs_hops(spark, sf_dir):
         )
         .orderBy("hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — label-propagation communities over the symmetrized purchase
+# graph. Deterministic LPA (most-frequent neighbor label, smallest-
+# label tie-break, synchronous rounds) so the oracle can unroll the
+# identical 3 rounds as chained CTEs — the same verification pattern
+# as PageRank (q104) and BFS (q166).
+# ---------------------------------------------------------------------------
+_LPA_ITER = 3
+
+
+def _lpa_oracle(iterations: int) -> str:
+    head = f"""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS src,
+        l.l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS (
+      SELECT src AS s, dst AS d FROM e0
+      UNION
+      SELECT dst AS s, src AS d FROM e0
+    ),
+    l0 AS (
+      SELECT s AS id, s AS label FROM (SELECT DISTINCT s FROM und)
+    )
+    """
+    steps = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        steps.append(
+            f"""
+    c{k} AS (
+      SELECT u.s AS id, l.label, COUNT(*) AS c
+      FROM und u JOIN l{p} l ON l.id = u.d
+      GROUP BY 1, 2
+    ),
+    p{k} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+          ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY c DESC, label ASC) AS rn
+        FROM c{k}
+      ) WHERE rn = 1
+    ),
+    l{k} AS (
+      SELECT n.id, COALESCE(p.label, n.label) AS label
+      FROM l{p} n LEFT JOIN p{k} p ON p.id = n.id
+    )"""
+        )
+    tail = f"""
+    SELECT CAST(label AS BIGINT) AS community,
+      CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{iterations}
+    GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT 25
+    """
+    return head + "," + ",".join(steps) + tail
+
+
+@query("q179_purchase_communities", oracle=_lpa_oracle(_LPA_ITER))
+def q179_purchase_communities(spark, sf_dir):
+    """Top-25 communities (by size) after 3 deterministic LPA rounds
+    (operators/graph_rank.label_propagation) on the customer-supplier
+    purchase graph — the domain-clustering companion to PageRank's
+    importance ranking."""
+    from ..operators.graph_rank import label_propagation
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+    ).distinct()
+    labels = label_propagation(edges, iterations=_LPA_ITER)
+    return (
+        labels.groupBy(F.col("label").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(25)
+    )
