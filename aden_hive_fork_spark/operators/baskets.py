@@ -114,3 +114,63 @@ def basket_pairs(
         "count_b",
         F.round(lift, ndigits).cast("double").alias("lift"),
     )
+
+
+def item_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 3,
+    min_support: int = 1,
+    max_basket: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Item-item collaborative filtering over binary co-occurrence:
+    for every item, its ``top_k`` most similar items by cosine over
+    the basket-membership vectors — cos(i,j) = |B_i ∩ B_j| /
+    sqrt(|B_i|·|B_j|), all counts exact integers from
+    ``basket_pairs``. Output: ``item, neighbor, pair_count, cosine,
+    rank`` (row_number, 1-based).
+
+    The "people who bought X also bought Y" recommender primitive.
+    Same scale bounds as ``basket_pairs`` (cap pathological baskets
+    with ``max_basket`` — the C(cap,2) discipline); the rank window
+    partitions by item over that item's co-occurring neighbors only.
+    Cosine is ROUNDED BEFORE ranking and ties break on neighbor id,
+    so the selection is deterministic across engines/partitionings.
+    """
+    from pyspark.sql import Window
+
+    p = basket_pairs(df, basket_col, item_col, min_support, max_basket,
+                     ndigits)
+    mirror = p.select(
+        F.col("item_b").alias("item_a"),
+        F.col("item_a").alias("item_b"),
+        "pair_count",
+        F.col("count_b").alias("count_a"),
+        F.col("count_a").alias("count_b"),
+        "lift",
+    )
+    both = p.unionByName(mirror)
+    cos = F.round(
+        F.col("pair_count").cast("double")
+        / F.sqrt(
+            F.col("count_a").cast("double") * F.col("count_b").cast("double")
+        ),
+        ndigits,
+    ).cast("double")
+    w = Window.partitionBy("item_a").orderBy(
+        F.desc("cosine"), F.asc("item_b")
+    )
+    return (
+        both.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("item_b").alias("neighbor"),
+            "pair_count",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -140,3 +140,56 @@ def tfidf(
         "df_t",
         F.round(weight, ndigits).cast("double").alias("tfidf"),
     )
+
+
+def doc_avg_nll(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the
+    corpus's own MLE n-gram model — the CCNet-style LM quality
+    signal: documents whose word continuations are atypical for the
+    corpus score high (boilerplate and fluent prose score low).
+    Output: ``doc, n_ngrams, avg_nll`` (nats/ngram; documents shorter
+    than n tokens are absent — they have no n-grams to score).
+
+    Train and score share ONE tokenize pass shape: the model is
+    ``conditional_prob`` (n-gram counts re-aggregated for prefixes);
+    scoring re-derives the per-document n-grams and inner-joins the
+    model on the n-gram key (every document n-gram exists in a model
+    trained on the same corpus, so the join drops nothing). Per-gram
+    terms −ln(p) are floor-quantized then reduced with the sorted
+    fold (doc-length-bounded), keeping the score engine-exact even
+    though ln is not correctly rounded; cond_p itself is already
+    ROUNDed by the model. At 100 TB the model table is
+    vocabulary²-bounded and the score join is keyed by n-gram —
+    both shuffles track distinct-gram counts, not corpus rows.
+    """
+    from .stats import det_sum, fquant
+
+    names = [f"w{i + 1}" for i in range(n)]
+    model = conditional_prob(df, text_col, id_col, n, ndigits).select(
+        *names, "cond_p"
+    )
+    t = tokens(df, text_col, id_col)
+    w = Window.partitionBy("doc").orderBy("pos")
+    cols = [F.col("doc"), F.col("word").alias("w1")]
+    for i in range(1, n):
+        cols.append(F.lead("word", i).over(w).alias(f"w{i + 1}"))
+    grams = t.select(*cols).filter(F.col(f"w{n}").isNotNull())
+    scored = grams.join(model, names)
+    term = fquant(-F.log(F.col("cond_p")), 9)
+    per = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        det_sum(term, 9).alias("_s"),
+    )
+    return per.select(
+        "doc",
+        "n_ngrams",
+        F.round(F.col("_s") / F.col("n_ngrams").cast("double"), ndigits)
+        .cast("double")
+        .alias("avg_nll"),
+    )

@@ -453,3 +453,191 @@ def q178_kmv_distinct_customers(spark, sf_dir):
         .withColumnRenamed("o_orderpriority", "priority")
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q180 — item-item collaborative filtering: top-3 "also bought"
+# neighbors per part by cosine over order-membership vectors. Counts
+# are basket_pairs' exact integers; cosine rounds BEFORE the rank
+# window so the selection is engine-deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "q180_item_cf_neighbors",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+        CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+      FROM items GROUP BY item
+    ),
+    bidir AS (
+      SELECT item_a, item_b, pair_count FROM pairs
+      UNION ALL
+      SELECT item_b AS item_a, item_a AS item_b, pair_count FROM pairs
+    ),
+    j AS (
+      SELECT b.item_a, b.item_b, b.pair_count,
+        CAST(ROUND(CAST(b.pair_count AS DOUBLE)
+          / sqrt(CAST(pa.item_count AS DOUBLE)
+                 * CAST(pb.item_count AS DOUBLE)), 6) AS DOUBLE) AS cosine
+      FROM bidir b
+      JOIN per pa ON b.item_a = pa.item
+      JOIN per pb ON b.item_b = pb.item
+    ),
+    r AS (
+      SELECT item_a, item_b, pair_count, cosine,
+        ROW_NUMBER() OVER (PARTITION BY item_a
+          ORDER BY cosine DESC, item_b ASC) AS rn
+      FROM j
+    )
+    SELECT item_a AS item, item_b AS neighbor, pair_count, cosine,
+      CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 3
+    ORDER BY item ASC, rank ASC
+    """,
+)
+def q180_item_cf_neighbors(spark, sf_dir):
+    """operators/baskets.item_similarity on (order, part) baskets."""
+    from ..operators.baskets import item_similarity
+
+    li = T(spark, sf_dir, "lineitem")
+    return item_similarity(li, "l_orderkey", "l_partkey", top_k=3).orderBy(
+        "item", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — LM-perplexity quality filter: score every document under
+# the corpus's own bigram MLE model (the CCNet signal); surface the
+# 20 most surprising documents. Per-gram −ln(p) terms floor-quantized
+# then sorted-folded, so the score is engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q181_lm_perplexity_filter",
+    oracle=r"""
+    WITH tok0 AS (
+      SELECT doc_id,
+        unnest(string_split_regex(text, '\s+')) AS word,
+        unnest(generate_series(1, len(string_split_regex(text, '\s+'))))
+          AS pos
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, pos, word FROM tok0 WHERE word <> ''),
+    big AS (
+      SELECT doc_id, word AS w1,
+        LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM tok
+    ),
+    cnt AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS ngram_count
+      FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ),
+    pre AS (
+      SELECT w1, CAST(SUM(ngram_count) AS BIGINT) AS prefix_count
+      FROM cnt GROUP BY w1
+    ),
+    cp AS (
+      SELECT c.w1, c.w2,
+        CAST(ROUND(CAST(c.ngram_count AS DOUBLE)
+                   / CAST(p.prefix_count AS DOUBLE), 6) AS DOUBLE) AS cond_p
+      FROM cnt c JOIN pre p USING (w1)
+    ),
+    terms AS (
+      SELECT b.doc_id,
+        CAST(FLOOR((-ln(cp.cond_p)) * 1000000000.0) AS DOUBLE)
+          / 1000000000.0 AS term
+      FROM big b JOIN cp ON cp.w1 = b.w1 AND cp.w2 = b.w2
+      WHERE b.w2 IS NOT NULL
+    ),
+    per AS (
+      SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        ROUND(list_sum(list_sort(list(term))), 9) AS s
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc, n_ngrams,
+      CAST(ROUND(s / CAST(n_ngrams AS DOUBLE), 6) AS DOUBLE) AS avg_nll
+    FROM per
+    ORDER BY avg_nll DESC, doc ASC
+    LIMIT 20
+    """,
+)
+def q181_lm_perplexity_filter(spark, sf_dir):
+    """operators/ngram_lm.doc_avg_nll (n=2) over documents — the
+    most-atypical-20 list a curation pass would drop or review."""
+    from ..operators.ngram_lm import doc_avg_nll
+
+    docs = T(spark, sf_dir, "documents")
+    return doc_avg_nll(docs, "text", "doc_id", n=2).orderBy(
+        F.desc("avg_nll"), F.asc("doc")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q182 — tokenizer fertility per language: tokens per 100 chars and
+# bytes per token — the corpus-planning numbers behind tokenizer and
+# mixture decisions. Pure counting (one wide aggregate per language).
+# ---------------------------------------------------------------------------
+@query(
+    "q182_token_fertility",
+    oracle=r"""
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                               w -> w <> ''))) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      CAST(ROUND(CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                          w -> w <> ''))) AS DOUBLE)
+        * 100.0 / CAST(SUM(n_chars) AS DOUBLE), 4) AS DOUBLE)
+        AS tokens_per_100_chars,
+      CAST(ROUND(CAST(SUM(octet_length(encode(text))) AS DOUBLE)
+        / CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+                                   w -> w <> ''))) AS DOUBLE), 4) AS DOUBLE)
+        AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+)
+def q182_token_fertility(spark, sf_dir):
+    """Whitespace-token fertility stats per language over documents
+    (tokens/chars/bytes — the suite/text tokenizer conventions)."""
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: w != ""
+    )
+    n_tok = F.size(toks).cast("bigint")
+    n_bytes = F.octet_length("text").cast("bigint")
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(n_bytes).cast("bigint").alias("total_bytes"),
+            F.round(
+                F.sum(n_tok).cast("double") * 100.0
+                / F.sum("n_chars").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("tokens_per_100_chars"),
+            F.round(
+                F.sum(n_bytes).cast("double")
+                / F.sum(n_tok).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )

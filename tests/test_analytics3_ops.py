@@ -149,3 +149,45 @@ def test_gini_uniform_zero_and_concentrated_high(spark):
         [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "id int, x double"
     )
     assert gini_coefficient(conc, "x", "id").collect()[0]["gini"] == 0.8
+
+
+def test_item_similarity_hand_cosine(spark):
+    from aden_hive_fork_spark.operators.baskets import item_similarity
+
+    # baskets: {1,2} ×2, {1,3} ×1 → cos(1,2)=2/sqrt(3*2), cos(1,3)=1/sqrt(3)
+    rows = [("b1", 1), ("b1", 2), ("b2", 1), ("b2", 2), ("b3", 1), ("b3", 3)]
+    df = spark.createDataFrame(rows, "b string, item int")
+    got = {(r["item"], r["neighbor"]): r
+           for r in item_similarity(df, "b", "item", top_k=2).collect()}
+    import math
+    assert abs(got[(1, 2)]["cosine"] - 2 / math.sqrt(6)) < 1e-6
+    assert abs(got[(1, 3)]["cosine"] - 1 / math.sqrt(3)) < 1e-6
+    assert got[(1, 2)]["rank"] == 1 and got[(1, 3)]["rank"] == 2
+    # symmetric orientation exists too
+    assert got[(2, 1)]["pair_count"] == 2
+
+
+def test_doc_avg_nll_hand_model(spark):
+    from aden_hive_fork_spark.operators.ngram_lm import doc_avg_nll
+
+    # corpus: "a b" ×3 and "a c" ×1 → P(b|a)=0.75, P(c|a)=0.25
+    rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc"]: r for r in
+           doc_avg_nll(df, "text", "doc_id", n=2).collect()}
+    import math
+    assert got[1]["n_ngrams"] == 1
+    assert abs(got[1]["avg_nll"] - (-math.log(0.75))) < 1e-5
+    assert abs(got[4]["avg_nll"] - (-math.log(0.25))) < 1e-5
+    # rarer continuation scores MORE surprising
+    assert got[4]["avg_nll"] > got[1]["avg_nll"]
+
+
+def test_doc_avg_nll_short_docs_absent(spark):
+    from aden_hive_fork_spark.operators.ngram_lm import doc_avg_nll
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id int, text string"
+    )
+    got = doc_avg_nll(df, "text", "doc_id", n=2).collect()
+    assert [r["doc"] for r in got] == [2]
