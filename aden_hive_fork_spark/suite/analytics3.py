@@ -469,27 +469,23 @@ def q178_kmv_distinct_customers(spark, sf_dir):
       FROM lineitem
     ),
     pairs AS (
+      -- both orientations from ONE self-join (mirrors the Spark plan)
       SELECT a.item AS item_a, b.item AS item_b,
         CAST(COUNT(*) AS BIGINT) AS pair_count
       FROM items a JOIN items b
-        ON a.basket = b.basket AND a.item < b.item
+        ON a.basket = b.basket AND a.item <> b.item
       GROUP BY 1, 2
     ),
     per AS (
       SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
       FROM items GROUP BY item
     ),
-    bidir AS (
-      SELECT item_a, item_b, pair_count FROM pairs
-      UNION ALL
-      SELECT item_b AS item_a, item_a AS item_b, pair_count FROM pairs
-    ),
     j AS (
       SELECT b.item_a, b.item_b, b.pair_count,
         CAST(ROUND(CAST(b.pair_count AS DOUBLE)
           / sqrt(CAST(pa.item_count AS DOUBLE)
                  * CAST(pb.item_count AS DOUBLE)), 6) AS DOUBLE) AS cosine
-      FROM bidir b
+      FROM pairs b
       JOIN per pa ON b.item_a = pa.item
       JOIN per pb ON b.item_b = pb.item
     ),
