@@ -54,8 +54,24 @@ def kmv_sketch(
         .select(*g, _h60(F.col(value_col), salt).alias("_h"))
         .distinct()
     )
+    # Two-stage k-minimum selection: the k smallest of a union are
+    # always among each part's k smallest, so first keep k per
+    # (group, physical partition) — one task per (group, partition),
+    # never a single global sort — then rank the ≤ k·n_partitions
+    # survivors per group. Without the pre-prune a LOW-group-count
+    # sketch (worst case: the global one) funnels every distinct hash
+    # through one window task.
+    pre = d.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*g, "_pid").orderBy("_h")
+    cand = (
+        pre.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
     w = Window.partitionBy(*g).orderBy("_h")
-    topk = d.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    topk = cand.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
     return topk.groupBy(*g).agg(
         F.sort_array(F.collect_list("_h")).alias("hashes"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -95,4 +111,54 @@ def merge_kmv(
     return topk.groupBy(*g).agg(
         F.sort_array(F.collect_list("_h")).alias("hashes"),
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+
+
+def kmv_set_estimates(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Union / intersection cardinality estimates from two KMV
+    sketches (the theta-sketch trick): merge the candidate lists,
+    keep the k smallest of the union — that is exactly the union's
+    sketch — and estimate |A∩B| as ρ·|A∪B| where ρ is the fraction
+    of the union's k-minimums present in BOTH input sketches.
+    Output: ``group_cols…, union_est, intersect_est, jaccard``.
+
+    Set algebra over sketches needs no second data pass — the whole
+    computation is array arithmetic over two k-length lists per
+    group (pure JVM column expressions), which is what makes
+    pre-sketched per-partition cardinality joinable at 100 TB.
+    Everything is deterministic (md5-ordered minimums, FLOOR
+    integerization), so the estimates sit inside the oracle gate
+    like the base sketch.
+    """
+    g = group_cols or []
+    a = sk_a.select(*g, F.col("hashes").alias("_ha"))
+    b = sk_b.select(*g, F.col("hashes").alias("_hb"))
+    j = a.join(b, g) if g else a.crossJoin(b)
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ha", "_hb"))), 1, k
+    )
+    j = j.withColumn("_m", merged)
+    m_len = F.size("_m")
+    kth = F.element_at("_m", k).cast("double")
+    union_est = F.when(m_len < k, m_len.cast("double")).otherwise(
+        F.floor(F.lit(float(k - 1)) * F.lit(_SPACE) / kth)
+    )
+    in_both = F.size(
+        F.filter(
+            F.col("_m"),
+            lambda x: F.array_contains(F.col("_ha"), x)
+            & F.array_contains(F.col("_hb"), x),
+        )
+    )
+    rho = in_both.cast("double") / F.least(m_len, F.lit(k)).cast("double")
+    return j.select(
+        *g,
+        union_est.cast("bigint").alias("union_est"),
+        F.floor(rho * union_est).cast("bigint").alias("intersect_est"),
+        F.round(rho, 6).cast("double").alias("jaccard"),
     )

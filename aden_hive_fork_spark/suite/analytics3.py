@@ -637,3 +637,66 @@ def q182_token_fertility(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — KMV set algebra: union / intersection cardinality of two
+# customer populations (urgent vs high priority) estimated purely
+# from their sketches — the theta-sketch pattern, engine-replayable
+# because every step is md5-order + FLOOR arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "q183_kmv_set_overlap",
+    oracle="""
+    WITH ha AS (
+      SELECT list(hv ORDER BY hv) AS l FROM (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+          1, 15))::UBIGINT::BIGINT AS hv
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL
+        ORDER BY hv ASC LIMIT 64
+      )
+    ),
+    hb AS (
+      SELECT list(hv ORDER BY hv) AS l FROM (
+        SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+          1, 15))::UBIGINT::BIGINT AS hv
+        FROM orders
+        WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL
+        ORDER BY hv ASC LIMIT 64
+      )
+    ),
+    m AS (
+      SELECT ha.l AS la, hb.l AS lb,
+        list_sort(list_distinct(ha.l || hb.l))[1:64] AS mg
+      FROM ha CROSS JOIN hb
+    ),
+    e AS (
+      SELECT la, lb, mg,
+        CASE WHEN len(mg) < 64 THEN CAST(len(mg) AS DOUBLE)
+          ELSE FLOOR(63.0 * 1152921504606846976.0
+                     / CAST(mg[64] AS DOUBLE)) END AS u,
+        CAST(len(list_filter(mg, x -> list_contains(la, x)
+                                      AND list_contains(lb, x))) AS DOUBLE)
+          / CAST(LEAST(len(mg), 64) AS DOUBLE) AS rho
+      FROM m
+    )
+    SELECT CAST(u AS BIGINT) AS union_est,
+      CAST(FLOOR(rho * u) AS BIGINT) AS intersect_est,
+      CAST(ROUND(rho, 6) AS DOUBLE) AS jaccard
+    FROM e
+    """,
+)
+def q183_kmv_set_overlap(spark, sf_dir):
+    """operators/sketch.kmv_set_estimates over the urgent / high
+    customer sketches (k=64)."""
+    from ..operators.sketch import kmv_set_estimates, kmv_sketch
+
+    o = T(spark, sf_dir, "orders")
+    sk_a = kmv_sketch(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"), "o_custkey", k=64
+    )
+    sk_b = kmv_sketch(
+        o.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey", k=64
+    )
+    return kmv_set_estimates(sk_a, sk_b, 64)
