@@ -83,14 +83,75 @@ def salted_join(
 def skewed_key_stats(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Diagnostic: per-key row counts and share of total — feeds the
     decision to salt (a key holding >1/num_partitions of rows is a
-    straggler candidate)."""
-    total = df.count()
+    straggler candidate). The total rides as a broadcast 1-row
+    aggregate (one Spark job — no driver-side count action splitting
+    the plan), and the top-N compiles to TakeOrderedAndProject over
+    the key-cardinality-bounded count table."""
+    counts = df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 4))
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("_total"), 4)
+            .cast("double")
+            .alias("share"),
+        )
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(top)
+    )
+
+
+def join_size_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 5,
+) -> DataFrame:
+    """Predict a join's output size WITHOUT running the join — the
+    capacity-planning probe a 100 TB pipeline runs before committing
+    to a shuffle. Exact arithmetic: the join's output cardinality is
+    Σ_k c_left(k)·c_right(k), computable from the two per-key count
+    tables whose join is KEY-cardinality-sized (never row-sized).
+
+    One row: ``n_keys_left, n_keys_right, n_matched_keys,
+    output_rows, max_key_output, amplification`` — ``output_rows``
+    the exact inner-equi-join row count, ``max_key_output`` the
+    heaviest single key's contribution (the straggler bound that
+    decides salting), ``amplification`` output rows per left row.
+    """
+    lc = left.filter(F.col(left_key).isNotNull()).groupBy(
+        F.col(left_key).alias("_k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_cl"))
+    rc = right.filter(F.col(right_key).isNotNull()).groupBy(
+        F.col(right_key).alias("_k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_cr"))
+    j = lc.join(rc, "_k", "full_outer")
+    prod = (
+        F.coalesce(F.col("_cl"), F.lit(0)) * F.coalesce(F.col("_cr"), F.lit(0))
+    ).cast("bigint")
+    return j.agg(
+        F.count("_cl").cast("bigint").alias("n_keys_left"),
+        F.count("_cr").cast("bigint").alias("n_keys_right"),
+        F.sum(
+            F.when(F.col("_cl").isNotNull() & F.col("_cr").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matched_keys"),
+        F.sum(prod).cast("bigint").alias("output_rows"),
+        F.max(prod).cast("bigint").alias("max_key_output"),
+        F.round(
+            F.sum(prod).cast("double")
+            / F.sum(F.coalesce(F.col("_cl"), F.lit(0))).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("amplification"),
     )
 
 

@@ -700,3 +700,123 @@ def q183_kmv_set_overlap(spark, sf_dir):
         o.filter(F.col("o_orderpriority") == "2-HIGH"), "o_custkey", k=64
     )
     return kmv_set_estimates(sk_a, sk_b, 64)
+
+
+# ---------------------------------------------------------------------------
+# q184 — key-skew diagnostic on the lineitem supplier key: the report
+# that decides salting before a 100 TB join. Count table is
+# key-bounded; total rides as a broadcast 1-row aggregate; top-10
+# compiles to TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "q184_key_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total FROM c)
+    SELECT l_suppkey, n_rows,
+      CAST(ROUND(CAST(n_rows AS DOUBLE) / t.total, 4) AS DOUBLE) AS share
+    FROM c CROSS JOIN t
+    ORDER BY n_rows DESC, l_suppkey ASC
+    LIMIT 10
+    """,
+)
+def q184_key_skew_report(spark, sf_dir):
+    """operators/joins.skewed_key_stats — heaviest supplier keys."""
+    from ..operators.joins import skewed_key_stats
+
+    return skewed_key_stats(
+        T(spark, sf_dir, "lineitem"), "l_suppkey", top=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — join-size prediction WITHOUT running the join: the exact
+# output cardinality of the lineitem part-key self-join (the q134
+# basket shape) from per-key count tables — key-cardinality work for
+# a row-cardinality answer. max_key_output is the straggler bound.
+# ---------------------------------------------------------------------------
+@query(
+    "q185_join_size_profile",
+    oracle="""
+    WITH lc AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+    ),
+    rc AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+    ),
+    j AS (
+      SELECT lc.cl, rc.cr,
+        CAST(COALESCE(lc.cl, 0) * COALESCE(rc.cr, 0) AS BIGINT) AS prod
+      FROM lc FULL OUTER JOIN rc ON lc.k = rc.k
+    )
+    SELECT CAST(COUNT(cl) AS BIGINT) AS n_keys_left,
+      CAST(COUNT(cr) AS BIGINT) AS n_keys_right,
+      CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_keys,
+      CAST(SUM(prod) AS BIGINT) AS output_rows,
+      CAST(MAX(prod) AS BIGINT) AS max_key_output,
+      CAST(ROUND(CAST(SUM(prod) AS DOUBLE)
+        / CAST(SUM(COALESCE(cl, 0)) AS DOUBLE), 6) AS DOUBLE)
+        AS amplification
+    FROM j
+    """,
+)
+def q185_join_size_profile(spark, sf_dir):
+    """operators/joins.join_size_profile on the lineitem part-key
+    self-join."""
+    from ..operators.joins import join_size_profile
+
+    li = T(spark, sf_dir, "lineitem")
+    return join_size_profile(li, li, "l_partkey", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q186 — day-of-week seasonal index of daily revenue per priority.
+# ISO weekday (weekday()+1 == DuckDB isodow — the only dow numbering
+# the engines share); exact decimal sums re-aggregated for the group
+# mean (no second scan).
+# ---------------------------------------------------------------------------
+@query(
+    "q186_seasonal_index",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT priority, CAST(isodow(d) AS INT) AS isodow,
+        CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sd
+      FROM s GROUP BY 1, 2
+    ),
+    pg AS (
+      SELECT priority, CAST(SUM(n_days) AS BIGINT) AS na,
+        CAST(SUM(sd) AS DECIMAL(38,6)) AS sa
+      FROM pd GROUP BY priority
+    )
+    SELECT pd.priority, pd.isodow, pd.n_days,
+      CAST(ROUND(CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS DOUBLE)
+        AS dow_mean,
+      CAST(ROUND((CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE))
+        / (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)), 6) AS DOUBLE)
+        AS seasonal_index
+    FROM pd JOIN pg ON pg.priority = pd.priority
+    ORDER BY pd.priority ASC, pd.isodow ASC
+    """,
+)
+def q186_seasonal_index(spark, sf_dir):
+    """operators/timeseries.seasonal_index over per-priority daily
+    revenue."""
+    from ..operators.timeseries import seasonal_index
+    from .analytics2 import _daily_rev
+
+    return seasonal_index(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev"
+    ).orderBy("priority", "isodow")

@@ -191,3 +191,39 @@ def test_doc_avg_nll_short_docs_absent(spark):
     )
     got = doc_avg_nll(df, "text", "doc_id", n=2).collect()
     assert [r["doc"] for r in got] == [2]
+
+
+def test_join_size_profile_hand_counts(spark):
+    from aden_hive_fork_spark.operators.joins import join_size_profile
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int"
+    )
+    right = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k int")
+    r = join_size_profile(left, right, "k", "k").collect()[0]
+    assert r["n_keys_left"] == 3 and r["n_keys_right"] == 3
+    assert r["n_matched_keys"] == 2
+    # 1: 2*1=2; 2: 1*2=2; 3 and 9 unmatched → 0
+    assert r["output_rows"] == 4
+    assert r["max_key_output"] == 2
+    assert r["amplification"] == 1.0  # 4 rows out / 4 non-null left rows
+
+
+def test_seasonal_index_weekday_profile(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.timeseries import seasonal_index
+
+    # two Mondays at 20, one Tuesday at 10 → overall mean 50/3;
+    # Monday index = 20/(50/3) = 1.2, Tuesday = 0.6
+    rows = [
+        ("g", dt.date(2024, 1, 1), 20.0),   # Monday
+        ("g", dt.date(2024, 1, 8), 20.0),   # Monday
+        ("g", dt.date(2024, 1, 2), 10.0),   # Tuesday
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    got = {r["isodow"]: r for r in
+           seasonal_index(df, ["g"], "d", "v").collect()}
+    assert got[1]["n_days"] == 2 and got[1]["dow_mean"] == 20.0
+    assert got[1]["seasonal_index"] == 1.2
+    assert got[2]["seasonal_index"] == 0.6
