@@ -73,6 +73,12 @@ HEADLINE = [
     "q163_touch_attribution",     # keyed range join + conversion window
     "q165_logreg_urgent",         # full-batch GD, quantized sigmoid
     "q166_bfs_hops",              # frontier BFS with checkpointed rounds
+    "q174_event_transitions",     # per-user lead window + states² agg
+    "q177_km_customer_lifetime",  # survival grid + prefix-product fold
+    "q178_kmv_distinct_customers",# two-stage k-minimum sketch
+    "q180_item_cf_neighbors",     # one-pass bidirectional basket self-join
+    "q181_lm_perplexity_filter",  # bigram model join + per-doc fold
+    "q185_join_size_profile",     # key-count full-outer profile
 ]
 
 
