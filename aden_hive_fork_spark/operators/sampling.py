@@ -299,3 +299,19 @@ def temperature_weights(
         ),
     )
     return df.join(F.broadcast(weights), class_col)
+
+
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int = 5, salt: str = ""
+) -> DataFrame:
+    """Append ``fold`` ∈ [0, k): deterministic k-fold cross-validation
+    assignment from the content hash of the key — the same
+    reproducibility contract as ``train_test_split`` (repartition-
+    stable, key-consistent across tables, salt gives an independent
+    folding). Map-side projection: no shuffle, no state; fold i's
+    training set is ``fold != i`` — no materialized copies of the
+    data, just complementary filters the optimizer pushes to the
+    scan."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn("fold", hash_bucket(key_col, k, salt).cast("int"))

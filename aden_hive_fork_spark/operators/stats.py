@@ -398,3 +398,72 @@ def gini_coefficient(
         F.round(sx, scale).cast("double").alias("total"),
         F.round(g, ndigits).cast("double").alias("gini"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Full pairwise Pearson correlation matrix of ``cols`` in ONE
+    wide aggregate over ONE scan — p columns need p(p+1)/2 product
+    sums, all exact DECIMAL, so a 10-column matrix is still a single
+    pass with map-side combine (never p² separate jobs). Output: one
+    row per unordered pair ``(col_a, col_b, n, corr)``, col_a < col_b
+    alphabetically.
+
+    Complete-case per the WHOLE column set (a row with any NULL among
+    ``cols`` is dropped) — the matrix is then positive semi-definite,
+    which per-pair deletion does not guarantee. Same derivation as
+    ``exact_corr``; NULL corr where a variance is zero.
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs >= 2 columns")
+    cc = df.filter(
+        F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in cols))
+    )
+    d = {c: F.col(c).cast(f"decimal(18,{scale})") for c in cols}
+    p = f"decimal(38,{2 * scale})"
+    aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("decimal(38,6)").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((d[c] * d[c]).cast(p)).cast("decimal(38,6)").alias(f"ss_{c}")
+        )
+    ordered = sorted(cols)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(ordered)
+        for b in ordered[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((d[a] * d[b]).cast(p))
+            .cast("decimal(38,6)")
+            .alias(f"sp_{a}_{b}")
+        )
+    agg = cc.agg(*aggs)
+    n = F.col("n").cast("double")
+    rows = []
+    for a, b in pairs:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        va = n * ssa - sa * sa
+        vb = n * ssb - sb * sb
+        corr = F.when(
+            (va > 0) & (vb > 0), (n * sp - sa * sb) / F.sqrt(va * vb)
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").alias("n"),
+                F.round(corr, ndigits).cast("double").alias("corr"),
+            )
+        )
+    return agg.select(
+        F.explode(F.array(*rows)).alias("_p")
+    ).select("_p.col_a", "_p.col_b", "_p.n", "_p.corr")

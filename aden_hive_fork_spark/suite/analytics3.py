@@ -820,3 +820,108 @@ def q186_seasonal_index(spark, sf_dir):
     return seasonal_index(
         _daily_rev(spark, sf_dir), ["priority"], "d", "rev"
     ).orderBy("priority", "isodow")
+
+
+# ---------------------------------------------------------------------------
+# q187 — k-fold assignment audit: content-hash folds are exact set
+# membership (md5 arithmetic DuckDB-replayable), so the oracle
+# verifies EXACT per-fold composition, not just sizes — the q95
+# train/test discipline extended to cross-validation.
+# ---------------------------------------------------------------------------
+@query(
+    "q187_kfold_assignment",
+    oracle="""
+    SELECT
+      CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT
+           % 5 AS INT) AS fold,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY fold ASC
+    """,
+)
+def q187_kfold_assignment(spark, sf_dir):
+    """operators/sampling.kfold_assign — 5-fold CV splits keyed by
+    customer (fold boundaries never split a customer's orders)."""
+    from ..operators.sampling import kfold_assign
+    from ._helpers import dec, dround
+
+    o = kfold_assign(T(spark, sf_dir, "orders"), "o_custkey", k=5)
+    return (
+        o.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            dround(F.sum(dec("o_totalprice"))).alias("revenue"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — full pairwise correlation matrix of the four lineitem
+# measures in ONE wide aggregate (p(p+1)/2 decimal product sums, one
+# scan — never p² jobs). The oracle computes the same sums once and
+# unions the six pair expressions.
+# ---------------------------------------------------------------------------
+_CM_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+_CM_PAIRS = [
+    (a, b) for i, a in enumerate(_CM_COLS) for b in _CM_COLS[i + 1:]
+]
+_CM_SUMS = ",\n".join(
+    [
+        f"""        CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DECIMAL(38,6))
+          AS s_{c},
+        CAST(SUM(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2)))
+          AS DECIMAL(38,6)) AS ss_{c}"""
+        for c in _CM_COLS
+    ]
+    + [
+        f"""        CAST(SUM(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))
+          AS DECIMAL(38,6)) AS sp_{a}_{b}"""
+        for a, b in _CM_PAIRS
+    ]
+)
+_CM_PAIR_SELECT = "\nUNION ALL\n".join(
+    f"""    SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+      CAST(ROUND(CASE WHEN
+          (CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+           - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)) > 0
+          AND (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)) > 0
+        THEN (CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+              - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                     - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                       - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+        END, 6) AS DOUBLE) AS corr
+    FROM s"""
+    for a, b in _CM_PAIRS
+)
+
+
+@query(
+    "q188_corr_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+{_CM_SUMS}
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL AND l_tax IS NOT NULL
+    )
+{_CM_PAIR_SELECT}
+    ORDER BY col_a ASC, col_b ASC
+    """,
+)
+def q188_corr_matrix(spark, sf_dir):
+    """operators/stats.corr_matrix over the four lineitem measures."""
+    from ..operators.stats import corr_matrix
+
+    return corr_matrix(
+        T(spark, sf_dir, "lineitem"), _CM_COLS
+    ).orderBy("col_a", "col_b")

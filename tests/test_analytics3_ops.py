@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 
 def test_welch_ttest_matches_scipy_formula(spark):
     from aden_hive_fork_spark.operators.stats import welch_ttest
@@ -227,3 +229,40 @@ def test_seasonal_index_weekday_profile(spark):
     assert got[1]["n_days"] == 2 and got[1]["dow_mean"] == 20.0
     assert got[1]["seasonal_index"] == 1.2
     assert got[2]["seasonal_index"] == 0.6
+
+
+def test_kfold_partitions_and_key_consistency(spark):
+    from aden_hive_fork_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    folds = kfold_assign(df, "k", k=5)
+    got = folds.groupBy("fold").count().collect()
+    assert {r["fold"] for r in got} == {0, 1, 2, 3, 4}
+    # every key in exactly one fold; roughly balanced (binomial)
+    assert sum(r["count"] for r in got) == 500
+    assert all(abs(r["count"] - 100) < 50 for r in got)
+    # same key → same fold in a DIFFERENT table (join-consistency)
+    other = kfold_assign(
+        spark.createDataFrame([(i, "x") for i in range(500)],
+                              "k long, pad string"),
+        "k", k=5,
+    )
+    j = folds.withColumnRenamed("fold", "f1").join(
+        other.select("k", F.col("fold").alias("f2")), "k"
+    )
+    assert j.filter(F.col("f1") != F.col("f2")).count() == 0
+
+
+def test_corr_matrix_matches_exact_corr_pairwise(spark):
+    from aden_hive_fork_spark.operators.stats import corr_matrix, exact_corr
+
+    rows = [(float(i), float(i * 2 + (i % 3)), float(10 - i))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    m = {(r["col_a"], r["col_b"]): r["corr"]
+         for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    for a, b in [("a", "b"), ("a", "c"), ("b", "c")]:
+        single = exact_corr(df, a, b).collect()[0]["corr"]
+        assert m[(a, b)] == single
+    # perfect anti-correlation a vs c
+    assert m[("a", "c")] == -1.0
