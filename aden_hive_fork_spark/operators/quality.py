@@ -522,3 +522,59 @@ def fd_violations(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def ref_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Referential-integrity audit: how many child rows point at a
+    parent key that does not exist. 1-row report: ``n_child_rows,
+    n_null_fk, n_orphan_rows, n_orphan_keys, orphan_frac`` (fraction
+    over non-NULL FKs; NULL FKs are reported separately, not counted
+    as orphans — SQL FK semantics).
+
+    One left-anti join of the child against the parent KEY COLUMN
+    (column-pruned scan; the join carries only the key) plus two
+    1-row aggregates. The orphan set is usually tiny, so AQE
+    broadcasts the distinct parent keys when they fit; at dimension
+    scale it degrades to a shuffle join on the key — either way no
+    row wider than the key moves.
+    """
+    fk = F.col(fk_col)
+    tot = child.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        F.sum(F.when(fk.isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_fk"),
+    )
+    orphans = (
+        child.filter(fk.isNotNull())
+        .select(fk.alias("_fk"))
+        .join(
+            parent.select(F.col(pk_col).alias("_fk")).distinct(),
+            "_fk",
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphan_rows"),
+            F.countDistinct("_fk").cast("bigint").alias("n_orphan_keys"),
+        )
+    )
+    j = tot.crossJoin(F.broadcast(orphans))
+    denom = (F.col("n_child_rows") - F.col("n_null_fk")).cast("double")
+    return j.select(
+        "n_child_rows",
+        "n_null_fk",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.round(
+            F.when(denom > 0, F.col("n_orphan_rows").cast("double") / denom),
+            ndigits,
+        )
+        .cast("double")
+        .alias("orphan_frac"),
+    )

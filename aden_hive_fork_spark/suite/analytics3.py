@@ -925,3 +925,127 @@ def q188_corr_matrix(spark, sf_dir):
     return corr_matrix(
         T(spark, sf_dir, "lineitem"), _CM_COLS
     ).orderBy("col_a", "col_b")
+
+
+# ---------------------------------------------------------------------------
+# q189 — autocorrelation function of daily revenue per priority,
+# lags 1-5: ONE lead window (series shuffles once) + ONE wide
+# aggregate of all 30 conditional decimal sums; per-lag Pearson via
+# the exact_corr expression; unioned lag selects on the oracle side.
+# ---------------------------------------------------------------------------
+_ACF_LAGS = [1, 2, 3, 4, 5]
+_ACF_SUMS = ",\n".join(
+    f"""        CAST(COUNT(CASE WHEN y{lag} IS NOT NULL THEN 1 END) AS BIGINT)
+          AS n_{lag},
+        CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN x END) AS DECIMAL(38,6))
+          AS sx_{lag},
+        CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN y{lag} END)
+          AS DECIMAL(38,6)) AS sy_{lag},
+        CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN x * y{lag} END)
+          AS DECIMAL(38,6)) AS sxy_{lag},
+        CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN x * x END)
+          AS DECIMAL(38,6)) AS sxx_{lag},
+        CAST(SUM(CASE WHEN y{lag} IS NOT NULL THEN y{lag} * y{lag} END)
+          AS DECIMAL(38,6)) AS syy_{lag}"""
+    for lag in _ACF_LAGS
+)
+_ACF_SELECTS = "\nUNION ALL\n".join(
+    f"""    SELECT priority, CAST({lag} AS INT) AS lag, n_{lag} AS n_pairs,
+      CAST(ROUND(CASE WHEN
+          (CAST(n_{lag} AS DOUBLE) * CAST(sxx_{lag} AS DOUBLE)
+           - CAST(sx_{lag} AS DOUBLE) * CAST(sx_{lag} AS DOUBLE)) > 0
+          AND (CAST(n_{lag} AS DOUBLE) * CAST(syy_{lag} AS DOUBLE)
+           - CAST(sy_{lag} AS DOUBLE) * CAST(sy_{lag} AS DOUBLE)) > 0
+        THEN (CAST(n_{lag} AS DOUBLE) * CAST(sxy_{lag} AS DOUBLE)
+              - CAST(sx_{lag} AS DOUBLE) * CAST(sy_{lag} AS DOUBLE))
+             / sqrt((CAST(n_{lag} AS DOUBLE) * CAST(sxx_{lag} AS DOUBLE)
+                     - CAST(sx_{lag} AS DOUBLE) * CAST(sx_{lag} AS DOUBLE))
+                    * (CAST(n_{lag} AS DOUBLE) * CAST(syy_{lag} AS DOUBLE)
+                       - CAST(sy_{lag} AS DOUBLE) * CAST(sy_{lag} AS DOUBLE)))
+        END, 6) AS DOUBLE) AS acf
+    FROM a"""
+    for lag in _ACF_LAGS
+)
+
+
+@query(
+    "q189_revenue_acf",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT priority, CAST(rev AS DECIMAL(18,2)) AS x,
+        {", ".join(f"CAST(LEAD(rev, {lag}) OVER w AS DECIMAL(18,2)) AS y{lag}" for lag in _ACF_LAGS)}
+      FROM s WINDOW w AS (PARTITION BY priority ORDER BY d ASC)
+    ),
+    a AS (
+      SELECT priority,
+{_ACF_SUMS}
+      FROM l GROUP BY priority
+    )
+{_ACF_SELECTS}
+    ORDER BY priority ASC, lag ASC
+    """,
+)
+def q189_revenue_acf(spark, sf_dir):
+    """operators/timeseries.acf — lags 1-5 of daily revenue."""
+    from ..operators.timeseries import acf
+    from .analytics2 import _daily_rev
+
+    return acf(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev", max_lag=5
+    ).orderBy("priority", "lag")
+
+
+# ---------------------------------------------------------------------------
+# q190 — referential-integrity audit with INJECTED orphans: two
+# synthetic part keys (-1, -2) union into the child so the detector's
+# positive path runs inside the oracle gate, not just unit tests.
+# ---------------------------------------------------------------------------
+@query(
+    "q190_ref_integrity",
+    oracle="""
+    WITH child AS (
+      SELECT l_partkey AS fk FROM lineitem
+      UNION ALL SELECT -1 UNION ALL SELECT -1 UNION ALL SELECT -2
+      UNION ALL SELECT NULL
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+        CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_fk
+      FROM child
+    ),
+    orph AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+        CAST(COUNT(DISTINCT fk) AS BIGINT) AS n_orphan_keys
+      FROM child WHERE fk IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = child.fk)
+    )
+    SELECT t.n_child_rows, t.n_null_fk, o.n_orphan_rows, o.n_orphan_keys,
+      CAST(ROUND(CASE WHEN t.n_child_rows - t.n_null_fk > 0
+        THEN CAST(o.n_orphan_rows AS DOUBLE)
+             / CAST(t.n_child_rows - t.n_null_fk AS DOUBLE) END, 6)
+        AS DOUBLE) AS orphan_frac
+    FROM tot t CROSS JOIN orph o
+    """,
+)
+def q190_ref_integrity(spark, sf_dir):
+    """operators/quality.ref_integrity — lineitem part keys + three
+    injected orphan rows and one NULL FK against the part table."""
+    from ..operators.quality import ref_integrity
+
+    spark_child = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("fk"))
+        .unionByName(
+            spark.createDataFrame([(-1,), (-1,), (-2,), (None,)], "fk long")
+        )
+    )
+    return ref_integrity(
+        spark_child, T(spark, sf_dir, "part"), "fk", "p_partkey"
+    )

@@ -170,3 +170,118 @@ def q102_exact_percentiles(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — the TPC-H Q5 shape (local-supplier volume): six-way join
+# where customer and supplier must share a nation. Supplier/nation/
+# region broadcast (dims), the date filter pushes to the orders
+# scan, and lineitem joins pre-filtered orders before the wide join.
+# ---------------------------------------------------------------------------
+@query(
+    "q191_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def q191_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 analog: revenue from lineitems where the supplier and
+    the customer share an ASIA nation, 1996 orders. Dims broadcast;
+    the order-date filter reaches the parquet scan (PushedFilters);
+    the c↔s nation equality rides the supplier join as a residual."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == li["l_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            dround(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — the TPC-H Q10 shape (returned-item reporting): top-20
+# customers by revenue lost to returns in one quarter. The
+# returnflag + date filters prune before the joins; top-20 compiles
+# to TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "q192_returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        AS lost_revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_returned
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-07-01'
+      AND o.o_orderdate < DATE '1996-10-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY lost_revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q192_returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 analog: who returned the most revenue in 1996 Q3.
+    Both selective filters push to the scans; nation broadcasts; the
+    quarter's returned lineitems aggregate per customer before the
+    top-20."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dround(F.sum(rev)).alias("lost_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

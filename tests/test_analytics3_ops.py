@@ -266,3 +266,39 @@ def test_corr_matrix_matches_exact_corr_pairwise(spark):
         assert m[(a, b)] == single
     # perfect anti-correlation a vs c
     assert m[("a", "c")] == -1.0
+
+
+def test_acf_perfect_periodicity(spark):
+    from aden_hive_fork_spark.operators.timeseries import acf
+
+    # period-2 alternating series: lag-2 acf = 1, lag-1 acf = -1
+    rows = [("k", i, 10.0 if i % 2 == 0 else 20.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {r["lag"]: r for r in acf(df, ["k"], "t", "x", 2).collect()}
+    assert got[1]["n_pairs"] == 39 and got[2]["n_pairs"] == 38
+    assert got[2]["acf"] == 1.0
+    assert got[1]["acf"] < -0.99
+
+
+def test_acf_constant_series_null(spark):
+    from aden_hive_fork_spark.operators.timeseries import acf
+
+    df = spark.createDataFrame([("k", i, 5.0) for i in range(10)],
+                               "k string, t int, x double")
+    got = acf(df, ["k"], "t", "x", 1).collect()
+    assert got[0]["acf"] is None and got[0]["n_pairs"] == 9
+
+
+def test_ref_integrity_orphans_and_nulls(spark):
+    from aden_hive_fork_spark.operators.quality import ref_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (98,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    r = ref_integrity(child, parent, "fk", "pk").collect()[0]
+    assert r["n_child_rows"] == 7
+    assert r["n_null_fk"] == 1
+    assert r["n_orphan_rows"] == 3       # 99, 99, 98
+    assert r["n_orphan_keys"] == 2
+    assert r["orphan_frac"] == 0.5       # 3 of 6 non-null FKs
