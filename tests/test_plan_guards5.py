@@ -1,0 +1,87 @@
+"""Physical-plan guards for the round-5 second/third-wave operators:
+the properties that make them safe at 100 TB must be visible in the
+executed plan, not just claimed in docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmv_global_sketch_preprunes_before_global_rank(spark):
+    from aden_hive_fork_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    plan = _plan(kmv_sketch(df, "v", k=16))
+    # stage 1: per-(partition) window keyed by _pid — the pre-prune
+    assert "_pid" in plan
+    # the final single-partition rank sees only pruned candidates:
+    # its input subtree must contain the _r <= k filter from stage 1
+    assert plan.count("row_number") >= 2
+
+
+def test_item_similarity_no_cartesian_or_bnlj(spark):
+    from aden_hive_fork_spark.operators.baskets import item_similarity
+
+    rows = [(f"b{i % 7}", i % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "b string, item int")
+    plan = _plan(item_similarity(df, "b", "item"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_join_size_profile_prunes_to_key_columns(spark):
+    from aden_hive_fork_spark.operators.joins import join_size_profile
+    from aden_hive_fork_spark.catalog import load_table
+
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plan = _plan(join_size_profile(li, li, "l_partkey", "l_partkey"))
+    # the scans must read ONLY the key column — a profile that drags
+    # l_extendedprice/l_quantity through the shuffle is wrong
+    assert "l_extendedprice" not in plan
+    assert "l_quantity" not in plan
+
+
+def test_corr_matrix_single_scan(spark):
+    from aden_hive_fork_spark.operators.stats import corr_matrix
+    from aden_hive_fork_spark.catalog import load_table
+
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    plan = _plan(corr_matrix(li, ["l_quantity", "l_tax", "l_discount"]))
+    # all 6 sufficient-statistic sums from ONE pass over ONE scan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_transition_matrix_single_sequence_shuffle(spark):
+    from aden_hive_fork_spark.operators.sequences import transition_matrix
+
+    rows = [(i % 5, i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "u int, t int, s string")
+    plan = _plan(transition_matrix(df, ["u"], ["t"], "s"))
+    assert "CartesianProduct" not in plan
+    # broadcast normalization join — the totals side must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kfold_assign_is_map_side_only(spark):
+    from aden_hive_fork_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    plan = _plan(kfold_assign(df, "k", k=5))
+    assert "Exchange" not in plan  # pure projection — no shuffle
+
+
+def test_ref_integrity_null_fks_never_join(spark):
+    from aden_hive_fork_spark.operators.quality import ref_integrity
+
+    child = spark.createDataFrame([(1,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,)], "pk int")
+    plan = _plan(ref_integrity(child, parent, "fk", "pk"))
+    assert "LeftAnti" in plan
