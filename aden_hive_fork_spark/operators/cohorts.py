@@ -86,3 +86,99 @@ def retention_matrix(
         .cast("double")
         .alias("retention"),
     )
+
+
+def growth_accounting(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """The growth-accounting decomposition: per period, how many
+    active users are NEW (first period ever), RETAINED (also active
+    the previous period), RESURRECTED (active before but not the
+    previous period), and how many of the previous period's actives
+    CHURNED (absent this period). Output: ``period_start, wau, n_new,
+    n_retained, n_resurrected, n_churned_prev`` — wau = new +
+    retained + resurrected always holds, the standard audit identity.
+
+    Shape: raw activity collapses to the distinct (user, period)
+    grid immediately — everything downstream is grid-sized. One lag
+    window per user classifies each active period against the
+    previous one (first_seen via a running min in the SAME window
+    pass — no second shuffle); churn is the lead direction of the
+    identical window. Period truncation uses Monday-anchored
+    ``date_trunc`` — the one week semantics Spark and DuckDB share
+    (the q133 convention).
+    """
+    from pyspark.sql.window import Window
+
+    grid = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(period, F.col(ts_col)).alias("p"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("p").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy("p")
+    step = {"week": 7, "day": 1}.get(period)
+    if step is None:
+        raise ValueError("period must be 'week' or 'day'")
+    prev_p = F.lag("p").over(w)
+    next_p = F.lead("p").over(w)
+    first_p = F.min("p").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lab = grid.select(
+        "p",
+        F.when(first_p == F.col("p"), "new")
+        .when(
+            prev_p == F.col("p") - F.expr(f"INTERVAL {step} DAYS"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("kind"),
+        # this user churns AFTER p if the next active period is not
+        # the immediately following one
+        (
+            next_p.isNull()
+            | (next_p != F.col("p") + F.expr(f"INTERVAL {step} DAYS"))
+        ).alias("churns_after"),
+    )
+    per = lab.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wau"),
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(F.when(F.col("churns_after"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_churn_out"),
+    )
+    # churned(p) = period p−step's actives that did not return in p.
+    # A keyed join on the SHIFTED period (not a lag over the period
+    # table) stays correct when a period has zero activity — lag
+    # would silently reach back to an older period across the gap.
+    shifted = per.select(
+        (F.col("p") + F.expr(f"INTERVAL {step} DAYS")).alias("p"),
+        F.col("_churn_out").alias("_churned_prev"),
+    )
+    return (
+        per.join(shifted, "p", "left")
+        .select(
+            F.col("p").alias("period_start"),
+            "wau",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("_churned_prev", F.lit(0))
+            .cast("bigint")
+            .alias("n_churned_prev"),
+        )
+    )

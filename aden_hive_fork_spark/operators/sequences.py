@@ -76,3 +76,79 @@ def transition_matrix(
             .alias("prob"),
         )
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tie_cols: list[str],
+    state_col: str,
+    gap_minutes: int = 30,
+    max_steps: int = 3,
+) -> DataFrame:
+    """Top navigation paths: sessionize each key's event stream
+    (gaps-and-islands — a new session starts after ``gap_minutes``
+    of silence), take the first ``max_steps`` states of every session
+    in event order, and count sessions per path string ("view>click>
+    purchase"). Output: ``path, n_sessions``.
+
+    The entry-path report behind landing-flow and drop-off analysis —
+    the composition of sessionization (q136) and sequence mining
+    (transition_matrix), collapsed to one window pass: the SAME
+    (key, ts, ties) window computes the session break flag and the
+    running session id (rows frame), so the stream shuffles once.
+    Per-session state lists are session-length-bounded (collect of a
+    session's first events, not a key's history); the path table is
+    |states|^max_steps at most, map-side combined.
+
+    Explicit gaps-and-islands rather than ``F.session_window`` so
+    the identical arithmetic replays in the oracle; q136 proves the
+    native operator computes the same sessions.
+    """
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tie_cols)],
+        F.col(state_col).alias("_s"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        "_ts", *[f"_t{i}" for i in range(len(tie_cols))]
+    )
+    brk = F.when(
+        F.lag("_ts").over(w).isNull()
+        | (
+            (F.col("_ts") - F.lag("_ts").over(w))
+            >= F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+        ),
+        1,
+    ).otherwise(0)
+    t = base.withColumn("_brk", brk).withColumn(
+        "_sid",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = t.groupBy(*key_cols, "_sid").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "_ts",
+                        *[f"_t{i}" for i in range(len(tie_cols))],
+                        "_s",
+                    )
+                )
+            ),
+            1,
+            max_steps,
+        ).alias("_head")
+    )
+    path = F.array_join(
+        F.transform(F.col("_head"), lambda s: s["_s"]), ">"
+    )
+    return (
+        per_session.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )

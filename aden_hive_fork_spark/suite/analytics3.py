@@ -1049,3 +1049,119 @@ def q190_ref_integrity(spark, sf_dir):
     return ref_integrity(
         spark_child, T(spark, sf_dir, "part"), "fk", "p_partkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — top session entry paths: gaps-and-islands sessionization +
+# first-3-states path strings, counted. One window pass computes the
+# break flag AND the running session id; per-session lists are
+# session-length-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "q194_session_entry_paths",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t
+    ),
+    heads AS (
+      SELECT user_id, sid,
+        list(event_type ORDER BY ts, event_id)[1:3] AS h
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT array_to_string(h, '>') AS path,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM heads
+    GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def q194_session_entry_paths(spark, sf_dir):
+    """operators/sequences.session_paths — 30-minute sessions, first
+    three event types, top-20 paths."""
+    from ..operators.sequences import session_paths
+
+    return (
+        session_paths(
+            T(spark, sf_dir, "events"), ["user_id"], "ts", ["event_id"],
+            "event_type", gap_minutes=30, max_steps=3,
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — growth accounting: every period's actives decomposed into
+# new / retained / resurrected, plus the previous period's churn-out
+# (wau = new + retained + resurrected is the audit identity). Grid
+# collapses to distinct (user, week) first; churn maps through a
+# SHIFTED-period join, not a lag, so empty periods can't misalign it.
+# ---------------------------------------------------------------------------
+@query(
+    "q195_growth_accounting",
+    oracle="""
+    WITH grid AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    lab AS (
+      SELECT p,
+        CASE WHEN MIN(p) OVER (PARTITION BY u ORDER BY p
+               ROWS UNBOUNDED PRECEDING) = p THEN 'new'
+             WHEN LAG(p) OVER (PARTITION BY u ORDER BY p)
+               = p - INTERVAL 7 DAY THEN 'retained'
+             ELSE 'resurrected' END AS kind,
+        (LEAD(p) OVER (PARTITION BY u ORDER BY p) IS NULL
+         OR LEAD(p) OVER (PARTITION BY u ORDER BY p)
+            <> p + INTERVAL 7 DAY) AS churns_after
+      FROM grid
+    ),
+    per AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS wau,
+        CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_retained,
+        CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_resurrected,
+        CAST(SUM(CASE WHEN churns_after THEN 1 ELSE 0 END) AS BIGINT)
+          AS co
+      FROM lab GROUP BY p
+    )
+    SELECT CAST(per.p AS DATE) AS period_start, per.wau, per.n_new,
+      per.n_retained, per.n_resurrected,
+      CAST(COALESCE(sh.co, 0) AS BIGINT) AS n_churned_prev
+    FROM per LEFT JOIN (
+      SELECT p + INTERVAL 7 DAY AS p, co FROM per
+    ) sh ON sh.p = per.p
+    ORDER BY period_start ASC
+    """,
+)
+def q195_growth_accounting(spark, sf_dir):
+    """operators/cohorts.growth_accounting — weekly new/retained/
+    resurrected/churned decomposition of the events user base."""
+    from ..operators.cohorts import growth_accounting
+
+    out = growth_accounting(
+        T(spark, sf_dir, "events"), "user_id", "ts", period="week"
+    )
+    return out.select(
+        F.to_date("period_start").alias("period_start"),
+        "wau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned_prev",
+    ).orderBy("period_start")

@@ -285,3 +285,76 @@ def q192_returned_item_customers(spark, sf_dir):
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — the TPC-H Q8 shape (market share): of all revenue EUROPE
+# customers generated per year, which fraction came from NATION_3
+# suppliers? Conditional decimal sums in ONE aggregate over the
+# joined facts — the share never needs a second pass or a self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q193_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+      CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+      CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2)
+        AS DOUBLE) AS total_revenue,
+      CAST(ROUND(COALESCE(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+            THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,4))) END)
+            AS DOUBLE), 0.0)
+          / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6)
+        AS DOUBLE) AS nation3_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = nc.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY 1
+    ORDER BY yr ASC
+    """,
+)
+def q193_market_share(spark, sf_dir):
+    """TPC-H Q8 analog: NATION_3 suppliers' share of EUROPE-customer
+    revenue per order year. All dims broadcast; share from
+    conditional sums in the same aggregate as the total."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = T(spark, sf_dir, "supplier")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("ns_name")
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4))
+    cond = F.when(F.col("ns_name") == "NATION_3", rev)
+    j = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(nc), F.col("nc_key") == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == F.col("nc_region"))
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(ns), F.col("ns_key") == s["s_nationkey"])
+    )
+    tot = F.sum(rev).cast("double")
+    part = F.coalesce(F.sum(cond).cast("double"), F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.round(tot, 2).cast("double").alias("total_revenue"),
+            F.round(part / tot, 6).cast("double").alias("nation3_share"),
+        )
+        .orderBy("yr")
+    )

@@ -302,3 +302,60 @@ def test_ref_integrity_orphans_and_nulls(spark):
     assert r["n_orphan_rows"] == 3       # 99, 99, 98
     assert r["n_orphan_keys"] == 2
     assert r["orphan_frac"] == 0.5       # 3 of 6 non-null FKs
+
+
+def test_session_paths_hand_sessions(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.sequences import session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(u, minutes, eid, s):
+        return (u, t0 + dt.timedelta(minutes=minutes), eid, s)
+
+    rows = [
+        # u1 session 1: a,b,c,d (only first 3 kept) — gap — session 2: b
+        ev(1, 0, 1, "a"), ev(1, 5, 2, "b"), ev(1, 10, 3, "c"),
+        ev(1, 12, 4, "d"),
+        ev(1, 100, 5, "b"),
+        # u2 one session: a,b,c
+        ev(2, 0, 6, "a"), ev(2, 1, 7, "b"), ev(2, 2, 8, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp_ntz, eid long, s string"
+    )
+    got = {r["path"]: r["n_sessions"] for r in session_paths(
+        df, ["u"], "ts", ["eid"], "s", gap_minutes=30, max_steps=3
+    ).collect()}
+    assert got == {"a>b>c": 2, "b": 1}
+
+
+def test_growth_accounting_identity_and_kinds(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.cohorts import growth_accounting
+
+    w0 = dt.datetime(2024, 1, 1)          # a Monday
+    w1 = w0 + dt.timedelta(days=7)
+    w3 = w0 + dt.timedelta(days=21)
+
+    rows = (
+        # u1 active w0, w1 (retained), absent w2, back w3 (resurrected)
+        [(1, w0), (1, w1), (1, w3)]
+        # u2 active w0 only (churns after w0)
+        + [(2, w0)]
+        # u3 first appears w1
+        + [(3, w1), (3, w3)]
+    )
+    df = spark.createDataFrame(rows, "u long, ts timestamp_ntz")
+    got = {r["period_start"]: r for r in
+           growth_accounting(df, "u", "ts", "week").collect()}
+    p0, p1, p3 = sorted(got)
+    assert got[p0]["n_new"] == 2 and got[p0]["wau"] == 2
+    assert got[p1]["n_new"] == 1 and got[p1]["n_retained"] == 1
+    # churned after w0: u2 (u1 retained) → reported AT w1
+    assert got[p1]["n_churned_prev"] == 1
+    assert got[p3]["n_resurrected"] == 2 and got[p3]["n_new"] == 0
+    for r in got.values():
+        assert r["wau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
