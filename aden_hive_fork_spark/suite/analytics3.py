@@ -1165,3 +1165,178 @@ def q195_growth_accounting(spark, sf_dir):
         "n_resurrected",
         "n_churned_prev",
     ).orderBy("period_start")
+
+
+# ---------------------------------------------------------------------------
+# q196 — the TPC-H Q22 shape (wealthy inactive customers): balance
+# above the positive-balance average (broadcast scalar subquery) AND
+# no orders at all (left-anti), grouped by the name's last digit.
+# ---------------------------------------------------------------------------
+@query(
+    "q196_wealthy_inactive",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+        AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT right(c.c_name, 1) AS code,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    ORDER BY code ASC
+    """,
+)
+def q196_wealthy_inactive(spark, sf_dir):
+    """TPC-H Q22 analog: above-average-balance customers who never
+    ordered. The positive-balance average is an exact-decimal 1-row
+    aggregate broadcast into the filter; inactivity is a left-anti
+    join on the order keys (column-pruned)."""
+    from ._helpers import dec, dround
+
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(dec("c_acctbal")).cast("decimal(18,6)").alias("_ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(dec("c_acctbal") > F.col("_ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.expr("right(c_name, 1)").alias("code"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_bal"),
+        )
+        .orderBy("code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — trailing 7-day rolling MEDIAN of daily revenue (robust
+# smoother). Frame values collect into a window-bounded array; the
+# median is positional (floor division spelled explicitly — Spark's
+# int cast truncates where DuckDB's rounds).
+# ---------------------------------------------------------------------------
+@query(
+    "q197_rolling_median",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT priority, d, rev,
+        list_sort(list(rev) OVER (PARTITION BY priority ORDER BY d ASC
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM s
+    )
+    SELECT priority, d, rev,
+      CAST(len(arr) AS BIGINT) AS n_window,
+      CAST(ROUND(CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr) + 1) // 2]
+        ELSE (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0 END,
+        6) AS DOUBLE) AS roll_median
+    FROM r
+    ORDER BY priority ASC, d ASC
+    """,
+)
+def q197_rolling_median(spark, sf_dir):
+    """operators/timeseries.rolling_median — window 7 over the daily
+    revenue series."""
+    from ..operators.timeseries import rolling_median
+    from .analytics2 import _daily_rev
+
+    return rolling_median(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev", window=7
+    ).orderBy("priority", "d")
+
+
+# ---------------------------------------------------------------------------
+# q198 — conversion rates with Wilson 95% intervals: purchase rate
+# among viewers per customer nation. Exact integer numerators/
+# denominators from two conditional distinct counts; the interval is
+# one fixed IEEE expression (z constant), so even the CI bounds
+# hash-match.
+# ---------------------------------------------------------------------------
+@query(
+    "q198_conversion_wilson_ci",
+    oracle="""
+    WITH peruser AS (
+      SELECT e.user_id, c.c_nationkey AS nation,
+        MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+        MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS purchased
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT nation,
+        CAST(SUM(viewed) AS BIGINT) AS n_viewers,
+        CAST(SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_converted
+      FROM peruser GROUP BY nation
+    ),
+    w AS (
+      SELECT nation, n_viewers, n_converted,
+        CAST(n_converted AS DOUBLE) / CAST(n_viewers AS DOUBLE) AS p,
+        CAST(n_viewers AS DOUBLE) AS n
+      FROM agg WHERE n_viewers > 0
+    )
+    SELECT nation, n_viewers, n_converted,
+      CAST(ROUND(p, 6) AS DOUBLE) AS rate,
+      CAST(ROUND((p + 1.96 * 1.96 / (2 * n)
+        - 1.96 * sqrt(p * (1 - p) / n + 1.96 * 1.96 / (4 * n * n)))
+        / (1 + 1.96 * 1.96 / n), 6) AS DOUBLE) AS wilson_lo,
+      CAST(ROUND((p + 1.96 * 1.96 / (2 * n)
+        + 1.96 * sqrt(p * (1 - p) / n + 1.96 * 1.96 / (4 * n * n)))
+        / (1 + 1.96 * 1.96 / n), 6) AS DOUBLE) AS wilson_hi
+    FROM w
+    ORDER BY nation ASC
+    """,
+)
+def q198_conversion_wilson_ci(spark, sf_dir):
+    """View→purchase conversion per customer nation with Wilson 95%
+    bounds — the A/B-readout companion to q171's t-test."""
+    e = T(spark, sf_dir, "events")
+    c = T(spark, sf_dir, "customer")
+    peruser = (
+        e.join(F.broadcast(c), c["c_custkey"] == e["user_id"])
+        .groupBy(e["user_id"], F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("viewed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("purchased"),
+        )
+    )
+    agg = peruser.groupBy("nation").agg(
+        F.sum("viewed").cast("bigint").alias("n_viewers"),
+        F.sum(
+            F.when((F.col("viewed") == 1) & (F.col("purchased") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted"),
+    ).filter(F.col("n_viewers") > 0)
+    p = F.col("n_converted").cast("double") / F.col("n_viewers").cast("double")
+    n = F.col("n_viewers").cast("double")
+    z = F.lit(1.96)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    return agg.select(
+        "nation",
+        "n_viewers",
+        "n_converted",
+        F.round(p, 6).cast("double").alias("rate"),
+        F.round((center - half) / denom, 6).cast("double").alias("wilson_lo"),
+        F.round((center + half) / denom, 6).cast("double").alias("wilson_hi"),
+    ).orderBy("nation")

@@ -359,3 +359,17 @@ def test_growth_accounting_identity_and_kinds(spark):
     assert got[p3]["n_resurrected"] == 2 and got[p3]["n_new"] == 0
     for r in got.values():
         assert r["wau"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+def test_rolling_median_odd_even_frames(spark):
+    from aden_hive_fork_spark.operators.timeseries import rolling_median
+
+    rows = [("k", 1, 10.0), ("k", 2, 30.0), ("k", 3, 20.0), ("k", 4, 90.0)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    got = {r["t"]: r for r in
+           rolling_median(df, ["k"], "t", "x", window=3).collect()}
+    assert got[1]["roll_median"] == 10.0          # [10]
+    assert got[2]["roll_median"] == 20.0          # [10,30] → mean
+    assert got[3]["roll_median"] == 20.0          # [10,20,30]
+    assert got[4]["roll_median"] == 30.0          # [20,30,90]
+    assert got[4]["n_window"] == 3
