@@ -1170,7 +1170,10 @@ def q195_growth_accounting(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # q196 — the TPC-H Q22 shape (wealthy inactive customers): balance
 # above the positive-balance average (broadcast scalar subquery) AND
-# no orders at all (left-anti), grouped by the name's last digit.
+# no URGENT orders (left-anti on the FILTERED fact — every customer
+# in this corpus has some order, so the urgent-only anti-join keeps
+# the detector's positive path live), grouped by the name's last
+# digit.
 # ---------------------------------------------------------------------------
 @query(
     "q196_wealthy_inactive",
@@ -1186,20 +1189,26 @@ def q195_growth_accounting(spark, sf_dir):
         AS total_bal
     FROM customer c CROSS JOIN avg_bal
     WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) > avg_bal.ab
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY 1
     ORDER BY code ASC
     """,
 )
 def q196_wealthy_inactive(spark, sf_dir):
-    """TPC-H Q22 analog: above-average-balance customers who never
-    ordered. The positive-balance average is an exact-decimal 1-row
-    aggregate broadcast into the filter; inactivity is a left-anti
-    join on the order keys (column-pruned)."""
+    """TPC-H Q22 analog: above-average-balance customers with no
+    urgent orders. The positive-balance average is an exact-decimal
+    1-row aggregate broadcast into the filter; inactivity is a
+    left-anti join on the filtered order keys (column-pruned)."""
     from ._helpers import dec, dround
 
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
         F.avg(dec("c_acctbal")).cast("decimal(18,6)").alias("_ab")
     )
