@@ -567,3 +567,111 @@ def remove_boilerplate_lines(
             F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) Jaccard sketches — the ORACLE-CHECKABLE approximate
+# near-dup tier
+# ---------------------------------------------------------------------------
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    sketch_k: int = 32,
+    threshold: float = 0.5,
+    max_hash_df: int | None = 1000,
+    salt: str = "",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Approximate near-duplicate pairs from bottom-k shingle
+    sketches: each document keeps the ``sketch_k`` smallest md5
+    hashes of its k-word shingles; candidate pairs share ≥ 1 sketch
+    hash (inverted index over SKETCHES — index size is docs×sketch_k
+    however long the documents are); estimated Jaccard is the
+    bottom-k estimator |K_k(A∪B) ∩ A ∩ B| / k over the merged
+    sketch. Returns ``(id_a, id_b, est_jaccard)`` with id_a < id_b.
+
+    The point of this tier vs MinHash-LSH (`minhash_neardup_pairs`):
+    md5-ordered minimums are ENGINE-REPLAYABLE, so the approximate
+    candidate set and scores sit inside the DuckDB oracle gate —
+    xxhash-based LSH can only get a rows-only check. Error is the
+    KMV bound (~1/√(sketch_k−2) relative on the union, binomial on
+    the overlap fraction).
+
+    ``max_hash_df`` is the stop-hash cutoff (the `ngram_jaccard_pairs`
+    stop-shingle discipline): a sketch hash present in more than this
+    many documents — boilerplate minima — would alone generate
+    O(df²) candidate pairs; dropping those hashes FROM THE INDEX ONLY
+    (sketches keep them, so estimates are unchanged) caps the
+    per-hash pair fan-out analytically. None disables (the oracle
+    twin's mode).
+    """
+    from pyspark.sql import Window
+
+    from .sketch import _h60
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(shingles_col(text_col, k)).alias("_sh"),
+        )
+        .withColumn("_h", _h60(F.col("_sh"), salt))
+        .select("_id", "_h")
+        .distinct()
+    )
+    w = Window.partitionBy("_id").orderBy("_h")
+    sk = (
+        base.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= sketch_k)
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+    )
+    inv = sk.select("_id", F.explode("_hs").alias("_h"))
+    if max_hash_df is not None:
+        hot = (
+            inv.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_hash_df)
+            .select("_h")
+        )
+        inv = inv.join(F.broadcast(hot), "_h", "left_anti")
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "_h")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb")
+        )
+        .distinct()
+    )
+    j = (
+        cand.join(sk.select(F.col("_id").alias("_ida"),
+                            F.col("_hs").alias("_ha")), "_ida")
+        .join(sk.select(F.col("_id").alias("_idb"),
+                        F.col("_hs").alias("_hb")), "_idb")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ha", "_hb"))), 1, sketch_k
+    )
+    inter = F.size(
+        F.filter(
+            merged,
+            lambda x: F.array_contains(F.col("_ha"), x)
+            & F.array_contains(F.col("_hb"), x),
+        )
+    )
+    est = F.round(
+        inter.cast("double")
+        / F.least(F.size(merged), F.lit(sketch_k)).cast("double"),
+        ndigits,
+    ).cast("double")
+    return (
+        j.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            "est_jaccard",
+        )
+    )

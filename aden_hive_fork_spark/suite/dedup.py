@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..operators.dedup import (
+    kmv_jaccard_pairs,
     exact_dedup,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
@@ -216,4 +217,84 @@ def q78_near_dedup_survivors(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — bottom-k (KMV) Jaccard near-dup: the APPROXIMATE tier that
+# still hash-matches. Same 3-word shingles as q41; md5-ordered
+# bottom-32 sketches; candidates share a sketch hash; score is the
+# bottom-k estimator over the merged sketch. Where xxhash LSH (q42/
+# q43) can only get a rows-only check, md5-order arithmetic replays
+# exactly in DuckDB — an oracle-gated approximate dedup.
+# ---------------------------------------------------------------------------
+@query(
+    "q199_kmv_jaccard_neardup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(
+            list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        ))) AS s
+      FROM documents
+    ),
+    hb AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h
+      FROM sh
+    ),
+    r AS (
+      SELECT doc_id, h,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
+      FROM hb
+    ),
+    sk AS (
+      SELECT doc_id, list(h ORDER BY h) AS hs
+      FROM r WHERE rn <= 32 GROUP BY doc_id
+    ),
+    inv AS (SELECT doc_id, unnest(hs) AS h FROM sk),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT ida, idb, sa.hs AS ha, sb.hs AS hb2,
+        list_sort(list_distinct(sa.hs || sb.hs))[1:32] AS mg
+      FROM cand
+      JOIN sk sa ON sa.doc_id = ida
+      JOIN sk sb ON sb.doc_id = idb
+    ),
+    e AS (
+      SELECT ida, idb,
+        CAST(ROUND(CAST(len(list_filter(mg,
+            x -> list_contains(ha, x) AND list_contains(hb2, x)))
+            AS DOUBLE)
+          / CAST(LEAST(len(mg), 32) AS DOUBLE), 4) AS DOUBLE)
+          AS est_jaccard
+      FROM j
+    )
+    SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
+      est_jaccard
+    FROM e WHERE est_jaccard >= 0.2
+    ORDER BY est_jaccard DESC, id_a ASC, id_b ASC
+    """,
+)
+def q199_kmv_jaccard_neardup(spark, sf_dir):
+    """operators/dedup.kmv_jaccard_pairs — oracle-gated approximate
+    near-dup (bottom-32 sketches, threshold 0.2, stop-hash cap
+    disabled for the oracle twin like q41's stop-shingle cap)."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        kmv_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", k=3, sketch_k=32,
+            threshold=0.2, max_hash_df=None,
+        )
+        .selectExpr(
+            "CAST(id_a AS BIGINT) AS id_a",
+            "CAST(id_b AS BIGINT) AS id_b",
+            "est_jaccard",
+        )
+        .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
     )

@@ -139,3 +139,57 @@ def test_simhash_separates_neardups_from_random_pairs(corpus, truth):
     assert max(truth_d) < p10, (
         f"near-dup hamming {max(truth_d)} not separated from random pairs (p10={p10})"
     )
+
+
+def test_kmv_jaccard_recall_and_precision(spark):
+    from aden_hive_fork_spark.operators.dedup import kmv_jaccard_pairs
+
+    df = spark.createDataFrame(_corpus_rows(), "doc_id long, text string")
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in kmv_jaccard_pairs(
+            df, "doc_id", "text", k=3, sketch_k=32, threshold=0.35,
+            max_hash_df=None,
+        ).collect()
+    }
+    strong = {p for p, j in truth.items() if j >= 0.6}
+    assert strong, "corpus must contain strong near-dups"
+    found = strong & set(approx)
+    assert len(found) / len(strong) >= 0.9   # bottom-32 catches them
+    # estimates track truth within the binomial envelope for pairs
+    # both tiers report
+    for p in found:
+        assert abs(approx[p] - truth[p]) < 0.3
+
+
+def test_kmv_jaccard_stop_hash_cap_prunes_index_only(spark):
+    from aden_hive_fork_spark.operators.dedup import kmv_jaccard_pairs
+
+    # a shared boilerplate sentence puts identical minima in EVERY
+    # doc; with the cap those hashes leave the index (candidates via
+    # other hashes only) but scores are unchanged for surviving pairs
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler + f" unique{i} filler{i} tail{i}") for i in range(8)]
+    rows += [(100, boiler + " unique1 filler1 tail1")]  # near-dup of 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in kmv_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.9, max_hash_df=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in kmv_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.9, max_hash_df=5
+        ).collect()
+    }
+    assert (1, 100) in uncapped
+    for pair, est in capped.items():
+        assert uncapped[pair] == est  # scores identical where reported
