@@ -79,6 +79,11 @@ HEADLINE = [
     "q180_item_cf_neighbors",     # one-pass bidirectional basket self-join
     "q181_lm_perplexity_filter",  # bigram model join + per-doc fold
     "q185_join_size_profile",     # key-count full-outer profile
+    "q191_local_supplier_volume", # TPC-H Q5 shape, 6-way broadcast join
+    "q193_market_share",          # TPC-H Q8 shape, conditional share
+    "q194_session_entry_paths",   # one-pass sessionize + path mining
+    "q197_rolling_median",        # bounded-frame positional median
+    "q199_kmv_jaccard_neardup",   # sketch-index approximate dedup
 ]
 
 
