@@ -222,9 +222,10 @@ def q78_near_dedup_survivors(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # q199 — bottom-k (KMV) Jaccard near-dup: the APPROXIMATE tier that
-# still hash-matches. Same 3-word shingles as q41; md5-ordered
-# bottom-32 sketches; candidates share a sketch hash; score is the
-# bottom-k estimator over the merged sketch. Where xxhash LSH (q42/
+# still hash-matches. Same 3-word shingles AND source blocking as
+# q41; md5-ordered bottom-32 sketches; candidates share a sketch
+# hash within the block; score is the bottom-k estimator over the
+# merged sketch. Where xxhash LSH (q42/
 # q43) can only get a rows-only check, md5-order arithmetic replays
 # exactly in DuckDB — an oracle-gated approximate dedup.
 # ---------------------------------------------------------------------------
@@ -232,7 +233,7 @@ def q78_near_dedup_survivors(spark, sf_dir):
     "q199_kmv_jaccard_neardup",
     oracle="""
     WITH sh AS (
-      SELECT doc_id,
+      SELECT doc_id, source,
         unnest(list_distinct(list_transform(
           range(1, len(string_split(trim(text), ' ')) - 1),
           i -> array_to_string(
@@ -241,38 +242,43 @@ def q78_near_dedup_survivors(spark, sf_dir):
       FROM documents
     ),
     hb AS (
-      SELECT DISTINCT doc_id,
+      SELECT DISTINCT doc_id, source,
         ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT AS h
       FROM sh
     ),
     r AS (
-      SELECT doc_id, h,
+      SELECT doc_id, source, h,
         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
       FROM hb
     ),
     sk AS (
-      SELECT doc_id, list(h ORDER BY h) AS hs
-      FROM r WHERE rn <= 32 GROUP BY doc_id
+      SELECT doc_id, source, list(h ORDER BY h) AS hs
+      FROM r WHERE rn <= 32 GROUP BY doc_id, source
     ),
-    inv AS (SELECT doc_id, unnest(hs) AS h FROM sk),
+    inv AS (SELECT doc_id, source, unnest(hs) AS h FROM sk),
     cand AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM inv a JOIN inv b
+        ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id
     ),
     j AS (
       SELECT ida, idb, sa.hs AS ha, sb.hs AS hb2,
-        list_sort(list_distinct(sa.hs || sb.hs))[1:32] AS mg
+        list_intersect(sa.hs, sb.hs) AS inter,
+        LEAST(32, len(sa.hs) + len(sb.hs)
+                  - len(list_intersect(sa.hs, sb.hs))) AS ksz
       FROM cand
       JOIN sk sa ON sa.doc_id = ida
       JOIN sk sb ON sb.doc_id = idb
     ),
     e AS (
+      -- intersection values ranking within the union's k smallest ==
+      -- those <= the ksz-th smallest union value (mirrors the Spark
+      -- O(k) form)
       SELECT ida, idb,
-        CAST(ROUND(CAST(len(list_filter(mg,
-            x -> list_contains(ha, x) AND list_contains(hb2, x)))
+        CAST(ROUND(CAST(len(list_filter(inter,
+            x -> x <= list_sort(list_distinct(ha || hb2))[ksz]))
             AS DOUBLE)
-          / CAST(LEAST(len(mg), 32) AS DOUBLE), 4) AS DOUBLE)
-          AS est_jaccard
+          / CAST(ksz AS DOUBLE), 4) AS DOUBLE) AS est_jaccard
       FROM j
     )
     SELECT CAST(ida AS BIGINT) AS id_a, CAST(idb AS BIGINT) AS id_b,
@@ -288,7 +294,8 @@ def q199_kmv_jaccard_neardup(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     return (
         kmv_jaccard_pairs(
-            docs, id_col="doc_id", text_col="text", k=3, sketch_k=32,
+            docs, id_col="doc_id", text_col="text",
+            block_cols=["source"], k=3, sketch_k=32,
             threshold=0.2, max_hash_df=None,
         )
         .selectExpr(
