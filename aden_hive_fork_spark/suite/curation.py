@@ -575,3 +575,132 @@ def q155_boilerplate_removal(spark, sf_dir):
         F.md5("text").alias("text_md5"),
         F.length("text").cast("int").alias("text_len"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q200 — the CAPSTONE pipeline: exact dedup → near-dedup (connected
+# components over exact-Jaccard pairs) → quality filter → train
+# split, with per-stage corpus accounting — the full training-data
+# curation pass composed from the individual oracle-gated tiers, and
+# itself verified end-to-end by a single DuckDB replay (fingerprint
+# min-keep, recursive-CTE closure, token filter, md5 bucket split).
+# ---------------------------------------------------------------------------
+@query(
+    "q200_curation_pipeline",
+    oracle=r"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, source, text, n_chars,
+        md5(lower(trim(text))) AS fp
+      FROM documents
+    ),
+    ex AS (
+      SELECT d0.* FROM d0
+      JOIN (SELECT fp, MIN(doc_id) AS keep FROM d0 GROUP BY fp) k
+        ON k.fp = d0.fp AND k.keep = d0.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(
+            list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        )) AS shingles
+      FROM ex
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(NULLIF(len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)), 0)
+                   AS DOUBLE) >= 0.2
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      WHERE s.v <> r.u
+    ),
+    lab AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    ),
+    nd AS (
+      SELECT ex.* FROM ex
+      LEFT JOIN (SELECT id FROM lab WHERE comp <> id) l
+        ON l.id = ex.doc_id
+      WHERE l.id IS NULL
+    ),
+    q AS (
+      SELECT * FROM nd
+      WHERE len(list_filter(string_split_regex(text, '\s+'),
+                            w -> w <> '')) >= 5
+        AND n_chars >= 50
+    ),
+    tr AS (
+      SELECT * FROM q
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            % 100 < 90
+    )
+    SELECT * FROM (
+      SELECT '1_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total FROM documents
+      UNION ALL
+      SELECT '2_exact_dedup', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(n_chars) AS BIGINT) FROM ex
+      UNION ALL
+      SELECT '3_near_dedup', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(n_chars) AS BIGINT) FROM nd
+      UNION ALL
+      SELECT '4_quality', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(n_chars) AS BIGINT) FROM q
+      UNION ALL
+      SELECT '5_train', CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(n_chars) AS BIGINT) FROM tr
+    ) ORDER BY stage ASC
+    """,
+)
+def q200_curation_pipeline(spark, sf_dir):
+    """Composed curation pass: operators/dedup.exact_dedup →
+    ngram_jaccard_pairs + dedup_by_components → token/length quality
+    filter → sampling.hash_bucket train split; one row of corpus
+    accounting per stage."""
+    from ..operators.dedup import (
+        dedup_by_components,
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from ..operators.sampling import hash_bucket
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    d0 = docs.withColumn("fp", F.md5(F.lower(F.trim("text"))))
+    ex = exact_dedup(d0, ["fp"], "doc_id").drop("fp")
+    pairs = ngram_jaccard_pairs(
+        ex, id_col="doc_id", text_col="text", block_cols=["source"],
+        k=3, threshold=0.2, max_shingle_df=None,
+    )
+    nd = dedup_by_components(ex, pairs, "doc_id")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    )
+    q = nd.filter((toks >= 5) & (F.col("n_chars") >= 50))
+    tr = q.filter(hash_bucket("doc_id", 100) < 90)
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+
+    out = stage("1_raw", docs)
+    for name, df in [("2_exact_dedup", ex), ("3_near_dedup", nd),
+                     ("4_quality", q), ("5_train", tr)]:
+        out = out.unionByName(stage(name, df))
+    return out.orderBy("stage")
