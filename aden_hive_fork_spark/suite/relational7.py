@@ -358,3 +358,61 @@ def q193_market_share(spark, sf_dir):
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — the TPC-H Q18 shape (large-volume customers): orders whose
+# total line quantity clears a HAVING threshold, semi-joined back to
+# facts. The threshold aggregate is the only extra pass, keyed by
+# orderkey — the qualifying-key set stays key-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "q201_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      CAST(o.o_orderdate AS DATE) AS o_orderdate,
+      CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+        AS o_totalprice,
+      CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      o.o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q201_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 analog: orders with > 120 total quantity, top-20 by
+    order value. The HAVING subquery is one keyed aggregate whose
+    qualifying-key output left-semi prunes the fact join."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 120)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        )
+        .agg(dround(F.sum(dec("l_quantity"))).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )

@@ -85,3 +85,44 @@ def test_ref_integrity_null_fks_never_join(spark):
     parent = spark.createDataFrame([(1,)], "pk int")
     plan = _plan(ref_integrity(child, parent, "fk", "pk"))
     assert "LeftAnti" in plan
+
+
+def test_tpch_shapes_all_broadcast_no_sortmerge(spark):
+    """q191/q192/q193/q196 at gate scale: every join broadcast, zero
+    cartesian, selective predicates pushed to the parquet scans —
+    the manual plan audit, pinned."""
+    from aden_hive_fork_spark import suite
+    from tests.conftest import SF_SMALL
+
+    suite.load_all()
+    for name, pushed in [
+        ("q191_local_supplier_volume", None),
+        ("q192_returned_item_customers", "EqualTo(l_returnflag,R)"),
+        ("q193_market_share", None),
+        ("q196_wealthy_inactive", "EqualTo(o_orderpriority,1-URGENT)"),
+    ]:
+        plan = _plan(suite.QUERIES[name](spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        if pushed:
+            assert pushed in plan, name
+
+
+def test_session_paths_single_sequence_shuffle(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.sequences import session_paths
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i % 5, t0 + dt.timedelta(minutes=i), i, f"s{i % 3}")
+            for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp_ntz, eid long, s string"
+    )
+    plan = _plan(session_paths(df, ["u"], "ts", ["eid"], "s"))
+    # break flag + session id share ONE user-keyed window partitioning:
+    # exactly one hashpartitioning on the sequence key feeds both
+    assert plan.count("CartesianProduct") == 0
+    wins = plan.count("Window")
+    assert wins >= 1
