@@ -416,3 +416,123 @@ def q201_large_volume_customers(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — the TPC-H Q17 shape (small-quantity-order revenue): lineitems
+# below HALF THEIR PART'S average quantity. The per-part threshold is
+# one keyed aggregate joined back (the correlated-aggregate pattern);
+# the threshold ROUNDS before the compare so the filter decision is
+# engine-neutral.
+# ---------------------------------------------------------------------------
+@query(
+    "q202_small_quantity_revenue",
+    oracle="""
+    WITH thr AS (
+      SELECT l_partkey,
+        ROUND(0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE)), 6) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+      CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+        AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly_loss
+    FROM lineitem l JOIN thr t ON t.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) < t.half_avg
+    """,
+)
+def q202_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 analog: revenue locked in below-half-average-quantity
+    lineitems. The threshold table is part-cardinality-sized (plain
+    join — AQE broadcasts while small); one fact pass."""
+    li = T(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        F.round(
+            F.lit(0.5)
+            * (
+                F.sum(dec("l_quantity")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("half_avg")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(dec("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.round(
+                F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly_loss"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q203 — the TPC-H Q7 shape (bilateral shipping volume): revenue
+# flowing between two specific nations, both directions, per ship
+# year. Nation dims broadcast twice (supplier side + customer side);
+# the pair predicate prunes before the aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q203_bilateral_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      CAST(year(l.l_shipdate) AS INT) AS ship_year,
+      CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+        AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation ASC, cust_nation ASC, ship_year ASC
+    """,
+)
+def q203_bilateral_volume(spark, sf_dir):
+    """TPC-H Q7 analog: NATION_1 ↔ NATION_2 trade volume per ship
+    year. Both nation lookups broadcast; the bilateral predicate
+    prunes pairs before the (nation², years)-sized aggregate."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(ns), F.col("ns_key") == s["s_nationkey"])
+        .join(F.broadcast(nc), F.col("nc_key") == c["c_nationkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dround(F.sum(rev)).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
