@@ -64,6 +64,7 @@ def load_all() -> None:
         relational5,
         relational6,
         relational7,
+        relational8,
         roundtrip,
         sampling,
         search,
