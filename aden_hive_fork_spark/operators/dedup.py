@@ -694,3 +694,46 @@ def kmv_jaccard_pairs(
             "est_jaccard",
         )
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Top-``k`` exact word ``n``-gram passages appearing in at least
+    ``min_docs`` DISTINCT documents — the corpus-level repeated-
+    passage report (the practical analog of suffix-array substring
+    dedup: boilerplate headers, license blocks, and templated
+    paragraphs surface as high-document-frequency long shingles, and
+    their doc lists are the removal work-list).
+
+    Output: ``(passage, n_docs)`` ordered by (n_docs DESC, passage
+    ASC) — a total order, so the top-k is deterministic.
+
+    Scale: shingling is map-side (``shingles_col`` higher-order
+    functions, distinct-per-doc BEFORE the explode, so a passage
+    repeated within one document contributes one posting); the one
+    shuffle is the passage aggregate, and long-n shingles
+    anti-concentrate (no skew: at n=8 even stop-word-heavy prose
+    fans out). Top-k compiles to TakeOrderedAndProject. For corpora
+    where even the posting aggregate is too hot, compose with
+    ``heavy.heavy_hitters`` over the exploded passages first — the
+    MG summary bounds memory and provably contains every passage
+    with frequency >= the threshold.
+    """
+    if n < 1 or min_docs < 1 or k < 1:
+        raise ValueError("n, min_docs, k must all be >= 1")
+    posting = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("passage")
+    )
+    return (
+        posting.groupBy("passage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("passage"))
+        .limit(k)
+    )

@@ -315,3 +315,59 @@ def kfold_assign(
     if k < 2:
         raise ValueError("k must be >= 2")
     return df.withColumn("fold", hash_bucket(key_col, k, salt).cast("int"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    cost_col: str,
+    budget: int,
+    group_cols: list[str],
+    id_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group budget capping: keep rows, in
+    content-hash order, until the group's cumulative ``cost_col``
+    (tokens, chars, bytes) would exceed ``budget`` — the "at most N
+    tokens per source/domain" primitive every corpus mixing recipe
+    needs (a cap on raw row COUNT under-represents long documents;
+    the cap must be on cost).
+
+    Membership is re-derivable on any cluster shape: rows are ordered
+    by ``md5(salt || id)`` with the ids as tie-break (the same
+    hash-order discipline as ``quota_sample``), so the kept set is a
+    pure function of content, and a DIFFERENT ``salt`` draws an
+    independent cap sample. A row is kept iff the total cost BEFORE
+    it in hash order is < budget — i.e. the minimal hash-order prefix
+    that covers the budget. The kept total may therefore overshoot by
+    at most one document (this operator caps membership; byte-exact
+    intra-document truncation is ``chunking``'s job), and a group is
+    never emptied by one giant head-of-order document. Keep-iff-
+    preceding<budget is self-consistent: the running total is
+    monotone, so every row before a kept row is itself kept.
+
+    Appends ``cum_cost`` (the running kept-total in hash order,
+    including the row itself) for auditability.
+
+    Scale: one shuffle keyed on ``group_cols``; the per-group
+    hash-order sort inside the window is the irreducible cost of a
+    sequential budget. With few giant groups (the common shape:
+    10-1000 sources), parallelism within a group comes from the sort
+    itself, not the cumsum; if a single group dwarfs executor memory,
+    pre-shard it (``hash_bucket`` on the id into S shards, budget/S
+    per shard) — same membership law, fully parallel, at the cost of
+    <S documents of budget slack.
+    """
+    order_h = F.md5(
+        F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols])
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_h.asc(), *[F.col(c).asc() for c in id_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(
+        "cum_cost", F.sum(F.col(cost_col).cast("bigint")).over(w)
+    )
+    return out.filter(
+        F.col("cum_cost") - F.col(cost_col).cast("bigint") < F.lit(int(budget))
+    )

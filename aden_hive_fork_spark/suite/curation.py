@@ -704,3 +704,93 @@ def q200_curation_pipeline(spark, sf_dir):
                      ("4_quality", q), ("5_train", tr)]:
         out = out.unionByName(stage(name, df))
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q215 — per-source token-budget capping (operators/sampling.
+# token_budget_sample): the "at most N chars per source" corpus-mix
+# primitive, membership EXACTLY replayed by the oracle's window.
+# ---------------------------------------------------------------------------
+@query(
+    "q215_token_budget_sample",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, source, n_chars,
+        SUM(CAST(n_chars AS BIGINT)) OVER (
+          PARTITION BY source
+          ORDER BY md5(concat_ws('|', '', CAST(doc_id AS VARCHAR))) ASC,
+                   doc_id ASC
+          ROWS UNBOUNDED PRECEDING
+        ) AS cum_cost
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, cum_cost
+    FROM ordered
+    WHERE cum_cost - CAST(n_chars AS BIGINT) < 4000
+    ORDER BY source ASC, cum_cost ASC, doc_id ASC
+    """,
+)
+def q215_token_budget_sample(spark, sf_dir):
+    """Cap every source at 4000 characters of documents — kept
+    membership is the minimal md5-order prefix covering the budget,
+    so the sample is re-derivable bit-for-bit (the oracle replays the
+    exact window). Scale notes on the operator: one shuffle keyed by
+    source; per-group sort is the budget's irreducible sequential
+    cost; pre-shard giant groups."""
+    from ..operators.sampling import token_budget_sample
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = token_budget_sample(
+        docs,
+        cost_col="n_chars",
+        budget=4000,
+        group_cols=["source"],
+        id_cols=["doc_id"],
+    )
+    return kept.select("doc_id", "source", "n_chars", "cum_cost").orderBy(
+        F.asc("source"), F.asc("cum_cost"), F.asc("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — repeated-passage mining (operators/dedup.repeated_passages):
+# exact word-8-gram passages shared across documents — the
+# suffix-array-dedup analog whose doc lists are the removal
+# work-list.
+# ---------------------------------------------------------------------------
+@query(
+    "q216_repeated_passages",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(w) >= 8 THEN
+            list_transform(range(1, len(w) - 8 + 2),
+                           i -> array_to_string(w[i:i+7], ' '))
+          ELSE []::VARCHAR[] END
+        ) AS gs
+      FROM toks
+    ), posting AS (
+      SELECT doc_id, unnest(gs) AS passage FROM grams
+    )
+    SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM posting
+    GROUP BY passage
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, passage ASC
+    LIMIT 20
+    """,
+)
+def q216_repeated_passages(spark, sf_dir):
+    """Top-20 exact 8-word passages appearing in >= 2 distinct
+    documents. Shingling is map-side JVM higher-order functions
+    (distinct-per-doc BEFORE the explode); the passage aggregate is
+    the one shuffle; top-20 is TakeOrderedAndProject."""
+    from ..operators.dedup import repeated_passages
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return repeated_passages(
+        docs, text_col="text", id_col="doc_id", n=8, min_docs=2, k=20
+    )

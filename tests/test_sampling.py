@@ -234,3 +234,82 @@ def test_temperature_weights_alpha_laws(spark):
     }
     assert abs(per_row["small"] - 2.5) < 1e-3
     assert abs(per_row["big"] - 0.8333) < 1e-3
+
+
+def test_token_budget_sample_prefix_membership(spark):
+    from aden_hive_fork_spark.operators.sampling import token_budget_sample
+
+    rows = [(f"d{i}", "s", 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, cost int")
+    kept = token_budget_sample(df, "cost", 450, ["source"], ["doc_id"])
+    out = kept.collect()
+    # minimal prefix covering 450 at 100/doc = 5 docs (500 total)
+    assert len(out) == 5
+    assert max(r["cum_cost"] for r in out) == 500
+    # membership is repartition-stable
+    kept2 = token_budget_sample(
+        df.repartition(7), "cost", 450, ["source"], ["doc_id"]
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == sorted(
+        r["doc_id"] for r in out
+    )
+
+
+def test_token_budget_giant_head_does_not_empty_group(spark):
+    from aden_hive_fork_spark.operators.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [("a", "s", 10_000), ("b", "s", 50), ("c", "s", 50)],
+        "doc_id string, source string, cost int",
+    )
+    kept = token_budget_sample(df, "cost", 100, ["source"], ["doc_id"])
+    out = kept.collect()
+    # whichever doc hashes first is kept (starts at 0 < budget);
+    # the kept set is never empty and never exceeds budget + one doc
+    assert 1 <= len(out) <= 3
+    first = min(out, key=lambda r: r["cum_cost"])
+    assert first["cum_cost"] - 0 >= 0  # starts within budget by contract
+
+
+def test_token_budget_salt_changes_membership_not_size_law(spark):
+    from aden_hive_fork_spark.operators.sampling import token_budget_sample
+
+    rows = [(f"d{i}", "s", 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, cost int")
+    a = {r["doc_id"] for r in token_budget_sample(
+        df, "cost", 1000, ["source"], ["doc_id"]).collect()}
+    b = {r["doc_id"] for r in token_budget_sample(
+        df, "cost", 1000, ["source"], ["doc_id"], salt="v2").collect()}
+    assert len(a) == len(b) == 10  # equal-cost rows: exact count either way
+    assert a != b  # independent draw
+
+
+def test_repeated_passages_hand_counts(spark):
+    from aden_hive_fork_spark.operators.dedup import repeated_passages
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps"),
+            ("b", "the quick brown fox sleeps"),
+            ("c", "the quick brown fox jumps the quick brown fox jumps"),
+            ("d", "unrelated words entirely here now"),
+        ],
+        "doc_id string, text string",
+    )
+    out = repeated_passages(df, n=4, min_docs=2, k=10).collect()
+    by = {r["passage"]: r["n_docs"] for r in out}
+    # 'the quick brown fox' in a, b, c — within-doc repeat in c counts once
+    assert by["the quick brown fox"] == 3
+    # 'quick brown fox jumps' in a and c
+    assert by["quick brown fox jumps"] == 2
+    assert "unrelated words entirely here" not in by
+
+
+def test_repeated_passages_validation(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.dedup import repeated_passages
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        repeated_passages(df, n=0)
