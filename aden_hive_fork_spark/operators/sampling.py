@@ -371,3 +371,78 @@ def token_budget_sample(
     return out.filter(
         F.col("cum_cost") - F.col(cost_col).cast("bigint") < F.lit(int(budget))
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    targets: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample to a target group mixture: keep a deterministic
+    subset whose group proportions approximate ``targets`` at the
+    LARGEST total the data allows without upsampling — the
+    "rebalance the corpus to 30% web / 30% code / 40% books" step
+    that follows ``temperature_weights`` when the recipe needs a
+    materialized corpus rather than per-row weights.
+
+    T = min_g(n_g / p_g) is the largest total where every group can
+    supply its share; each group keeps rate_g = p_g * T / n_g of its
+    rows (the binding group keeps everything), membership decided by
+    md5-fraction of the key — reproducible on any cluster shape,
+    consistent across tables sharing the key, and exactly replayable
+    by the oracle (hash threshold + rate arithmetic are the same IEEE
+    double ops in both engines). Kept counts are hash-binomial around
+    p_g*T, not exact — the tradeoff for a shuffle-free membership
+    test (exact counts would need a per-group window sort; use
+    ``quota_sample`` when exactness beats throughput).
+
+    Groups absent from ``targets`` are DROPPED (a mixture definition
+    is exhaustive by intent); target groups absent from the data
+    cannot bind T and contribute nothing. Appends ``keep_rate`` for
+    auditability.
+
+    Scale: one tiny group-count aggregate (|groups| rows — bounded by
+    the mixture definition, broadcast-joined back), then a map-side
+    filter. The corpus itself never shuffles.
+    """
+    if not targets:
+        raise ValueError("mixture_resample: targets must be non-empty")
+    for g, p in targets.items():
+        if not (p > 0):
+            raise ValueError(f"mixture_resample: target for {g!r} must be > 0")
+    tot = sum(targets.values())
+    if abs(tot - 1.0) > 1e-6:
+        raise ValueError(
+            f"mixture_resample: targets must sum to 1 (got {tot:.6f})"
+        )
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(p)) for g, p in sorted(targets.items())],
+        f"{group_col} string, _p double",
+    )
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # inner join: groups outside the mixture are dropped by contract
+    gstats = cnt.join(F.broadcast(tgt), group_col)
+    tmax = gstats.agg(
+        F.min(F.col("_n").cast("double") / F.col("_p")).alias("_T")
+    )
+    rates = (
+        gstats.crossJoin(F.broadcast(tmax))
+        .select(
+            group_col,
+            (
+                F.col("_p") * F.col("_T") / F.col("_n").cast("double")
+            ).alias("keep_rate"),
+        )
+    )
+    frac = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(frac < F.col("keep_rate"))
+    )

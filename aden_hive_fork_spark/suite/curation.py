@@ -794,3 +794,48 @@ def q216_repeated_passages(spark, sf_dir):
     return repeated_passages(
         docs, text_col="text", id_col="doc_id", n=8, min_docs=2, k=20
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — mixture resampling to target source proportions
+# (operators/sampling.mixture_resample): membership EXACTLY replayed
+# by the oracle — rates and hash thresholds are the same IEEE ops in
+# both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q217_mixture_resample",
+    oracle="""
+    WITH tgt(source, p) AS (
+      VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)
+    ), cnt AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), g AS (
+      SELECT c.source, c.n, t.p FROM cnt c JOIN tgt t ON c.source = t.source
+    ), tm AS (
+      SELECT MIN(CAST(n AS DOUBLE) / p) AS T FROM g
+    ), rates AS (
+      SELECT source, p * (SELECT T FROM tm) / CAST(n AS DOUBLE) AS keep_rate
+      FROM g
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          / 4294967296.0 < r.keep_rate
+    ORDER BY d.source ASC, d.doc_id ASC
+    """,
+)
+def q217_mixture_resample(spark, sf_dir):
+    """Rebalance the corpus to a 50/30/20 mixture over three sources
+    (all other sources dropped by the mixture contract) at the
+    largest total the data allows without upsampling. Scale: one
+    |groups|-row aggregate broadcast back; the corpus never shuffles
+    — membership is a map-side hash threshold."""
+    from ..operators.sampling import mixture_resample
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = mixture_resample(
+        docs, "source", "doc_id", {"src1": 0.5, "src2": 0.3, "src3": 0.2}
+    )
+    return kept.select("doc_id", "source", "n_chars").orderBy(
+        F.asc("source"), F.asc("doc_id")
+    )

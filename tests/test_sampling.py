@@ -313,3 +313,49 @@ def test_repeated_passages_validation(spark):
     df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
     with pytest.raises(ValueError):
         repeated_passages(df, n=0)
+
+
+def test_mixture_resample_proportions_and_determinism(spark):
+    from aden_hive_fork_spark.operators.sampling import mixture_resample
+
+    rows = [(f"a{i}", "web") for i in range(600)]
+    rows += [(f"b{i}", "code") for i in range(300)]
+    rows += [(f"c{i}", "books") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    # books is binding: T = min(600/.5, 300/.3, 100/.2) = 500
+    kept = mixture_resample(
+        df, "source", "doc_id", {"web": 0.5, "code": 0.3, "books": 0.2}
+    )
+    by = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # binding group keeps everything; others hash-binomial around p*T
+    assert by["books"] == 100
+    assert abs(by["web"] - 250) < 60 and abs(by["code"] - 150) < 45
+    # repartition-stable membership
+    kept2 = mixture_resample(
+        df.repartition(13), "source", "doc_id",
+        {"web": 0.5, "code": 0.3, "books": 0.2},
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )
+
+
+def test_mixture_resample_drops_unlisted_groups_and_validates(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [("a", "web"), ("b", "junk")], "doc_id string, source string"
+    )
+    kept = mixture_resample(df, "source", "doc_id", {"web": 1.0})
+    assert {r["source"] for r in kept.collect()} == {"web"}
+    with pytest.raises(ValueError):
+        mixture_resample(df, "source", "doc_id", {})
+    with pytest.raises(ValueError):
+        mixture_resample(df, "source", "doc_id", {"web": 0.5})  # sums to 0.5
+    with pytest.raises(ValueError):
+        mixture_resample(df, "source", "doc_id", {"web": 1.5, "junk": -0.5})
