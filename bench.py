@@ -84,6 +84,14 @@ HEADLINE = [
     "q194_session_entry_paths",   # one-pass sessionize + path mining
     "q197_rolling_median",        # bounded-frame positional median
     "q199_kmv_jaccard_neardup",   # sketch-index approximate dedup
+    "q204_shipping_priority",     # TPC-H Q3 shape, eager pre-agg below joins
+    "q207_product_type_profit",   # TPC-H Q9 shape, filtered part + broadcast dims
+    "q209_customer_distribution", # TPC-H Q13 shape, outer-join zero bucket
+    "q211_parts_supplier_counts", # TPC-H Q16 shape, distinct-pair + anti join
+    "q214_waiting_suppliers",     # TPC-H Q21 shape, one-pass double quantifier
+    "q215_token_budget_sample",   # per-source cost-budget prefix capping
+    "q216_repeated_passages",     # word-8-gram repeated-passage mining
+    "q217_mixture_resample",      # hash-threshold mixture rebalancing
 ]
 
 
