@@ -1,0 +1,179 @@
+"""PCA for embedding columns: exact covariance, deterministic
+components, map-side projection.
+
+The dimensionality-reduction step of an embedding pipeline (reduce
+before ANN indexing / clustering / visualization). Reference analog:
+none — this is the driver-mandated similarity-search family
+(SURVEY §2.D); built from Spark primitives only.
+
+Scale design:
+
+- ``embedding_covariance`` never self-joins the corpus: each row
+  generates its d(d+1)/2 upper-triangle products MAP-SIDE with
+  higher-order array functions (pure JVM, no Python), and the
+  (i, j) aggregate partial-combines before the shuffle — shuffle
+  volume is O(d² × partitions), independent of row count. Products
+  are exact DECIMAL (the q50 discipline: float32 → DOUBLE → DECIMAL
+  is the portable widening), so the sums are bit-identical to the
+  DuckDB oracle's regardless of partitioning.
+- The covariance matrix is d² values — driver-sized for any
+  embedding dim in practical use (d=4096 → 16M entries, still MBs);
+  the eigensolve is a LOCAL numpy operation on that matrix, the same
+  bounded-driver-state rule as IVF's k-means sample
+  (similarity.py): scale-independent because d does not grow with
+  the corpus.
+- ``pca_project`` broadcasts the k×d component matrix as literal
+  column expressions — projection is one ``zip_with``/``aggregate``
+  fold per component per row, map-side, whole-stage codegen, no
+  Python in the row path.
+
+Determinism: covariance is exact-decimal (oracle-checkable);
+eigenvectors use ``numpy.linalg.eigh`` (LAPACK — deterministic for a
+fixed matrix) with a sign convention (the component's
+largest-magnitude coordinate is made positive, first-index
+tie-break), so components are a pure function of the covariance
+matrix. Projections are IEEE doubles downstream of the eigensolve —
+reproducible run-to-run, but declared rows-only for the cross-engine
+gate (no SQL eigensolver exists to replay them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dim(df: DataFrame, vec_col: str) -> int:
+    """The (single) embedding dimensionality; raises on ragged input
+    instead of producing a silently-wrong covariance."""
+    row = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).collect()[0]
+    if row["lo"] is None:
+        raise ValueError("embedding_covariance: no rows with embeddings")
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"embedding_covariance: ragged embedding sizes "
+            f"[{row['lo']}, {row['hi']}] — fix the corpus first"
+        )
+    return int(row["hi"])
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle sample covariance of an ``array<float>`` column:
+    one row per (i, j), 1-based, i <= j — ``(i, j, n_rows, cov)``
+    with cov quantized to 6 decimals by the engine-stable
+    FLOOR(x*1e6 + 0.5)/1e6 (ROUND on doubles is not portable).
+
+    cov_ij = (Σ x_i·x_j − Σx_i · Σx_j / n) / (n − 1), the sums exact
+    DECIMAL, the final arithmetic a fixed IEEE-double expression —
+    bit-identical to a DuckDB replay of the same sums.
+
+    NULL embeddings are excluded; ragged dimensions raise.
+    """
+    df = df.filter(F.col(vec_col).isNotNull())
+    d = _dim(df, vec_col)
+    dec = (
+        f"CAST(CAST({vec_col}[i] AS DOUBLE) AS DECIMAL(10,8))"
+        f" * CAST(CAST({vec_col}[j] AS DOUBLE) AS DECIMAL(10,8))"
+    )
+    pairs = df.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(0, {d - 1}), i ->
+                      transform(sequence(i, {d - 1}), j ->
+                        struct(i + 1 AS i, j + 1 AS j, {dec} AS p))))"""
+            )
+        ).alias("t")
+    ).select("t.i", "t.j", "t.p")
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum("p").alias("sxy"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dim_sums = (
+        df.select(
+            F.posexplode(F.col(vec_col)).alias("k0", "x")
+        )
+        .select(
+            (F.col("k0") + 1).alias("k"),
+            F.col("x").cast("double").cast("decimal(10,8)").alias("xd"),
+        )
+        .groupBy("k")
+        .agg(F.sum("xd").alias("sx"))
+    )
+    si = dim_sums.select(F.col("k").alias("i"), F.col("sx").alias("sx_i"))
+    sj = dim_sums.select(F.col("k").alias("j"), F.col("sx").alias("sx_j"))
+    from .similarity import stable_round6
+
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx_i").cast("double")
+        * F.col("sx_j").cast("double")
+        / F.col("n").cast("double")
+    ) / (F.col("n").cast("double") - F.lit(1.0))
+    return (
+        sums.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.col("n").alias("n_rows"),
+            stable_round6(cov).alias("cov"),
+        )
+    )
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding", k: int = 2):
+    """Top-``k`` principal components of the embedding column.
+
+    Returns ``(eigvals, components)``: a length-k list of variances
+    (descending) and a k×d list-of-lists of unit vectors. The
+    covariance is computed distributed (``embedding_covariance``);
+    the eigensolve is local on the d×d matrix (driver-bounded state —
+    d never grows with the corpus). Sign convention: each component's
+    largest-|coordinate| is positive (first index on ties), making
+    the decomposition a pure function of the data.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col).collect()
+    d = max(r["j"] for r in rows)
+    if not (1 <= k <= d):
+        raise ValueError(f"pca_components: k must be in [1, {d}]")
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["i"] - 1, r["j"] - 1] = r["cov"]
+        m[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(m)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return [float(vals[i]) for i in order], comps
+
+
+def pca_project(
+    df: DataFrame, components: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``pc1..pck`` projection coordinates, one ``zip_with``
+    dot-product fold per component — map-side, whole-stage codegen,
+    the component matrix riding in the plan as literals (k×d doubles:
+    broadcast-by-construction)."""
+    out = df
+    for n, comp in enumerate(components, start=1):
+        lit_vec = F.array(*[F.lit(float(w)) for w in comp])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                lit_vec,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out.withColumn(f"pc{n}", dot)
+    return out

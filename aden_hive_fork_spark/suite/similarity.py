@@ -325,3 +325,80 @@ def q106_quantized_dot_topk(spark, sf_dir):
         F.col("qdot").cast("bigint").alias("qdot"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q218 — exact embedding covariance (operators/pca.embedding_
+# covariance): the distributed half of PCA under the oracle gate.
+# Map-side upper-triangle products, shuffle = d² rows per partition.
+# ---------------------------------------------------------------------------
+@query(
+    "q218_embedding_covariance",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8)) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), sums AS (
+      SELECT a.i, b.i AS j, SUM(a.x * b.x) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ), dsum AS (
+      SELECT i AS k, SUM(x) AS sx FROM flat GROUP BY 1
+    )
+    SELECT s.i, s.j, s.n AS n_rows,
+      FLOOR((
+        (CAST(s.sxy AS DOUBLE)
+         - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE)
+           / CAST(s.n AS DOUBLE))
+        / (CAST(s.n AS DOUBLE) - 1.0)
+      ) * 1000000.0 + 0.5) / 1000000.0 AS cov
+    FROM sums s
+    JOIN dsum di ON di.k = s.i
+    JOIN dsum dj ON dj.k = s.j
+    ORDER BY s.i ASC, s.j ASC
+    """,
+)
+def q218_embedding_covariance(spark, sf_dir):
+    """Sample covariance of the 64-dim embedding corpus, exact
+    decimal sums quantized with the engine-stable FLOOR round. The
+    Spark plan never self-joins the corpus: each row emits its
+    d(d+1)/2 products map-side and the (i,j) aggregate partial-
+    combines before its d²-sized shuffle."""
+    from ..operators.pca import embedding_covariance
+
+    emb = T(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding").orderBy(
+        F.asc("i"), F.asc("j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — PCA projection (operators/pca.pca_components/pca_project):
+# rows-only by contract (no SQL eigensolver exists to replay the
+# LAPACK step); invariants are pinned in tests/test_pca.py instead.
+# ---------------------------------------------------------------------------
+@query("q219_pca_projection")
+def q219_pca_projection(spark, sf_dir):
+    """Top-2 principal coordinates per vector. The eigensolve is
+    local on the d×d covariance (driver-bounded — d does not grow
+    with the corpus); the projection is a map-side zip_with fold with
+    the component matrix as plan literals. Deterministic end-to-end
+    (exact-decimal covariance, LAPACK eigh, fixed sign convention) —
+    but not SQL-replayable, hence rows-only."""
+    from ..operators.pca import pca_components, pca_project
+    from ..operators.similarity import stable_round6
+
+    emb = T(spark, sf_dir, "embeddings")
+    _, comps = pca_components(emb, "embedding", k=2)
+    return (
+        pca_project(emb, comps, "embedding")
+        .select(
+            "vec_id",
+            "label",
+            stable_round6(F.col("pc1")).alias("pc1"),
+            stable_round6(F.col("pc2")).alias("pc2"),
+        )
+        .orderBy(F.asc("vec_id"))
+    )
