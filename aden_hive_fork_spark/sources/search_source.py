@@ -616,3 +616,58 @@ class FixtureGetTransport:
             self.fixtures[k] = resp
             return resp
         return 404, b'{"error": "no fixture for request"}'
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists — the standard hybrid-
+    search combiner (Cormack et al., SIGIR'09): score(d) =
+    Σ_lists 1/(k + rank_d), k=60 the conventional damping. Rank-based
+    fusion needs no score calibration between heterogeneous rankers
+    (BM25 scores and cosine similarities are not comparable; ranks
+    are).
+
+    Output: (id, rrf_score, n_lists) top-``topk`` by
+    (rrf_score DESC, id ASC) — a total order. Scores are quantized
+    with the engine-stable FLOOR round; for two lists the sum of two
+    doubles is commutative so the fused score is bit-deterministic
+    regardless of aggregation order (with >2 lists the quantization
+    absorbs any summation-order ulps).
+
+    Scale: each input list is already top-k-truncated by its ranker
+    (TakeOrderedAndProject), so fusion operates on N×k rows — a
+    trivially small union + aggregate no matter the corpus size. The
+    heavy lifting stays in the rankers, which never materialize more
+    than their own top-k.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    from functools import reduce
+
+    from ..operators.similarity import stable_round6
+
+    norm = [
+        df.select(
+            F.col(id_col).alias("id"), F.col(rank_col).cast("double").alias("r")
+        )
+        for df in lists
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), norm)
+    fused = u.groupBy("id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("r"))).alias("_s"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    return (
+        fused.select(
+            F.col("id").alias(id_col),
+            stable_round6(F.col("_s")).alias("rrf_score"),
+            "n_lists",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -10,6 +10,7 @@ list-intersection arithmetic.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import query
 from ._helpers import T
@@ -151,3 +152,122 @@ def q99_bm25_search(spark, sf_dir):
         F.col("score").cast("double").alias("score"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q220 — hybrid search: BM25 lexical ranks fused with exact-cosine
+# semantic ranks via reciprocal-rank fusion
+# (sources/search_source.rrf_fuse). The oracle replays BOTH rankers
+# and the fusion arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+_Q220_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (
+      SELECT unnest(list_distinct(
+        string_split_regex(lower(trim('hash join merge')), ' +'))) AS term
+    ),
+    dft AS (
+      SELECT term, COUNT(*) AS df_t FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+    ),
+    lex_scored AS (
+      SELECT tf.doc_id,
+        ROUND(SUM(
+          ln((s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+          * (tf.tf * (1.2 + 1)) /
+            (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+        ), 4) AS score
+      FROM qt
+      JOIN tf USING (term)
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1
+    ),
+    lex_ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+        AS rank
+      FROM lex_scored
+    ),
+    qv AS (
+      SELECT i, CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) AS qv
+      FROM (SELECT unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id = 0)
+    ),
+    ev AS (
+      SELECT vec_id, i, CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) AS ev
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    dots AS (
+      SELECT ev.vec_id,
+        SUM(ev.ev * qv.qv) AS dot,
+        SUM(ev.ev * ev.ev) AS nv,
+        SUM(qv.qv * qv.qv) AS nq
+      FROM ev JOIN qv USING (i)
+      GROUP BY 1
+    ),
+    sem_scored AS (
+      SELECT vec_id,
+        FLOOR(CAST(dot AS DOUBLE)
+              / NULLIF(sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)), 0)
+              * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots WHERE vec_id <> 0
+    ),
+    sem_ranked AS (
+      SELECT vec_id AS doc_id,
+        ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM sem_scored
+    ),
+    fused AS (
+      SELECT id, SUM(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS s,
+        CAST(COUNT(*) AS INT) AS n_lists
+      FROM (
+        SELECT doc_id AS id, rank FROM lex_ranked WHERE rank <= 20
+        UNION ALL
+        SELECT doc_id AS id, rank FROM sem_ranked WHERE rank <= 20
+      )
+      GROUP BY id
+    )
+    SELECT id AS doc_id,
+      FLOOR(s * 1000000.0 + 0.5) / 1000000.0 AS rrf_score, n_lists
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+"""
+
+
+@query("q220_hybrid_search_rrf", oracle=_Q220_SQL)
+def q220_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 for 'hash join merge' fused with
+    the exact-cosine top-20 around vector 0 by reciprocal-rank fusion
+    (k=60). Both rankers stay top-k-truncated (TakeOrderedAndProject)
+    so the fusion aggregate sees 40 rows regardless of corpus size;
+    the oracle replays both rankers AND the fusion arithmetic."""
+    from ..operators.similarity import cosine_topk_exact
+    from ..sources.search_source import bm25_search, rrf_fuse
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame([(1, "hash join merge")], "qid int, query string")
+    lex = bm25_search(docs, queries, k=20).select("doc_id", "rank")
+    sem = (
+        cosine_topk_exact(emb, query_id=0, k=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, sem], k=60, topk=10)

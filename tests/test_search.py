@@ -210,3 +210,32 @@ def test_bm25_ranks_rare_terms_higher(spark):
     assert ids[0] == 3  # two zebra occurrences outrank one
     assert 2 not in ids  # no match, no row
     assert out[0].rank == 1 and all(r.score > 0 for r in out)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from aden_hive_fork_spark.sources.search_source import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    out = rrf_fuse([lex, sem], k=60, topk=10).collect()
+    by = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in out}
+    assert by[20][1] == 2 and by[30][1] == 1
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63
+    import math
+    assert math.isclose(by[20][0], round(1/62 + 1/61, 6), abs_tol=1e-6)
+    assert math.isclose(by[10][0], round(1/61 + 1/63, 6), abs_tol=1e-6)
+    # fused order: 20 first (two high ranks)
+    assert out[0]["doc_id"] == 20
+
+
+def test_rrf_fuse_validates_empty(spark):
+    import pytest
+
+    from aden_hive_fork_spark.sources.search_source import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
