@@ -54,6 +54,68 @@ def _complete_pairs(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
 
 
+def suffstats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 2,
+) -> DataFrame:
+    """(group..., n, sx, sy, sxy, sxx, syy): the exact-decimal
+    sufficient statistics behind ``exact_corr``/``linear_fit`` as a
+    first-class MERGEABLE table — stats of a union are the column-
+    wise sums (decimal addition is exact, associative, commutative),
+    so partial tables can be maintained incrementally (see
+    ``streaming/stats_stream``) and merged in any order with a
+    bit-identical result to one pass over all the data."""
+    df = _complete_pairs(df, x_col, y_col)
+    s = _suff(F.col(x_col), F.col(y_col), scale)
+    return df.groupBy(*(group_cols or [])).agg(
+        *[c.alias(k) for k, c in s.items()]
+    )
+
+
+def merge_suffstats(
+    stats: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Sum-merge one or more unioned suffstats tables per group —
+    exact decimal sums, so merge(a, b) == suffstats(a_rows + b_rows)
+    bit-for-bit regardless of how the rows were batched."""
+    return stats.groupBy(*(group_cols or [])).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").cast("decimal(38,6)").alias("sx"),
+        F.sum("sy").cast("decimal(38,6)").alias("sy"),
+        F.sum("sxy").cast("decimal(38,6)").alias("sxy"),
+        F.sum("sxx").cast("decimal(38,6)").alias("sxx"),
+        F.sum("syy").cast("decimal(38,6)").alias("syy"),
+    )
+
+
+def corr_from_stats(
+    stats: DataFrame,
+    group_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pearson correlation from a suffstats table (the final
+    fixed-IEEE expression shared with ``exact_corr``). NULL when
+    either variance is zero."""
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+    )
+    return stats.select(
+        *(group_cols or []),
+        F.col("n").alias("n"),
+        F.round(corr, ndigits).cast("double").alias("corr"),
+    )
+
+
 def exact_corr(
     df: DataFrame,
     x_col: str,
@@ -67,24 +129,8 @@ def exact_corr(
     with a NULL in either column are excluded — from n too). NULL
     when either variance is zero.
     """
-    df = _complete_pairs(df, x_col, y_col)
-    s = _suff(F.col(x_col), F.col(y_col), scale)
-    g = df.groupBy(*(group_cols or []))
-    agg = g.agg(*[c.alias(k) for k, c in s.items()])
-    n = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    cov = n * sxy - sx * sy
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    corr = F.when(
-        (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
-    )
-    return agg.select(
-        *(group_cols or []),
-        F.col("n").alias("n"),
-        F.round(corr, ndigits).cast("double").alias("corr"),
+    return corr_from_stats(
+        suffstats(df, x_col, y_col, group_cols, scale), group_cols, ndigits
     )
 
 

@@ -197,3 +197,70 @@ def test_kmv_set_estimates_overlap(spark):
     assert abs(r["union_est"] - 3000) < 1000
     assert abs(r["intersect_est"] - 1000) < 400
     assert abs(r["jaccard"] - 1 / 3) < 0.12
+
+
+# ---------------------------------------------------------------------------
+# streaming correlation-stats maintenance
+# ---------------------------------------------------------------------------
+def _cv(i, t, v):
+    return {"event_id": i, "ts": "2024-01-01T00:00:00", "user_id": i % 7,
+            "event_type": t, "value": v}
+
+
+def test_streamed_corr_stats_equal_batch_bitwise(spark, tmp_path):
+    from aden_hive_fork_spark.operators.stats import (
+        corr_from_stats, exact_corr, suffstats,
+    )
+    from aden_hive_fork_spark.streaming.stats_stream import (
+        maintain_corr_stats, read_corr_stats,
+    )
+
+    in_dir, st_dir, ckpt = (str(tmp_path / d) for d in ("in", "st", "ck"))
+    b1 = [_cv(i, "click", float(i % 13) + 0.25) for i in range(300)]
+    b2 = [_cv(i, "click", float(i % 11) - 0.5) for i in range(300, 600)]
+    b2 += [_cv(i, "view", float(i % 5)) for i in range(80)]
+    _write_jsonl(in_dir, "b1.json", b1)
+    q = maintain_corr_stats(
+        spark.readStream.schema(SCHEMA).json(in_dir), st_dir, ckpt,
+        "event_id", "value", ["event_type"],
+    )
+    q.awaitTermination(120)
+    _write_jsonl(in_dir, "b2.json", b2)
+    q = maintain_corr_stats(
+        spark.readStream.schema(SCHEMA).json(in_dir), st_dir, ckpt,
+        "event_id", "value", ["event_type"],
+    )
+    q.awaitTermination(120)
+
+    streamed = read_corr_stats(spark, st_dir)
+    all_df = _df(spark, b1 + b2)
+    direct = suffstats(all_df, "event_id", "value", ["event_type"])
+    srows = {r["event_type"]: r.asDict() for r in streamed.collect()}
+    drows = {r["event_type"]: r.asDict() for r in direct.collect()}
+    assert srows == drows  # bit-identical sufficient statistics
+    # and the derived correlation equals the one-pass operator
+    sc = {r["event_type"]: r["corr"]
+          for r in corr_from_stats(streamed, ["event_type"]).collect()}
+    dc = {r["event_type"]: r["corr"]
+          for r in exact_corr(all_df, "event_id", "value",
+                              ["event_type"]).collect()}
+    assert sc == dc
+
+
+def test_corr_stats_batch_replay_is_noop(spark, tmp_path):
+    from aden_hive_fork_spark.operators.layout import read_pointer
+    from aden_hive_fork_spark.streaming.stats_stream import (
+        merge_stats_batch, read_corr_stats,
+    )
+
+    st_dir = str(tmp_path / "st")
+    import os as _os
+
+    _os.makedirs(st_dir, exist_ok=True)
+    b = _df(spark, [_cv(i, "click", float(i)) for i in range(100)])
+    merge_stats_batch(b, 0, st_dir, "event_id", "value", ["event_type"])
+    v0 = read_pointer(st_dir)["version"]
+    s0 = read_corr_stats(spark, st_dir).collect()
+    merge_stats_batch(b, 0, st_dir, "event_id", "value", ["event_type"])
+    assert read_pointer(st_dir)["version"] == v0
+    assert read_corr_stats(spark, st_dir).collect() == s0
