@@ -513,3 +513,103 @@ def corr_matrix(
     return agg.select(
         F.explode(F.array(*rows)).alias("_p")
     ).select("_p.col_a", "_p.col_b", "_p.n", "_p.corr")
+
+
+def mann_kendall(
+    df: DataFrame,
+    t_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope per group — the
+    ROBUST trend pair to ``linear_fit``: no distributional assumption
+    (MK is a rank statistic), and the Sen slope (median of pairwise
+    slopes) shrugs off the outliers that drag a least-squares line.
+
+    Input contract: a PRE-AGGREGATED series — one row per
+    (group, t). Rows sharing a t value pair with neither ordering
+    (a.t < b.t excludes them), the standard MK treatment of time
+    ties, and since pairs require strictly increasing t the slope
+    denominator can never be zero.
+
+    Output per group: ``n`` (series length), ``s_stat``
+    (Σ sign(y_j − y_i) over i<j, exact integer), ``z`` (the
+    tie-corrected normal approximation; NULL when Var(S) = 0, i.e.
+    constant series shorter than 2), ``sen_slope`` (median pairwise
+    slope, type-7 interpolation — Spark ``percentile`` == DuckDB
+    ``quantile_cont``). z and sen_slope are FLOOR-quantized to
+    ``ndigits`` (cross-engine ulp discipline).
+
+    Scale: the pair self-join is within-group O(T²) where T is the
+    SERIES length — bounded by the time resolution (months, days),
+    not the corpus: the fact-table reduction to the series happens
+    before this operator. Skewed group sizes are AQE's problem; the
+    aggregate combines map-side.
+    """
+    keys = group_cols or []
+    a = df.select(
+        *keys,
+        F.col(t_col).cast("double").alias("_ta"),
+        F.col(y_col).cast("double").alias("_ya"),
+    )
+    b = df.select(
+        *keys,
+        F.col(t_col).cast("double").alias("_tb"),
+        F.col(y_col).cast("double").alias("_yb"),
+    )
+    if keys:
+        pairs = a.join(b, keys).filter(F.col("_ta") < F.col("_tb"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("_ta") < F.col("_tb"))
+    sgn = (
+        F.when(F.col("_yb") > F.col("_ya"), 1)
+        .when(F.col("_yb") < F.col("_ya"), -1)
+        .otherwise(0)
+    )
+    slope = (F.col("_yb") - F.col("_ya")) / (F.col("_tb") - F.col("_ta"))
+    pair_agg = (
+        pairs.withColumn("_slope", slope)
+        .groupBy(*keys)
+        .agg(
+            F.sum(sgn).cast("bigint").alias("s_stat"),
+            F.expr("percentile(_slope, 0.5)").alias("_sen"),
+        )
+    )
+    n_agg = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        df.groupBy(*keys, F.col(y_col).cast("double").alias("_y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("bigint")
+            .alias("_tie_sum")
+        )
+    )
+    joined = (
+        n_agg.join(pair_agg, keys) if keys
+        else n_agg.crossJoin(pair_agg)
+    )
+    joined = joined.join(ties, keys) if keys else joined.crossJoin(ties)
+    nn = F.col("n").cast("double")
+    var_s = (
+        nn * (nn - 1.0) * (2.0 * nn + 5.0)
+        - F.col("_tie_sum").cast("double")
+    ) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(s > 0, (s - 1.0) / F.sqrt(var_s))
+        .when(s < 0, (s + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return joined.select(
+        *keys,
+        "n",
+        "s_stat",
+        fquant(z, ndigits).alias("z"),
+        fquant(F.col("_sen"), ndigits).alias("sen_slope"),
+    )

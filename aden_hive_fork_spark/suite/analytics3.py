@@ -1349,3 +1349,78 @@ def q198_conversion_wilson_ci(spark, sf_dir):
         F.round((center - half) / denom, 6).cast("double").alias("wilson_lo"),
         F.round((center + half) / denom, 6).cast("double").alias("wilson_hi"),
     ).orderBy("nation")
+
+
+# ---------------------------------------------------------------------------
+# q221 — Mann-Kendall trend + Theil-Sen slope on monthly revenue per
+# priority (operators/stats.mann_kendall): the robust trend pair to
+# q145's least-squares fit, oracle-replayed pair-for-pair.
+# ---------------------------------------------------------------------------
+@query(
+    "q221_mann_kendall_trend",
+    oracle="""
+    WITH series AS (
+      SELECT o_orderpriority AS pri,
+        CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS INT) AS t,
+        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS y
+      FROM orders GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.pri,
+        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+        (b.y - a.y) / (CAST(b.t AS DOUBLE) - CAST(a.t AS DOUBLE)) AS slope
+      FROM series a JOIN series b ON a.pri = b.pri AND a.t < b.t
+    ), pa AS (
+      SELECT pri, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+        quantile_cont(slope, 0.5) AS sen
+      FROM pairs GROUP BY 1
+    ), na AS (
+      SELECT pri, CAST(COUNT(*) AS BIGINT) AS n FROM series GROUP BY 1
+    ), ties AS (
+      SELECT pri,
+        CAST(SUM(t_ * (t_ - 1) * (2 * t_ + 5)) AS BIGINT) AS tie_sum
+      FROM (SELECT pri, y, COUNT(*) AS t_ FROM series GROUP BY 1, 2)
+      GROUP BY 1
+    ), fin AS (
+      SELECT na.pri, na.n, pa.s_stat, pa.sen,
+        (CAST(na.n AS DOUBLE) * (CAST(na.n AS DOUBLE) - 1.0)
+          * (2.0 * CAST(na.n AS DOUBLE) + 5.0)
+         - CAST(ties.tie_sum AS DOUBLE)) / 18.0 AS var_s
+      FROM na JOIN pa USING (pri) JOIN ties USING (pri)
+    )
+    SELECT pri AS o_orderpriority, n, s_stat,
+      FLOOR(CASE WHEN var_s > 0 THEN
+          CASE WHEN CAST(s_stat AS DOUBLE) > 0
+               THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+               WHEN CAST(s_stat AS DOUBLE) < 0
+               THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+               ELSE 0.0 END
+        END * 1000000.0) / 1000000.0 AS z,
+      FLOOR(sen * 1000000.0) / 1000000.0 AS sen_slope
+    FROM fin
+    ORDER BY o_orderpriority ASC
+    """,
+)
+def q221_mann_kendall_trend(spark, sf_dir):
+    """Is monthly revenue trending, per priority? Nonparametric MK
+    S/z plus the Theil-Sen slope — all from ONE within-group pair
+    self-join over the ~80-point monthly series (series length is
+    bounded by the calendar, not the corpus: the fact table reduces
+    to the series first)."""
+    from ..operators.stats import mann_kendall
+    from ._helpers import dec, dround
+
+    o = T(spark, sf_dir, "orders")
+    series = (
+        o.groupBy(
+            F.col("o_orderpriority"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("t"),
+        )
+        .agg(dround(F.sum(dec("o_totalprice"))).alias("y"))
+    )
+    return mann_kendall(
+        series, "t", "y", ["o_orderpriority"]
+    ).orderBy(F.asc("o_orderpriority"))

@@ -373,3 +373,43 @@ def test_rolling_median_odd_even_frames(spark):
     assert got[3]["roll_median"] == 20.0          # [10,20,30]
     assert got[4]["roll_median"] == 30.0          # [20,30,90]
     assert got[4]["n_window"] == 3
+
+
+def test_mann_kendall_hand_computed(spark):
+    from aden_hive_fork_spark.operators.stats import mann_kendall
+
+    # strictly increasing series: S = C(5,2) = 10, sen = median slope
+    rows = [("g", t, float(2 * t + 1)) for t in range(5)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = mann_kendall(df, "t", "y", ["g"]).collect()[0]
+    assert out["n"] == 5 and out["s_stat"] == 10
+    # all pairwise slopes are exactly 2.0
+    assert out["sen_slope"] == 2.0
+    # z = (S-1)/sqrt(n(n-1)(2n+5)/18) = 9/sqrt(16.666..)
+    import math
+    assert math.isclose(out["z"], 9 / math.sqrt(5 * 4 * 15 / 18), abs_tol=1e-6)
+
+
+def test_mann_kendall_outlier_robust_vs_linear_fit(spark):
+    from aden_hive_fork_spark.operators.stats import linear_fit, mann_kendall
+
+    rows = [("g", t, float(t)) for t in range(20)]
+    rows[19] = ("g", 19, 1000.0)  # poison point at max leverage
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    mk = mann_kendall(df, "t", "y", ["g"]).collect()[0]
+    lf = linear_fit(df, "t", "y", ["g"], scale=2).collect()[0]
+    # Sen slope stays ~1; least squares is dragged far off
+    assert abs(mk["sen_slope"] - 1.0) < 0.2
+    assert abs(lf["slope"] - 1.0) > 1.0
+
+
+def test_mann_kendall_constant_series_and_ties(spark):
+    from aden_hive_fork_spark.operators.stats import mann_kendall
+
+    const = spark.createDataFrame(
+        [("g", t, 5.0) for t in range(6)], "g string, t int, y double"
+    )
+    out = mann_kendall(const, "t", "y", ["g"]).collect()[0]
+    # all pairs tie: S = 0; tie correction kills the variance → z NULL
+    assert out["s_stat"] == 0 and out["z"] is None
+    assert out["sen_slope"] == 0.0
