@@ -1,0 +1,192 @@
+"""Incremental view maintenance: a materialized inner equi-join view
+(fact ⋈ dim) kept current from the tables' change feeds — the
+"don't recompute the join of 100 TB because 0.01% changed" engine
+capability (classic delta-join IVM, here in recompute-by-key form).
+
+View definition: ``fact INNER JOIN dim ON fact[fk_col] = dim[dk]``,
+one output row per fact row (dim is unique-keyed), view keyed by the
+fact table's keys. All three tables are ``operators/table``
+merge-on-read tables, so the view has snapshots, a CDF of its own,
+compaction — views compose.
+
+Refresh algebra (recompute-by-key — simpler than the textbook
+ΔF⋈D ∪ F⋈ΔD delta join and immune to its double-counting corner
+cases when both sides changed the same key):
+
+    affected = keys(ΔF)  ∪  keys(fact rows whose fk ∈ keys(ΔD))
+    produced = (current fact ⋉ affected) ⋈ current dim
+    deletes  = affected − keys(produced)     (fact gone, or match gone)
+
+one upsert batch = produced upserts + delete tombstones. Cost is
+proportional to the AFFECTED rows, never the table: ΔF drives a
+key-list semi join; ΔD drives a broadcast fk-IN-list semi join over
+fact (pushdown-eligible; with fk-clustered layout, partition-
+pruned). The dim side of the recompute join is the full current dim
+— broadcast/AQE territory, never shuffled by this operator.
+
+Exactly-once: the applied (fact_seq, dim_seq) watermark is encoded
+as a monotonic epoch riding in the view delta's marker — the SAME
+``app_id``/``epoch_id`` protocol the streaming CDC sink uses, so
+``compact_table`` folds it into the manifest atomically and
+compact+vacuum can never lose progress. Marker visible ⟺ delta
+visible: there is no commit window. A refresh observing watermarks
+at-or-below the applied epoch is a no-op; a refresh racing new
+source deltas stays convergent because recomputation always reads
+CURRENT source state and the next refresh re-covers any keys the
+watermark says are pending.
+
+Retention contract: like any CDF consumer, refresh before
+``vacuum_deltas`` on the sources drops folded changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .layout import _CURRENT
+from .table import (
+    _delta_seqs,
+    _manifest,
+    create_table,
+    last_applied_epoch,
+    read_table,
+    table_changes,
+    upsert,
+)
+
+_APP = "ivm"
+_SHIFT = 31  # epoch = (fact_seq+1) << 31 | (dim_seq+1): monotonic
+
+
+def _encode(f_seq: int, d_seq: int) -> int:
+    return ((f_seq + 1) << _SHIFT) | (d_seq + 1)
+
+
+def _decode(epoch: int | None) -> tuple[int, int]:
+    if epoch is None:
+        return (-1, -1)
+    return ((epoch >> _SHIFT) - 1, (epoch & ((1 << _SHIFT) - 1)) - 1)
+
+
+def _fold_epoch(view_root: str, epoch: int) -> None:
+    """Record the applied epoch directly in the manifest (used when
+    no delta exists to carry the marker: init, or an empty refresh).
+    Same atomic tmp+rename protocol as the table layer."""
+    man = _manifest(view_root)
+    applied = dict(man.get("applied", {}))
+    applied[_APP] = max(int(applied.get(_APP, -1)), int(epoch))
+    man["applied"] = applied
+    tmp = os.path.join(view_root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(view_root, _CURRENT))
+
+
+def refresh_join_view(
+    spark: SparkSession,
+    fact_root: str,
+    dim_root: str,
+    view_root: str,
+    fk_col: str,
+) -> dict:
+    """Create (first call) or incrementally refresh the materialized
+    inner-join view. Returns ``{"fact_seq", "dim_seq", "n_upserts",
+    "n_deletes", "initialized"}`` — the watermarks now applied and
+    the work done."""
+    fact_keys = _manifest(fact_root).get("key_cols")
+    dim_keys = _manifest(dim_root).get("key_cols")
+    if not fact_keys or not dim_keys:
+        raise ValueError("refresh_join_view: fact and dim must be keyed tables")
+    if len(dim_keys) != 1:
+        raise ValueError("refresh_join_view: dim must have a single key column")
+    dk = dim_keys[0]
+
+    f_seq = max(_delta_seqs(fact_root), default=-1)
+    d_seq = max(_delta_seqs(dim_root), default=-1)
+    fact = read_table(spark, fact_root)
+    dim = read_table(spark, dim_root)
+    overlap = set(fact.columns) & set(dim.columns)
+    if overlap:
+        # a shared name would make the joined schema ambiguous (and
+        # .drop(dk) on a duplicated name drops BOTH sides) — require
+        # disjoint schemas; rename before registering the tables
+        raise ValueError(
+            f"refresh_join_view: fact and dim share column names "
+            f"{sorted(overlap)} — rename them to be disjoint"
+        )
+
+    if not os.path.exists(os.path.join(view_root, _CURRENT)):
+        full = fact.join(dim, fact[fk_col] == dim[dk], "inner").drop(dk)
+        n = full.count()
+        create_table(full, view_root, fact_keys)
+        _fold_epoch(view_root, _encode(f_seq, d_seq))
+        return {
+            "fact_seq": f_seq,
+            "dim_seq": d_seq,
+            "n_upserts": n,
+            "n_deletes": 0,
+            "initialized": True,
+        }
+
+    f0, d0 = _decode(last_applied_epoch(view_root, _APP))
+    if f_seq <= f0 and d_seq <= d0:
+        return {
+            "fact_seq": f0,
+            "dim_seq": d0,
+            "n_upserts": 0,
+            "n_deletes": 0,
+            "initialized": False,
+        }
+
+    dF = table_changes(spark, fact_root, from_seq=f0, to_seq=f_seq)
+    dD = table_changes(spark, dim_root, from_seq=d0, to_seq=d_seq)
+    changed_fact_keys = dF.select(*fact_keys).distinct()
+    changed_dim_keys = dD.select(F.col(dk).alias("__dk")).distinct()
+    fanout_keys = (
+        fact.join(
+            F.broadcast(changed_dim_keys),
+            fact[fk_col] == F.col("__dk"),
+            "left_semi",
+        )
+        .select(*fact_keys)
+        .distinct()
+    )
+    affected = changed_fact_keys.unionByName(fanout_keys).distinct()
+
+    produced = (
+        fact.join(affected, fact_keys, "left_semi")
+        .join(dim, fact[fk_col] == dim[dk], "inner")
+        .drop(dk)
+    )
+    gone = affected.join(produced.select(*fact_keys), fact_keys, "left_anti")
+    tombstones = gone.select(
+        *fact_keys,
+        *[
+            F.lit(None).cast(produced.schema[c].dataType).alias(c)
+            for c in produced.columns
+            if c not in fact_keys
+        ],
+    ).withColumn("_op", F.lit("delete"))
+    batch = produced.withColumn("_op", F.lit("upsert")).unionByName(tombstones)
+    n_up, n_del = produced.count(), gone.count()
+    epoch = _encode(f_seq, d_seq)
+    if n_up or n_del:
+        upsert(
+            batch,
+            view_root,
+            fact_keys,
+            marker={"app_id": _APP, "epoch_id": epoch},
+        )
+    else:
+        _fold_epoch(view_root, epoch)
+    return {
+        "fact_seq": f_seq,
+        "dim_seq": d_seq,
+        "n_upserts": n_up,
+        "n_deletes": n_del,
+        "initialized": False,
+    }

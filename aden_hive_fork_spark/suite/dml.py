@@ -189,3 +189,101 @@ def q169_change_feed(spark, sf_dir):
         )
         .orderBy("seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — incremental materialized join view (operators/ivm.
+# refresh_join_view): init from orders⋈customer, one wave of fact
+# updates/deletes + dim updates/deletes, ONE incremental refresh —
+# the oracle recomputes the final join state from the same sources
+# and must agree on the per-segment rollup of the VIEW table.
+# ---------------------------------------------------------------------------
+@query(
+    "q222_incremental_join_view",
+    oracle="""
+    WITH fact1 AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+        CASE WHEN o_orderkey % 7 = 0
+             THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+      FROM orders
+      WHERE o_orderkey < 2000 AND o_orderkey % 11 <> 0
+    ), dim1 AS (
+      SELECT c_custkey AS ck,
+        CASE WHEN c_custkey % 5 = 0 THEN 'VIP' ELSE c_mktsegment END AS seg
+      FROM customer
+      WHERE c_custkey % 13 <> 0
+    )
+    SELECT seg AS segment, COUNT(*) AS n_orders,
+      CAST(ROUND(SUM(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+    FROM fact1 JOIN dim1 ON fact1.c = dim1.ck
+    GROUP BY seg
+    ORDER BY seg ASC
+    """,
+)
+def q222_incremental_join_view(spark, sf_dir):
+    """Materialized orders⋈customer view maintained incrementally:
+    after the change wave, refresh work is proportional to the
+    affected keys (changed orders + fan-out of changed customers),
+    never the table. The per-segment rollup reads the VIEW table, so
+    a one-row divergence from true join state flips the hash."""
+    from ..operators.ivm import refresh_join_view
+    from ..operators.table import create_table, read_table, upsert
+
+    f_root = _dml_dir(sf_dir, "ivm_fact")
+    d_root = _dml_dir(sf_dir, "ivm_dim")
+    v_root = _dml_dir(sf_dir, "ivm_view")
+    for r in (f_root, d_root, v_root):
+        shutil.rmtree(r, ignore_errors=True)
+
+    fact = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.col("o_totalprice").alias("p"),
+        )
+    )
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    create_table(fact, f_root, ["k"])
+    create_table(dim, d_root, ["ck"])
+    refresh_join_view(spark, f_root, d_root, v_root, "c")
+
+    upsert(
+        fact.filter(F.col("k") % 7 == 0)
+        .withColumn("p", F.col("p") + F.lit(100.0))
+        .withColumn("_op", F.lit("upsert")),
+        f_root,
+        ["k"],
+    )
+    upsert(
+        fact.filter(F.col("k") % 11 == 0).withColumn("_op", F.lit("delete")),
+        f_root,
+        ["k"],
+    )
+    upsert(
+        dim.filter(F.col("ck") % 5 == 0)
+        .withColumn("seg", F.lit("VIP"))
+        .withColumn("_op", F.lit("upsert")),
+        d_root,
+        ["ck"],
+    )
+    upsert(
+        dim.filter(F.col("ck") % 13 == 0).withColumn("_op", F.lit("delete")),
+        d_root,
+        ["ck"],
+    )
+    refresh_join_view(spark, f_root, d_root, v_root, "c")
+
+    view = read_table(spark, v_root)
+    return (
+        view.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum(dec("p"))).alias("total_price"),
+        )
+        .orderBy(F.asc("segment"))
+    )
