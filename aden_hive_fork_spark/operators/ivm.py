@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from .layout import _CURRENT
 from .table import (
     _delta_seqs,
+    read_table_asof,
     _manifest,
     create_table,
     last_applied_epoch,
@@ -133,6 +134,8 @@ def refresh_join_view(
         }
 
     f0, d0 = _decode(last_applied_epoch(view_root, _APP))
+    _check_not_folded_past(fact_root, f0, "fact")
+    _check_not_folded_past(dim_root, d0, "dim")
     if f_seq <= f0 and d_seq <= d0:
         return {
             "fact_seq": f0,
@@ -190,3 +193,136 @@ def refresh_join_view(
         "n_deletes": n_del,
         "initialized": False,
     }
+
+
+_APP_AGG = "ivm_agg"
+
+
+def refresh_agg_view(
+    spark: SparkSession,
+    fact_root: str,
+    view_root: str,
+    group_cols: list[str],
+    agg_exprs: list,
+) -> dict:
+    """Create (first call) or incrementally refresh a materialized
+    per-group aggregate view of a keyed fact table — recompute-by-
+    GROUP: only groups touched by the change feed are re-aggregated.
+
+    The subtle half is retraction: a fact row that MOVED groups (or
+    was deleted) must decrement its OLD group, but the change feed
+    carries new values only. The pre-image comes from
+    ``read_table_asof(fact, last_applied_seq)`` — merge-on-read keeps
+    the old deltas until compaction folds them, so the old group
+    values of every changed key are an O(|Δ| keys) semi-join away,
+    never a snapshot copy. Affected groups = groups of Δ upserts ∪
+    OLD groups of all changed keys; each is re-aggregated from the
+    CURRENT fact (group-pruned semi join, NULL-safe on group values),
+    groups left empty become tombstones.
+
+    Same watermark protocol as the join view (app_id/epoch_id marker,
+    epoch = fact seq — compaction-safe); same retention contract
+    (refresh before compacting the FACT table past unapplied
+    changes, or the pre-image is gone — ``read_table_asof`` raises
+    loudly rather than corrupting the view).
+
+    ``agg_exprs``: unbound aggregate Columns (e.g.
+    ``F.sum(dec("p")).alias("total")``); the view is keyed by
+    ``group_cols``.
+    """
+    fact_keys = _manifest(fact_root).get("key_cols")
+    if not fact_keys:
+        raise ValueError("refresh_agg_view: fact must be a keyed table")
+    f_seq = max(_delta_seqs(fact_root), default=-1)
+    fact = read_table(spark, fact_root)
+
+    if not os.path.exists(os.path.join(view_root, _CURRENT)):
+        full = fact.groupBy(*group_cols).agg(*agg_exprs)
+        n = full.count()
+        create_table(full, view_root, group_cols)
+        _fold_epoch_app(view_root, _APP_AGG, f_seq)
+        return {"fact_seq": f_seq, "n_upserts": n, "n_deletes": 0,
+                "initialized": True}
+
+    f0 = last_applied_epoch(view_root, _APP_AGG)
+    f0 = -1 if f0 is None else int(f0)
+    _check_not_folded_past(fact_root, f0, "fact")
+    if f_seq <= f0:
+        return {"fact_seq": f0, "n_upserts": 0, "n_deletes": 0,
+                "initialized": False}
+
+    dF = table_changes(spark, fact_root, from_seq=f0, to_seq=f_seq)
+    new_groups = (
+        dF.filter(F.col("_op") != "delete").select(*group_cols).distinct()
+    )
+    changed_keys = dF.select(*fact_keys).distinct()
+    old = read_table_asof(spark, fact_root, f0)
+    old_groups = (
+        old.join(changed_keys, fact_keys, "left_semi")
+        .select(*group_cols)
+        .distinct()
+    )
+    affected = new_groups.unionByName(old_groups).distinct()
+
+    def _gjoin(df, groups, how):
+        cond = None
+        for g in group_cols:
+            c = df[g].eqNullSafe(groups[g])
+            cond = c if cond is None else (cond & c)
+        return df.join(groups, cond, how)
+
+    produced = (
+        _gjoin(fact, affected, "left_semi")
+        .groupBy(*group_cols)
+        .agg(*agg_exprs)
+    )
+    gone = _gjoin(affected, produced.select(*group_cols), "left_anti")
+    tombstones = gone.select(
+        *group_cols,
+        *[
+            F.lit(None).cast(produced.schema[c].dataType).alias(c)
+            for c in produced.columns
+            if c not in group_cols
+        ],
+    ).withColumn("_op", F.lit("delete"))
+    batch = produced.withColumn("_op", F.lit("upsert")).unionByName(tombstones)
+    n_up, n_del = produced.count(), gone.count()
+    if n_up or n_del:
+        upsert(
+            batch,
+            view_root,
+            group_cols,
+            marker={"app_id": _APP_AGG, "epoch_id": f_seq},
+        )
+    else:
+        _fold_epoch_app(view_root, _APP_AGG, f_seq)
+    return {"fact_seq": f_seq, "n_upserts": n_up, "n_deletes": n_del,
+            "initialized": False}
+
+
+def _fold_epoch_app(view_root: str, app: str, epoch: int) -> None:
+    man = _manifest(view_root)
+    applied = dict(man.get("applied", {}))
+    applied[app] = max(int(applied.get(app, -1)), int(epoch))
+    man["applied"] = applied
+    tmp = os.path.join(view_root, _CURRENT + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.replace(tmp, os.path.join(view_root, _CURRENT))
+
+
+def _check_not_folded_past(source_root: str, applied_seq: int, side: str) -> None:
+    """A source compaction that folded deltas ABOVE the view's applied
+    watermark destroyed change feed the view still needs — without
+    this guard the empty post-vacuum feed looks like 'no changes' and
+    the view silently diverges from the source. Raise loudly instead:
+    the operator's retention contract is refresh-before-compact (or
+    rebuild the view from scratch)."""
+    folded = _manifest(source_root).get("folded_through", -1)
+    if folded > applied_seq:
+        raise ValueError(
+            f"incremental view maintenance: {side} table at {source_root} "
+            f"compacted through delta seq {folded}, past the view's applied "
+            f"watermark {applied_seq} — the change feed is gone. Refresh "
+            f"views before compact/vacuum, or rebuild the view."
+        )

@@ -176,6 +176,27 @@ def reset_applied(root: str, app_id: str) -> bool:
 def read_table(spark: SparkSession, root: str) -> DataFrame:
     """Merge-on-read resolution: latest seq wins per key, tombstones
     suppress. Base rows rank below every live delta."""
+    return _resolve_upto(spark, root, None)
+
+
+def read_table_asof(spark: SparkSession, root: str, seq: int) -> DataFrame:
+    """Table state as of delta sequence ``seq`` (inclusive) — the
+    pre-image readers incremental consumers need (e.g. aggregate-view
+    maintenance retracting a row's OLD group). Only states at or
+    after the compaction fold are reconstructable: compaction folds
+    deltas into the base, so ``seq`` below ``folded_through`` raises
+    — the same retention contract as the change feed (drain
+    incremental consumers before compact+vacuum)."""
+    folded = _manifest(root).get("folded_through", -1)
+    if seq < folded:
+        raise ValueError(
+            f"read_table_asof: seq {seq} predates compaction fold "
+            f"{folded} — state no longer reconstructable"
+        )
+    return _resolve_upto(spark, root, seq)
+
+
+def _resolve_upto(spark: SparkSession, root: str, upto: int | None) -> DataFrame:
     man = _manifest(root)
     v = current_version(root)
     if v < 0:
@@ -185,7 +206,11 @@ def read_table(spark: SparkSession, root: str) -> DataFrame:
     if OP_COL not in base.columns:
         base = base.withColumn(OP_COL, F.lit("upsert"))
     out = base.withColumn("_seq", F.lit(-1))
-    live = [s for s in _delta_seqs(root) if s > folded]
+    live = [
+        s
+        for s in _delta_seqs(root)
+        if s > folded and (upto is None or s <= upto)
+    ]
     for s in live:
         d = spark.read.parquet(os.path.join(root, _DELTA, f"d={s}"))
         if OP_COL not in d.columns:

@@ -287,3 +287,78 @@ def q222_incremental_join_view(spark, sf_dir):
         )
         .orderBy(F.asc("segment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — incremental materialized AGGREGATE view (operators/ivm.
+# refresh_agg_view): group moves exercise the retraction path (the
+# OLD group of a moved row comes from the as-of pre-image, not the
+# change feed); the oracle recomputes the end state.
+# ---------------------------------------------------------------------------
+@query(
+    "q223_incremental_agg_view",
+    oracle="""
+    WITH fact1 AS (
+      SELECT
+        CASE WHEN o_orderkey % 7 = 0 THEN '0-MOVED' ELSE o_orderpriority END
+          AS g,
+        o_totalprice AS q
+      FROM orders
+      WHERE o_orderkey < 4000 AND o_orderkey % 11 <> 0
+    )
+    SELECT g AS priority, COUNT(*) AS n_orders,
+      CAST(ROUND(SUM(CAST(q AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+    FROM fact1
+    GROUP BY g
+    ORDER BY g ASC
+    """,
+)
+def q223_incremental_agg_view(spark, sf_dir):
+    """Materialized per-priority rollup maintained incrementally: the
+    change wave MOVES every 7th order into group '0-MOVED' (old-group
+    retraction via the as-of pre-image) and deletes every 11th; one
+    refresh re-aggregates only the affected groups. The output reads
+    the VIEW table."""
+    from ..operators.ivm import refresh_agg_view
+    from ..operators.table import create_table, read_table, upsert
+
+    f_root = _dml_dir(sf_dir, "ivm_agg_fact")
+    v_root = _dml_dir(sf_dir, "ivm_agg_view")
+    for r in (f_root, v_root):
+        shutil.rmtree(r, ignore_errors=True)
+
+    fact = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").alias("q"),
+        )
+    )
+    create_table(fact, f_root, ["k"])
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dround(F.sum(dec("q"))).alias("total_price"),
+    ]
+    refresh_agg_view(spark, f_root, v_root, ["g"], aggs)
+
+    upsert(
+        fact.filter(F.col("k") % 7 == 0)
+        .withColumn("g", F.lit("0-MOVED"))
+        .withColumn("_op", F.lit("upsert")),
+        f_root,
+        ["k"],
+    )
+    upsert(
+        fact.filter(F.col("k") % 11 == 0).withColumn("_op", F.lit("delete")),
+        f_root,
+        ["k"],
+    )
+    refresh_agg_view(spark, f_root, v_root, ["g"], aggs)
+
+    return (
+        read_table(spark, v_root)
+        .select(F.col("g").alias("priority"), "n_orders", "total_price")
+        .orderBy(F.asc("priority"))
+    )
