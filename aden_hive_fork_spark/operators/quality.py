@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
@@ -577,4 +578,78 @@ def ref_integrity(
         )
         .cast("double")
         .alias("orphan_frac"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted lower quantiles per group: for each q, the smallest
+    value whose cumulative weight reaches q · (total weight). The
+    statistic a weighted corpus needs — after ``temperature_weights``
+    or importance weighting, an unweighted median answers the wrong
+    question (every document counts equally instead of by its
+    sampling mass).
+
+    The LOWER quantile (no interpolation) is chosen deliberately:
+    the result is always an observed value, so determinism needs no
+    float-midpoint contract, and the DuckDB replay is exact. Weights
+    are quantized to DECIMAL(18,6) so cumulative sums are exact and
+    tie-order inside equal values cannot flip the answer (the filter
+    min(value | cum_weight ≥ target) only depends on each value
+    run's FINAL cumulative weight). Rows with NULL or non-positive
+    weight are excluded (a zero-weight row must not be electable as
+    a quantile value), and so are NULL values (they could never be
+    returned, but their weight would silently shift every target).
+
+    One window (cumulative weight in value order) + one aggregate per
+    group; the q's unpivot from one wide row — no second scan. Skew:
+    the window partitions by group; a single giant group is the
+    ordered-statistic's irreducible sort.
+
+    Output: (group..., q, value), ordered by caller.
+    """
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("weighted_quantiles: each q must be in (0, 1]")
+    keys = list(group_cols or [])
+    w = F.col(weight_col).cast("decimal(18,6)")
+    base = df.filter(
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+        & F.col(value_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(value_col).cast("double").alias("_v"),
+        w.alias("_w"),
+    )
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    cw = base.withColumn("_cw", F.sum("_w").over(win)).withColumn(
+        "_tw", F.sum("_w").over(tot)
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cw").cast("double")
+                >= F.lit(float(q)) * F.col("_tw").cast("double"),
+                F.col("_v"),
+            )
+        ).alias(f"_q{i}")
+        for i, q in enumerate(qs)
+    ]
+    wide = cw.groupBy(*keys).agg(*picks)
+    stack = ", ".join(
+        f"CAST({q!r} AS DOUBLE), _q{i}" for i, q in enumerate(qs)
+    )
+    return wide.select(
+        *keys,
+        F.expr(f"stack({len(qs)}, {stack}) AS (q, value)"),
     )

@@ -145,3 +145,48 @@ def q129_constraint_report(spark, sf_dir):
         unique("o_orderkey"),
     ])
     return report.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q224 — weighted quantiles (operators/quality.weighted_quantiles):
+# weighted median + p90 of document length per language, weights
+# deterministic from doc_id. Lower-quantile definition = always an
+# observed value, so the oracle replay is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q224_weighted_quantiles",
+    oracle="""
+    WITH base AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+        CAST(1 + doc_id % 3 AS DECIMAL(18,6)) AS w
+      FROM documents
+    ), cum AS (
+      SELECT lang, v, w,
+        SUM(w) OVER (PARTITION BY lang ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+        SUM(w) OVER (PARTITION BY lang) AS tw
+      FROM base
+    )
+    SELECT lang, q,
+      MIN(CASE WHEN CAST(cw AS DOUBLE) >= q * CAST(tw AS DOUBLE)
+          THEN v END) AS value
+    FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9]) AS q)
+    GROUP BY lang, q
+    ORDER BY lang ASC, q ASC
+    """,
+)
+def q224_weighted_quantiles(spark, sf_dir):
+    """Weighted median and p90 of n_chars per language (weight =
+    1 + doc_id mod 3 — a stand-in for sampling mass). One window for
+    cumulative weight + one aggregate; exact decimal weights make
+    tie order inside equal values irrelevant."""
+    from ..operators.quality import weighted_quantiles
+
+    docs = T(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("v"),
+        (F.lit(1) + F.col("doc_id") % 3).alias("w"),
+    )
+    return weighted_quantiles(docs, "v", "w", [0.5, 0.9], ["lang"]).orderBy(
+        F.asc("lang"), F.asc("q")
+    )

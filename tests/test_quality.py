@@ -98,3 +98,47 @@ def test_profile_is_single_job(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_weighted_quantiles_hand_computed(spark):
+    from aden_hive_fork_spark.operators.quality import weighted_quantiles
+
+    # values 1..4 with weights 1,1,6,2 (total 10):
+    #   q=0.5 → target 5 → first cum>=5 is value 3 (cum 8)
+    #   q=0.8 → target 8 → value 3; q=0.9 → target 9 → value 4
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 6.0), (4.0, 2.0)], "v double, w double"
+    )
+    out = {r["q"]: r["value"]
+           for r in weighted_quantiles(df, "v", "w", [0.5, 0.8, 0.9]).collect()}
+    assert out == {0.5: 3.0, 0.8: 3.0, 0.9: 4.0}
+
+
+def test_weighted_quantiles_ignores_nonpositive_and_validates(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.quality import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, -1.0), (3.0, 5.0), (None, 2.0), (9.0, 1.0)],
+        "v double, w double",
+    )
+    out = {r["q"]: r["value"]
+           for r in weighted_quantiles(df, "v", "w", [0.5]).collect()}
+    # zero/negative weights and NULL values are all excluded: only
+    # (3.0, w=5) and (9.0, w=1) count → target 3 → value 3
+    assert out == {0.5: 3.0}
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [0.0])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", "w", [])
+
+
+def test_weighted_quantiles_uniform_weights_match_lower_quantile(spark):
+    from aden_hive_fork_spark.operators.quality import weighted_quantiles
+
+    vals = [float(x) for x in range(1, 101)]
+    df = spark.createDataFrame([(v, 1.0) for v in vals], "v double, w double")
+    out = {r["q"]: r["value"]
+           for r in weighted_quantiles(df, "v", "w", [0.25, 0.5, 1.0]).collect()}
+    assert out == {0.25: 25.0, 0.5: 50.0, 1.0: 100.0}
