@@ -613,3 +613,102 @@ def mann_kendall(
         fquant(z, ndigits).alias("z"),
         fquant(F.col("_sen"), ndigits).alias("sen_slope"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    sample_a,
+    sample_b,
+    group_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test per group: D = sup over x
+    of |F_a(x) − F_b(x)|, the distribution-shift detector that needs
+    no binning choice (``kl_drift``'s weakness) and no distributional
+    assumption (``welch_ttest``'s). The workhorse "did this month's
+    price distribution move?" question.
+
+    Exactness: both empirical CDFs step only at observed values, so
+    D is the max over the DISTINCT value grid of
+    |cum_a/n_a − cum_b/n_b| where the cumulative counts are exact
+    integers from one per-value aggregate + one cumulative window.
+    Integer-to-double division, abs and max are all IEEE-exact, so
+    d_stat is bit-deterministic across partitionings and engines
+    BEFORE the output rounding — the oracle replay is the identical
+    expression tree.
+
+    p_value is the asymptotic Kolmogorov series
+    2·Σ_{k=1..5} (−1)^{k−1} e^{−2k²λ²} with the Stephens small-sample
+    correction λ = (√n_e + 0.12 + 0.11/√n_e)·D, n_e = n_a·n_b/(n_a+n_b);
+    each exp term is FLOOR-quantized (``fquant``) before the fixed-
+    order sum — the transcendental cross-engine discipline — and the
+    sum clamped to [0, 1]. Five terms suffice: the k=6 term is
+    < 1e-6 whenever the k=1 term is < 0.99 (λ ≳ 0.05), i.e. anywhere
+    the clamp to 1 hasn't already absorbed the tail. NULL d_stat and
+    p_value when either sample is empty in a group.
+
+    Scale: one shuffle to the per-(group, value) grid — raw rows
+    collapse to distinct values FIRST, so the cumulative window runs
+    over the value grid, not the data; a single giant group's
+    ordered CDF is the statistic's irreducible sort. NULL values are
+    excluded (they belong to neither CDF).
+    """
+    from pyspark.sql.window import Window
+
+    keys = list(group_cols or [])
+    in_a = F.col(sample_col) == F.lit(sample_a)
+    in_b = F.col(sample_col) == F.lit(sample_b)
+    base = df.filter((in_a | in_b) & F.col(value_col).isNotNull())
+    per_val = base.groupBy(
+        *keys, F.col(value_col).cast("double").alias("_v")
+    ).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("bigint").alias("_ca"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("bigint").alias("_cb"),
+    )
+    win = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*keys)
+    cum = (
+        per_val.withColumn("_cum_a", F.sum("_ca").over(win))
+        .withColumn("_cum_b", F.sum("_cb").over(win))
+        .withColumn("_na", F.sum("_ca").over(tot))
+        .withColumn("_nb", F.sum("_cb").over(tot))
+    )
+    gap = F.abs(
+        F.col("_cum_a").cast("double") / F.col("_na").cast("double")
+        - F.col("_cum_b").cast("double") / F.col("_nb").cast("double")
+    )
+    agg = cum.groupBy(*keys).agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.max(F.when((F.col("_na") > 0) & (F.col("_nb") > 0), gap)).alias(
+            "_d"
+        ),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ne = na * nb / (na + nb)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("_d")
+    p_raw = sum(
+        (
+            F.lit(2.0 * (1 if k % 2 == 1 else -1))
+            * fquant(F.exp(F.lit(-2.0 * k * k) * lam * lam), ndigits)
+            for k in range(1, 6)
+        ),
+        F.lit(0.0),
+    )
+    p = F.when(
+        F.col("_d").isNotNull(),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), p_raw)),
+    )
+    return agg.select(
+        *keys,
+        "n_a",
+        "n_b",
+        fquant(F.col("_d"), ndigits).alias("d_stat"),
+        fquant(p, ndigits).alias("p_value"),
+    )

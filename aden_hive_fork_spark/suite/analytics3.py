@@ -1424,3 +1424,86 @@ def q221_mann_kendall_trend(spark, sf_dir):
     return mann_kendall(
         series, "t", "y", ["o_orderpriority"]
     ).orderBy(F.asc("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# q225 — two-sample Kolmogorov-Smirnov (operators/stats.ks_test): did
+# urgent orders' price DISTRIBUTION differ from low-priority ones,
+# per order status? Exact integer CDFs on the distinct-value grid;
+# p-value terms floor-quantized before the fixed-order sum (the
+# transcendental discipline).
+# ---------------------------------------------------------------------------
+@query(
+    "q225_ks_price_shift",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+             CAST(o_totalprice AS DOUBLE) AS v,
+             o_orderpriority AS s
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_totalprice IS NOT NULL
+    ), pv AS (
+      SELECT status, v,
+        CAST(SUM(CASE WHEN s = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN s = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM base GROUP BY status, v
+    ), cum AS (
+      SELECT status,
+        SUM(ca) OVER (PARTITION BY status ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_a,
+        SUM(cb) OVER (PARTITION BY status ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_b,
+        SUM(ca) OVER (PARTITION BY status) AS na,
+        SUM(cb) OVER (PARTITION BY status) AS nb
+      FROM pv
+    ), d AS (
+      SELECT status,
+        CAST(MAX(na) AS BIGINT) AS n_a,
+        CAST(MAX(nb) AS BIGINT) AS n_b,
+        MAX(CASE WHEN na > 0 AND nb > 0 THEN
+          ABS(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+            - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) END) AS dd
+      FROM cum GROUP BY status
+    ), lamt AS (
+      SELECT status, n_a, n_b, dd,
+        (SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) + 0.12
+         + 0.11 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))) * dd
+          AS lam
+      FROM d
+    ), praw AS (
+      SELECT status, n_a, n_b, dd,
+          2.0 * (FLOOR(EXP(-2.0 * lam * lam) * 1e6) / 1e6)
+        - 2.0 * (FLOOR(EXP(-8.0 * lam * lam) * 1e6) / 1e6)
+        + 2.0 * (FLOOR(EXP(-18.0 * lam * lam) * 1e6) / 1e6)
+        - 2.0 * (FLOOR(EXP(-32.0 * lam * lam) * 1e6) / 1e6)
+        + 2.0 * (FLOOR(EXP(-50.0 * lam * lam) * 1e6) / 1e6) AS p_raw
+      FROM lamt
+    )
+    SELECT status, n_a, n_b,
+      FLOOR(dd * 1e6) / 1e6 AS d_stat,
+      FLOOR(LEAST(1.0, GREATEST(0.0, p_raw)) * 1e6) / 1e6 AS p_value
+    FROM praw
+    ORDER BY status ASC
+    """,
+)
+def q225_ks_price_shift(spark, sf_dir):
+    """KS distribution-shift test of o_totalprice between urgent and
+    low-priority orders within each order status. One per-value
+    aggregate + one cumulative window over the DISTINCT value grid —
+    raw rows collapse before the ordered pass."""
+    from ..operators.stats import ks_test
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return ks_test(
+        o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW",
+        ["status"],
+    ).orderBy(F.asc("status"))

@@ -413,3 +413,51 @@ def test_mann_kendall_constant_series_and_ties(spark):
     # all pairs tie: S = 0; tie correction kills the variance → z NULL
     assert out["s_stat"] == 0 and out["z"] is None
     assert out["sen_slope"] == 0.0
+
+
+def test_ks_test_hand_computed_separated_samples(spark):
+    from aden_hive_fork_spark.operators.stats import ks_test
+
+    # fully separated: D = 1.0 exactly (CDFs never overlap)
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = ks_test(df, "v", "s", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["d_stat"] == 1.0
+    assert r["p_value"] < 0.2  # strong evidence of shift
+
+
+def test_ks_test_interleaved_and_identical(spark):
+    from aden_hive_fork_spark.operators.stats import ks_test
+
+    # identical samples: D = 0, p = 1 (the series sums to 2-2+2-2+2
+    # = 2, clamped to 1)
+    rows = [("a", float(v)) for v in range(10)] + [
+        ("b", float(v)) for v in range(10)
+    ]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = ks_test(df, "v", "s", "a", "b").collect()[0]
+    assert r["d_stat"] == 0.0 and r["p_value"] == 1.0
+
+    # hand case: a=[1,2,3,4], b=[3,4,5,6] → max gap at x=2:
+    # F_a=0.5, F_b=0 → D=0.5
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]] + [
+        ("b", v) for v in [3.0, 4.0, 5.0, 6.0]
+    ]
+    df = spark.createDataFrame(rows, "s string, v double")
+    r = ks_test(df, "v", "s", "a", "b").collect()[0]
+    assert r["d_stat"] == 0.5
+
+
+def test_ks_test_empty_side_and_groups(spark):
+    from aden_hive_fork_spark.operators.stats import ks_test
+
+    rows = [
+        ("g1", "a", 1.0), ("g1", "a", 2.0), ("g1", "b", 9.0),
+        ("g2", "a", 1.0),  # no b rows in g2
+    ]
+    df = spark.createDataFrame(rows, "g string, s string, v double")
+    out = {r["g"]: r for r in ks_test(df, "v", "s", "a", "b", ["g"]).collect()}
+    assert out["g1"]["d_stat"] == 1.0
+    assert out["g2"]["n_b"] == 0
+    assert out["g2"]["d_stat"] is None and out["g2"]["p_value"] is None
