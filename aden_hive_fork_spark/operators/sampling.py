@@ -446,3 +446,83 @@ def mixture_resample(
         df.join(F.broadcast(rates), group_col)
         .filter(frac < F.col("keep_rate"))
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    k: int = 4,
+    num_buckets: int | None = None,
+    anchor_filter: Column | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor row, ``k`` pseudo-random companions with a DIFFERENT
+    label (cross-lingual pairs, cross-domain pairs, non-duplicate
+    counterexamples for a dedup classifier).
+
+    The naive draw is an all-pairs join; this never builds it. Every
+    row lands in one of ``num_buckets`` hash buckets
+    (``hash_bucket`` — md5, so DuckDB replays the assignment), an
+    anchor draws only from ITS OWN bucket, and within the bucket the
+    k survivors are the smallest md5(anchor|candidate) — a per-pair
+    hash ring, so the choice is a pure function of content:
+    repartition-stable, cluster-shape-independent, and a different
+    ``salt`` is an independent redraw. Join volume is
+    n·(n/num_buckets) — bounded by the bucket size the caller picks,
+    not n². Self-pairs are excluded by the label filter (an anchor
+    shares its own label).
+
+    Per-anchor output is min(k, cross-label rows in its bucket):
+    size buckets at ≥ ~8·k expected candidates (num_buckets ≈
+    n / (8k)) so shortfalls are rare; they are not backfilled from
+    other buckets (backfill would make membership depend on global
+    ordering — the determinism contract loses). When ``num_buckets``
+    is None it is sized from one count() of the input — pass it
+    explicitly in pipelines that must avoid the extra job.
+
+    ``anchor_filter`` restricts which rows get negatives (e.g. only
+    the current training shard) — candidates still come from the
+    whole input. Output: (anchor_key, neg_key, neg_label, rank),
+    rank 1..k in hash-ring order.
+    """
+    if k < 1:
+        raise ValueError("contrastive_negatives: k must be >= 1")
+    if num_buckets is None:
+        n = df.count()
+        num_buckets = max(1, n // max(32, 8 * k))
+    cand = df.select(
+        F.col(key_col).alias("_nk"),
+        F.col(label_col).alias("_nl"),
+        hash_bucket(F.col(key_col), num_buckets, salt).alias("_b"),
+    )
+    anch = df
+    if anchor_filter is not None:
+        anch = anch.filter(anchor_filter)
+    anch = anch.select(
+        F.col(key_col).alias("_ak"),
+        F.col(label_col).alias("_al"),
+        hash_bucket(F.col(key_col), num_buckets, salt).alias("_b"),
+    )
+    ring = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("_ak").cast("string"),
+            F.lit("|"),
+            F.col("_nk").cast("string"),
+        )
+    )
+    w = Window.partitionBy("_ak").orderBy(ring.asc(), F.col("_nk").asc())
+    return (
+        anch.join(cand, "_b")
+        .filter(F.col("_nl") != F.col("_al"))
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select(
+            F.col("_ak").alias("anchor_key"),
+            F.col("_nk").alias("neg_key"),
+            F.col("_nl").alias("neg_label"),
+            F.col("_rnk").cast("int").alias("rank"),
+        )
+    )

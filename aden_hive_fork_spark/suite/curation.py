@@ -839,3 +839,59 @@ def q217_mixture_resample(spark, sf_dir):
     return kept.select("doc_id", "source", "n_chars").orderBy(
         F.asc("source"), F.asc("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — contrastive hard negatives (operators/sampling.
+# contrastive_negatives): cross-language negative pairs for embedding
+# training. Bucket join bounds volume at n·(n/B); the md5 hash ring
+# makes every pick a pure function of content, so DuckDB replays
+# exact membership AND order.
+# ---------------------------------------------------------------------------
+@query(
+    "q226_contrastive_negatives",
+    oracle="""
+    WITH cand AS (
+      SELECT doc_id AS nid, lang AS nlang,
+        CAST(('0x' || substr(md5('q226' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 16 AS b
+      FROM documents
+    ), anch AS (
+      SELECT doc_id AS aid, lang AS alang,
+        CAST(('0x' || substr(md5('q226' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 16 AS b
+      FROM documents WHERE doc_id % 97 = 0
+    ), ranked AS (
+      SELECT aid, nid, nlang,
+        ROW_NUMBER() OVER (
+          PARTITION BY aid
+          ORDER BY md5('q226' || CAST(aid AS VARCHAR) || '|'
+                       || CAST(nid AS VARCHAR)) ASC, nid ASC
+        ) AS rnk
+      FROM anch JOIN cand USING (b)
+      WHERE nlang <> alang
+    )
+    SELECT aid AS anchor_id, nid AS neg_id, nlang AS neg_lang,
+           CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 3
+    ORDER BY anchor_id ASC, rank ASC
+    """,
+)
+def q226_contrastive_negatives(spark, sf_dir):
+    """Three cross-language negatives per anchor (every 97th doc),
+    drawn from 16 hash buckets. Join volume = anchors × bucket size,
+    never all-pairs; membership and rank are content-pure (md5), so
+    the result is identical on any cluster shape."""
+    from ..operators.sampling import contrastive_negatives
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = contrastive_negatives(
+        docs, "doc_id", "lang", k=3, num_buckets=16,
+        anchor_filter=F.col("doc_id") % 97 == 0, salt="q226",
+    )
+    return out.select(
+        F.col("anchor_key").alias("anchor_id"),
+        F.col("neg_key").alias("neg_id"),
+        F.col("neg_label").alias("neg_lang"),
+        "rank",
+    ).orderBy(F.asc("anchor_id"), F.asc("rank"))

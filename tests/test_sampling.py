@@ -359,3 +359,55 @@ def test_mixture_resample_drops_unlisted_groups_and_validates(spark):
         mixture_resample(df, "source", "doc_id", {"web": 0.5})  # sums to 0.5
     with pytest.raises(ValueError):
         mixture_resample(df, "source", "doc_id", {"web": 1.5, "junk": -0.5})
+
+
+def test_contrastive_negatives_label_and_rank_contract(spark):
+    from aden_hive_fork_spark.operators.sampling import contrastive_negatives
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = contrastive_negatives(df, "doc_id", "lang", k=3, num_buckets=4)
+    pdf = out.toPandas()
+    labels = dict(rows)
+    assert len(pdf) > 0
+    for r in pdf.itertuples():
+        # a negative never shares the anchor's label, never self-pairs
+        assert labels[r.neg_key] != labels[r.anchor_key]
+        assert r.neg_key != r.anchor_key
+    # ranks are contiguous 1..n(anchor) with n <= k
+    for _, g in pdf.groupby("anchor_key"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 3
+
+
+def test_contrastive_negatives_deterministic_and_salted(spark):
+    from aden_hive_fork_spark.operators.sampling import contrastive_negatives
+
+    rows = [(i, str(i % 5)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    a = contrastive_negatives(df, "doc_id", "lang", 2, 8).collect()
+    b = contrastive_negatives(
+        df.repartition(13), "doc_id", "lang", 2, 8
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = contrastive_negatives(df, "doc_id", "lang", 2, 8, salt="x").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_contrastive_negatives_anchor_filter_and_autosize(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.sampling import contrastive_negatives
+
+    rows = [(i, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = contrastive_negatives(
+        df, "doc_id", "lang", k=2,
+        anchor_filter=F.col("doc_id") < 10,
+    )
+    anchors = {r["anchor_key"] for r in out.collect()}
+    assert anchors and all(a < 10 for a in anchors)
+    with pytest.raises(ValueError):
+        contrastive_negatives(df, "doc_id", "lang", k=0)
