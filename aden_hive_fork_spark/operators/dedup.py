@@ -737,3 +737,138 @@ def repeated_passages(
         .orderBy(F.desc("n_docs"), F.asc("passage"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered exact Jaccard (high-threshold tier)
+# ---------------------------------------------------------------------------
+def ppjoin_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard pairs at a HIGH threshold via prefix filtering
+    (the PPJoin family) — same output contract as
+    ``ngram_jaccard_pairs`` (id_a < id_b, jaccard >= threshold,
+    rounded to 4 decimals) but LOSSLESS at any cutoff, unlike the
+    ``max_shingle_df`` stop-shingle cap, which can under-count near
+    the threshold.
+
+    The filter: order all shingles by (corpus document frequency,
+    shingle) — one global total order, rarest first — and index only
+    each document's first ``p = n − ⌈t·n⌉ + 1`` shingles in that
+    order. Any pair with Jaccard ≥ t has overlap ≥ t·max(|A|,|B|),
+    which cannot fit entirely in either suffix of length ⌈t·n⌉ − 1,
+    so the pair MUST collide on an indexed (prefix) shingle —
+    candidate generation is provably complete. Survivors are then
+    rescored EXACTLY from the full shingle arrays (array_intersect,
+    integer arithmetic), so false candidates cost work, never
+    correctness.
+
+    Why this is the high-threshold scale path: at t the index keeps
+    only ~(1−t) of each document's shingles, so candidate volume
+    falls ~(1−t)² vs the full inverted index — at t = 0.8 that is
+    25× fewer pairs. And the hottest shingles sort LAST in the
+    global order, so they rarely make any prefix: the degenerate
+    posting lists the DF cap existed to guard against prune
+    themselves, with no recall loss. At t ≤ ~0.3 prefixes approach
+    the full sets and ``ngram_jaccard_pairs`` is the better tool.
+
+    Shuffles: one DF aggregate, one join of the exploded index to
+    the DF table (keyed by shingle), one per-doc prefix window, one
+    candidate self-join (keyed by shingle), one rescore join (keyed
+    by id, shingle arrays move only for candidate pairs).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("ppjoin_jaccard_pairs: threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    block_cols = block_cols or []
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(parallelism, id_col)
+        .select(
+            *block_cols,
+            F.col(id_col).alias("id"),
+            shingles_col(text_col, k).alias("shingles"),
+        )
+        .withColumn("n_sh", F.size("shingles"))
+        .filter(F.col("n_sh") > 0)
+    )
+    # materialize-once for the four consumers (DF agg, prefix join,
+    # both rescore branches) WITHOUT a CacheManager entry: localCheckpoint
+    # blocks belong to the RDD and are reclaimed by the ContextCleaner
+    # when the returned plan is garbage-collected (the dense_ids
+    # pattern) — repeated calls don't accumulate persisted plans the
+    # way an un-unpersisted persist() would.
+    sh = sh.localCheckpoint(eager=False)
+    exploded = sh.select(
+        *block_cols, "id", "n_sh", F.explode("shingles").alias("shingle")
+    )
+    dfreq = exploded.groupBy(*block_cols, "shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    ordered = exploded.join(dfreq, block_cols + ["shingle"])
+    w = Window.partitionBy(*block_cols, "id").orderBy(
+        F.asc("_df"), F.asc("shingle")
+    )
+    # ceil(t·n) with a downward epsilon: when t·n is an exact integer
+    # the IEEE product can round a hair ABOVE it, ceil would overshoot
+    # by one and the prefix would be one element too SHORT — a recall
+    # hole. ceil(t·n − 1e-9) restores the true integer there and is a
+    # no-op everywhere else; an over-long prefix is always safe (more
+    # candidates, same exact rescore).
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
+    prefix = (
+        ordered.withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= prefix_len)
+        .select(*block_cols, "id", "shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+            + [F.col("a.shingle") == F.col("b.shingle")]
+            if block_cols
+            else ["shingle"],
+        )
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    left = sh.select(
+        *block_cols,
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("_sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    right = sh.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("_sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    scored = (
+        cands.join(left, "id_a")
+        .join(right, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("_sa", "_sb")).cast("bigint")
+        )
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    raw = F.col("inter").cast("double") / F.nullif(
+        union, F.lit(0)
+    ).cast("double")
+    jac = F.round(raw, 4).cast("double")
+    return (
+        scored.filter(raw >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+    )

@@ -15,6 +15,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
+    ppjoin_jaccard_pairs,
     simhash_neardup_pairs,
 )
 from ._helpers import T
@@ -304,4 +305,49 @@ def q199_kmv_jaccard_neardup(spark, sf_dir):
             "est_jaccard",
         )
         .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — prefix-filtered exact Jaccard (operators/dedup.
+# ppjoin_jaccard_pairs): the high-threshold tier. Candidate
+# generation indexes only each doc's (1−t) rarest shingles (global
+# DF order) — provably complete for Jaccard ≥ t — then rescores
+# exactly, so the oracle is plain exact Jaccard with NO cap caveat.
+# ---------------------------------------------------------------------------
+@query(
+    "q227_ppjoin_neardup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        )) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(NULLIF(len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles)), 0) AS DOUBLE), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(NULLIF(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)), 0) AS DOUBLE) >= 0.6
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    """,
+)
+def q227_ppjoin_neardup(spark, sf_dir):
+    """Corpus-wide (unblocked) near-duplicate pairs at Jaccard ≥ 0.6
+    via prefix filtering: index volume ~(1−t) per doc, candidate
+    volume ~(1−t)² of the full inverted index, hot shingles sort out
+    of the prefixes by construction — no stop-shingle cap needed."""
+    docs = T(spark, sf_dir, "documents")
+    return ppjoin_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, threshold=0.6
+    ).selectExpr(
+        "CAST(id_a AS BIGINT) AS id_a",
+        "CAST(id_b AS BIGINT) AS id_b",
+        "jaccard",
     )

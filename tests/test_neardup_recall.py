@@ -193,3 +193,71 @@ def test_kmv_jaccard_stop_hash_cap_prunes_index_only(spark):
     assert (1, 100) in uncapped
     for pair, est in capped.items():
         assert uncapped[pair] == est  # scores identical where reported
+
+
+def test_ppjoin_matches_full_inverted_index_exactly(spark):
+    """Differential: prefix-filtered candidates + exact rescore must
+    equal the full-index exact tier at the same threshold — prefix
+    filtering is lossless for Jaccard >= t, including boundary pairs
+    and hot shingles."""
+    from aden_hive_fork_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ppjoin_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    docs = []
+    # exact dup pair, near-dup pair, half-overlap pair, unrelated docs
+    docs.append((1, " ".join(words)))
+    docs.append((2, " ".join(words)))                     # J = 1.0 with 1
+    docs.append((3, " ".join(words[:-1] + ["omega"])))    # high J with 1/2
+    docs.append((4, " ".join(words[:6] + ["x", "y", "z", "w"])))
+    # hot-shingle stuffing: many docs sharing one common phrase
+    for i in range(5, 25):
+        docs.append((i, f"common shared phrase tail{i} filler{i} pad{i}"))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    for t in (0.5, 0.6, 0.8, 1.0):
+        full = sorted(
+            map(tuple, ngram_jaccard_pairs(
+                df, "doc_id", threshold=t, max_shingle_df=None
+            ).collect())
+        )
+        pp = sorted(
+            map(tuple, ppjoin_jaccard_pairs(
+                df, "doc_id", threshold=t
+            ).collect())
+        )
+        assert pp == full, f"threshold {t}: {pp} != {full}"
+    assert len(ppjoin_jaccard_pairs(df, "doc_id", threshold=0.5).collect()) > 0
+
+
+def test_ppjoin_integer_boundary_threshold(spark):
+    """t·n exactly integral (t=0.6, n=5): the epsilon-guarded ceil must
+    keep the prefix long enough — a pair at exactly J = t survives."""
+    from aden_hive_fork_spark.operators.dedup import ppjoin_jaccard_pairs
+
+    # 5 shingles each (7 words, k=3), sharing exactly 3 → J = 3/7?
+    # Build J exactly 0.6: |A|=|B|=4 shingles (6 words), share 3:
+    # J = 3/5 = 0.6
+    a = "w1 w2 w3 w4 w5 a6"
+    b = "w1 w2 w3 w4 w5 b6"  # shingles differ only in the last one
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"
+    )
+    out = ppjoin_jaccard_pairs(df, "doc_id", threshold=0.6).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.6
+
+
+def test_ppjoin_validates_and_handles_empty(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.dedup import ppjoin_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also small")], "doc_id bigint, text string"
+    )
+    assert ppjoin_jaccard_pairs(df, "doc_id").collect() == []
+    with pytest.raises(ValueError):
+        ppjoin_jaccard_pairs(df, "doc_id", threshold=0.0)
