@@ -454,3 +454,90 @@ def table_changes(
         d = d.withColumn("_seq", F.lit(s).cast("bigint"))
         out = d if out is None else out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def erase_keys(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    vacuum_history: bool = True,
+) -> dict:
+    """Right-to-erasure: remove the given keys from the table AND
+    from its on-disk history, then prove it. A bare tombstone is not
+    erasure — the old bytes survive in the base version, in folded
+    deltas, and in every time-travel version until something removes
+    the files. This composes the full sequence:
+
+    1. tombstone the keys (one delta; non-key columns written as
+       typed NULLs — the erase batch itself never re-materializes
+       the data being erased);
+    2. ``compact_table`` — the new base is written WITHOUT the
+       erased keys;
+    3. ``vacuum_deltas`` — folded delta dirs (including historical
+       upserts carrying the data) are deleted;
+    4. ``vacuum_versions(keep=1)`` when ``vacuum_history`` — every
+       pre-erase base version is deleted. This intentionally
+       DESTROYS time travel below the erase point: retention and
+       erasure are mutually exclusive guarantees, and erasure wins
+       here by contract (Delta's VACUUM has the same consequence);
+    5. audit — every parquet directory still reachable under the
+       root (remaining versions + live deltas) is semi-joined
+       against the erased keys; the report counts residual rows,
+       which is 0 unless a concurrent writer violated the table's
+       single-writer discipline mid-erase.
+
+    Scale: the tombstone is |keys| rows; compaction is the one full
+    rewrite (unavoidable — parquet is immutable, removing rows IS
+    rewriting); each audit probe is a scan pruned by a key semi-join
+    (AQE broadcasts the key set when small). Erasure of DERIVED
+    artifacts — materialized views, manifests, checkpoints, exports —
+    is the caller's responsibility; this erases the table.
+
+    Returns ``{"n_keys", "residual_rows", "new_version",
+    "vacuumed_deltas", "vacuumed_versions"}``. Keys must be non-NULL
+    (NULL never equi-matches; such rows could linger silently) —
+    raises if any key row carries a NULL.
+    """
+    from .layout import list_versions, vacuum_versions
+
+    man = _manifest(root)
+    key_cols = man.get("key_cols") or _infer_keys_error(root)
+    tomb = keys.select(*key_cols).distinct().localCheckpoint(eager=True)
+    null_keys = tomb.filter(
+        " OR ".join(f"{c} IS NULL" for c in key_cols)
+    ).limit(1).count()
+    if null_keys:
+        raise ValueError("erase_keys: NULL in key columns — refusing "
+                         "(NULL never matches; the row would survive)")
+    n_keys = tomb.count()
+    schema = read_table(spark, root).schema
+    batch = tomb
+    for f in schema.fields:
+        if f.name not in key_cols:
+            batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
+    batch = batch.select(*[f.name for f in schema.fields]).withColumn(
+        OP_COL, F.lit("delete")
+    )
+    upsert(batch, root, key_cols)
+    new_v = compact_table(spark, root)
+    dead_deltas = vacuum_deltas(root)
+    dead_versions = (
+        vacuum_versions(root, keep=1) if vacuum_history else []
+    )
+    residual = 0
+    probes = [
+        os.path.join(root, f"v={v}") for v in list_versions(root)
+    ] + [
+        os.path.join(root, _DELTA, f"d={s}") for s in _delta_seqs(root)
+    ]
+    for p in probes:
+        df = spark.read.parquet(p)
+        if all(c in df.columns for c in key_cols):
+            residual += df.join(tomb, key_cols, "left_semi").count()
+    return {
+        "n_keys": int(n_keys),
+        "residual_rows": int(residual),
+        "new_version": int(new_v),
+        "vacuumed_deltas": dead_deltas,
+        "vacuumed_versions": dead_versions,
+    }

@@ -362,3 +362,54 @@ def q223_incremental_agg_view(spark, sf_dir):
         .select(F.col("g").alias("priority"), "n_orders", "total_price")
         .orderBy(F.asc("priority"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — right-to-erasure (operators/table.erase_keys): tombstone →
+# compact → vacuum deltas AND history → audit every surviving parquet
+# byte. The oracle is the end state (customers minus the erased keys)
+# plus the audit invariant folded into the output: residual_rows must
+# be 0, so it rides the hash as a constant column.
+# ---------------------------------------------------------------------------
+@query(
+    "q228_gdpr_erasure",
+    oracle="""
+    SELECT c_mktsegment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_balance,
+      CAST(0 AS BIGINT) AS residual_rows
+    FROM customer
+    WHERE c_custkey % 97 <> 13
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment ASC
+    """,
+)
+def q228_gdpr_erasure(spark, sf_dir):
+    """Erase every customer with custkey ≡ 13 (mod 97) from a keyed
+    table AND its on-disk history, then aggregate the survivors. The
+    physical audit (semi-join over every remaining parquet dir)
+    reports residual_rows, emitted as a column so the oracle hash
+    fails loudly if a single erased byte survives."""
+    from ..operators.table import create_table, erase_keys, read_table
+
+    root = _dml_dir(sf_dir, "erase_customers")
+    shutil.rmtree(root, ignore_errors=True)
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    create_table(cust, root, ["c_custkey"])
+    doomed = cust.filter(F.col("c_custkey") % 97 == 13).select("c_custkey")
+    report = erase_keys(spark, root, doomed)
+    return (
+        read_table(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dround(F.sum(dec("c_acctbal"))).alias("total_balance"),
+        )
+        .withColumn(
+            "residual_rows", F.lit(int(report["residual_rows"])).cast("bigint")
+        )
+        .orderBy(F.asc("c_mktsegment"))
+    )

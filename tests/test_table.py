@@ -278,3 +278,56 @@ def test_table_changes_empty_and_post_vacuum(spark, tmp_path):
     compact_table(spark, root)
     vacuum_deltas(root)
     assert table_changes(spark, root).count() == 0
+
+
+def test_erase_keys_removes_all_traces(spark, table):
+    import glob
+
+    from aden_hive_fork_spark.operators.table import erase_keys
+
+    # history: an update to doc 3 (so its value exists in base AND a
+    # delta), then erase docs 3 and 7
+    upsert(
+        spark.createDataFrame(
+            [(3, 33.0, "updated")], "doc_id long, score double, label string"
+        ),
+        table,
+        ["doc_id"],
+    )
+    keys = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    report = erase_keys(spark, table, keys)
+    assert report["n_keys"] == 2
+    assert report["residual_rows"] == 0
+    # logical state: erased keys gone, everything else intact
+    state = _rows(spark, table)
+    assert 3 not in state and 7 not in state
+    assert len(state) == 8 and state[4] == (4.0, "keep")
+    # physical state: every remaining parquet file is free of the keys
+    residual = 0
+    for f in glob.glob(os.path.join(table, "**", "*.parquet"),
+                       recursive=True):
+        pdf = spark.read.parquet(f).toPandas()
+        if "doc_id" in pdf.columns:
+            residual += int(pdf["doc_id"].isin([3, 7]).sum())
+    assert residual == 0
+    # history is gone by contract: only one version remains
+    from aden_hive_fork_spark.operators.layout import list_versions
+
+    assert len(list_versions(table)) == 1
+
+
+def test_erase_keys_refuses_null_keys_and_keeps_history_opt(spark, table):
+    from aden_hive_fork_spark.operators.layout import list_versions
+    from aden_hive_fork_spark.operators.table import erase_keys
+
+    with pytest.raises(ValueError):
+        erase_keys(
+            spark, table, spark.createDataFrame([(None,)], "doc_id long")
+        )
+    # vacuum_history=False keeps old versions (caller manages later)
+    keys = spark.createDataFrame([(1,)], "doc_id long")
+    report = erase_keys(spark, table, keys, vacuum_history=False)
+    assert report["vacuumed_versions"] == []
+    assert len(list_versions(table)) >= 2
+    # the audit correctly reports the residue still in old versions
+    assert report["residual_rows"] > 0
