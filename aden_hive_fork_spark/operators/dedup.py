@@ -872,3 +872,95 @@ def ppjoin_jaccard_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level trim of cross-document repeated passages (suffix-dedup
+# analog at n-gram granularity — Lee et al. 2022 class of cleanup)
+# ---------------------------------------------------------------------------
+def trim_repeated_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut the SPANS that repeat across documents out of each
+    document, keeping the rest — the training-data middle ground
+    between document-level dedup (drops whole near-dupes) and
+    ``remove_boilerplate_lines`` (needs line structure). A word
+    n-gram appearing in >= ``min_docs`` DISTINCT documents marks all
+    its token positions for removal; overlapping hot spans merge
+    naturally because removal is per covered token position.
+
+    Pipeline (all JVM higher-order functions, zero Python in the row
+    path): positions = every n-gram with its 1-based start; hot =
+    passages with cross-doc document frequency >= min_docs (distinct
+    within doc first, so a doc spamming one phrase cannot hot-list
+    itself); per-doc hot START positions collect bounded by doc
+    length; a token survives iff no hot start covers it.
+
+    Shuffles: one passage-keyed aggregate (the inverted-index cost
+    class), one semi join of positions against the hot set, one
+    doc-keyed collect. Reassembly is map-side. The hot set is
+    self-limiting the same way stop-shingles are: the hotter the
+    passage, the fewer distinct values there are.
+
+    Output: (id, text, n_tokens_removed) — text rebuilt with single
+    spaces. Documents shorter than n tokens pass through unchanged.
+    """
+    if n < 1 or min_docs < 2:
+        raise ValueError("trim_repeated_passages: n >= 1, min_docs >= 2")
+    toks = tokens_col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+    ).withColumn("_nt", F.size("_toks"))
+    grams = base.filter(F.col("_nt") >= n).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nt") - n),
+                lambda i: F.struct(
+                    (i + 1).alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice("_toks", i + 1, n)
+                    ).alias("passage"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.passage").alias("passage"))
+    hot = (
+        grams.select("id", "passage")
+        .distinct()
+        .groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("passage")
+    )
+    hot_starts = (
+        grams.join(hot, "passage", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    joined = base.join(hot_starts, "id", "left").withColumn(
+        "_starts",
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+    )
+    covered = lambda p: F.exists(  # noqa: E731
+        "_starts", lambda s: (s <= p) & (p < s + F.lit(n))
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("_nt")),
+        lambda p: ~covered(p),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(
+            " ",
+            F.transform(kept, lambda p: F.element_at("_toks", p)),
+        ).alias("text"),
+        (F.col("_nt") - F.size(kept)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+    )
