@@ -73,6 +73,23 @@ def _decode(epoch: int | None) -> tuple[int, int]:
     return ((epoch >> _SHIFT) - 1, (epoch & ((1 << _SHIFT) - 1)) - 1)
 
 
+def _current_seq(root: str, applied: int = -1) -> int:
+    """Effective change-feed watermark of a source table: the newest
+    delta seq that is LIVE, or was FOLDED into the base by compaction
+    (``folded_through``), or was already APPLIED by this view.
+
+    Raw ``max(_delta_seqs)`` regresses to -1 after a compliant
+    refresh→compact→vacuum cycle (the delta dirs are gone); persisting
+    that regressed value when a refresh is driven by the OTHER side
+    would (a) rewind the view's watermark and (b) make the next
+    refresh's fold-past guard misfire forever. Taking the max of all
+    three signals makes the watermark monotone by construction."""
+    folded = _manifest(root).get("folded_through", -1)
+    return max(
+        max(_delta_seqs(root), default=-1), int(folded), int(applied)
+    )
+
+
 def _fold_epoch(view_root: str, epoch: int) -> None:
     """Record the applied epoch directly in the manifest (used when
     no delta exists to carry the marker: init, or an empty refresh).
@@ -106,8 +123,8 @@ def refresh_join_view(
         raise ValueError("refresh_join_view: dim must have a single key column")
     dk = dim_keys[0]
 
-    f_seq = max(_delta_seqs(fact_root), default=-1)
-    d_seq = max(_delta_seqs(dim_root), default=-1)
+    f_seq = _current_seq(fact_root)
+    d_seq = _current_seq(dim_root)
     fact = read_table(spark, fact_root)
     dim = read_table(spark, dim_root)
     overlap = set(fact.columns) & set(dim.columns)
@@ -136,6 +153,9 @@ def refresh_join_view(
     f0, d0 = _decode(last_applied_epoch(view_root, _APP))
     _check_not_folded_past(fact_root, f0, "fact")
     _check_not_folded_past(dim_root, d0, "dim")
+    # clamp to the applied watermark: a compacted+vacuumed side has no
+    # live deltas, but its progress must never be re-encoded lower
+    f_seq, d_seq = max(f_seq, f0), max(d_seq, d0)
     if f_seq <= f0 and d_seq <= d0:
         return {
             "fact_seq": f0,
@@ -233,7 +253,7 @@ def refresh_agg_view(
     fact_keys = _manifest(fact_root).get("key_cols")
     if not fact_keys:
         raise ValueError("refresh_agg_view: fact must be a keyed table")
-    f_seq = max(_delta_seqs(fact_root), default=-1)
+    f_seq = _current_seq(fact_root)
     fact = read_table(spark, fact_root)
 
     if not os.path.exists(os.path.join(view_root, _CURRENT)):
@@ -247,6 +267,7 @@ def refresh_agg_view(
     f0 = last_applied_epoch(view_root, _APP_AGG)
     f0 = -1 if f0 is None else int(f0)
     _check_not_folded_past(fact_root, f0, "fact")
+    f_seq = max(f_seq, f0)
     if f_seq <= f0:
         return {"fact_seq": f0, "n_upserts": 0, "n_deletes": 0,
                 "initialized": False}

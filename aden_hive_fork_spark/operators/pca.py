@@ -45,10 +45,22 @@ from pyspark.sql import functions as F
 
 def _dim(df: DataFrame, vec_col: str) -> int:
     """The (single) embedding dimensionality; raises on ragged input
-    instead of producing a silently-wrong covariance."""
+    or out-of-range components instead of producing a silently-wrong
+    covariance. The exact-sum path quantizes components to
+    DECIMAL(10,8), whose domain is |x| < 100 — a component at or
+    beyond that would overflow to NULL under non-ANSI Spark and
+    silently drop terms from the sums while n still counts the row,
+    so it is rejected here, loudly, up front."""
     row = df.agg(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),
+        F.max(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+        ).alias("amax"),
     ).collect()[0]
     if row["lo"] is None:
         raise ValueError("embedding_covariance: no rows with embeddings")
@@ -56,6 +68,12 @@ def _dim(df: DataFrame, vec_col: str) -> int:
         raise ValueError(
             f"embedding_covariance: ragged embedding sizes "
             f"[{row['lo']}, {row['hi']}] — fix the corpus first"
+        )
+    if row["amax"] is not None and row["amax"] >= 100.0:
+        raise ValueError(
+            f"embedding_covariance: |component| max {row['amax']} exceeds "
+            f"the DECIMAL(10,8) exact-sum domain (|x| < 100) — scale the "
+            f"embeddings (e.g. L2-normalize) before calling"
         )
     return int(row["hi"])
 

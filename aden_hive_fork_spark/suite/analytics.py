@@ -544,10 +544,10 @@ def q149_pseudonymized_revenue(spark, sf_dir):
       FROM events
     )
     SELECT event_type, bucket_start,
-      MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-      MAX(value) AS high,
-      MIN(value) AS low,
-      MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DECIMAL(18,2)) AS open,
+      CAST(MAX(value) AS DECIMAL(18,2)) AS high,
+      CAST(MIN(value) AS DECIMAL(18,2)) AS low,
+      CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close,
       CAST(COUNT(*) AS BIGINT) AS n_ticks,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS volume
     FROM t
@@ -563,13 +563,19 @@ def q150_ohlc_bars(spark, sf_dir):
     bars = ohlc_bars(
         e, "ts", "value", ["event_type"], "1 hour", tiebreak_col="event_id"
     )
+    # SURVEY §7.3 float discipline: the bar bounds are raw unquantized
+    # DOUBLEs (the only such outputs in the whole suite) — quantize to
+    # DECIMAL(18,2) on BOTH engine and oracle sides so the value hash
+    # can never diverge on float formatting. Tick values are 2-decimal
+    # by construction, so the cast is lossless.
+    q2 = lambda c: F.col(c).cast("decimal(18,2)").alias(c)  # noqa: E731
     return bars.select(
         "event_type",
         "bucket_start",
-        "open",
-        "high",
-        "low",
-        "close",
+        q2("open"),
+        q2("high"),
+        q2("low"),
+        q2("close"),
         "n_ticks",
         F.col("volume").cast("decimal(28,2)").alias("volume"),
     ).orderBy("event_type", "bucket_start")

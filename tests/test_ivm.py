@@ -304,3 +304,87 @@ def test_agg_view_asof_retention_contract(spark, tmp_path):
     vacuum_deltas(f_root)
     with pytest.raises(ValueError, match="compacted through"):
         refresh_agg_view(spark, f_root, v_root, ["grp"], aggs)
+
+
+def test_watermark_monotone_after_source_compact_vacuum(spark, tables):
+    """Regression: a compliant refresh→compact→vacuum on one source
+    must not regress the view's persisted watermark when a LATER
+    refresh is driven by the other side — and the refresh after THAT
+    must not trip the fold-past guard (the view would be permanently
+    blocked)."""
+    f_root, d_root, v_root = tables
+    refresh_join_view(spark, f_root, d_root, v_root, "cust")
+
+    # advance + drain the FACT side, then compact+vacuum it:
+    # its live delta seqs are now gone (max(_delta_seqs) == -1)
+    upsert(
+        spark.createDataFrame(
+            [(200, 1, 42.0, "upsert")],
+            "order_id int, cust int, amount double, _op string",
+        ),
+        f_root,
+        ["order_id"],
+    )
+    refresh_join_view(spark, f_root, d_root, v_root, "cust")
+    compact_table(spark, f_root)
+    vacuum_deltas(f_root)
+
+    # a refresh driven by the DIM side must keep the fact watermark
+    upsert(
+        spark.createDataFrame(
+            [(1, "GOLD", "upsert")], "cust_id int, segment string, _op string"
+        ),
+        d_root,
+        ["cust_id"],
+    )
+    st = refresh_join_view(spark, f_root, d_root, v_root, "cust")
+    assert st["fact_seq"] >= 0, "fact watermark regressed to -1"
+
+    # and the NEXT refresh (any side) must not raise the fold-past guard
+    upsert(
+        spark.createDataFrame(
+            [(2, "SILVER", "upsert")], "cust_id int, segment string, _op string"
+        ),
+        d_root,
+        ["cust_id"],
+    )
+    st = refresh_join_view(spark, f_root, d_root, v_root, "cust")
+    view = read_table(spark, v_root)
+    want = _batch_join(spark, f_root, d_root, "cust", "cust_id")
+    assert _rows(view, ["order_id"]) == _rows(want, ["order_id"])
+
+
+def test_agg_view_watermark_monotone_after_compact_vacuum(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.ivm import refresh_agg_view
+    from aden_hive_fork_spark.operators.table import _delta_seqs
+
+    f_root = str(tmp_path / "fact")
+    v_root = str(tmp_path / "aggview")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id int, grp string, amount double"
+        ),
+        f_root,
+        ["id"],
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    refresh_agg_view(spark, f_root, v_root, ["grp"], aggs)
+    upsert(
+        spark.createDataFrame(
+            [(3, "a", 3.0, "upsert")], "id int, grp string, amount double, _op string"
+        ),
+        f_root,
+        ["id"],
+    )
+    st = refresh_agg_view(spark, f_root, v_root, ["grp"], aggs)
+    applied = st["fact_seq"]
+    # drain → compact → vacuum: live deltas gone, folded_through advanced
+    compact_table(spark, f_root)
+    vacuum_deltas(f_root)
+    assert _delta_seqs(f_root) == []
+    # a no-change refresh must NOT raise and must NOT regress
+    st = refresh_agg_view(spark, f_root, v_root, ["grp"], aggs)
+    assert st["fact_seq"] >= applied
+    assert st["n_upserts"] == 0 and st["n_deletes"] == 0
