@@ -48,6 +48,7 @@ def load_all() -> None:
         analytics2,
         analytics3,
         chunking_suite,
+        connectors,
         curation,
         dedup,
         dml,

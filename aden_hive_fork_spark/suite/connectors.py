@@ -1,0 +1,237 @@
+"""SaaS-connector suite entries: the GitHub / Gmail tabular
+connectors exercised END-TO-END under the oracle hash gate — the
+q80 external-join pattern applied to REST connectors.
+
+Each query builds a DETERMINISTIC fixture wire (responses derived
+arithmetically from star-schema keys), fetches it through the real
+connector path — client → transport seam → mapInPandas executor tier
+— and joins the hydrated rows back to warehouse tables. The DuckDB
+oracle recomputes the same fixture arithmetic in SQL, so the entire
+connector stack (request building, envelope parsing, row flattening,
+the distributed tier) sits inside the value-hash gate.
+
+At 100 TB the connector output is a bounded dimension (repos,
+issues, messages — API-rate-limited by nature): it broadcasts; the
+warehouse fact side never moves. The fixture fetch here is 25 rows
+by construction (one per nation), independent of sf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+from ..sources.github_source import (
+    GITHUB_API_BASE,
+    GitHubClient,
+    github_issues_table,
+)
+from ..sources.gmail_source import GMAIL_API_BASE, GmailClient, gmail_messages_table
+from ..sources.rest_connector import FixtureRestTransport, jdump
+
+
+def _github_fixtures(nations: list[tuple[int, str]]) -> dict:
+    """Deterministic GitHub wire: each nation is a repo under owner
+    'warehouse'; it has 3 issues numbered nk*10+i (i=1..3), comments
+    = (nk*7 + i) % 11, state open when (nk + i) is even. The oracle
+    recomputes exactly this arithmetic in SQL."""
+    fx = {}
+    for nk, name in nations:
+        issues = []
+        for i in (1, 2, 3):
+            issues.append({
+                "number": nk * 10 + i,
+                "title": f"issue {nk * 10 + i}",
+                "state": "open" if (nk + i) % 2 == 0 else "closed",
+                "user": {"login": f"user{(nk + i) % 5}"},
+                "created_at": "2026-08-01T00:00:00Z",
+                "updated_at": "2026-08-02T00:00:00Z",
+                "comments": (nk * 7 + i) % 11,
+            })
+        fx[FixtureRestTransport.key(
+            "GET", f"{GITHUB_API_BASE}/repos/warehouse/{name}/issues",
+            {"state": "all", "per_page": 100, "page": 1},
+        )] = (200, jdump(issues))
+    return fx
+
+
+@query(
+    "q224_github_issues_join",
+    oracle="""
+    WITH issues AS (
+      SELECT n.n_nationkey, n.n_name AS repo, n.n_regionkey,
+        n.n_nationkey * 10 + i.i AS number,
+        CASE WHEN (n.n_nationkey + i.i) % 2 = 0
+             THEN 'open' ELSE 'closed' END AS state,
+        (n.n_nationkey * 7 + i.i) % 11 AS n_comments
+      FROM nation n CROSS JOIN (VALUES (1), (2), (3)) AS i(i)
+    )
+    SELECT r.r_name AS region,
+      CAST(COUNT(*) AS BIGINT) AS n_open_issues,
+      CAST(SUM(n_comments) AS BIGINT) AS total_comments,
+      CAST(MAX(number) AS BIGINT) AS max_issue_number
+    FROM issues iss JOIN region r ON iss.n_regionkey = r.r_regionkey
+    WHERE iss.state = 'open'
+    GROUP BY r.r_name
+    ORDER BY region ASC
+    """,
+)
+def q224_github_issues_join(spark, sf_dir):
+    """CONNECTOR→WAREHOUSE JOIN (GitHub): issues for every nation-
+    repo are fetched through the full connector path — GitHubClient
+    envelope parsing on a fixture wire, distributed over executors by
+    github_issues_table (mapInPandas, map-only) — then joined
+    broadcast to nation/region and aggregated.
+
+    Reference parity: github_list_issues (github_tool.py:613-644)
+    consumed as a TABLE instead of one interactive call. The fixture
+    dict pickles by value into the executor closure — the same
+    record/replay seam the search/news/vision adapters use."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    nations = [
+        (int(r["n_nationkey"]), str(r["n_name"]))
+        for r in nation.select("n_nationkey", "n_name").collect()
+    ]  # 25 rows: fixture construction is O(|nation|), a true dimension
+    fixtures = _github_fixtures(nations)
+    repos = nation.select(
+        F.lit("warehouse").alias("owner"), F.col("n_name").alias("repo")
+    )
+    issues = github_issues_table(
+        repos,
+        lambda: GitHubClient("fixture-token", FixtureRestTransport(fixtures)),
+        state="all",
+    )
+    # repos derives from nation, so rename the dim columns before the
+    # re-join (avoids Spark's ambiguous-self-join lineage trap)
+    nat_dim = nation.select(
+        F.col("n_name").alias("_dim_name"),
+        F.col("n_regionkey").alias("_dim_rk"),
+    )
+    joined = (
+        issues.filter(F.col("state") == "open")
+        .join(F.broadcast(nat_dim), issues.repo == F.col("_dim_name"))
+        .join(F.broadcast(region), F.col("_dim_rk") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_open_issues"),
+            F.sum("n_comments").cast("bigint").alias("total_comments"),
+            F.max("number").cast("bigint").alias("max_issue_number"),
+        )
+        .orderBy("region")
+    )
+
+
+def _gmail_fixtures(nations: list[tuple[int, str]]) -> dict:
+    """Deterministic Gmail wire: one message per nation, id 'm<nk>',
+    subject 'Weekly digest <nk>', UNREAD label when nk % 3 == 0,
+    snippet length nk+10 characters of 'x'."""
+    import base64
+
+    fx = {}
+    for nk, name in nations:
+        labels = ["INBOX"] + (["UNREAD"] if nk % 3 == 0 else [])
+        body_text = f"Report for {name}"
+        msg = {
+            "id": f"m{nk}",
+            "threadId": f"t{nk}",
+            "labelIds": labels,
+            "snippet": "x" * (nk + 10),
+            "payload": {
+                "headers": [
+                    {"name": "Subject", "value": f"Weekly digest {nk}"},
+                    {"name": "From",
+                     "value": f"ops@{name.lower()}.example"},
+                    {"name": "To", "value": "me@warehouse.example"},
+                    {"name": "Date",
+                     "value": "Mon, 3 Aug 2026 09:00:00 +0000"},
+                ],
+                "body": {"data": base64.urlsafe_b64encode(
+                    body_text.encode()).decode()},
+            },
+        }
+        fx[FixtureRestTransport.key(
+            "GET", f"{GMAIL_API_BASE}/messages/m{nk}", {"format": "full"},
+        )] = (200, jdump(msg))
+    return fx
+
+
+@query(
+    "q225_gmail_messages_join",
+    oracle="""
+    WITH msgs AS (
+      SELECT n.n_nationkey, n.n_regionkey,
+        'm' || CAST(n.n_nationkey AS VARCHAR) AS message_id,
+        CASE WHEN n.n_nationkey % 3 = 0 THEN 1 ELSE 0 END AS is_unread,
+        n.n_nationkey + 10 AS snippet_len,
+        'Report for ' || n.n_name AS body
+      FROM nation n
+    )
+    SELECT r.r_name AS region,
+      CAST(COUNT(*) AS BIGINT) AS n_messages,
+      CAST(SUM(is_unread) AS BIGINT) AS n_unread,
+      CAST(SUM(snippet_len) AS BIGINT) AS total_snippet_len,
+      CAST(SUM(LENGTH(body)) AS BIGINT) AS total_body_len
+    FROM msgs m JOIN nation n ON m.n_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region ASC
+    """,
+)
+def q225_gmail_messages_join(spark, sf_dir):
+    """CONNECTOR→WAREHOUSE JOIN (Gmail): a table of message ids (one
+    per nation) is hydrated through the full connector path —
+    GmailClient header flattening + urlsafe-b64 body decode on a
+    fixture wire, distributed by gmail_messages_table — then joined
+    broadcast to nation/region for unread/volume rollups.
+
+    Reference parity: gmail_get_message format='full'
+    (gmail_tool.py:165-231) consumed as a TABLE (the
+    gmail_batch_get_messages shape, executor-distributed)."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    nations = [
+        (int(r["n_nationkey"]), str(r["n_name"]))
+        for r in nation.select("n_nationkey", "n_name").collect()
+    ]
+    fixtures = _gmail_fixtures(nations)
+    ids = nation.select(
+        F.concat(F.lit("m"), F.col("n_nationkey").cast("string")).alias(
+            "message_id"
+        ),
+        F.col("n_nationkey").alias("_nk"),
+    )
+    msgs = gmail_messages_table(
+        ids.select("message_id"),
+        lambda: GmailClient("fixture-token", FixtureRestTransport(fixtures)),
+        format="full",
+    )
+    hydrated = msgs.withColumn(
+        "_nk", F.regexp_extract("message_id", r"^m(\d+)$", 1).cast("int")
+    )
+    # ids derive from nation — rename the dim columns before re-join
+    nat_dim = nation.select(
+        F.col("n_nationkey").alias("_dim_nk"),
+        F.col("n_regionkey").alias("_dim_rk"),
+    )
+    joined = (
+        hydrated.join(F.broadcast(nat_dim),
+                      hydrated._nk == F.col("_dim_nk"))
+        .join(F.broadcast(region), F.col("_dim_rk") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+            F.sum(
+                F.when(F.col("labels").contains("UNREAD"), 1).otherwise(0)
+            ).cast("bigint").alias("n_unread"),
+            F.sum(F.length("snippet")).cast("bigint").alias(
+                "total_snippet_len"),
+            F.sum(F.length("body")).cast("bigint").alias("total_body_len"),
+        )
+        .orderBy("region")
+    )
