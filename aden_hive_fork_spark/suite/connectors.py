@@ -27,8 +27,14 @@ from ..sources.github_source import (
     GitHubClient,
     github_issues_table,
 )
+from ..sources.calendar_source import (
+    CALENDAR_API_BASE,
+    CalendarClient,
+    calendar_events_table,
+)
 from ..sources.gmail_source import GMAIL_API_BASE, GmailClient, gmail_messages_table
 from ..sources.rest_connector import FixtureRestTransport, jdump
+from ..sources.slack_source import SLACK_API_BASE, SlackClient, slack_history_table
 
 
 def _github_fixtures(nations: list[tuple[int, str]]) -> dict:
@@ -232,6 +238,190 @@ def q225_gmail_messages_join(spark, sf_dir):
             F.sum(F.length("snippet")).cast("bigint").alias(
                 "total_snippet_len"),
             F.sum(F.length("body")).cast("bigint").alias("total_body_len"),
+        )
+        .orderBy("region")
+    )
+
+
+def _slack_fixtures(nations: list[tuple[int, str]]) -> dict:
+    """Deterministic Slack wire: channel 'C<nk>' per nation carries
+    (nk % 4) + 1 messages; message i has user 'U<(nk+i)%7>' and
+    reply_count (nk*3 + i) % 6."""
+    fx = {}
+    for nk, _name in nations:
+        msgs = []
+        for i in range(1, (nk % 4) + 2):
+            msgs.append({
+                "ts": f"{nk * 100 + i}.000100",
+                "user": f"U{(nk + i) % 7}",
+                "text": f"update {nk}-{i}",
+                "reply_count": (nk * 3 + i) % 6,
+            })
+        fx[FixtureRestTransport.key(
+            "GET", f"{SLACK_API_BASE}/conversations.history",
+            {"channel": f"C{nk}", "limit": 200},
+        )] = (200, jdump({"ok": True, "messages": msgs}))
+    return fx
+
+
+@query(
+    "q226_slack_history_join",
+    oracle="""
+    WITH msgs AS (
+      SELECT n.n_nationkey, n.n_regionkey, i.i,
+        'U' || CAST((n.n_nationkey + i.i) % 7 AS VARCHAR) AS msg_user,
+        (n.n_nationkey * 3 + i.i) % 6 AS reply_count
+      FROM nation n
+      CROSS JOIN (VALUES (1), (2), (3), (4)) AS i(i)
+      WHERE i.i <= (n.n_nationkey % 4) + 1
+    )
+    SELECT r.r_name AS region,
+      CAST(COUNT(*) AS BIGINT) AS n_messages,
+      CAST(SUM(reply_count) AS BIGINT) AS total_replies,
+      CAST(COUNT(DISTINCT msg_user) AS BIGINT) AS n_distinct_users
+    FROM msgs m JOIN region r ON m.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region ASC
+    """,
+)
+def q226_slack_history_join(spark, sf_dir):
+    """CONNECTOR→WAREHOUSE JOIN (Slack): per-nation channel history
+    fetched through SlackClient's ok:false protocol on a fixture
+    wire, distributed by slack_history_table, then joined broadcast
+    to nation/region for per-region activity rollups.
+
+    Reference parity: conversations.history (slack_tool.py:121-144)
+    consumed as a TABLE."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    nations = [
+        (int(r["n_nationkey"]), str(r["n_name"]))
+        for r in nation.select("n_nationkey", "n_name").collect()
+    ]
+    fixtures = _slack_fixtures(nations)
+    chans = nation.select(
+        F.concat(F.lit("C"), F.col("n_nationkey").cast("string")).alias(
+            "channel"
+        )
+    )
+    hist = slack_history_table(
+        chans,
+        lambda: SlackClient("fixture-token", FixtureRestTransport(fixtures)),
+        limit=200,
+    )
+    hydrated = hist.withColumn(
+        "_nk", F.regexp_extract("channel", r"^C(\d+)$", 1).cast("int")
+    )
+    nat_dim = nation.select(
+        F.col("n_nationkey").alias("_dim_nk"),
+        F.col("n_regionkey").alias("_dim_rk"),
+    )
+    joined = (
+        hydrated.join(F.broadcast(nat_dim), hydrated._nk == F.col("_dim_nk"))
+        .join(F.broadcast(region), F.col("_dim_rk") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_messages"),
+            F.sum("reply_count").cast("bigint").alias("total_replies"),
+            F.countDistinct("user").cast("bigint").alias("n_distinct_users"),
+        )
+        .orderBy("region")
+    )
+
+
+def _calendar_fixtures(nations: list[tuple[int, str]]) -> dict:
+    """Deterministic Calendar wire: calendar 'cal<nk>' per nation has
+    2 events; event i is confirmed when (nk + i) % 2 == 0 and carries
+    (nk + i) % 4 attendees."""
+    fx = {}
+    for nk, name in nations:
+        items = []
+        for i in (1, 2):
+            att = [{"email": f"p{j}@{name.lower()}.example"}
+                   for j in range((nk + i) % 4)]
+            ev = {
+                "id": f"e{nk}-{i}",
+                "summary": f"Meeting {nk}-{i}",
+                "start": {"dateTime": f"2026-08-0{i}T09:00:00Z"},
+                "end": {"dateTime": f"2026-08-0{i}T10:00:00Z"},
+                "status": "confirmed" if (nk + i) % 2 == 0 else "tentative",
+            }
+            if att:
+                ev["attendees"] = att
+            items.append(ev)
+        fx[FixtureRestTransport.key(
+            "GET", f"{CALENDAR_API_BASE}/calendars/cal{nk}/events",
+            {"maxResults": 250, "singleEvents": "true",
+             "orderBy": "startTime"},
+        )] = (200, jdump({"items": items}))
+    return fx
+
+
+@query(
+    "q227_calendar_events_join",
+    oracle="""
+    WITH events AS (
+      SELECT n.n_nationkey, n.n_regionkey, i.i,
+        CASE WHEN (n.n_nationkey + i.i) % 2 = 0 THEN 1 ELSE 0 END
+          AS is_confirmed,
+        (n.n_nationkey + i.i) % 4 AS n_attendees
+      FROM nation n CROSS JOIN (VALUES (1), (2)) AS i(i)
+    )
+    SELECT r.r_name AS region,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(is_confirmed) AS BIGINT) AS n_confirmed,
+      CAST(SUM(n_attendees) AS BIGINT) AS total_attendees
+    FROM events e JOIN region r ON e.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region ASC
+    """,
+)
+def q227_calendar_events_join(spark, sf_dir):
+    """CONNECTOR→WAREHOUSE JOIN (Google Calendar): per-nation
+    calendars hydrated through CalendarClient's event flattening on a
+    fixture wire, distributed by calendar_events_table, then joined
+    broadcast to nation/region for meeting-load rollups.
+
+    Reference parity: calendar_list_events
+    (calendar_tool.py:179-278) consumed as a TABLE."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    nations = [
+        (int(r["n_nationkey"]), str(r["n_name"]))
+        for r in nation.select("n_nationkey", "n_name").collect()
+    ]
+    fixtures = _calendar_fixtures(nations)
+    ids = nation.select(
+        F.concat(F.lit("cal"), F.col("n_nationkey").cast("string")).alias(
+            "calendar_id"
+        )
+    )
+    events = calendar_events_table(
+        ids,
+        lambda: CalendarClient("fixture-token",
+                               FixtureRestTransport(fixtures)),
+    )
+    hydrated = events.withColumn(
+        "_nk", F.regexp_extract("calendar_id", r"^cal(\d+)$", 1).cast("int")
+    )
+    nat_dim = nation.select(
+        F.col("n_nationkey").alias("_dim_nk"),
+        F.col("n_regionkey").alias("_dim_rk"),
+    )
+    joined = (
+        hydrated.join(F.broadcast(nat_dim), hydrated._nk == F.col("_dim_nk"))
+        .join(F.broadcast(region), F.col("_dim_rk") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("status") == "confirmed", 1).otherwise(0)
+            ).cast("bigint").alias("n_confirmed"),
+            F.sum("n_attendees").cast("bigint").alias("total_attendees"),
         )
         .orderBy("region")
     )
