@@ -544,16 +544,26 @@ def mmr_rerank(
     vec_col: str = "embedding",
     score_col: str = "score",
     ndigits: int = 6,
+    normalize: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification of a per-query
     candidate set: greedily pick argmax of
 
-        lam·relevance − (1−lam)·max_cosine(candidate, selected)
+        lam·relevance − (1−lam)·max_sim(candidate, selected)
 
     — the standard redundancy-suppressing re-rank over an ANN
     shortlist (run it AFTER cosine_topk/ann_topk/ivf_topk, on the
     few-dozen survivors; the greedy loop is O(k·|candidates|) per
     query over data that already fits a task).
+
+    ``normalize=True`` (default): sim = cosine (unit-normalized dot).
+    ``normalize=False``: sim = RAW dot product — the MIPS variant for
+    pre-normalized or quantized vectors. With integer-valued vectors
+    (e.g. the int8 ``quantize_embeddings`` tier) every dot and every
+    greedy comparison is exact integer arithmetic in float64 (all
+    partials < 2^53), so the selection is bit-deterministic and
+    oracle-replayable — q228 unrolls it as SQL CTEs under the hash
+    gate.
 
     ``applyInPandas`` per query group — the shuffle is keyed by
     query, each group is shortlist-sized. Deterministic: scores and
@@ -583,9 +593,12 @@ def mmr_rerank(
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         mat = np.array(pdf[vec_col].tolist(), dtype="float64")
-        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        unit = mat / nrm
+        if normalize:
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            unit = mat / nrm
+        else:
+            unit = mat
         sims = np.round(unit @ unit.T, ndigits)
         rel = np.round(pdf[score_col].to_numpy(dtype="float64"), ndigits)
         ids = pdf[id_col].to_numpy()

@@ -402,3 +402,129 @@ def q219_pca_projection(spark, sf_dir):
         )
         .orderBy(F.asc("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — MMR diversification under the oracle gate: the greedy rerank
+# runs on the int8-quantized tier (integer dots — no float summation-
+# order hazard), so DuckDB replays the k greedy steps as unrolled
+# CTEs bit-for-bit. Companion to rows-only q148 (cosine MMR): same
+# operator, exact tier.
+# ---------------------------------------------------------------------------
+_Q228_IDS = (0, 1, 2)
+_Q228_DOT = "list_sum([a.qvec[i] * b.qvec[i] for i in range(1, len(a.qvec) + 1)])"
+
+_Q228_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+        [CAST(round(127 * CAST(x AS DOUBLE)
+               / sqrt(list_sum([CAST(y AS DOUBLE) * y for y in embedding])))
+          AS BIGINT) for x in embedding] AS qvec
+      FROM embeddings
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, qvec AS qv FROM q
+      WHERE vec_id IN {_Q228_IDS}
+    ),
+    scored AS (
+      SELECT query_id, c.vec_id AS id, c.qvec,
+        list_sum([c.qvec[i] * qv[i] for i in range(1, len(c.qvec) + 1)])
+          AS qdot
+      FROM q c CROSS JOIN queries
+      WHERE c.vec_id NOT IN {_Q228_IDS}
+    ),
+    short AS (
+      SELECT * FROM scored
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, id ASC) <= 10
+    ),
+    pair AS (
+      SELECT a.query_id, a.id AS ia, b.id AS ib, {_Q228_DOT} AS dot
+      FROM short a JOIN short b ON a.query_id = b.query_id
+    ),
+    pick1 AS (
+      SELECT query_id, id, 0.5 * qdot AS mmr FROM short
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY 0.5 * qdot DESC, id ASC) = 1
+    ),
+    rem1 AS (
+      SELECT s.* FROM short s
+      ANTI JOIN pick1 p ON s.query_id = p.query_id AND s.id = p.id
+    ),
+    sc2 AS (
+      SELECT r.query_id, r.id,
+        0.5 * r.qdot - 0.5 * p.dot AS mmr
+      FROM rem1 r
+      JOIN pick1 p1 ON r.query_id = p1.query_id
+      JOIN pair p ON p.query_id = r.query_id AND p.ia = r.id
+        AND p.ib = p1.id
+    ),
+    pick2 AS (
+      SELECT query_id, id, mmr FROM sc2
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, id ASC) = 1
+    ),
+    rem2 AS (
+      SELECT r.* FROM rem1 r
+      ANTI JOIN pick2 p ON r.query_id = p.query_id AND r.id = p.id
+    ),
+    sc3 AS (
+      SELECT r.query_id, r.id,
+        0.5 * r.qdot - 0.5 * GREATEST(pa.dot, pb.dot) AS mmr
+      FROM rem2 r
+      JOIN pick1 p1 ON r.query_id = p1.query_id
+      JOIN pick2 p2 ON r.query_id = p2.query_id
+      JOIN pair pa ON pa.query_id = r.query_id AND pa.ia = r.id
+        AND pa.ib = p1.id
+      JOIN pair pb ON pb.query_id = r.query_id AND pb.ia = r.id
+        AND pb.ib = p2.id
+    ),
+    pick3 AS (
+      SELECT query_id, id, mmr FROM sc3
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, id ASC) = 1
+    ),
+    final AS (
+      SELECT query_id, 1 AS mmr_rank, id, mmr FROM pick1
+      UNION ALL SELECT query_id, 2, id, mmr FROM pick2
+      UNION ALL SELECT query_id, 3, id, mmr FROM pick3
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+      CAST(mmr_rank AS INT) AS mmr_rank,
+      CAST(id AS BIGINT) AS id,
+      CAST(mmr AS DOUBLE) AS mmr_score
+    FROM final
+    ORDER BY query_id ASC, mmr_rank ASC
+"""
+
+
+@query("q228_mmr_quantized_rerank", oracle=_Q228_SQL)
+def q228_mmr_quantized_rerank(spark, sf_dir):
+    """MMR (k=3, λ=0.5) over the top-10 int8-quantized shortlist per
+    query (operators/similarity.mmr_rerank, normalize=False): every
+    relevance and redundancy term is an exact integer dot, so the
+    greedy selection — the part q148 declares rows-only — sits fully
+    inside the value-hash gate, unrolled as chained CTEs on the
+    oracle side (the q159 kmeans discipline)."""
+    from ..operators.similarity import (
+        mmr_rerank,
+        quantize_embeddings,
+        quantized_dot_topk,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    short = quantized_dot_topk(emb, list(_Q228_IDS), k=10)
+    qv = quantize_embeddings(emb)
+    cand = short.join(qv, "id").select(
+        "query_id", "id", "qvec", F.col("qdot").cast("double").alias("qdot")
+    )
+    out = mmr_rerank(
+        cand, k=3, lam=0.5, query_col="query_id", id_col="id",
+        vec_col="qvec", score_col="qdot", normalize=False,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("mmr_score").cast("double").alias("mmr_score"),
+    ).orderBy("query_id", "mmr_rank")
