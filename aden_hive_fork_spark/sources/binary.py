@@ -26,13 +26,15 @@ REAL pixel decode:
   frame pixels, not hash fingerprints.
 - PCM16 WAV audio: RIFF parse + int16 windows (``wav_pcm_windows``).
 
-What remains STUBBED (decode libs absent in this container):
-- inter-frame video codecs (H.264/VP9 in MP4) -> frame SAMPLING is
-  real (container duration drives timestamps) but frame pixels fall
-  back to deterministic fingerprints; ``decode_pixels_stub`` raises
-  NotImplementedError for codecs with no pure-python decode path.
-  ``fake_features`` remains as the deterministic stand-in for any
-  undecodable format so pipelines stay exercisable end-to-end.
+Inter-frame video codecs (H.264/VP9 in MP4, round 6): decoded for
+real through ``ffmpeg_backend.FfmpegBackend`` when the binary (or a
+recorded fixture runner) is available — pass it to
+``video_frame_sample(backend=...)``. Without a backend, frame
+SAMPLING stays real (container duration drives timestamps) while
+frame fingerprints fall back to deterministic (content, frame_idx)
+hashes; ``use_stub_decoder=False`` turns that fallback into a loud
+error. ``fake_features`` remains as the deterministic stand-in for
+any undecodable format so pipelines stay exercisable end-to-end.
 """
 
 from __future__ import annotations
@@ -389,21 +391,6 @@ def extract_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.select(*cols).mapInPandas(parse, schema=META_SCHEMA)
 
 
-# ---------------------------------------------------------------------------
-# stub — only for codecs with no pure-python decode path (H.264/VP9…)
-# ---------------------------------------------------------------------------
-def decode_pixels_stub(*_args, **_kwargs):
-    """Inter-frame video decode (H.264/VP9 in MP4) requires ffmpeg,
-    which is not installed here. PNG, baseline JPEG, MJPEG/AVI frames,
-    and PCM WAV all decode for REAL (png_codec / jpeg_codec) — this
-    stub remains only for codec formats beyond a pure-python
-    implementation; the Spark-side plumbing (schema, batching, UDF
-    signature) is identical either way."""
-    raise NotImplementedError(
-        "inter-frame video decode requires ffmpeg, not present in this environment"
-    )
-
-
 def fake_features(df: DataFrame, content_col: str = "content", dim: int = 16) -> DataFrame:
     """Deterministic stand-in feature extractor: a hash-derived
     fixed-length float vector per asset. Lets the multimodal pipeline
@@ -617,6 +604,7 @@ def video_frame_sample(
     max_frames: int = 16,
     content_col: str = "content",
     use_stub_decoder: bool = True,
+    backend=None,
 ) -> DataFrame:
     """Frame-sampling over opaque video content: one row per sampled
     frame (path, frame_idx, ts_s, frame_sha256), bounded by
@@ -625,12 +613,18 @@ def video_frame_sample(
     MJPEG/AVI content is sampled for REAL: the RIFF container is
     parsed, frame timestamps come from the stream rate, and
     ``frame_sha256`` fingerprints the ACTUAL sampled frame's JPEG
-    bytes (identical frames collide — the dedup property). MP4
-    content keeps real container DURATION (moov mvhd via ``mp4_info``)
-    but fingerprint payloads derive from (content, frame_idx): the
-    inter-frame codec needs ffmpeg (``decode_pixels_stub`` path).
-    Other bytes fall back to a deterministic fake duration (1 s per
-    64 KiB)."""
+    bytes (identical frames collide — the dedup property).
+
+    Inter-frame codecs (H.264/VP9 in MP4 etc.) are decoded for real
+    when an ``ffmpeg_backend.FfmpegBackend`` is passed: the backend
+    runs on the EXECUTORS (it pickles by value with its runner —
+    fixture runners replay recorded invocations, the live runner
+    shells out to the binary) and ``frame_sha256`` fingerprints the
+    actual transcoded frames. Without a backend, MP4 keeps real
+    container DURATION (moov mvhd via ``mp4_info``) and fingerprint
+    payloads derive from (content, frame_idx) — honest
+    schema-identical placeholders; ``use_stub_decoder=False`` makes
+    that fallback an error instead."""
     from .jpeg_codec import avi_info, avi_mjpeg_frames
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -662,8 +656,29 @@ def video_frame_sample(
                                 }
                             )
                         continue
+                if backend is not None and mime.startswith("video/"):
+                    sampled = backend.sample_frames(
+                        b, every_s=every_s, max_frames=max_frames
+                    )
+                    for fi, ts, jpg in sampled:
+                        rows.append(
+                            {
+                                "path": path,
+                                "frame_idx": fi,
+                                "ts_s": ts,
+                                "frame_sha256": hashlib.sha256(
+                                    jpg
+                                ).hexdigest(),
+                            }
+                        )
+                    continue
                 if not use_stub_decoder:
-                    decode_pixels_stub(b)
+                    raise ValueError(
+                        f"no real decode path for {mime or 'unknown'} "
+                        "content: pass an ffmpeg_backend.FfmpegBackend "
+                        "(inter-frame codecs need ffmpeg) or allow the "
+                        "deterministic placeholder tier"
+                    )
                 real_dur, _, _ = (
                     mp4_info(b) if mime == "video/mp4" else (None, None, None)
                 )

@@ -154,11 +154,16 @@ def test_fake_features_deterministic(spark, asset_dir):
     assert all(len(v) == 16 for v in f1.values())
 
 
-def test_decode_stub_raises():
-    from aden_hive_fork_spark.sources.binary import decode_pixels_stub
+def test_strict_mode_requires_real_decode_path(spark):
+    # MP4 content with neither backend nor placeholder tier allowed →
+    # the task raises a loud, actionable error
+    from aden_hive_fork_spark.sources.binary import video_frame_sample
 
-    with pytest.raises(NotImplementedError):
-        decode_pixels_stub()
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64
+    df = spark.createDataFrame([("a.mp4", bytearray(mp4))],
+                               "path string, content binary")
+    with pytest.raises(Exception, match="ffmpeg"):
+        video_frame_sample(df, use_stub_decoder=False).collect()
 
 
 def _make_pdf(pages_text, compress=False):
