@@ -137,6 +137,106 @@ class MessagesApiBackend:
         return out
 
 
+class ChatCompletionsBackend:
+    """OpenAI-compatible chat-completions adapter for the
+    ``LLMBackend`` seam — the second provider wire beside
+    ``MessagesApiBackend`` (the reference routes multiple provider
+    dialects through core/framework/llm/litellm.py; these two
+    adapters cover both public wire families).
+
+    Request: ``{"model", "max_tokens", "messages": [{"role":
+    "system"|"user", "content": ...}], "temperature"}`` — system
+    prompt rides as a leading message (the chat dialect), not a
+    top-level field (the messages dialect). Response:
+    ``choices[0].message.content``.
+
+    Same transport seam and error discipline as MessagesApiBackend:
+    ``transport(request_json) -> (status, body)``, failures yield ""
+    so callers' deterministic fallbacks absorb them.
+    """
+
+    def __init__(
+        self,
+        transport,
+        model: str = "default-model",
+        max_tokens: int = 256,
+        system: str | None = None,
+        temperature: float = 0.0,
+    ):
+        self.transport = transport
+        self.model = model
+        self.max_tokens = max_tokens
+        self.system = system
+        self.temperature = temperature
+
+    def _request(self, prompt: str) -> dict:
+        messages = []
+        if self.system:
+            messages.append({"role": "system", "content": self.system})
+        messages.append({"role": "user", "content": prompt})
+        return {
+            "model": self.model,
+            "max_tokens": self.max_tokens,
+            "messages": messages,
+            "temperature": self.temperature,
+        }
+
+    @staticmethod
+    def _parse_reply(status: int, body: bytes) -> str:
+        import json
+
+        if status != 200:
+            return ""
+        try:
+            data = json.loads(body)
+        except ValueError:
+            return ""
+        choices = data.get("choices")
+        if isinstance(choices, list) and choices:
+            msg = choices[0].get("message", {})
+            if isinstance(msg, dict):
+                return msg.get("content", "") or ""
+        return ""
+
+    def complete(self, prompts: Sequence[str]) -> list[str]:
+        out = []
+        for p in prompts:
+            try:
+                status, body = self.transport(self._request(p))
+            except Exception:
+                out.append("")
+                continue
+            out.append(self._parse_reply(status, body))
+        return out
+
+
+def chat_http_transport(url: str, api_key: str, timeout: float = 60.0):
+    """Live transport for the chat-completions dialect: Bearer auth
+    (vs the messages dialect's x-api-key). Same stdlib urllib shape
+    as ``messages_http_transport``; exercised via fixtures here."""
+
+    def send(req: dict):
+        import json
+        import urllib.error
+        import urllib.request
+
+        r = urllib.request.Request(
+            url,
+            data=json.dumps(req).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {api_key}",
+            },
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=timeout) as resp:
+                return resp.status, resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    return send
+
+
 def messages_http_transport(url: str, api_key: str, timeout: float = 60.0):
     """Live transport (stdlib urllib; exercised via recorded fixtures
     in this sandbox — the request/parse layers are transport-agnostic)."""

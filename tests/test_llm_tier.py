@@ -292,3 +292,105 @@ def test_fixture_llm_transport_record_mode():
     )
     assert b2.complete(["x"]) == ["live!"]
     assert len(calls) == 1
+
+
+# ---------------------------------------------------------------------------
+# ChatCompletionsBackend (VERDICT r5 #9): the OpenAI-compatible chat
+# wire beside the messages wire — llm_route/judge/repair run against
+# BOTH adapters with identical routing behavior.
+# ---------------------------------------------------------------------------
+def _chat_recorded(prompt_to_reply: dict, backend_kw=None):
+    """Build a ChatCompletionsBackend whose fixtures answer exactly
+    the given prompts with chat-completions-shaped JSON bodies."""
+    import json
+
+    from aden_hive_fork_spark.functions.llm_tier import (
+        ChatCompletionsBackend,
+        FixtureLLMTransport,
+    )
+
+    b = ChatCompletionsBackend(FixtureLLMTransport(), **(backend_kw or {}))
+    for prompt, reply in prompt_to_reply.items():
+        body = json.dumps(
+            {
+                "id": "chatcmpl_fixture",
+                "choices": [
+                    {"index": 0, "finish_reason": "stop",
+                     "message": {"role": "assistant", "content": reply}}
+                ],
+            }
+        ).encode()
+        b.transport.fixtures[FixtureLLMTransport.key(b._request(prompt))] = (
+            200,
+            body,
+        )
+    return b
+
+
+def test_chat_backend_request_wire_shape():
+    from aden_hive_fork_spark.functions.llm_tier import (
+        ChatCompletionsBackend,
+    )
+
+    b = ChatCompletionsBackend(lambda req: (200, b"{}"), model="m2",
+                               system="be terse", temperature=0.5)
+    req = b._request("hello")
+    # system prompt is a leading MESSAGE in the chat dialect
+    assert req["messages"][0] == {"role": "system", "content": "be terse"}
+    assert req["messages"][1] == {"role": "user", "content": "hello"}
+    assert req["model"] == "m2" and req["temperature"] == 0.5
+
+
+def test_chat_backend_replays_and_error_fallback():
+    b = _chat_recorded({"ping": "pong"})
+    assert b.complete(["ping", "never-recorded"]) == ["pong", ""]
+    from aden_hive_fork_spark.functions.llm_tier import (
+        ChatCompletionsBackend,
+    )
+
+    failing = ChatCompletionsBackend(lambda req: (500, b"boom"))
+    assert failing.complete(["x"]) == [""]
+    raising = ChatCompletionsBackend(
+        lambda req: (_ for _ in ()).throw(OSError("net down"))
+    )
+    assert raising.complete(["x"]) == [""]
+
+
+def test_chat_backend_drives_llm_route(spark):
+    from aden_hive_fork_spark.functions.llm_tier import llm_route
+
+    df = spark.createDataFrame(
+        [("refund my order",), ("just saying hi",)], "text string"
+    )
+    goal = "Route the message"
+    choices = ["billing", "smalltalk"]
+
+    def prompt_for(text):
+        return (
+            f"Goal: {goal}\nChoices: {', '.join(choices)}\n"
+            f"text: {text}\nAnswer with exactly one choice."
+        )
+
+    b = _chat_recorded({
+        prompt_for("refund my order"): "billing",
+        prompt_for("just saying hi"): "smalltalk",
+    })
+    out = {r["text"]: r["_route"]
+           for r in llm_route(df, choices, goal, b).collect()}
+    assert out == {"refund my order": "billing",
+                   "just saying hi": "smalltalk"}
+
+
+def test_chat_http_transport_bearer_header():
+    from aden_hive_fork_spark.functions.llm_tier import chat_http_transport
+
+    send = chat_http_transport("http://127.0.0.1:1/v1/chat", "sk-test")
+    # connection refused → urlerror propagates to the backend, which
+    # turns it into "" — here we just confirm the callable exists and
+    # raises a transport-level error, not a request-building one
+    try:
+        send({"model": "m", "messages": []})
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
