@@ -33,8 +33,18 @@ from ..sources.calendar_source import (
     calendar_events_table,
 )
 from ..sources.gmail_source import GMAIL_API_BASE, GmailClient, gmail_messages_table
+from ..sources.hubspot_source import (
+    HUBSPOT_API_BASE,
+    HubSpotClient,
+    hubspot_objects_table,
+)
 from ..sources.rest_connector import FixtureRestTransport, jdump
 from ..sources.slack_source import SLACK_API_BASE, SlackClient, slack_history_table
+from ..sources.stripe_source import (
+    STRIPE_API_BASE,
+    StripeClient,
+    stripe_charges_table,
+)
 
 
 def _github_fixtures(nations: list[tuple[int, str]]) -> dict:
@@ -422,6 +432,191 @@ def q227_calendar_events_join(spark, sf_dir):
                 F.when(F.col("status") == "confirmed", 1).otherwise(0)
             ).cast("bigint").alias("n_confirmed"),
             F.sum("n_attendees").cast("bigint").alias("total_attendees"),
+        )
+        .orderBy("region")
+    )
+
+
+def _stripe_fixtures(nations: list[tuple[int, str]]) -> dict:
+    """Deterministic Stripe wire: customer 'cus_<nk>' per nation has
+    (nk % 3) + 1 charges; charge i has amount (nk*211 + i*97) % 9000
+    + 100 cents, refunded when (nk + i) % 5 == 0 (amount_refunded =
+    amount/2 floor), succeeded always."""
+    fx = {}
+    for nk, _name in nations:
+        charges = []
+        for i in range(1, (nk % 3) + 2):
+            amount = (nk * 211 + i * 97) % 9000 + 100
+            refunded = (nk + i) % 5 == 0
+            charges.append({
+                "id": f"ch_{nk}_{i}", "amount": amount,
+                "amount_refunded": amount // 2 if refunded else 0,
+                "currency": "usd", "status": "succeeded",
+                "paid": True, "customer": f"cus_{nk}",
+                "created": 1722000000 + nk * 100 + i,
+            })
+        fx[FixtureRestTransport.key(
+            "GET", f"{STRIPE_API_BASE}/charges",
+            {"limit": 100, "customer": f"cus_{nk}"},
+        )] = (200, jdump({"has_more": False, "data": charges}))
+    return fx
+
+
+@query(
+    "q229_stripe_charges_join",
+    oracle="""
+    WITH charges AS (
+      SELECT n.n_nationkey, n.n_regionkey, i.i,
+        (n.n_nationkey * 211 + i.i * 97) % 9000 + 100 AS amount,
+        CASE WHEN (n.n_nationkey + i.i) % 5 = 0
+          THEN ((n.n_nationkey * 211 + i.i * 97) % 9000 + 100) // 2
+          ELSE 0 END AS amount_refunded
+      FROM nation n CROSS JOIN (VALUES (1), (2), (3)) AS i(i)
+      WHERE i.i <= (n.n_nationkey % 3) + 1
+    )
+    SELECT r.r_name AS region,
+      CAST(COUNT(*) AS BIGINT) AS n_charges,
+      CAST(SUM(amount) AS BIGINT) AS gross_cents,
+      CAST(SUM(amount - amount_refunded) AS BIGINT) AS net_cents
+    FROM charges c JOIN region r ON c.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region ASC
+    """,
+)
+def q229_stripe_charges_join(spark, sf_dir):
+    """CONNECTOR→WAREHOUSE JOIN (Stripe): per-nation customer charges
+    fetched through StripeClient's form-encoded wire + flattened
+    charge envelopes on a fixture transport, distributed by
+    stripe_charges_table, joined broadcast to nation/region for
+    gross/net revenue rollups.
+
+    Reference parity: list_charges + _format_charge
+    (stripe_tool.py:331-381) consumed as a TABLE."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    nations = [
+        (int(r["n_nationkey"]), str(r["n_name"]))
+        for r in nation.select("n_nationkey", "n_name").collect()
+    ]
+    fixtures = _stripe_fixtures(nations)
+    ids = nation.select(
+        F.concat(F.lit("cus_"), F.col("n_nationkey").cast("string")).alias(
+            "customer"
+        )
+    )
+    charges = stripe_charges_table(
+        ids,
+        lambda: StripeClient("sk_fixture", FixtureRestTransport(fixtures)),
+    )
+    hydrated = charges.withColumn(
+        "_nk", F.regexp_extract("customer", r"^cus_(\d+)$", 1).cast("int")
+    )
+    nat_dim = nation.select(
+        F.col("n_nationkey").alias("_dim_nk"),
+        F.col("n_regionkey").alias("_dim_rk"),
+    )
+    joined = (
+        hydrated.join(F.broadcast(nat_dim), hydrated._nk == F.col("_dim_nk"))
+        .join(F.broadcast(region), F.col("_dim_rk") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_charges"),
+            F.sum("amount").cast("bigint").alias("gross_cents"),
+            F.sum(F.col("amount") - F.col("amount_refunded")).cast(
+                "bigint").alias("net_cents"),
+        )
+        .orderBy("region")
+    )
+
+
+def _hubspot_fixtures(nations: list[tuple[int, str]]) -> dict:
+    """Deterministic HubSpot wire: deal '<nk>' per nation with amount
+    (nk*503) % 90000 + 1000 and stage won/lost by nk parity."""
+    fx = {}
+    for nk, name in nations:
+        fx[FixtureRestTransport.key(
+            "GET", f"{HUBSPOT_API_BASE}/crm/v3/objects/deals/{nk}", {},
+        )] = (200, jdump({
+            "id": str(nk),
+            "properties": {
+                "dealname": f"Deal {name}",
+                "amount": str((nk * 503) % 90000 + 1000),
+                "dealstage": "closedwon" if nk % 2 == 0 else "closedlost",
+            },
+            "createdAt": "2026-08-01T00:00:00Z",
+            "updatedAt": "2026-08-02T00:00:00Z",
+        }))
+    return fx
+
+
+@query(
+    "q230_hubspot_deals_join",
+    oracle="""
+    WITH deals AS (
+      SELECT n.n_nationkey, n.n_regionkey,
+        (n.n_nationkey * 503) % 90000 + 1000 AS amount,
+        CASE WHEN n.n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS won
+      FROM nation n
+    )
+    SELECT r.r_name AS region,
+      CAST(COUNT(*) AS BIGINT) AS n_deals,
+      CAST(SUM(won) AS BIGINT) AS n_won,
+      CAST(SUM(CASE WHEN won = 1 THEN amount ELSE 0 END) AS BIGINT)
+        AS won_amount
+    FROM deals d JOIN region r ON d.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region ASC
+    """,
+)
+def q230_hubspot_deals_join(spark, sf_dir):
+    """CONNECTOR→WAREHOUSE JOIN (HubSpot): per-nation CRM deals
+    hydrated through HubSpotClient + hubspot_objects_table (property
+    JSON column → from_json extraction), joined broadcast to
+    nation/region for win-rate rollups.
+
+    Reference parity: hubspot_get_deal / get_object
+    (hubspot_tool.py:79-96, :415-446) consumed as a TABLE."""
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    nations = [
+        (int(r["n_nationkey"]), str(r["n_name"]))
+        for r in nation.select("n_nationkey", "n_name").collect()
+    ]
+    fixtures = _hubspot_fixtures(nations)
+    ids = nation.select(
+        F.lit("deals").alias("object_type"),
+        F.col("n_nationkey").cast("string").alias("object_id"),
+    )
+    objs = hubspot_objects_table(
+        ids,
+        lambda: HubSpotClient("pat_fixture", FixtureRestTransport(fixtures)),
+    )
+    props = F.from_json(
+        "properties", "dealname string, amount string, dealstage string"
+    )
+    hydrated = objs.select(
+        F.col("object_id").cast("int").alias("_nk"),
+        props.getField("amount").cast("bigint").alias("amount"),
+        (props.getField("dealstage") == "closedwon").alias("won"),
+    )
+    nat_dim = nation.select(
+        F.col("n_nationkey").alias("_dim_nk"),
+        F.col("n_regionkey").alias("_dim_rk"),
+    )
+    joined = (
+        hydrated.join(F.broadcast(nat_dim), hydrated._nk == F.col("_dim_nk"))
+        .join(F.broadcast(region), F.col("_dim_rk") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deals"),
+            F.sum(F.when(F.col("won"), 1).otherwise(0)).cast(
+                "bigint").alias("n_won"),
+            F.sum(F.when(F.col("won"), F.col("amount")).otherwise(0)).cast(
+                "bigint").alias("won_amount"),
         )
         .orderBy("region")
     )
