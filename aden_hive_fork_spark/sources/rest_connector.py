@@ -83,7 +83,8 @@ class FixtureRestTransport:
     excluded from the key. ``record`` mode wraps a live transport and
     stores every response for offline replay."""
 
-    _CRED_PARAMS = {"key", "apikey", "api_key", "token", "access_token"}
+    _CRED_PARAMS = {"key", "apikey", "apiKey", "api_key", "token",
+                    "access_token"}
 
     def __init__(self, fixtures: dict | None = None, live=None):
         self.fixtures: dict[tuple, tuple[int, bytes]] = dict(fixtures or {})
