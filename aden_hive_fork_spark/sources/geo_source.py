@@ -21,6 +21,11 @@ shape); ``geocode_table`` fans a table of addresses out on the
 executors (``mapInPandas``, per-row error envelopes). The analytic
 joins over geocoded output live in ``operators/geo`` (pure-column
 haversine + grid-bucketed radius join, q119).
+
+The FULL Maps Platform surface (directions, remote distance matrix,
+place details/search) lives in ``sources/google_maps_source.py`` on
+the unified round-6 REST transport seam; this module remains the
+offline-true local tier.
 """
 
 from __future__ import annotations

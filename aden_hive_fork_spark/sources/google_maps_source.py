@@ -19,6 +19,15 @@ short-circuit).
 Executor tier: ``maps_geocode_table`` geocodes a TABLE of address
 rows (mapInPandas, map-only, per-row error envelopes) — address
 normalization as a columnar step in an entity-resolution pipeline.
+
+Relationship to ``sources/geo_source.py`` (round 4): geo_source
+carries the geocode/reverse pair on the legacy GET-transport seam
+plus the deterministic LOCAL haversine distance tier and the
+analytics joins in ``operators/geo`` (q119). THIS module is the full
+Maps Platform surface — adds directions, the REMOTE distance matrix,
+and the Places pair — on the unified 5-arg REST seam shared by every
+round-6 connector. New code should prefer this module; geo_source
+remains the offline-true local tier.
 """
 
 from __future__ import annotations
