@@ -964,3 +964,96 @@ def trim_repeated_passages(
             "n_tokens_removed"
         ),
     )
+
+
+def simhash_fingerprints_md5(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """60-bit SimHash per document on an ENGINE-REPLAYABLE hash: each
+    shingle hashes to the first 15 hex chars of its md5 (60 bits,
+    BIGINT-safe in every engine), bit b of the fingerprint is the
+    sign of sum(±1 over shingles for bit b).
+
+    The xxhash64 tier (``simhash_fingerprints``) is the fast path —
+    one JVM hash, no string md5 — but xxhash64 exists only inside
+    Spark, so its pairs are declared rows-only (q43). This md5 tier
+    trades ~2× hash cost for a DuckDB-replayable fingerprint: the
+    banded near-dup join sits INSIDE the value-hash gate (q231).
+    Same plan shape as the fast tier: explode → conditional sums →
+    bit-OR recombine, one shuffle on the doc id.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, k).alias("shingles")
+    )
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    exploded = exploded.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy("id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_md5_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs on the md5 SimHash tier: four 15-bit bands over
+    the 60-bit fingerprint — by pigeonhole any pair within Hamming
+    distance 3 shares an exact band, so the band-equality join finds
+    all such pairs without O(n²); verify with bit_count(xor)."""
+    fps = simhash_fingerprints_md5(df, id_col, text_col, k)
+    bands = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "simhash", F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = bands.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_a"),
+        F.col("simhash").alias("fp_a"),
+    )
+    b = bands.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_b"),
+        F.col("simhash").alias("fp_b"),
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("hamming", "id_a", "id_b")
+    )

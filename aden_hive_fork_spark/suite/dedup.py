@@ -351,3 +351,77 @@ def q227_ppjoin_neardup(spark, sf_dir):
         "CAST(id_b AS BIGINT) AS id_b",
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — SimHash near-dup on the md5 tier, INSIDE the hash gate: the
+# engine-replayable twin of rows-only q43 (same band-blocked plan,
+# hash swapped xxhash64 → md5-prefix so DuckDB replays the exact
+# fingerprints, bands, and Hamming verification).
+# ---------------------------------------------------------------------------
+@query(
+    "q231_simhash_md5_neardup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(
+            list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        )) AS shingles
+      FROM documents
+      WHERE len(string_split(trim(text), ' ')) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    h AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)::BIGINT AS h
+      FROM ex
+    ),
+    bits AS (
+      SELECT doc_id, b.b,
+        SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    fp AS (
+      SELECT doc_id,
+        SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band.i AS band,
+        (simhash >> (15 * band.i)) & 32767 AS key
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS i) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+        AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      CAST(hamming AS INT) AS hamming
+    FROM pairs
+    ORDER BY hamming ASC, id_a ASC, id_b ASC
+    """,
+)
+def q231_simhash_md5_neardup(spark, sf_dir):
+    """operators/dedup.simhash_md5_neardup_pairs over documents: the
+    60-bit md5-prefix SimHash with four 15-bit bands — bit-identical
+    fingerprints in Spark and DuckDB, so the WHOLE approximate-dedup
+    plan (fingerprint → band block → Hamming verify) is value-hash
+    checked, not just row-counted."""
+    from ..operators.dedup import simhash_md5_neardup_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    out = simhash_md5_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, max_hamming=3
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    ).orderBy("hamming", "id_a", "id_b")
