@@ -1057,3 +1057,95 @@ def simhash_md5_neardup_pairs(
         .distinct()
         .orderBy("hamming", "id_a", "id_b")
     )
+
+
+def minhash_md5_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document on an ENGINE-REPLAYABLE hash
+    family: h_i(shingle) = first 15 hex chars of md5('<i>:' ||
+    shingle) as BIGINT, signature component i = min over the doc's
+    shingles. One explode + ONE aggregate computes all components
+    (num_hashes conditional mins, whole-stage codegen); one shuffle
+    on the doc id.
+
+    The Spark-ML tier (``MinHashLSH.approxSimilarityJoin``, q42) is
+    the fast path but its seeded hash family exists only inside
+    Spark; this tier's signatures replay bit-for-bit in DuckDB, so
+    the LSH banding AND the signature-overlap Jaccard estimate sit
+    inside the value-hash gate (q232)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, k).alias("shingles")
+    )
+    exploded = sh.select("id", F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
+                ),
+                16, 10,
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("id").agg(*mins)
+
+
+def minhash_md5_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs by banded MinHash LSH on the md5
+    signature tier: ``bands`` bands of ``num_hashes/bands`` rows —
+    a pair collides when ANY band's components all match (band key =
+    concatenated component string). Collisions are re-scored by
+    signature overlap (matching components / num_hashes, the unbiased
+    Jaccard estimate) and filtered at ``threshold``. Never all-pairs:
+    candidates come only from band buckets."""
+    rows = num_hashes // bands
+    sig = minhash_md5_signatures(df, id_col, text_col, k, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"m{b * rows + r}").cast("string")
+                       for r in range(rows)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", *[F.col(f"m{i}") for i in range(num_hashes)],
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        "id", *[F.col(f"m{i}") for i in range(num_hashes)],
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = banded.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"), F.col("id").alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 4)
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+        .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
+    )

@@ -425,3 +425,84 @@ def q231_simhash_md5_neardup(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     ).orderBy("hamming", "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q232 — MinHash LSH near-dup on the md5 signature tier, INSIDE the
+# hash gate: the engine-replayable twin of rows-only q42 (banding AND
+# the signature-overlap Jaccard estimate value-hash checked).
+# ---------------------------------------------------------------------------
+_Q232_K = 16
+_Q232_BANDS = 4
+_Q232_ROWS = _Q232_K // _Q232_BANDS
+
+_Q232_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> array_to_string(
+            list_slice(string_split(trim(text), ' '), i, i + 2), ' ')
+        )) AS shingles
+      FROM documents
+      WHERE len(string_split(trim(text), ' ')) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {", ".join(
+            f"MIN(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 15)) "
+            f"AS UBIGINT)::BIGINT) AS m{i}"
+            for i in range(_Q232_K)
+        )}
+      FROM ex GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, {", ".join(f"m{i}" for i in range(_Q232_K))},
+        band.i AS band,
+        CASE band.i {" ".join(
+            "WHEN " + str(b) + " THEN " + " || ',' || ".join(
+                f"CAST(m{b * _Q232_ROWS + r} AS VARCHAR)"
+                for r in range(_Q232_ROWS)
+            )
+            for b in range(_Q232_BANDS)
+        )} END AS key
+      FROM sig CROSS JOIN (
+        SELECT unnest(range(0, {_Q232_BANDS})) AS i) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST({" + ".join(
+            f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+            for i in range(_Q232_K)
+        )} AS DOUBLE) / {_Q232_K}, 4) AS est_jaccard
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key
+        AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      est_jaccard
+    FROM pairs
+    WHERE est_jaccard >= 0.5
+    ORDER BY est_jaccard DESC, id_a ASC, id_b ASC
+"""
+
+
+@query("q232_minhash_md5_neardup", oracle=_Q232_SQL)
+def q232_minhash_md5_neardup(spark, sf_dir):
+    """operators/dedup.minhash_md5_lsh_pairs over documents: 16 md5
+    hash functions, 4 bands × 4 rows, signature-overlap estimate ≥
+    0.5 — the full LSH near-dup plan (signatures → banding →
+    estimate) value-hash checked against DuckDB."""
+    from ..operators.dedup import minhash_md5_lsh_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    out = minhash_md5_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", k=3,
+        num_hashes=_Q232_K, bands=_Q232_BANDS, threshold=0.5,
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "est_jaccard",
+    ).orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
