@@ -73,7 +73,7 @@ def _github_fixtures(nations: list[tuple[int, str]]) -> dict:
 
 
 @query(
-    "q224_github_issues_join",
+    "q233_github_issues_join",
     oracle="""
     WITH issues AS (
       SELECT n.n_nationkey, n.n_name AS repo, n.n_regionkey,
@@ -93,7 +93,7 @@ def _github_fixtures(nations: list[tuple[int, str]]) -> dict:
     ORDER BY region ASC
     """,
 )
-def q224_github_issues_join(spark, sf_dir):
+def q233_github_issues_join(spark, sf_dir):
     """CONNECTOR→WAREHOUSE JOIN (GitHub): issues for every nation-
     repo are fetched through the full connector path — GitHubClient
     envelope parsing on a fixture wire, distributed over executors by
@@ -176,7 +176,7 @@ def _gmail_fixtures(nations: list[tuple[int, str]]) -> dict:
 
 
 @query(
-    "q225_gmail_messages_join",
+    "q234_gmail_messages_join",
     oracle="""
     WITH msgs AS (
       SELECT n.n_nationkey, n.n_regionkey,
@@ -197,7 +197,7 @@ def _gmail_fixtures(nations: list[tuple[int, str]]) -> dict:
     ORDER BY region ASC
     """,
 )
-def q225_gmail_messages_join(spark, sf_dir):
+def q234_gmail_messages_join(spark, sf_dir):
     """CONNECTOR→WAREHOUSE JOIN (Gmail): a table of message ids (one
     per nation) is hydrated through the full connector path —
     GmailClient header flattening + urlsafe-b64 body decode on a
@@ -275,7 +275,7 @@ def _slack_fixtures(nations: list[tuple[int, str]]) -> dict:
 
 
 @query(
-    "q226_slack_history_join",
+    "q235_slack_history_join",
     oracle="""
     WITH msgs AS (
       SELECT n.n_nationkey, n.n_regionkey, i.i,
@@ -294,7 +294,7 @@ def _slack_fixtures(nations: list[tuple[int, str]]) -> dict:
     ORDER BY region ASC
     """,
 )
-def q226_slack_history_join(spark, sf_dir):
+def q235_slack_history_join(spark, sf_dir):
     """CONNECTOR→WAREHOUSE JOIN (Slack): per-nation channel history
     fetched through SlackClient's ok:false protocol on a fixture
     wire, distributed by slack_history_table, then joined broadcast
@@ -370,7 +370,7 @@ def _calendar_fixtures(nations: list[tuple[int, str]]) -> dict:
 
 
 @query(
-    "q227_calendar_events_join",
+    "q236_calendar_events_join",
     oracle="""
     WITH events AS (
       SELECT n.n_nationkey, n.n_regionkey, i.i,
@@ -388,7 +388,7 @@ def _calendar_fixtures(nations: list[tuple[int, str]]) -> dict:
     ORDER BY region ASC
     """,
 )
-def q227_calendar_events_join(spark, sf_dir):
+def q236_calendar_events_join(spark, sf_dir):
     """CONNECTOR→WAREHOUSE JOIN (Google Calendar): per-nation
     calendars hydrated through CalendarClient's event flattening on a
     fixture wire, distributed by calendar_events_table, then joined

@@ -414,7 +414,7 @@ def q219_pca_projection(spark, sf_dir):
 _Q228_IDS = (0, 1, 2)
 _Q228_DOT = "list_sum([a.qvec[i] * b.qvec[i] for i in range(1, len(a.qvec) + 1)])"
 
-_Q228_SQL = f"""
+_Q237_SQL = f"""
     WITH q AS (
       SELECT vec_id,
         [CAST(round(127 * CAST(x AS DOUBLE)
@@ -498,8 +498,8 @@ _Q228_SQL = f"""
 """
 
 
-@query("q228_mmr_quantized_rerank", oracle=_Q228_SQL)
-def q228_mmr_quantized_rerank(spark, sf_dir):
+@query("q237_mmr_quantized_rerank", oracle=_Q237_SQL)
+def q237_mmr_quantized_rerank(spark, sf_dir):
     """MMR (k=3, λ=0.5) over the top-10 int8-quantized shortlist per
     query (operators/similarity.mmr_rerank, normalize=False): every
     relevance and redundancy term is an exact integer dot, so the

@@ -92,9 +92,9 @@ HEADLINE = [
     "q215_token_budget_sample",   # per-source cost-budget prefix capping
     "q216_repeated_passages",     # word-8-gram repeated-passage mining
     "q217_mixture_resample",      # hash-threshold mixture rebalancing
-    "q224_github_issues_join",    # REST connector tier → broadcast dim join
-    "q226_slack_history_join",    # connector history table → region rollup
-    "q228_mmr_quantized_rerank",  # greedy MMR on integer-dot shortlist
+    "q233_github_issues_join",    # REST connector tier → broadcast dim join
+    "q235_slack_history_join",    # connector history table → region rollup
+    "q237_mmr_quantized_rerank",  # greedy MMR on integer-dot shortlist
 ]
 
 
