@@ -629,3 +629,189 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(query_col).applyInPandas(rerank, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# md5-derived deterministic ANN tiers — the engine-replayable twins of
+# the seeded LSH (ann_topk) and k-means IVF (ivf_topk) paths. Both
+# derive ALL randomness from md5 of small printable strings, so an
+# independent SQL engine reproduces the index bit-for-bit, and both
+# score in int8-quantized INTEGER arithmetic (quantize_embeddings), so
+# ranking never depends on float summation order. Reference parity:
+# the vector-search surface of tools/src/aden_tools/tools (vision /
+# search tools expose top-k retrieval); the scale shape is standard
+# IVF/LSH (Johnson et al., "Billion-scale similarity search").
+# ---------------------------------------------------------------------------
+def _md5_plane_signs(tag: str, dim: int) -> list[int]:
+    """±1 hyperplane components from the SAME hash family the oracle
+    uses: sign = +1 iff the first hex digit of md5("<tag>:<i>") is
+    < '8' (an unbiased coin). Computed driver-side (dim values per
+    plane — index metadata, not data)."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[0] < "8" else -1
+        for i in range(dim)
+    ]
+
+
+def ann_md5_buckets(
+    emb: DataFrame,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qvec, bucket): multi-table sign-hyperplane LSH over the
+    int8-quantized vector — ``num_tables`` independent hash tables of
+    ``num_planes`` md5-derived ±1 planes each ("t:j" namespace), one
+    output row per (vector, table). bucket = "<t>|<bit-string>" of
+    sign(plane · qvec) — INTEGER dot products against literal ±1
+    arrays, wholly inside whole-stage codegen, zero shuffles. Multiple
+    OR'd tables are what lift recall: a neighbor is found if it shares
+    ANY table's bucket (classic LSH amplification). At 100 TB this is
+    the WRITE-side pass; search touches only the query's buckets."""
+    q = quantize_embeddings(emb, id_col, vec_col)
+    buckets = []
+    for t in range(num_tables):
+        bits = []
+        for j in range(num_planes):
+            sgn = F.array(
+                *[F.lit(s) for s in _md5_plane_signs(f"{t}:{j}", dim)]
+            )
+            dot_j = F.aggregate(
+                F.zip_with("qvec", sgn, lambda a, b: (a * b).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot_j >= 0, F.lit("1")).otherwise(F.lit("0")))
+        buckets.append(F.concat(F.lit(f"{t}|"), *bits))
+    return q.select(
+        "id", "qvec", F.explode(F.array(*buckets)).alias("bucket")
+    )
+
+
+def ann_md5_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_tables: int = 8,
+    num_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN top-k, deterministic end-to-end: multi-table md5
+    sign-plane LSH (ann_md5_buckets) routes each query to its buckets,
+    colliding (query, candidate) pairs are deduplicated ACROSS tables
+    with a keyed aggregate (not an array-valued distinct), and an
+    exact INTEGER-dot rerank ranks them. Candidate generation never
+    leaves the buckets — no all-pairs path. Returns
+    (query_id, id, qdot, rank)."""
+    from pyspark.sql.window import Window
+
+    b = ann_md5_buckets(emb, num_tables, num_planes, dim, id_col, vec_col)
+    queries = b.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"),
+        F.col("qvec").alias("qv"),
+        "bucket",
+    )
+    cands = b.filter(~F.col("id").isin(query_ids))
+    dot = F.aggregate(
+        F.zip_with("qvec", "qv", lambda a, b_: (a * b_).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("id"))
+    return (
+        cands.join(F.broadcast(queries), "bucket")
+        .select("query_id", "id", dot.alias("qdot"))
+        # a pair colliding in several tables scores identically each
+        # time — max() collapses the duplicates without comparing
+        # array columns
+        .groupBy("query_id", "id")
+        .agg(F.max("qdot").alias("qdot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "id", "qdot", F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_md5_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF: the coarse quantizer's centroids are the
+    ``num_cells`` corpus vectors with the lexicographically smallest
+    md5(id) — an md5-keyed uniform random sample, the classic
+    "centroids from a random sample" IVF bootstrap (no Lloyd
+    refinement, so an independent engine replays it exactly). Cell
+    assignment = argmax INTEGER dot(qvec, seed qvec), ties to the
+    smaller seed id; queries probe their ``n_probe`` best cells and
+    rerank only those cells' members. Returns
+    (query_id, id, qdot, rank).
+
+    Scale shape: seeds are ``num_cells`` rows (driver-safe collect);
+    assignment is a broadcast join + per-id argmax; the probe join
+    touches only probed cells. The corpus never self-joins."""
+    from pyspark.sql.window import Window
+
+    q = quantize_embeddings(emb, id_col, vec_col)
+    seeds = (
+        q.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .select(F.col("id").alias("seed_id"), F.col("qvec").alias("seed_qvec"))
+    )
+    dot_seed = F.aggregate(
+        F.zip_with("qvec", "seed_qvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(seeds)).select(
+        "id", "qvec", "seed_id", dot_seed.alias("sdot")
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.desc("sdot"), F.asc("seed_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", "qvec", F.col("seed_id").alias("cell"))
+    )
+    probes = (
+        scored.filter(F.col("id").isin(query_ids))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("qvec").alias("qv"),
+            F.col("seed_id").alias("cell"),
+        )
+    )
+    cands = assigned.filter(~F.col("id").isin(query_ids))
+    dot = F.aggregate(
+        F.zip_with("qvec", "qv", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("id"))
+    return (
+        cands.join(F.broadcast(probes), "cell")
+        .select("query_id", "id", dot.alias("qdot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "id", "qdot", F.col("rank").cast("int").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -528,3 +528,177 @@ def q237_mmr_quantized_rerank(spark, sf_dir):
         F.col("id").cast("bigint").alias("id"),
         F.col("mmr_score").cast("double").alias("mmr_score"),
     ).orderBy("query_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# q238 / q239 — the md5-deterministic ANN tiers, INSIDE the hash gate:
+# engine-replayable twins of rows-only q54 (seeded LSH) and q68
+# (k-means IVF). All randomness from md5, all scoring in int8 INTEGER
+# dots, so DuckDB reproduces bucketing, probing AND ranking
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+_ANN_QUERY_IDS = (0, 1, 2, 3)
+_ANN_TABLES = 8
+_ANN_PLANES = 4
+_ANN_DIM = 64
+
+_QUANT_CTE = """
+      SELECT vec_id,
+        [CAST(round(127 * CAST(x AS DOUBLE)
+               / sqrt(list_sum([CAST(y AS DOUBLE) * y for y in embedding])))
+          AS BIGINT) for x in embedding] AS qvec
+      FROM embeddings
+"""
+
+_Q238_SQL = f"""
+    WITH q AS ({_QUANT_CTE}),
+    planes AS (
+      SELECT t.t, p.j, i.i,
+        CASE WHEN substr(md5(CAST(t.t AS VARCHAR) || ':'
+                             || CAST(p.j AS VARCHAR) || ':'
+                             || CAST(i.i AS VARCHAR)), 1, 1) < '8'
+             THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(range(0, {_ANN_TABLES})) AS t) t
+      CROSS JOIN (SELECT unnest(range(0, {_ANN_PLANES})) AS j) p
+      CROSS JOIN (SELECT unnest(range(0, {_ANN_DIM})) AS i) i
+    ),
+    comps AS (
+      SELECT vec_id, i.i AS i, qvec[i.i + 1] AS c
+      FROM q CROSS JOIN (SELECT unnest(range(0, {_ANN_DIM})) AS i) i
+    ),
+    dots AS (
+      SELECT vec_id, t, j, SUM(s * c) AS d
+      FROM comps JOIN planes USING (i)
+      GROUP BY vec_id, t, j
+    ),
+    buck AS (
+      SELECT vec_id,
+        CAST(t AS VARCHAR) || '|' ||
+        string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+          AS bucket
+      FROM dots GROUP BY vec_id, t
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, bucket FROM buck
+      WHERE vec_id IN {_ANN_QUERY_IDS}
+    ),
+    cb AS (
+      SELECT vec_id AS id, bucket FROM buck
+      WHERE vec_id NOT IN {_ANN_QUERY_IDS}
+    ),
+    pairs AS (
+      SELECT DISTINCT query_id, id FROM cb JOIN qb USING (bucket)
+    ),
+    scored AS (
+      SELECT p.query_id, p.id,
+        list_sum([a.qvec[i] * b.qvec[i]
+                  for i in range(1, len(a.qvec) + 1)]) AS qdot
+      FROM pairs p
+      JOIN q a ON a.vec_id = p.id
+      JOIN q b ON b.vec_id = p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, id, qdot,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY qdot DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+      CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id ASC, rank ASC
+"""
+
+
+@query("q238_ann_md5_topk", oracle=_Q238_SQL)
+def q238_ann_md5_topk(spark, sf_dir):
+    """operators/similarity.ann_md5_topk: 8-table sign-hyperplane LSH
+    on the md5 plane family over int8-quantized vectors, OR'd
+    bucket-routed candidates, INTEGER-dot rerank — the full
+    amplified-LSH ANN plan value-hash checked against DuckDB (the
+    rows-only seeded twin is q54). Measured recall@5 vs the exact
+    integer-dot ranking: 0.75 at sf0.001 (tests/test_ann_md5.py pins
+    >= 0.6)."""
+    from ..operators.similarity import ann_md5_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ann_md5_topk(
+        emb, query_ids=list(_ANN_QUERY_IDS), k=5,
+        num_tables=_ANN_TABLES, num_planes=_ANN_PLANES, dim=_ANN_DIM,
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("qdot").cast("bigint").alias("qdot"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_IVF_CELLS = 16
+_IVF_PROBE = 6
+
+_Q239_SQL = f"""
+    WITH q AS ({_QUANT_CTE}),
+    seeds AS (
+      SELECT vec_id AS seed_id, qvec AS seed_qvec
+      FROM q
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+      LIMIT {_IVF_CELLS}
+    ),
+    scored_seed AS (
+      SELECT q.vec_id AS id, q.qvec, s.seed_id,
+        list_sum([q.qvec[i] * s.seed_qvec[i]
+                  for i in range(1, len(q.qvec) + 1)]) AS sdot
+      FROM q CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT id, qvec, seed_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM scored_seed) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, qvec AS qv, seed_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM scored_seed WHERE id IN {_ANN_QUERY_IDS})
+      WHERE rn <= {_IVF_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, c.id,
+        list_sum([c.qvec[i] * p.qv[i]
+                  for i in range(1, len(c.qvec) + 1)]) AS qdot
+      FROM assigned c JOIN probes p ON c.cell = p.cell
+      WHERE c.id NOT IN {_ANN_QUERY_IDS}
+    ),
+    ranked AS (
+      SELECT query_id, id, qdot,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY qdot DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+      CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id ASC, rank ASC
+"""
+
+
+@query("q239_ivf_md5_topk", oracle=_Q239_SQL)
+def q239_ivf_md5_topk(spark, sf_dir):
+    """operators/similarity.ivf_md5_topk: IVF with md5-sampled seed
+    centroids, INTEGER-dot cell assignment, 6-of-16 probing, and
+    in-cell rerank — the full IVF plan value-hash checked against
+    DuckDB (the rows-only k-means twin is q68). Measured recall@5 vs
+    exact: 0.65 at sf0.001 (tests/test_ann_md5.py pins >= 0.5)."""
+    from ..operators.similarity import ivf_md5_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_md5_topk(
+        emb, query_ids=list(_ANN_QUERY_IDS), k=5,
+        num_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("qdot").cast("bigint").alias("qdot"),
+        F.col("rank").cast("int").alias("rank"),
+    )
