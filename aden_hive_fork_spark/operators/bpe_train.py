@@ -1,0 +1,190 @@
+"""Distributed BPE tokenizer training as PURE relational operators.
+
+functions/bpe.train_bpe learns merges driver-side from a bounded
+sample (the reference-parity tier; reference text tooling pretokenizes
+per-call, tools/src/aden_tools/tools — no trainer exists there, this
+is a §2.D extension). This module is the 100 TB tier: the corpus is
+reduced ONCE to a (word, freq) vocabulary (one shuffle over the data),
+and every merge round after that runs on the vocabulary-sized token
+relation with DataFrame ops only — no Python in the row path, no
+driver-side corpus.
+
+Determinism contract (what makes it hash-gate checkable, q240):
+- words: split on ``[^a-zA-Z]+`` then ASCII lowercase — identical in
+  Java regex and RE2/DuckDB;
+- pair choice: max total freq, ties to the lexicographically smallest
+  (left, right);
+- merge application: greedy left-to-right, expressed RELATIONALLY —
+  positions where the pair matches form runs (overlaps only possible
+  when left == right), and gaps-and-islands + run-start parity picks
+  exactly the matches a sequential scan would take.
+
+Scale shape per round: one groupBy (pair counts), one 1-row driver
+collect (the argmax — a scalar like pagerank's convergence check), and
+two windows partitioned by word. Lineage is truncated per round with
+localCheckpoint, the pagerank/connected-components discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def bpe_word_freqs(
+    df: DataFrame, text_col: str = "text", top_words: int = 500
+) -> DataFrame:
+    """(word, freq): corpus → vocabulary in one aggregate. The
+    ``top_words`` cap (freq DESC, word ASC — deterministic) bounds
+    every later round by vocabulary size, not corpus size; it is a
+    TakeOrdered (no global sort materializes)."""
+    return (
+        df.select(
+            F.explode(F.split(F.col(text_col), "[^a-zA-Z]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+    )
+
+
+def _initial_tokens(wf: DataFrame) -> DataFrame:
+    """(wid, freq, pos, sym): one row per character of each vocabulary
+    word, pos 1-based. sequence+substring (not split-on-regex) so the
+    oracle's list_transform(range(...)) replays it exactly."""
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    return (
+        wf.select(
+            F.col("word").alias("wid"),
+            "freq",
+            F.posexplode(chars).alias("pos0", "sym"),
+        )
+        .select("wid", "freq", (F.col("pos0") + 1).alias("pos"), "sym")
+    )
+
+
+def bpe_train_relational(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    top_words: int = 500,
+    min_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus, distributed.
+
+    Returns [(rank, lhs, rhs, pair_count), ...] — the merge table (the
+    model: k rows, driver-safe by construction). Stops early when the
+    best pair's count falls below ``min_count``.
+    """
+    spark = df.sparkSession
+    toks = _initial_tokens(
+        bpe_word_freqs(df, text_col, top_words)
+    ).localCheckpoint(eager=True)
+
+    w_word = Window.partitionBy("wid").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        t = toks.withColumn("nxt", F.lead("sym").over(w_word))
+        best = (
+            t.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("sym"), F.asc("nxt"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["cnt"] < min_count:
+            break
+        a, b, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["cnt"])
+        merges.append((r, a, b, cnt))
+
+        m = t.withColumn(
+            "m", (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+        )
+        # greedy non-overlapping match starts: islands of consecutive
+        # matching positions, keep even offsets from each island start
+        mrows = m.filter("m").select(
+            "wid",
+            "pos",
+            (F.col("pos") - F.row_number().over(w_word)).alias("isl"),
+        )
+        keep = (
+            mrows.withColumn(
+                "s", F.min("pos").over(Window.partitionBy("wid", "isl"))
+            )
+            .filter(((F.col("pos") - F.col("s")) % 2) == 0)
+            .select(F.col("wid").alias("kwid"), F.col("pos").alias("kpos"))
+        )
+        keep2 = keep.select(
+            F.col("kwid").alias("pwid"), F.col("kpos").alias("ppos")
+        )
+        nt = (
+            m.join(
+                keep,
+                (m["wid"] == keep["kwid"]) & (m["pos"] == keep["kpos"]),
+                "left",
+            )
+            .join(
+                keep2,
+                (m["wid"] == keep2["pwid"])
+                & (m["pos"] - 1 == keep2["ppos"]),
+                "left",
+            )
+            .filter(F.col("ppos").isNull())  # consumed by previous match
+            .select(
+                "wid",
+                "freq",
+                F.col("pos").alias("opos"),
+                F.when(
+                    F.col("kpos").isNotNull(), F.concat("sym", "nxt")
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        toks = (
+            nt.withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("wid").orderBy("opos")
+                ),
+            )
+            .select("wid", "freq", "pos", "sym")
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def bpe_merges_df(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    top_words: int = 500,
+) -> DataFrame:
+    """The merge table as a DataFrame: (rank, lhs, rhs, pair_count)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    rows = bpe_train_relational(df, text_col, n_merges, top_words)
+    schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField("lhs", StringType()),
+            StructField("rhs", StringType()),
+            StructField("pair_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(r, a, b, c) for r, a, b, c in rows], schema
+    )

@@ -499,3 +499,105 @@ def q123_nb_classifier(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — distributed BPE tokenizer training under the hash gate:
+# operators/bpe_train unrolled into chained CTEs (the q159 kmeans
+# discipline applied to an iterative text algorithm). Each round's
+# best pair AND its corpus pair-count are value-hash checked.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 6
+_BPE_TOP_WORDS = 500
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES,
+                top_words: int = _BPE_TOP_WORDS) -> str:
+    """Unrolled BPE rounds: lead → pair argmax → greedy islands merge,
+    mirroring operators/bpe_train.bpe_train_relational exactly."""
+    sql = f"""
+    WITH wf AS MATERIALIZED (
+      SELECT word, freq FROM (
+        SELECT lower(w) AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(text, '[^a-zA-Z]+')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY lower(w)
+      )
+      ORDER BY freq DESC, word ASC LIMIT {top_words}
+    ),
+    t0 AS MATERIALIZED (
+      SELECT wid, freq, pos, substring(wid, pos, 1) AS sym FROM (
+        SELECT word AS wid, freq,
+               unnest(range(1, length(word) + 1)) AS pos
+        FROM wf)
+    )"""
+    for r in range(1, n_merges + 1):
+        sql += f""",
+    l{r} AS MATERIALIZED (
+      SELECT wid, freq, pos, sym,
+             LEAD(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+      FROM t{r - 1}
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT sym AS a, nxt AS b, SUM(freq) AS cnt
+      FROM l{r} WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt
+      ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT l.wid, l.freq, l.pos, l.sym, l.nxt,
+             (l.sym = b.a AND l.nxt = b.b) AS m
+      FROM l{r} l CROSS JOIN b{r} b
+    ),
+    i{r} AS MATERIALIZED (
+      SELECT wid, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS isl
+      FROM m{r} WHERE m
+    ),
+    k{r} AS MATERIALIZED (
+      SELECT wid, pos FROM (
+        SELECT wid, pos, MIN(pos) OVER (PARTITION BY wid, isl) AS s
+        FROM i{r})
+      WHERE (pos - s) % 2 = 0
+    ),
+    t{r} AS MATERIALIZED (
+      SELECT wid, freq,
+             ROW_NUMBER() OVER (PARTITION BY wid ORDER BY opos) AS pos,
+             sym
+      FROM (
+        SELECT t.wid, t.freq, t.pos AS opos,
+          CASE WHEN k.pos IS NOT NULL THEN t.sym || t.nxt
+               ELSE t.sym END AS sym
+        FROM m{r} t
+        LEFT JOIN k{r} k ON k.wid = t.wid AND k.pos = t.pos
+        LEFT JOIN k{r} kp ON kp.wid = t.wid AND kp.pos = t.pos - 1
+        WHERE kp.pos IS NULL)
+    )"""
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    sql += f"""
+    SELECT * FROM ({union}) ORDER BY rank ASC
+    """
+    return sql
+
+
+@query("q240_bpe_train_merges", oracle=_bpe_oracle())
+def q240_bpe_train_merges(spark, sf_dir):
+    """operators/bpe_train.bpe_merges_df over documents: 6 merge
+    rounds, top-500 vocabulary — distributed BPE tokenizer training
+    with every round's (pair, corpus count) value-hash checked against
+    DuckDB's unrolled replay. The corpus reduces to (word, freq) in
+    ONE shuffle; all rounds run on the vocabulary-sized token
+    relation (two keyed windows + one aggregate per round,
+    localCheckpoint-truncated lineage)."""
+    from ..operators.bpe_train import bpe_merges_df
+
+    docs = T(spark, sf_dir, "documents")
+    return bpe_merges_df(
+        docs, text_col="text", n_merges=_BPE_MERGES,
+        top_words=_BPE_TOP_WORDS,
+    ).orderBy("rank")
