@@ -95,6 +95,8 @@ HEADLINE = [
     "q233_github_issues_join",    # REST connector tier → broadcast dim join
     "q235_slack_history_join",    # connector history table → region rollup
     "q237_mmr_quantized_rerank",  # greedy MMR on integer-dot shortlist
+    "q238_ann_md5_topk",          # 8-table amplified LSH + integer rerank
+    "q239_ivf_md5_topk",          # md5-seeded IVF, 6-of-16 probe + rerank
 ]
 
 

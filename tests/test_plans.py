@@ -146,3 +146,37 @@ def test_hist_bucket_stays_jvm_side(spark):
     df = spark.range(1000).select((F.col("id") + 1).cast("double").alias("value"))
     plan = _plan(df.select(_hist_bucket("value").alias("b")))
     assert "EvalPython" not in plan
+
+
+def test_q238_ann_lsh_is_broadcast_bucket_join(spark, queries):
+    """The amplified-LSH ANN: the (tiny) query-bucket side broadcasts;
+    the corpus is never self-joined all-pairs; sign computation stays
+    JVM-side (literal ±1 arrays inside codegen, no Python eval)."""
+    plan = _plan(queries["q238_ann_md5_topk"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q239_ivf_seed_scoring_is_broadcast(spark, queries):
+    """IVF cell assignment scores the corpus against 16 broadcast
+    seeds (BroadcastNestedLoopJoin over a bounded side is the intended
+    shape — NOT a CartesianProduct) and the probe join broadcasts."""
+    plan = _plan(queries["q239_ivf_md5_topk"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_initial_tokens_no_python(spark):
+    """BPE training's corpus reduction and char explode are pure JVM
+    expressions (sequence/substring/posexplode)."""
+    from aden_hive_fork_spark.operators.bpe_train import (
+        _initial_tokens,
+        bpe_word_freqs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(_initial_tokens(bpe_word_freqs(docs)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # vocabulary cap is a TakeOrdered, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
