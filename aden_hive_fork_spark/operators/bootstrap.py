@@ -1,0 +1,206 @@
+"""Poisson-bootstrap confidence intervals — uncertainty for
+corpus-scale metrics in ONE pass, no resampling shuffle.
+
+Classic bootstrap resampling (draw n rows with replacement, B times)
+is impossible at 100 TB: each replicate is a full shuffle of the
+corpus. The streaming-scale form is the POISSON BOOTSTRAP (Chamandy,
+Muralidharan, Najmi, Naidu, "Estimating Uncertainty for Massive Data
+Streams", Google research 2012; Kleiner et al's Bag of Little
+Bootstraps is the other published route): each row enters replicate b
+with multiplicity w ~ Poisson(1), independently per (row, replicate).
+Because Poisson counts are generated PER ROW, the whole construction
+is embarrassingly parallel: explode B replicate ids map-side, weight
+each copy, and let the partial aggregate collapse every partition to
+at most (groups × B) rows before the only shuffle. Nothing resembling
+a resample of the corpus ever moves.
+
+Determinism (the suite's engine-replayable-randomness discipline,
+sampling.py precedent): the uniform driving each Poisson draw is
+md5-derived from (salt, replicate, row key) — identical on any
+cluster shape, any partitioning, and byte-replayable by DuckDB via
+``('0x' || substr(md5(..), 1, 8))::UBIGINT``. The inverse-CDF
+thresholds are Poisson(1) cumulative probabilities embedded as
+literal doubles (both engines parse the same decimal literal to the
+same IEEE double, so every comparison lands identically). Replicate
+counts are chosen so the percentile positions are EXACT indices
+(p·(B-1) integral — e.g. B=201 for 2.5/50/97.5), which removes
+interpolation arithmetic from the cross-engine contract entirely.
+
+Reference parity: the reference exposes mean/aggregate reporting over
+its SQL surface (csv_tool.py:273-385 arbitrary SELECT) but has no
+uncertainty primitive; this is a §2.D-style extension shaped for the
+training-data-pipeline use (metric deltas on corpus refreshes need
+error bars, not point estimates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Cumulative P[Poisson(1) <= k] for k = 0..8; weight 9 beyond (the
+# tail above 8 is ~1.1e-6 — immaterial to the estimate, and the cap
+# keeps the CASE chain finite and engine-identical).
+POISSON1_CDF: tuple[float, ...] = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def md5_uniform(key: Column, salt: str = "") -> Column:
+    """u ∈ (0, 1) from the first 32 md5 bits of (salt || key) — the
+    sampling.py es_key idiom, DuckDB-replayable bit for bit."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return (u32 + 1.0) / 4294967297.0
+
+
+def poisson1_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from a uniform: the multiplicity
+    with which a row enters one bootstrap replicate."""
+    w: Column = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("int")
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    group_cols: list[str],
+    replicates: int = 201,
+    salt: str = "boot",
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the per-group MEAN of
+    ``value_col``: one row per group with the exact point estimate
+    and the (lo_p, hi_p) percentile bounds over ``replicates``
+    Poisson-bootstrap replicate means.
+
+    Plan shape (the 100 TB contract):
+    - ``explode(sequence(0, B-1))`` is map-side row amplification —
+      CPU, not shuffle; the partial aggregate folds each partition to
+      ≤ groups×B rows before the single Exchange.
+    - replicate sums are exact DECIMAL (no float accumulation order
+      in the data-sized reduction); the replicate mean becomes a
+      double only at the final bounded division.
+    - the percentile aggregate sees exactly B values per group —
+      driver-bounded, never corpus-sized.
+
+    Choose ``replicates`` so lo_p·(B-1) and hi_p·(B-1) are integers
+    (B=201 for the 95% CI): the type-7 quantile then selects an exact
+    order statistic and no interpolation arithmetic exists to
+    diverge between engines.
+    """
+    if replicates < 2:
+        raise ValueError("replicates must be >= 2")
+    for p in (lo_p, hi_p):
+        pos = p * (replicates - 1)
+        if abs(pos - round(pos)) > 1e-9:
+            raise ValueError(
+                f"percentile position {p}*(B-1) must be integral for the "
+                f"exact-order-statistic contract; got {pos} (pick B so "
+                "p*(B-1) is an integer, e.g. B=201 for 0.025/0.975)"
+            )
+    dec = f"decimal(28,{value_scale})"
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b")
+    rkey = F.concat(
+        F.col("_b").cast("string"), F.lit("|"), F.col(key_col).cast("string")
+    )
+    u = md5_uniform(rkey, salt)
+    drawn = (
+        df.select(
+            *group_cols,
+            F.col(key_col),
+            F.col(value_col).cast(dec).alias("_x"),
+            b,
+        )
+        .withColumn("_w", poisson1_weight(u))
+        .filter(F.col("_w") > 0)
+    )
+    rep = drawn.groupBy(*group_cols, "_b").agg(
+        F.sum(F.col("_x") * F.col("_w")).alias("_s"),
+        F.sum("_w").cast("bigint").alias("_n"),
+    )
+    rep_mean = (F.col("_s").cast("double") / F.col("_n")).alias("_m")
+    reps = rep.select(*group_cols, rep_mean)
+    exact = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(
+            F.sum(F.col(value_col).cast(dec)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    ci = reps.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.expr(f"percentile(_m, {lo_p!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_m, {hi_p!r})"), 6).alias("ci_hi"),
+    )
+    return exact.join(ci, group_cols, "inner")
+
+
+def poisson_bootstrap_oracle(
+    table_sql: str,
+    key_expr: str,
+    value_expr: str,
+    group_exprs: list[str],
+    replicates: int = 201,
+    salt: str = "boot",
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    value_scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_mean_ci` — the same
+    md5 arithmetic, thresholds, decimal sums, and exact-index
+    quantiles, so the driver's value hash matches."""
+    cdf = POISSON1_CDF
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {cdf[k]!r} THEN {k}" for k in range(len(cdf))
+    ) + f" ELSE {len(cdf)} END"
+    g = ", ".join(group_exprs)
+    dec = f"DECIMAL(28,{value_scale})"
+    return f"""
+    WITH reps AS (SELECT unnest(range(0, {replicates})) AS b),
+    base AS (
+      SELECT {g}, {key_expr} AS k, CAST({value_expr} AS {dec}) AS x
+      FROM {table_sql}
+    ),
+    d AS (
+      SELECT {g}, b, x,
+        (CAST(('0x' || substr(md5('{salt}' || CAST(b AS VARCHAR) || '|' ||
+          CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) / 4294967297.0 AS u
+      FROM base CROSS JOIN reps
+    ),
+    wd AS (
+      SELECT {g}, b, x, {w_case} AS w FROM d
+    ),
+    rep AS (
+      SELECT {g}, b,
+        CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS m
+      FROM wd WHERE w > 0 GROUP BY {g}, b
+    ),
+    exact AS (
+      SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean
+      FROM base GROUP BY {g}
+    ),
+    ci AS (
+      SELECT {g}, CAST(COUNT(*) AS BIGINT) AS n_replicates,
+        ROUND(quantile_cont(m, {lo_p!r}), 6) AS ci_lo,
+        ROUND(quantile_cont(m, {hi_p!r}), 6) AS ci_hi
+      FROM rep GROUP BY {g}
+    )
+    SELECT exact.*, ci.n_replicates, ci.ci_lo, ci.ci_hi
+    FROM exact JOIN ci USING ({g})
+    """

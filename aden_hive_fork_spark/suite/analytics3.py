@@ -1507,3 +1507,44 @@ def q225_ks_price_shift(spark, sf_dir):
         o, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW",
         ["status"],
     ).orderBy(F.asc("status"))
+
+
+# ---------------------------------------------------------------------------
+# q241 — Poisson-bootstrap CI for the per-priority mean order value:
+# the streaming-scale bootstrap (Poisson(1) multiplicities per
+# (row, replicate), md5-deterministic), B=201 so the 2.5/97.5
+# percentiles are exact order statistics. Map-side amplification +
+# partial agg: the only Exchange carries ≤ groups×B rows per
+# partition. See operators/bootstrap.py for the published basis.
+# ---------------------------------------------------------------------------
+def _q241_oracle():
+    from ..operators.bootstrap import poisson_bootstrap_oracle
+
+    return (
+        poisson_bootstrap_oracle(
+            "orders",
+            "o_orderkey",
+            "o_totalprice",
+            ["o_orderpriority"],
+            replicates=201,
+            salt="boot241",
+        )
+        + " ORDER BY o_orderpriority ASC"
+    )
+
+
+@query("q241_bootstrap_mean_ci", oracle=_q241_oracle())
+def q241_bootstrap_mean_ci(spark, sf_dir):
+    """operators/bootstrap.poisson_bootstrap_mean_ci over orders:
+    95% CI on mean(o_totalprice) per order priority."""
+    from ..operators.bootstrap import poisson_bootstrap_mean_ci
+
+    o = T(spark, sf_dir, "orders")
+    return poisson_bootstrap_mean_ci(
+        o,
+        "o_orderkey",
+        "o_totalprice",
+        ["o_orderpriority"],
+        replicates=201,
+        salt="boot241",
+    ).orderBy(F.asc("o_orderpriority"))
