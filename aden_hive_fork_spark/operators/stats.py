@@ -712,3 +712,92 @@ def ks_test(
         fquant(F.col("_d"), ndigits).alias("d_stat"),
         fquant(p, ndigits).alias("p_value"),
     )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    outer_cols: list[str] | None = None,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F-test: does the mean of ``value_col`` differ
+    across the levels of ``group_col``?  One row per ``outer_cols``
+    combination with ``k_groups, n_rows, ss_between, ss_within,
+    f_stat, eta_sq``.
+
+    Same contract as :func:`welch_ttest` extended to k groups: the
+    corpus pass is ONE keyed aggregate of exact DECIMAL sufficient
+    statistics (n, Σx, Σx² per level); the second aggregate runs
+    over the BOUNDED level rows, where the only float reduction —
+    Σ_g (Σx_g)²/n_g — goes through the det_sum sorted fold so it is
+    partition- and engine-order independent. Downstream is a fixed
+    IEEE expression:
+
+        SSB = Σ_g s_g²/n_g − S²/N      SSW = SS − Σ_g s_g²/n_g
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    NULL F when k < 2, N ≤ k, or SSW is not positive.
+
+    Large-magnitude float discipline: the fold and every SS value
+    stay UNROUNDED doubles (bit-identical in both engines) — at SS
+    magnitudes (~1e13 for prices) a decimal ROUND sits BELOW one ulp,
+    where DuckDB's multiply-round-divide perturbs the value while
+    Spark's shortest-repr round is a no-op; rounding there is pure
+    cross-engine noise. Sums of squares are therefore emitted scaled
+    to 1e9 units (``ss_between_bn``/``ss_within_bn``), where a
+    3-digit round is far above ulp and safe; F and η² are O(1) and
+    round normally.
+    """
+    outer = list(outer_cols or [])
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    p = f"decimal(38,{2 * scale})"
+    lvl = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*outer, group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum(v).cast("decimal(38,6)").alias("_s"),
+            F.sum((v * v).cast(p)).cast("decimal(38,6)").alias("_ss"),
+        )
+    )
+    term = (
+        F.col("_s").cast("double") * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+    )
+    top = lvl.groupBy(*outer).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.sum("_s").cast("decimal(38,6)").alias("_S"),
+        F.sum("_ss").cast("decimal(38,6)").alias("_SS"),
+        # raw sorted fold — deliberately NOT det_sum: no round at
+        # SS magnitude (see docstring)
+        F.aggregate(
+            F.sort_array(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_t1"),
+    )
+    n_d = F.col("n_rows").cast("double")
+    k_d = F.col("k_groups").cast("double")
+    cf = F.col("_S").cast("double") * F.col("_S").cast("double") / n_d
+    ssb = F.col("_t1") - cf
+    ssw = F.col("_SS").cast("double") - F.col("_t1")
+    ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("n_rows") > F.col("k_groups"))
+        & (ssw > 0)
+    )
+    f_stat = F.when(ok, (ssb / (k_d - 1.0)) / (ssw / (n_d - k_d)))
+    sst = F.col("_SS").cast("double") - cf
+    eta = F.when(ok & (sst > 0), ssb / sst)
+    return top.select(
+        *outer,
+        "k_groups",
+        "n_rows",
+        F.round(ssb / 1.0e9, 3).cast("double").alias("ss_between_bn"),
+        F.round(ssw / 1.0e9, 3).cast("double").alias("ss_within_bn"),
+        F.round(f_stat, ndigits).cast("double").alias("f_stat"),
+        F.round(eta, ndigits).cast("double").alias("eta_sq"),
+    )

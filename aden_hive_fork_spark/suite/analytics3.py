@@ -1548,3 +1548,160 @@ def q241_bootstrap_mean_ci(spark, sf_dir):
         replicates=201,
         salt="boot241",
     ).orderBy(F.asc("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# q242 — Markov stationary distribution of the event-type chain:
+# q174's transition matrix taken to its equilibrium. One corpus pass
+# (lead window + count agg) → states² bounded matrix → 15 power
+# iterations over driver-bounded state (kmeans/pca precedent), every
+# arithmetic step engine-replayable (see operators/markov.py).
+# ---------------------------------------------------------------------------
+_MARKOV_ITER = 15
+
+
+def _q242_oracle() -> str:
+    sql = """
+    WITH seq AS MATERIALIZED (
+      SELECT event_type AS src,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS dst
+      FROM events
+    ),
+    cnt AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT src AS state FROM cnt),
+    trans AS MATERIALIZED (
+      SELECT c.src, c.dst, c.n,
+        CAST(c.n AS DOUBLE)
+          / CAST(SUM(c.n) OVER (PARTITION BY c.src) AS DOUBLE) AS p
+      FROM cnt c JOIN states s ON c.dst = s.state
+    ),
+    p0 AS MATERIALIZED (
+      SELECT state,
+        1.0 / CAST((SELECT COUNT(*) FROM states) AS DOUBLE) AS pi
+      FROM states
+    )"""
+    for i in range(1, _MARKOV_ITER + 1):
+        sql += f""",
+    p{i} AS MATERIALIZED (
+      SELECT s.state, COALESCE(c.pi, 0.0) AS pi
+      FROM states s LEFT JOIN (
+        SELECT t.dst AS state,
+          CAST(ROUND(list_sum(list_sort(list(pp.pi * t.p))), 9) AS DOUBLE)
+            AS pi
+        FROM p{i - 1} pp JOIN trans t ON t.src = pp.state
+        GROUP BY t.dst
+      ) c ON c.state = s.state
+    )"""
+    sql += f"""
+    SELECT s.state, o.n_out, CAST(ROUND(p.pi, 6) AS DOUBLE) AS pi
+    FROM states s
+    JOIN p{_MARKOV_ITER} p ON p.state = s.state
+    JOIN (SELECT src AS o_state, CAST(SUM(n) AS BIGINT) AS n_out
+          FROM trans GROUP BY src) o ON o.o_state = s.state
+    ORDER BY s.state ASC
+    """
+    return sql
+
+
+@query("q242_markov_stationary", oracle=_q242_oracle())
+def q242_markov_stationary(spark, sf_dir):
+    """operators/markov: event-type transition matrix + stationary
+    distribution (15 power iterations, det-sum discipline)."""
+    from ..operators.markov import event_transitions, stationary_distribution
+
+    e = T(spark, sf_dir, "events")
+    trans = event_transitions(
+        e, "user_id", "ts", "event_type", "event_id"
+    ).persist()
+    try:
+        pi = stationary_distribution(trans, n_iter=_MARKOV_ITER, ndigits=9)
+        n_out = trans.groupBy(F.col("src").alias("state")).agg(
+            F.sum("n").cast("bigint").alias("n_out")
+        )
+        return (
+            n_out.join(pi, "state")
+            .select(
+                "state",
+                "n_out",
+                F.round("pi", 6).cast("double").alias("pi"),
+            )
+            .orderBy(F.asc("state"))
+        )
+    finally:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# q243 — one-way ANOVA: does mean order value differ across the five
+# order priorities, within each order status? ONE corpus aggregate of
+# exact decimal sufficient statistics; the only float reduction (the
+# bounded per-level Σ s²/n) goes through the det_sum sorted fold.
+# ---------------------------------------------------------------------------
+@query(
+    "q243_anova_priority",
+    oracle="""
+    WITH lvl AS (
+      SELECT o_orderstatus AS status, o_orderpriority,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS s,
+        CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))
+                      AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS ss
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderstatus, o_orderpriority
+    ),
+    top AS (
+      SELECT status,
+        CAST(COUNT(*) AS BIGINT) AS k_groups,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(SUM(s) AS DECIMAL(38,6)) AS sg,
+        CAST(SUM(ss) AS DECIMAL(38,6)) AS ssg,
+        CAST(list_sum(list_sort(list(
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        ))) AS DOUBLE) AS t1
+      FROM lvl GROUP BY status
+    ),
+    d AS (
+      SELECT status, k_groups, n_rows, t1,
+        CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+          / CAST(n_rows AS DOUBLE) AS cf,
+        CAST(ssg AS DOUBLE) AS ss_tot
+      FROM top
+    ),
+    m AS (
+      SELECT status, k_groups, n_rows,
+        t1 - cf AS ssb, ss_tot - t1 AS ssw, ss_tot - cf AS sst,
+        (k_groups >= 2 AND n_rows > k_groups AND ss_tot - t1 > 0) AS ok
+      FROM d
+    )
+    SELECT status, k_groups, n_rows,
+      CAST(ROUND(ssb / 1.0e9, 3) AS DOUBLE) AS ss_between_bn,
+      CAST(ROUND(ssw / 1.0e9, 3) AS DOUBLE) AS ss_within_bn,
+      CAST(ROUND(CASE WHEN ok THEN
+        (ssb / (CAST(k_groups AS DOUBLE) - 1.0))
+        / (ssw / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+      END, 6) AS DOUBLE) AS f_stat,
+      CAST(ROUND(CASE WHEN ok AND sst > 0 THEN ssb / sst END, 6)
+        AS DOUBLE) AS eta_sq
+    FROM m
+    ORDER BY status ASC
+    """,
+)
+def q243_anova_priority(spark, sf_dir):
+    """operators/stats.anova_f: mean o_totalprice across the five
+    priorities, tested within each order status."""
+    from ..operators.stats import anova_f
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return anova_f(
+        o, "o_totalprice", "o_orderpriority", outer_cols=["status"]
+    ).orderBy(F.asc("status"))
