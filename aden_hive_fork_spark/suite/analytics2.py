@@ -430,3 +430,52 @@ def q170_cusum_shifts(spark, sf_dir):
         _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
         slack_sigmas=0.5, threshold_sigmas=4.0,
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q244 — Holt linear-trend smoothing of the daily revenue series: the
+# q160 fold with two-component (level, trend) state. The oracle
+# replays the fold as a RECURSIVE CTE stepping (l, b) row by row —
+# NOT list_reduce: DuckDB v1.0 mis-evaluates struct accumulators
+# across list_reduce iterations (a single application is correct,
+# chaining is not — verified directly), while the recursive CTE is
+# plain row arithmetic and reproduces the JVM fold bit for bit.
+# ---------------------------------------------------------------------------
+@query(
+    "q244_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_DAILY_REV_SQL}),
+    s AS (
+      SELECT priority, rev,
+        ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d ASC) AS i
+      FROM base
+    ),
+    mx AS (SELECT priority, MAX(i) AS n FROM s GROUP BY priority),
+    rec AS (
+      SELECT priority, i, CAST(rev AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM s WHERE i = 1
+      UNION ALL
+      SELECT r.priority, s.i,
+        CAST(0.3*s.rev + 0.7*(r.l + r.b) AS DOUBLE),
+        CAST(0.2*((0.3*s.rev + 0.7*(r.l + r.b)) - r.l) + 0.8*r.b AS DOUBLE)
+      FROM rec r JOIN s ON s.priority = r.priority AND s.i = r.i + 1
+    )
+    SELECT rec.priority, CAST(mx.n AS BIGINT) AS n_obs,
+      CAST(ROUND(rec.l, 4) AS DOUBLE) AS level,
+      CAST(ROUND(rec.b, 4) AS DOUBLE) AS trend,
+      CAST(ROUND(rec.l + 1.0*rec.b, 4) AS DOUBLE) AS fc_1,
+      CAST(ROUND(rec.l + 2.0*rec.b, 4) AS DOUBLE) AS fc_2,
+      CAST(ROUND(rec.l + 3.0*rec.b, 4) AS DOUBLE) AS fc_3
+    FROM rec JOIN mx ON mx.priority = rec.priority AND rec.i = mx.n
+    ORDER BY rec.priority ASC
+    """,
+)
+def q244_holt_forecast(spark, sf_dir):
+    """operators/timeseries.holt_linear over the daily revenue
+    series: level+trend state and 1/2/3-step forecasts."""
+    from ..operators.timeseries import holt_linear
+
+    return holt_linear(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
+        alpha=0.3, beta=0.2,
+    ).orderBy("priority")
