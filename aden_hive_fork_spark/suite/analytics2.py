@@ -479,3 +479,44 @@ def q244_holt_forecast(spark, sf_dir):
         _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
         alpha=0.3, beta=0.2,
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q245 — additive seasonal decomposition of daily revenue: centered
+# 7-day moving-average trend (exact decimal window sums), per-ISO-
+# weekday seasonal means of the detrended series (raw sorted fold,
+# rounded only at the final day-magnitude mean).
+# ---------------------------------------------------------------------------
+@query(
+    "q245_seasonal_decompose",
+    oracle=f"""
+    WITH base AS ({_DAILY_REV_SQL}),
+    w AS (
+      SELECT priority, d, rev,
+        CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER win AS DOUBLE)
+          / CAST(COUNT(*) OVER win AS DOUBLE) AS trend
+      FROM base
+      WINDOW win AS (PARTITION BY priority ORDER BY d ASC
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT priority, CAST(isodow(d) AS INT) AS isodow,
+        rev - trend AS detr
+      FROM w
+    )
+    SELECT priority, isodow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      CAST(ROUND(list_sum(list_sort(list(detr)))
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS seasonal
+    FROM det GROUP BY priority, isodow
+    ORDER BY priority ASC, isodow ASC
+    """,
+)
+def q245_seasonal_decompose(spark, sf_dir):
+    """operators/timeseries.seasonal_decompose over daily revenue
+    per priority: 7-day centered trend, weekday seasonal profile."""
+    from ..operators.timeseries import seasonal_decompose
+
+    return seasonal_decompose(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
+        half_window=3,
+    ).orderBy(F.asc("priority"), F.asc("isodow"))

@@ -1705,3 +1705,70 @@ def q243_anova_priority(spark, sf_dir):
     return anova_f(
         o, "o_totalprice", "o_orderpriority", outer_cols=["status"]
     ).orderBy(F.asc("status"))
+
+
+# ---------------------------------------------------------------------------
+# q246 — leave-one-out smoothed target encoding of customer nation by
+# order value: the GBDT-feature workhorse. Category table + global
+# mean broadcast back onto facts — the corpus never shuffles for the
+# encode; output is one audit month, totally ordered.
+# ---------------------------------------------------------------------------
+@query(
+    "q246_target_encoding",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderkey, c.c_nationkey AS nat,
+        CAST(o.o_totalprice AS DECIMAL(18,2)) AS x,
+        CAST(o.o_orderdate AS DATE) AS od
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cat AS (
+      SELECT nat, CAST(COUNT(*) AS BIGINT) AS n_cat,
+        CAST(SUM(x) AS DECIMAL(38,6)) AS s_cat
+      FROM base GROUP BY nat
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        CAST(SUM(x) AS DECIMAL(38,6)) AS s_all
+      FROM base
+    )
+    SELECT b.o_orderkey, CAST(b.nat AS INT) AS nation_key,
+      CAST(ROUND(
+        (CAST(s_cat AS DOUBLE) - CAST(b.x AS DOUBLE)
+         + 10.0 * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+        / (CAST(n_cat AS DOUBLE) - 1.0 + 10.0), 6) AS DOUBLE) AS te_loo
+    FROM base b JOIN cat USING (nat) CROSS JOIN g
+    WHERE b.od >= DATE '1995-03-01' AND b.od < DATE '1995-04-01'
+    ORDER BY b.o_orderkey ASC
+    """,
+)
+def q246_target_encoding(spark, sf_dir):
+    """operators/encoding.target_encode_loo: nation-by-order-value
+    encode, March 1995 audit slice."""
+    from ..operators.encoding import target_encode_loo
+
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    base = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).select(
+        "o_orderkey",
+        F.col("c_nationkey").alias("nation_key"),
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    enc = target_encode_loo(
+        base, "nation_key", "o_totalprice", smoothing=10.0
+    )
+    return (
+        enc.filter(
+            (F.col("od") >= F.lit("1995-03-01"))
+            & (F.col("od") < F.lit("1995-04-01"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("nation_key").cast("int").alias("nation_key"),
+            "te_loo",
+        )
+        .orderBy(F.asc("o_orderkey"))
+    )

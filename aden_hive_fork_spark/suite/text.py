@@ -601,3 +601,61 @@ def q240_bpe_train_merges(spark, sf_dir):
         docs, text_col="text", n_merges=_BPE_MERGES,
         top_words=_BPE_TOP_WORDS,
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# q247 — hashing-trick featurization of the document corpus: k=16
+# signed-count buckets per doc, md5 bucket+sign so the vectorizer is
+# engine-replayable. No vocabulary state — any executor featurizes
+# any row; densification is map-side (map + transform, no grid join).
+# ---------------------------------------------------------------------------
+@query(
+    "q247_feature_hashing",
+    oracle="""
+    WITH tok0 AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, md5('fh' || tok) AS h FROM tok0 WHERE tok <> ''
+    ),
+    pb AS (
+      SELECT doc_id,
+        CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        SUM(CASE WHEN CAST(('0x' || substr(h, 9, 1)) AS UBIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END) AS v,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, gi.i
+      FROM (SELECT DISTINCT doc_id FROM pb) d
+      CROSS JOIN (SELECT unnest(range(16)) AS i) gi
+    ),
+    dense AS (
+      SELECT g.doc_id, g.i, COALESCE(pb.v, 0) AS v
+      FROM grid g LEFT JOIN pb ON pb.doc_id = g.doc_id AND pb.b = g.i
+    ),
+    nt AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM pb GROUP BY doc_id
+    ),
+    vecs AS (
+      SELECT doc_id, list(CAST(v AS BIGINT) ORDER BY i ASC) AS features
+      FROM dense GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n_tokens, vecs.features
+    FROM nt JOIN vecs USING (doc_id)
+    ORDER BY nt.doc_id ASC
+    """,
+)
+def q247_feature_hashing(spark, sf_dir):
+    """operators/encoding.feature_hash over documents: 16-bucket
+    signed-count hashing-trick vectors."""
+    from ..operators.encoding import feature_hash
+
+    d = T(spark, sf_dir, "documents")
+    return feature_hash(d, "doc_id", "text", k=16, salt="fh").orderBy(
+        F.asc("doc_id")
+    )
