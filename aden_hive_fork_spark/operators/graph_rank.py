@@ -361,3 +361,56 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Single/multi-source shortest paths with non-negative INTEGER
+    edge weights: synchronous Bellman-Ford relaxation,
+
+        dist_{k+1}(v) = min(dist_k(v), min_u dist_k(u) + w(u,v)),
+
+    run for exactly ``rounds`` rounds (distances are hop-bounded by
+    the round count — the fixed-iteration contract every iterative
+    operator here shares, so the oracle can unroll the rounds).
+
+    Per round: one keyed equi-join (dist ⋈ edges) + one MIN
+    aggregate over (old dist ∪ candidates) — node-bounded state,
+    min-plus arithmetic on BIGINTs (no float anywhere, trivially
+    engine-exact). Lineage truncated per round with an eager
+    localCheckpoint (the bfs/pagerank discipline). Dijkstra's
+    priority queue is inherently sequential; synchronous relaxation
+    is the published distributed form (Pregel/GraphX SSSP).
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    dist = (
+        sources.select(F.col(id_col).cast("long").alias(id_col))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"),
+        F.col(dst).cast("long").alias("_d"),
+        F.col(weight).cast("bigint").alias("_w"),
+    )
+    for _ in range(rounds):
+        cand = dist.join(e, dist[id_col] == e["_s"]).select(
+            F.col("_d").alias(id_col),
+            (F.col("dist") + F.col("_w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy(id_col)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

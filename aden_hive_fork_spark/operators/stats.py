@@ -27,7 +27,7 @@ roughly 10^(38-2·scale) summed rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -800,4 +800,109 @@ def anova_f(
         F.round(ssw / 1.0e9, 3).cast("double").alias("ss_within_bn"),
         F.round(f_stat, ndigits).cast("double").alias("f_stat"),
         F.round(eta, ndigits).cast("double").alias("eta_sq"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation per group: Pearson on the AVERAGE
+    ranks (the standard tie treatment), which is exactly computable —
+    doubled average ranks ``2·RANK + ties − 1`` are INTEGERS, and
+    Pearson is affine-invariant, so the whole statistic runs through
+    the exact-decimal suffstats machinery with no float until the
+    final fixed IEEE expression.
+
+    Scale note: ranking is a per-group ordered window (one Exchange +
+    in-partition sorts, like every rank window in the suite). For
+    report-granularity groups that is the right tool; corpus-wide
+    monotone-association monitoring should sample first or bucket via
+    the rollup histograms — a global rank of 100 TB is a global sort
+    by definition (the q138 two-pass range-partition trick applies if
+    one is truly needed).
+    """
+    g = group_cols or []
+    base = _complete_pairs(df, x_col, y_col)
+
+    def rank2(c: str) -> Column:
+        w = Window.partitionBy(*g).orderBy(F.col(c).asc())
+        t = Window.partitionBy(*g, c)
+        return (
+            2 * F.rank().over(w) + F.count(F.lit(1)).over(t) - 1
+        ).cast("bigint")
+
+    ranked = base.select(
+        *g, rank2(x_col).alias("_rx2"), rank2(y_col).alias("_ry2")
+    )
+    return (
+        exact_corr(ranked, "_rx2", "_ry2", g, scale=0, ndigits=ndigits)
+        .withColumnRenamed("corr", "spearman_rho")
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    arm_col: str,
+    scale: int = 2,
+    ndigits: int = 4,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker, WSDM'13):
+    adjust the experiment metric with a pre-period covariate,
+    ``y_adj = y − θ(x − x̄)`` with θ = cov(x,y)/var(x) POOLED across
+    arms — the standard way to tighten A/B confidence intervals
+    without touching the estimand (E[y_adj] per arm equals E[y] when
+    assignment is independent of x).
+
+    Everything reduces to sufficient statistics: θ and x̄ from the
+    pooled exact-decimal suffstats, per-arm adjusted means from
+    per-arm exact sums —
+
+        mean_adj(arm) = (Σy_a − θ·Σx_a + θ·x̄·n_a) / n_a
+
+    so NO per-row adjusted column materializes: two keyed aggregates
+    and a broadcast of one pooled row. Output per arm: ``n, mean_y,
+    mean_y_cuped``.
+    """
+    v = lambda c: F.col(c).cast(f"decimal(18,{scale})")  # noqa: E731
+    p = f"decimal(38,{2 * scale})"
+    pooled = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(v(x_col)).cast("decimal(38,6)").alias("_sx"),
+        F.sum(v(y_col)).cast("decimal(38,6)").alias("_sy"),
+        F.sum((v(x_col) * v(y_col)).cast(p))
+        .cast("decimal(38,6)")
+        .alias("_sxy"),
+        F.sum((v(x_col) * v(x_col)).cast(p))
+        .cast("decimal(38,6)")
+        .alias("_sxx"),
+    )
+    arms = df.groupBy(arm_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v(x_col)).cast("decimal(38,6)").alias("_asx"),
+        F.sum(v(y_col)).cast("decimal(38,6)").alias("_asy"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    nd = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    vx = nd * sxx - sx * sx
+    theta = F.when(vx > 0, (nd * sxy - sx * sy) / vx).otherwise(F.lit(0.0))
+    xbar = sx / nd
+    na = F.col("n").cast("double")
+    asx, asy = F.col("_asx").cast("double"), F.col("_asy").cast("double")
+    return j.select(
+        arm_col,
+        "n",
+        F.round(asy / na, ndigits).cast("double").alias("mean_y"),
+        F.round(
+            (asy - theta * asx + theta * xbar * na) / na, ndigits
+        )
+        .cast("double")
+        .alias("mean_y_cuped"),
     )

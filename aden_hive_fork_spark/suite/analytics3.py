@@ -1772,3 +1772,198 @@ def q246_target_encoding(spark, sf_dir):
         )
         .orderBy(F.asc("o_orderkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — Spearman rank correlation of customer account balance vs
+# total spend per market segment: doubled average ranks (integers —
+# the standard tie treatment made exact), then the q144 exact-decimal
+# Pearson machinery. No float before the final expression.
+# ---------------------------------------------------------------------------
+@query(
+    "q248_spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment, c.c_acctbal AS x,
+        CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+          AS DOUBLE) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    ),
+    ranked AS (
+      SELECT segment,
+        2 * RANK() OVER (PARTITION BY segment ORDER BY x ASC)
+          + COUNT(*) OVER (PARTITION BY segment, x) - 1 AS rx,
+        2 * RANK() OVER (PARTITION BY segment ORDER BY y ASC)
+          + COUNT(*) OVER (PARTITION BY segment, y) - 1 AS ry
+      FROM base
+    ),
+    s AS (
+      SELECT segment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(rx AS DECIMAL(18,0))) AS DECIMAL(38,6)) AS sx,
+        CAST(SUM(CAST(ry AS DECIMAL(18,0))) AS DECIMAL(38,6)) AS sy,
+        CAST(SUM(CAST(rx AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+          AS DECIMAL(38,6)) AS sxy,
+        CAST(SUM(CAST(rx AS DECIMAL(18,0)) * CAST(rx AS DECIMAL(18,0)))
+          AS DECIMAL(38,6)) AS sxx,
+        CAST(SUM(CAST(ry AS DECIMAL(18,0)) * CAST(ry AS DECIMAL(18,0)))
+          AS DECIMAL(38,6)) AS syy
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, n,
+      CAST(ROUND(
+        CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+              AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        END, 6) AS DOUBLE) AS spearman_rho
+    FROM s
+    ORDER BY segment ASC
+    """,
+)
+def q248_spearman_corr(spark, sf_dir):
+    """operators/stats.spearman_corr: acctbal vs lifetime spend,
+    ranked within market segment."""
+    from ..operators.stats import spearman_corr
+    from ._helpers import dec, dround
+
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    base = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal")
+        .agg(dround(F.sum(dec("o_totalprice"))).alias("y"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("x"),
+            "y",
+        )
+    )
+    return spearman_corr(base, "x", "y", ["segment"]).orderBy(
+        F.asc("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249 — CUPED variance-reduced experiment readout: arms assigned by
+# md5 of the customer key, metric = 1995+ spend, covariate =
+# pre-1995 spend. θ and x̄ from pooled exact suffstats; per-arm
+# adjusted means via aggregate identities — no per-row adjusted
+# column ever materializes.
+# ---------------------------------------------------------------------------
+@query(
+    "q249_cuped_experiment",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+        COALESCE(ROUND(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+            < DATE '1995-01-01'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2), 0.0) AS x,
+        COALESCE(ROUND(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+            >= DATE '1995-01-01'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2), 0.0) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    u AS (
+      SELECT c.c_custkey,
+        CASE WHEN CAST(('0x' || substr(md5('cuped'
+            || CAST(c.c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+          THEN 'control' ELSE 'treatment' END AS arm,
+        CAST(COALESCE(s.x, 0.0) AS DOUBLE) AS x,
+        CAST(COALESCE(s.y, 0.0) AS DOUBLE) AS y
+      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS pn,
+        CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS psx,
+        CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS psy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+          AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS psxy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+          AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS psxx
+      FROM u
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS asx,
+        CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS asy
+      FROM u GROUP BY arm
+    ),
+    d AS (
+      SELECT arm, n,
+        CAST(asx AS DOUBLE) AS asx, CAST(asy AS DOUBLE) AS asy,
+        CAST(n AS DOUBLE) AS na,
+        CAST(pn AS DOUBLE) AS nd,
+        CAST(psx AS DOUBLE) AS sx, CAST(psy AS DOUBLE) AS sy,
+        CAST(psxy AS DOUBLE) AS sxy, CAST(psxx AS DOUBLE) AS sxx
+      FROM arms CROSS JOIN pooled
+    ),
+    t AS (
+      SELECT arm, n, asx, asy, na,
+        CASE WHEN nd * sxx - sx * sx > 0
+          THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+          ELSE 0.0 END AS theta,
+        sx / nd AS xbar
+      FROM d
+    )
+    SELECT arm, n,
+      CAST(ROUND(asy / na, 4) AS DOUBLE) AS mean_y,
+      CAST(ROUND((asy - theta * asx + theta * xbar * na) / na, 4)
+        AS DOUBLE) AS mean_y_cuped
+    FROM t
+    ORDER BY arm ASC
+    """,
+)
+def q249_cuped_experiment(spark, sf_dir):
+    """operators/stats.cuped_adjust: md5-assigned arms, pre-period
+    spend covariate."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.stats import cuped_adjust
+    from ._helpers import dec, dround
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "od", F.to_date("o_orderdate")
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.coalesce(
+            dround(
+                F.sum(
+                    F.when(F.col("od") < F.lit("1995-01-01"),
+                           dec("o_totalprice"))
+                )
+            ),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            dround(
+                F.sum(
+                    F.when(F.col("od") >= F.lit("1995-01-01"),
+                           dec("o_totalprice"))
+                )
+            ),
+            F.lit(0.0),
+        ).alias("y"),
+    )
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    units = (
+        c.join(spend, spend["o_custkey"] == c["c_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("x"), F.lit(0.0)).cast("double").alias("x"),
+            F.coalesce(F.col("y"), F.lit(0.0)).cast("double").alias("y"),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                hash_bucket("c_custkey", 2, salt="cuped") == 0, "control"
+            ).otherwise("treatment"),
+        )
+    )
+    return cuped_adjust(units, "x", "y", "arm").orderBy(F.asc("arm"))

@@ -316,3 +316,93 @@ def q179_purchase_communities(spark, sf_dir):
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — weighted shortest paths over the purchase graph: Bellman-
+# Ford relaxation rounds (the Pregel SSSP shape), integer ship-delay
+# weights so min-plus arithmetic is exact in both engines. Output:
+# the 25 closest supplier-side nodes from the nation-0 seed set.
+# ---------------------------------------------------------------------------
+_SSSP_ROUNDS = 3
+
+
+def _q250_oracle() -> str:
+    sql = f"""
+    WITH edges0 AS MATERIALIZED (
+      SELECT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst,
+        CAST(MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > 480000
+      GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT src, dst, w FROM edges0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM edges0
+    ),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_nationkey = 0
+    )"""
+    for i in range(1, _SSSP_ROUNDS + 1):
+        sql += f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.dst AS id, MIN(d{i - 1}.dist + e.w) AS dist
+      FROM d{i - 1} JOIN edges e ON e.src = d{i - 1}.id
+      GROUP BY e.dst
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT id, MIN(dist) AS dist
+      FROM (SELECT * FROM d{i - 1} UNION ALL SELECT * FROM c{i})
+      GROUP BY id
+    )"""
+    sql += f"""
+    SELECT CAST(id AS BIGINT) AS id, dist
+    FROM d{_SSSP_ROUNDS}
+    WHERE id > {_SUPP_OFFSET}
+    ORDER BY dist ASC, id ASC
+    LIMIT 25
+    """
+    return sql
+
+
+@query("q250_sssp_weighted", oracle=_q250_oracle())
+def q250_sssp_weighted(spark, sf_dir):
+    """operators/graph_rank.sssp_weighted — 3 Bellman-Ford rounds,
+    ship-delay-day weights, nation-0 customer seeds."""
+    from ..operators.graph_rank import sssp_weighted
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    li = T(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .agg(
+            F.min(
+                F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            )
+            .cast("bigint")
+            .alias("w")
+        )
+    )
+    edges = fwd.unionByName(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    d = sssp_weighted(edges, seeds, rounds=_SSSP_ROUNDS)
+    return (
+        d.filter(F.col("id") > _SUPP_OFFSET)
+        .select(F.col("id").cast("bigint").alias("id"), "dist")
+        .orderBy(F.asc("dist"), F.asc("id"))
+        .limit(25)
+    )

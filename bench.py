@@ -97,6 +97,9 @@ HEADLINE = [
     "q237_mmr_quantized_rerank",  # greedy MMR on integer-dot shortlist
     "q238_ann_md5_topk",          # 8-table amplified LSH + integer rerank
     "q239_ivf_md5_topk",          # md5-seeded IVF, 6-of-16 probe + rerank
+    "q241_bootstrap_mean_ci",     # Poisson bootstrap, 201 map-side replicates
+    "q244_holt_forecast",         # two-state JVM fold forecasting
+    "q247_feature_hashing",       # vocabulary-free hashing-trick vectors
 ]
 
 
