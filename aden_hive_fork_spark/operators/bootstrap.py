@@ -204,3 +204,155 @@ def poisson_bootstrap_oracle(
     SELECT exact.*, ci.n_replicates, ci.ci_lo, ci.ci_hi
     FROM exact JOIN ci USING ({g})
     """
+
+
+def poisson_bootstrap_diff_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    replicates: int = 201,
+    salt: str = "bootd",
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    value_scale: int = 2,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the DIFFERENCE of means between
+    two arms (the A/B uplift interval): replicate means per (arm,
+    replicate) from the same md5-deterministic Poisson(1) draws as
+    :func:`poisson_bootstrap_mean_ci`, then the per-replicate
+    difference distribution's exact-order-statistic percentiles.
+    1-row output: ``n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi``.
+
+    Same plan shape as the mean CI — the ×B amplification is
+    map-side and the partial aggregate caps the Exchange at
+    2·B rows per partition; the replicate join is B×B-bounded.
+    """
+    for p in (lo_p, hi_p):
+        pos = p * (replicates - 1)
+        if abs(pos - round(pos)) > 1e-9:
+            raise ValueError(
+                "percentile position must be integral (see mean CI)"
+            )
+    dec = f"decimal(28,{value_scale})"
+    both = df.filter(F.col(arm_col).isin([arm_a, arm_b]))
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b")
+    drawn = both.select(
+        F.col(arm_col).alias("_arm"),
+        F.col(key_col),
+        F.col(value_col).cast(dec).alias("_x"),
+        b,
+    )
+    rkey = F.concat(
+        F.col("_b").cast("string"), F.lit("|"), F.col(key_col).cast("string")
+    )
+    drawn = drawn.withColumn(
+        "_w", poisson1_weight(md5_uniform(rkey, salt))
+    ).filter(F.col("_w") > 0)
+    rep = drawn.groupBy("_arm", "_b").agg(
+        (
+            F.sum(F.col("_x") * F.col("_w")).cast("double")
+            / F.sum("_w").cast("bigint")
+        ).alias("_m")
+    )
+    ra = rep.filter(F.col("_arm") == arm_a).select("_b", F.col("_m").alias("_ma"))
+    rb = rep.filter(F.col("_arm") == arm_b).select("_b", F.col("_m").alias("_mb"))
+    diffs = ra.join(rb, "_b").select((F.col("_ma") - F.col("_mb")).alias("_d"))
+    ci = diffs.agg(
+        F.round(F.expr(f"percentile(_d, {lo_p!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_d, {hi_p!r})"), 6).alias("ci_hi"),
+    )
+    side = lambda arm, tag: [  # noqa: E731
+        F.count(F.when(F.col(arm_col) == arm, F.lit(1)))
+        .cast("bigint")
+        .alias(f"n_{tag}"),
+        (
+            F.sum(F.when(F.col(arm_col) == arm, F.col(value_col).cast(dec)))
+            .cast("double")
+            / F.count(F.when(F.col(arm_col) == arm, F.lit(1)))
+        ).alias(f"_m_{tag}"),
+    ]
+    exact = both.agg(*side(arm_a, "a"), *side(arm_b, "b"))
+    return exact.crossJoin(F.broadcast(ci)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_m_a"), 6).cast("double").alias("mean_a"),
+        F.round(F.col("_m_b"), 6).cast("double").alias("mean_b"),
+        F.round(F.col("_m_a") - F.col("_m_b"), 6)
+        .cast("double")
+        .alias("diff"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def poisson_bootstrap_diff_oracle(
+    table_sql: str,
+    key_expr: str,
+    value_expr: str,
+    arm_expr: str,
+    arm_a: str,
+    arm_b: str,
+    replicates: int = 201,
+    salt: str = "bootd",
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+    value_scale: int = 2,
+) -> str:
+    """DuckDB twin of :func:`poisson_bootstrap_diff_ci`."""
+    cdf = POISSON1_CDF
+    w_case = "CASE " + " ".join(
+        f"WHEN u < {cdf[k]!r} THEN {k}" for k in range(len(cdf))
+    ) + f" ELSE {len(cdf)} END"
+    dec = f"DECIMAL(28,{value_scale})"
+    return f"""
+    WITH reps AS (SELECT unnest(range(0, {replicates})) AS b),
+    base AS (
+      SELECT {arm_expr} AS arm, {key_expr} AS k,
+        CAST({value_expr} AS {dec}) AS x
+      FROM {table_sql}
+    ),
+    both_arms AS (
+      SELECT * FROM base WHERE arm IN ('{arm_a}', '{arm_b}')
+    ),
+    d AS (
+      SELECT arm, b, x,
+        (CAST(('0x' || substr(md5('{salt}' || CAST(b AS VARCHAR) || '|' ||
+          CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0) / 4294967297.0 AS u
+      FROM both_arms CROSS JOIN reps
+    ),
+    wd AS (SELECT arm, b, x, {w_case} AS w FROM d),
+    rep AS (
+      SELECT arm, b,
+        CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS BIGINT) AS m
+      FROM wd WHERE w > 0 GROUP BY arm, b
+    ),
+    diffs AS (
+      SELECT ra.m - rb.m AS dd
+      FROM rep ra JOIN rep rb ON ra.b = rb.b
+      WHERE ra.arm = '{arm_a}' AND rb.arm = '{arm_b}'
+    ),
+    ci AS (
+      SELECT ROUND(quantile_cont(dd, {lo_p!r}), 6) AS ci_lo,
+        ROUND(quantile_cont(dd, {hi_p!r}), 6) AS ci_hi
+      FROM diffs
+    ),
+    exact AS (
+      SELECT
+        CAST(COUNT(CASE WHEN arm = '{arm_a}' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(COUNT(CASE WHEN arm = '{arm_b}' THEN 1 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN arm = '{arm_a}' THEN x END) AS DOUBLE)
+          / COUNT(CASE WHEN arm = '{arm_a}' THEN 1 END) AS ma,
+        CAST(SUM(CASE WHEN arm = '{arm_b}' THEN x END) AS DOUBLE)
+          / COUNT(CASE WHEN arm = '{arm_b}' THEN 1 END) AS mb
+      FROM both_arms
+    )
+    SELECT n_a, n_b,
+      CAST(ROUND(ma, 6) AS DOUBLE) AS mean_a,
+      CAST(ROUND(mb, 6) AS DOUBLE) AS mean_b,
+      CAST(ROUND(ma - mb, 6) AS DOUBLE) AS diff,
+      ci.ci_lo, ci.ci_hi
+    FROM exact CROSS JOIN ci
+    """

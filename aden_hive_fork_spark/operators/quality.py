@@ -653,3 +653,98 @@ def weighted_quantiles(
         *keys,
         F.expr(f"stack({len(qs)}, {stack}) AS (q, value)"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    period_col: str,
+    ref_label: str,
+    cur_label: str,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period of ``value_col`` — THE industry drift metric for model
+    inputs/scores: equi-depth bins from the REFERENCE distribution,
+    then PSI = Σ_bins (q−p)·ln(q/p) with p/q the reference/current
+    bin shares. Output one row per bin (``bin, n_ref, n_cur, p, q,
+    psi_term``) plus the total ``psi`` repeated on each row
+    (broadcast of a one-row aggregate). Rule of thumb: psi < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+    Plan shape: ONE percentile aggregate over the reference builds
+    the cut array (quantile_scores idiom — rounded cuts broadcast,
+    bin assignment is a map-side fold; no NTILE, no global sort),
+    one (bin)-keyed conditional aggregate counts both periods, and
+    everything after is |bins|-bounded. Empty-on-either-side bins
+    contribute 0 by convention (the CASE guard); ln goes through
+    fquant (transcendental ulp discipline).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    x = F.col(value_col).cast("double")
+    ref = df.filter(F.col(period_col) == ref_label)
+    cuts = ref.agg(
+        F.transform(
+            F.percentile(x, F.array(*[F.lit(f) for f in fracs])),
+            lambda v: F.round(v, ndigits),
+        ).alias("_cuts")
+    )
+    both = df.filter(
+        F.col(period_col).isin([ref_label, cur_label]) & x.isNotNull()
+    )
+    binned = both.crossJoin(F.broadcast(cuts)).withColumn(
+        "_bin",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_cuts"),
+                F.lit(0),
+                lambda acc, cut: acc + F.when(x > cut, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    counts = binned.groupBy("_bin").agg(
+        F.sum(F.when(F.col(period_col) == ref_label, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col(period_col) == cur_label, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("_tr"),
+        F.sum("n_cur").cast("bigint").alias("_tc"),
+    )
+    from .stats import fquant
+
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n_ref").cast("double") / F.col("_tr").cast("double")
+    q = F.col("n_cur").cast("double") / F.col("_tc").cast("double")
+    term = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        (q - p) * fquant(F.log(q / p), 9),
+    ).otherwise(F.lit(0.0))
+    detail = j.select(
+        F.col("_bin").alias("bin"),
+        "n_ref",
+        "n_cur",
+        F.round(p, ndigits).cast("double").alias("p"),
+        F.round(q, ndigits).cast("double").alias("q"),
+        F.round(term, ndigits).cast("double").alias("psi_term"),
+    )
+    total = detail.agg(
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list("psi_term")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            ndigits,
+        )
+        .cast("double")
+        .alias("psi")
+    )
+    return detail.crossJoin(F.broadcast(total))

@@ -1864,10 +1864,10 @@ def q248_spearman_corr(spark, sf_dir):
     WITH spend AS (
       SELECT o_custkey,
         COALESCE(ROUND(SUM(CASE WHEN CAST(o_orderdate AS DATE)
-            < DATE '1995-01-01'
+            < DATE '1998-01-01'
           THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2), 0.0) AS x,
         COALESCE(ROUND(SUM(CASE WHEN CAST(o_orderdate AS DATE)
-            >= DATE '1995-01-01'
+            >= DATE '1998-01-01'
           THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2), 0.0) AS y
       FROM orders GROUP BY o_custkey
     ),
@@ -1935,7 +1935,7 @@ def q249_cuped_experiment(spark, sf_dir):
         F.coalesce(
             dround(
                 F.sum(
-                    F.when(F.col("od") < F.lit("1995-01-01"),
+                    F.when(F.col("od") < F.lit("1998-01-01"),
                            dec("o_totalprice"))
                 )
             ),
@@ -1944,7 +1944,7 @@ def q249_cuped_experiment(spark, sf_dir):
         F.coalesce(
             dround(
                 F.sum(
-                    F.when(F.col("od") >= F.lit("1995-01-01"),
+                    F.when(F.col("od") >= F.lit("1998-01-01"),
                            dec("o_totalprice"))
                 )
             ),
@@ -1967,3 +1967,54 @@ def q249_cuped_experiment(spark, sf_dir):
         )
     )
     return cuped_adjust(units, "x", "y", "arm").orderBy(F.asc("arm"))
+
+
+# ---------------------------------------------------------------------------
+# q251 — bootstrap uplift interval: percentile CI on the difference
+# of arm means (md5-assigned arms), from the same map-side Poisson
+# replicate machinery as q241. The diff distribution is B-bounded;
+# exact order statistics, no interpolation arithmetic.
+# ---------------------------------------------------------------------------
+def _q251_oracle():
+    from ..operators.bootstrap import poisson_bootstrap_diff_oracle
+
+    arm = (
+        "CASE WHEN CAST(('0x' || substr(md5('ab251' "
+        "|| CAST(o_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0 "
+        "THEN 'control' ELSE 'treatment' END"
+    )
+    return poisson_bootstrap_diff_oracle(
+        "orders",
+        "o_orderkey",
+        "o_totalprice",
+        arm,
+        "treatment",
+        "control",
+        replicates=201,
+        salt="boot251",
+    )
+
+
+@query("q251_bootstrap_uplift_ci", oracle=_q251_oracle())
+def q251_bootstrap_uplift_ci(spark, sf_dir):
+    """operators/bootstrap.poisson_bootstrap_diff_ci: uplift CI on
+    mean order value between md5-assigned arms."""
+    from ..operators.bootstrap import poisson_bootstrap_diff_ci
+    from ..operators.sampling import hash_bucket
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "arm",
+        F.when(
+            hash_bucket("o_custkey", 2, salt="ab251") == 0, "control"
+        ).otherwise("treatment"),
+    )
+    return poisson_bootstrap_diff_ci(
+        o,
+        "o_orderkey",
+        "o_totalprice",
+        "arm",
+        "treatment",
+        "control",
+        replicates=201,
+        salt="boot251",
+    )

@@ -190,3 +190,84 @@ def q224_weighted_quantiles(spark, sf_dir):
     return weighted_quantiles(docs, "v", "w", [0.5, 0.9], ["lang"]).orderBy(
         F.asc("lang"), F.asc("q")
     )
+
+
+# ---------------------------------------------------------------------------
+# q252 — PSI drift between pre-/post-1998 order values: equi-depth
+# reference deciles (quantile-cut broadcast, map-side binning — no
+# NTILE), |bins|-bounded arithmetic after one conditional aggregate;
+# ln through fquant, empty bins contribute 0.
+# ---------------------------------------------------------------------------
+def _q252_oracle() -> str:
+    fr = ", ".join(repr(i / 10) for i in range(1, 10))
+    return f"""
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+        CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+          THEN 'ref' ELSE 'cur' END AS per
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    cuts AS (
+      SELECT list_transform(quantile_cont(x, [{fr}]),
+                            c -> ROUND(c, 6)) AS cs
+      FROM base WHERE per = 'ref'
+    ),
+    binned AS (
+      SELECT per, CAST(1 + len(list_filter(cs, c -> x > c)) AS INT) AS bin
+      FROM base CROSS JOIN cuts
+    ),
+    counts AS (
+      SELECT bin,
+        CAST(SUM(CASE WHEN per = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ref,
+        CAST(SUM(CASE WHEN per = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+        CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM counts
+    ),
+    detail AS (
+      SELECT bin, n_ref, n_cur,
+        CAST(ROUND(CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE), 6)
+          AS DOUBLE) AS p,
+        CAST(ROUND(CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE), 6)
+          AS DOUBLE) AS q,
+        CAST(ROUND(CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+          (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+           - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+          * (FLOOR(ln((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+                      / (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE)))
+                   * 1e9) / 1e9)
+          ELSE 0.0 END, 6) AS DOUBLE) AS psi_term
+      FROM counts CROSS JOIN tot
+    ),
+    total AS (
+      SELECT CAST(ROUND(list_sum(list_sort(list(psi_term))), 6) AS DOUBLE)
+        AS psi
+      FROM detail
+    )
+    SELECT detail.*, total.psi FROM detail CROSS JOIN total
+    ORDER BY bin ASC
+    """
+
+
+@query("q252_psi_drift", oracle=_q252_oracle())
+def q252_psi_drift(spark, sf_dir):
+    """operators/quality.psi_drift: order-value distribution shift,
+    pre-1998 reference vs 1998+ current."""
+    from ..operators.quality import psi_drift
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.when(
+            F.to_date("o_orderdate") < F.lit("1998-01-01"), "ref"
+        )
+        .otherwise("cur")
+        .alias("per"),
+    )
+    return psi_drift(
+        o, "o_totalprice", "per", "ref", "cur", n_bins=10
+    ).orderBy(F.asc("bin"))
