@@ -1,0 +1,255 @@
+"""Classifier evaluation metrics, exact and engine-replayable — the
+model-eval tier of a training-data pipeline (score a quality/safety
+classifier over the corpus, read AUC/log-loss/calibration before
+trusting its filters).
+
+Everything here avoids the two traps that make naive metric code
+non-deterministic at scale:
+
+- **Rank statistics, not curve integration.** ROC AUC is computed by
+  the Mann-Whitney identity AUC = (ΣR⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with
+  AVERAGE ranks for score ties — doubled average ranks are integers
+  (the spearman_corr trick), so the whole statistic is exact integer
+  work until one final IEEE division. No trapezoid sweep, no
+  per-partition curve stitching.
+
+- **Quantize-then-decimal-sum for float reductions.** Log-loss terms
+  are transcendental doubles; summing them corpus-wide in floating
+  point is partition-order dependent. Each term is floor-quantized
+  (fquant — pure IEEE, engine-identical) and CAST to DECIMAL, whose
+  sum is exact and associative — deterministic at ANY corpus size,
+  unlike a sorted fold (which needs bounded groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .stats import fquant
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC per group: ``n_pos, n_neg, auc``. ``label_col``
+    must be boolean-like (true = positive). Ties in the score get
+    average ranks — the exact Mann-Whitney treatment, NOT a curve
+    approximation. One ordered window pass + one aggregate.
+    NULL auc when either class is empty.
+    """
+    g = list(group_cols or [])
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    w = Window.partitionBy(*g).orderBy(F.col(score_col).asc())
+    t = Window.partitionBy(*g, score_col)
+    r2 = (2 * F.rank().over(w) + F.count(F.lit(1)).over(t) - 1).cast(
+        "bigint"
+    )
+    ranked = base.select(
+        *g, F.col(label_col).cast("boolean").alias("_y"), r2.alias("_r2")
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).cast("bigint").alias(
+            "n_neg"
+        ),
+        F.sum(F.when(F.col("_y"), F.col("_r2")).otherwise(0))
+        .cast("bigint")
+        .alias("_sr2"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    # ΣR⁺ = _sr2 / 2 (doubled ranks); Mann-Whitney U = ΣR⁺ − n⁺(n⁺+1)/2
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("_sr2").cast("double") / 2.0 - np_ * (np_ + 1.0) / 2.0)
+        / (np_ * nn),
+    )
+    return agg.select(
+        *g,
+        "n_pos",
+        "n_neg",
+        F.round(auc, ndigits).cast("double").alias("auc"),
+    )
+
+
+def log_loss(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+    eps: float = 1e-6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mean binary cross-entropy per group: ``n_rows, logloss``.
+    Probabilities clamp to [eps, 1−eps]. Per-row terms floor-quantize
+    to 9 digits then sum as exact DECIMAL(28,9) — the corpus-sized
+    float reduction becomes associative, so the result is identical
+    under any partitioning (and replayable: DuckDB computes the same
+    FLOOR(ln·1e9)/1e9 terms and the same decimal sum).
+    """
+    g = list(group_cols or [])
+    base = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    p = F.least(
+        F.greatest(F.col(prob_col).cast("double"), F.lit(float(eps))),
+        F.lit(1.0 - float(eps)),
+    )
+    y = F.col(label_col).cast("boolean")
+    term = -F.when(y, fquant(F.log(p), 9)).otherwise(
+        fquant(F.log(1.0 - p), 9)
+    )
+    q = term.cast("decimal(28,9)")
+    agg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(q).cast("decimal(38,9)").alias("_s"),
+    )
+    return agg.select(
+        *g,
+        "n_rows",
+        F.round(
+            F.col("_s").cast("double") / F.col("n_rows").cast("double"),
+            ndigits,
+        )
+        .cast("double")
+        .alias("logloss"),
+    )
+
+
+def pr_at_thresholds(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 at each literal threshold (predict
+    positive when score ≥ t): one conditional aggregate computes
+    every threshold's confusion counts in a single corpus pass —
+    |thresholds| rows out, exact integer counts, fixed IEEE ratios.
+    """
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = s >= F.lit(float(t))
+        aggs += [
+            F.sum(F.when(pred & y, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tp_{i}"),
+            F.sum(F.when(pred & ~y, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_fp_{i}"),
+            F.sum(F.when(~pred & y, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_fn_{i}"),
+        ]
+    wide = base.agg(*aggs)
+    rows = []
+    for i, t in enumerate(thresholds):
+        tp = F.col(f"_tp_{i}").cast("double")
+        fp = F.col(f"_fp_{i}").cast("double")
+        fn = F.col(f"_fn_{i}").cast("double")
+        prec = F.when(tp + fp > 0, tp / (tp + fp))
+        rec = F.when(tp + fn > 0, tp / (tp + fn))
+        f1 = F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+            2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+            / (tp / (tp + fp) + tp / (tp + fn)),
+        ).otherwise(
+            F.when((tp + fp > 0) & (tp + fn > 0), F.lit(0.0))
+        )
+        rows.append(
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"_tp_{i}").alias("tp"),
+                F.col(f"_fp_{i}").alias("fp"),
+                F.col(f"_fn_{i}").alias("fn"),
+                F.round(prec, ndigits).cast("double").alias("precision"),
+                F.round(rec, ndigits).cast("double").alias("recall"),
+                F.round(f1, ndigits).cast("double").alias("f1"),
+            )
+        )
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("_r"))
+        .select("_r.*")
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins: equi-depth score deciles (quantile
+    cuts broadcast, map-side assignment — the quantile_scores idiom),
+    then per-bin mean score (exact DECIMAL sums of the quantized
+    score) vs observed positive rate. A calibrated model tracks the
+    diagonal. Output: ``bin, n, mean_score, pos_rate``.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    s = F.col(score_col).cast("double")
+    cuts = base.agg(
+        F.transform(
+            F.percentile(s, F.array(*[F.lit(f) for f in fracs])),
+            lambda v: F.round(v, ndigits),
+        ).alias("_cuts")
+    )
+    binned = base.crossJoin(F.broadcast(cuts)).withColumn(
+        "_bin",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_cuts"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(s > c, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy(F.col("_bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(s.cast(f"decimal(18,{scale})"))
+            .cast("decimal(38,6)")
+            .alias("_ss"),
+            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_np"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("_ss").cast("double") / F.col("n").cast("double"),
+                ndigits,
+            )
+            .cast("double")
+            .alias("mean_score"),
+            F.round(
+                F.col("_np").cast("double") / F.col("n").cast("double"),
+                ndigits,
+            )
+            .cast("double")
+            .alias("pos_rate"),
+        )
+    )

@@ -55,6 +55,7 @@ def load_all() -> None:
         events,
         external_db,
         graph,
+        metrics_suite,
         ml,
         multimodal,
         quality_suite,

@@ -1,0 +1,199 @@
+"""Classifier evaluation metrics over the document corpus — the
+model-eval tier (operators/metrics.py): exact rank-statistic AUC,
+quantized-term log loss, threshold PR, reliability bins. The scored
+classifier is the q31/q32 heuristic language scorer (stopword ratio
+→ is-English), so the whole evaluation chain is engine-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import query
+from ._helpers import T
+from .text import STOPWORDS, _stop_in_list
+
+_EPS = 1e-6
+
+_SCORED_SQL = f"""
+      SELECT (lang = 'en') AS y,
+        ROUND(CAST(len(list_filter(string_split(trim(text), ' '),
+                w -> w IN ({_stop_in_list()}))) AS DOUBLE)
+          / CAST(NULLIF(len(string_split(trim(text), ' ')), 0) AS DOUBLE),
+          4) AS s
+      FROM documents
+"""
+
+
+def _scored(spark, sf_dir):
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    denom = F.nullif(F.size(toks), F.lit(0)).cast("double")
+    return T(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("y"),
+        F.round(n_stop.cast("double") / denom, 4)
+        .cast("double")
+        .alias("s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — AUC + log loss of the heuristic language classifier: exact
+# Mann-Whitney AUC (doubled average ranks — integers), log-loss terms
+# floor-quantized then summed as exact DECIMAL (associative — the
+# corpus-scale float-reduction discipline). One ordered pass + two
+# aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q253_classifier_eval",
+    oracle=f"""
+    WITH scored AS ({_SCORED_SQL}),
+    base AS (
+      SELECT y, s FROM scored WHERE s IS NOT NULL AND y IS NOT NULL
+    ),
+    ranked AS (
+      SELECT y,
+        2 * RANK() OVER (ORDER BY s ASC)
+          + COUNT(*) OVER (PARTITION BY s) - 1 AS r2
+      FROM base
+    ),
+    a AS (
+      SELECT
+        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        CAST(SUM(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT) AS sr2
+      FROM ranked
+    ),
+    ll AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(
+          -(CASE WHEN y
+            THEN FLOOR(ln(LEAST(GREATEST(s, 1e-06), 1.0 - 1e-06))
+                       * 1e9) / 1e9
+            ELSE FLOOR(ln(1.0 - LEAST(GREATEST(s, 1e-06), 1.0 - 1e-06))
+                       * 1e9) / 1e9 END)
+          AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS sll
+      FROM base
+    )
+    SELECT n_pos, n_neg,
+      CAST(ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        (CAST(sr2 AS DOUBLE) / 2.0
+         - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+        / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+      END, 6) AS DOUBLE) AS auc,
+      n_rows,
+      CAST(ROUND(CAST(sll AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        AS DOUBLE) AS logloss
+    FROM a CROSS JOIN ll
+    """,
+)
+def q253_classifier_eval(spark, sf_dir):
+    """operators/metrics.roc_auc + log_loss over the stopword-ratio
+    language classifier."""
+    from ..operators.metrics import log_loss, roc_auc
+
+    scored = _scored(spark, sf_dir)
+    auc = roc_auc(scored, "s", "y")
+    ll = log_loss(scored, "s", "y", eps=_EPS)
+    return auc.crossJoin(F.broadcast(ll))
+
+
+# ---------------------------------------------------------------------------
+# q254 — reliability diagram: equi-depth score deciles (cut broadcast
+# + map-side binning), per-bin exact-decimal mean score vs observed
+# positive rate.
+# ---------------------------------------------------------------------------
+def _q254_oracle() -> str:
+    fr = ", ".join(repr(i / 10) for i in range(1, 10))
+    return f"""
+    WITH scored AS ({_SCORED_SQL}),
+    base AS (
+      SELECT y, s FROM scored WHERE s IS NOT NULL AND y IS NOT NULL
+    ),
+    cuts AS (
+      SELECT list_transform(quantile_cont(s, [{fr}]),
+                            c -> ROUND(c, 6)) AS cs
+      FROM base
+    ),
+    binned AS (
+      SELECT y, s,
+        CAST(1 + len(list_filter(cs, c -> s > c)) AS INT) AS bin
+      FROM base CROSS JOIN cuts
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_score,
+      CAST(ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS pos_rate
+    FROM binned GROUP BY bin
+    ORDER BY bin ASC
+    """
+
+
+@query("q254_calibration_bins", oracle=_q254_oracle())
+def q254_calibration_bins(spark, sf_dir):
+    """operators/metrics.calibration_bins over the language-scorer
+    probabilities."""
+    from ..operators.metrics import calibration_bins
+
+    return calibration_bins(
+        _scored(spark, sf_dir), "s", "y", n_bins=10
+    ).orderBy(F.asc("bin"))
+
+
+# ---------------------------------------------------------------------------
+# q255 — precision/recall/F1 at literal operating thresholds: ONE
+# conditional aggregate computes every threshold's confusion counts
+# in a single corpus pass.
+# ---------------------------------------------------------------------------
+_THRESHOLDS = (0.05, 0.1, 0.15, 0.2)
+
+
+def _q255_oracle() -> str:
+    rows = []
+    for t in _THRESHOLDS:
+        rows.append(f"""
+    SELECT {t!r} AS threshold,
+      CAST(SUM(CASE WHEN s >= {t!r} AND y THEN 1 ELSE 0 END) AS BIGINT)
+        AS tp,
+      CAST(SUM(CASE WHEN s >= {t!r} AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+        AS fp,
+      CAST(SUM(CASE WHEN s < {t!r} AND y THEN 1 ELSE 0 END) AS BIGINT)
+        AS fn
+    FROM base""")
+    un = "\n    UNION ALL".join(rows)
+    return f"""
+    WITH scored AS ({_SCORED_SQL}),
+    base AS (
+      SELECT y, s FROM scored WHERE s IS NOT NULL AND y IS NOT NULL
+    ),
+    conf AS ({un})
+    SELECT threshold, tp, fp, fn,
+      CAST(ROUND(CASE WHEN tp + fp > 0
+        THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        END, 6) AS DOUBLE) AS precision,
+      CAST(ROUND(CASE WHEN tp + fn > 0
+        THEN CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        END, 6) AS DOUBLE) AS recall,
+      CAST(ROUND(CASE
+        WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0 THEN
+          2.0 * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+              * (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)))
+          / ((CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)))
+             + (CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))))
+        WHEN tp + fp > 0 AND tp + fn > 0 THEN 0.0
+        END, 6) AS DOUBLE) AS f1
+    FROM conf
+    ORDER BY threshold ASC
+    """
+
+
+@query("q255_pr_thresholds", oracle=_q255_oracle())
+def q255_pr_thresholds(spark, sf_dir):
+    """operators/metrics.pr_at_thresholds over the language scorer."""
+    from ..operators.metrics import pr_at_thresholds
+
+    return pr_at_thresholds(
+        _scored(spark, sf_dir), "s", "y", list(_THRESHOLDS)
+    ).orderBy(F.asc("threshold"))
