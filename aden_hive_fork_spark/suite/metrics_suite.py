@@ -197,3 +197,111 @@ def q255_pr_thresholds(spark, sf_dir):
     return pr_at_thresholds(
         _scored(spark, sf_dir), "s", "y", list(_THRESHOLDS)
     ).orderBy(F.asc("threshold"))
+
+
+# ---------------------------------------------------------------------------
+# q256 — split conformal prediction interval around the exact-
+# suffstats linear fit (items-per-order vs order value): md5 splits,
+# q-hat as an exact order statistic (no quantile interpolation),
+# finite-sample coverage read on the held-out test split.
+# ---------------------------------------------------------------------------
+@query(
+    "q256_conformal_interval",
+    oracle="""
+    WITH basej AS (
+      SELECT o.o_orderkey AS k, CAST(o.o_totalprice AS DOUBLE) AS x,
+        CAST(COUNT(*) AS DOUBLE) AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    b AS (
+      SELECT k, x, y,
+        CAST(('0x' || substr(md5('conf256' || CAST(k AS VARCHAR)), 1, 8))
+          AS UBIGINT) % 100 AS bkt
+      FROM basej
+    ),
+    sp AS (
+      SELECT k, x, y,
+        CASE WHEN bkt < 50 THEN 'train'
+             WHEN bkt < 75 THEN 'cal' ELSE 'test' END AS split
+      FROM b
+    ),
+    suff AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+          AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS sxy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+          AS DECIMAL(38,4))) AS DECIMAL(38,6)) AS sxx
+      FROM sp WHERE split = 'train'
+    ),
+    model AS (
+      SELECT n AS n_train,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          ELSE 0.0 END AS sl,
+        CAST(sx AS DOUBLE) AS msx, CAST(sy AS DOUBLE) AS msy,
+        CAST(n AS DOUBLE) AS mn
+      FROM suff
+    ),
+    m2 AS (
+      SELECT n_train, sl, (msy - sl * msx) / mn AS ic FROM model
+    ),
+    scored AS (
+      SELECT sp.k, sp.split, ABS(sp.y - (m2.sl * sp.x + m2.ic)) AS r,
+        m2.n_train, m2.sl, m2.ic
+      FROM sp CROSS JOIN m2 WHERE sp.split <> 'train'
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, k ASC) AS rn
+      FROM scored WHERE split = 'cal'
+    ),
+    nc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM scored WHERE split = 'cal'
+    ),
+    qh AS (
+      SELECT nc.n_cal, ranked.r AS q
+      FROM ranked CROSS JOIN nc
+      WHERE ranked.rn = LEAST(
+        CAST(CEIL((CAST(nc.n_cal AS DOUBLE) + 1.0) * 0.9) AS BIGINT),
+        nc.n_cal)
+    )
+    SELECT
+      CAST(MAX(s.n_train) AS BIGINT) AS n_train,
+      MAX(qh.n_cal) AS n_cal,
+      CAST(COUNT(*) AS BIGINT) AS n_test,
+      CAST(ROUND(MAX(s.sl), 6) AS DOUBLE) AS slope,
+      CAST(ROUND(MAX(s.ic), 6) AS DOUBLE) AS intercept,
+      CAST(ROUND(MAX(qh.q), 6) AS DOUBLE) AS q_hat,
+      CAST(ROUND(CAST(SUM(CASE WHEN s.r <= qh.q THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS coverage
+    FROM scored s CROSS JOIN qh
+    WHERE s.split = 'test'
+    """,
+)
+def q256_conformal_interval(spark, sf_dir):
+    """operators/conformal.split_conformal_linear: items-per-order
+    predicted from order value, 90% conformal band."""
+    from ..operators.conformal import split_conformal_linear
+
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("x"),
+            "y",
+        )
+    )
+    return split_conformal_linear(
+        base, "k", "x", "y", alpha=0.1, salt="conf256"
+    )
