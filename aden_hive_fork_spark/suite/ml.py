@@ -195,3 +195,138 @@ def q165_logreg_urgent(spark, sf_dir):
         .alias("n_correct"),
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — vector clustering of hashing-trick document features: the
+# q247 vectorizer composed with the q159 deterministic k-means, 16
+# dims, k=4. Distances on INTEGER-valued features are exact; centroid
+# means follow the rounded exact-decimal contract, so the unrolled
+# 16-dim oracle replays every round.
+# ---------------------------------------------------------------------------
+_Q257_K = 4
+_Q257_ITER = 2
+_Q257_DIMS = 16
+
+
+def _q257_oracle() -> str:
+    dims = [f"f{i}" for i in range(_Q257_DIMS)]
+    pivot = ", ".join(
+        f"CAST(MAX(CASE WHEN i = {i} THEN v END) AS DOUBLE) AS f{i}"
+        for i in range(_Q257_DIMS)
+    )
+    sql = f"""
+    WITH tok0 AS MATERIALIZED (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), ' +')) AS tok
+      FROM documents
+    ),
+    t AS MATERIALIZED (
+      SELECT doc_id, md5('fh' || tok) AS h FROM tok0 WHERE tok <> ''
+    ),
+    pb AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 16 AS INT) AS b,
+        SUM(CASE WHEN CAST(('0x' || substr(h, 9, 1)) AS UBIGINT) % 2 = 0
+                 THEN 1 ELSE -1 END) AS v
+      FROM t GROUP BY 1, 2
+    ),
+    grid AS MATERIALIZED (
+      SELECT d.doc_id, gi.i
+      FROM (SELECT DISTINCT doc_id FROM pb) d
+      CROSS JOIN (SELECT unnest(range({_Q257_DIMS})) AS i) gi
+    ),
+    dense AS MATERIALIZED (
+      SELECT g.doc_id, g.i, COALESCE(pb.v, 0) AS v
+      FROM grid g LEFT JOIN pb ON pb.doc_id = g.doc_id AND pb.b = g.i
+    ),
+    pts AS MATERIALIZED (
+      SELECT doc_id AS pid, {pivot}
+      FROM dense GROUP BY doc_id
+    ),
+    c0 AS MATERIALIZED (
+      SELECT (ROW_NUMBER() OVER (ORDER BY
+                md5('km257' || CAST(pid AS VARCHAR)) ASC, pid ASC)) - 1
+             AS cid, {", ".join(dims)}
+      FROM pts
+      ORDER BY md5('km257' || CAST(pid AS VARCHAR)) ASC, pid ASC
+      LIMIT {_Q257_K}
+    )"""
+    dist = " + ".join(
+        f"(p.{d} - c.{d}) * (p.{d} - c.{d})" for d in dims
+    )
+    for it in range(1, _Q257_ITER + 1):
+        means = ", ".join(
+            f"ROUND(CAST(SUM(CAST({d} AS DECIMAL(28,2))) AS DOUBLE)"
+            f" / CAST(COUNT(*) AS DOUBLE), 6) AS {d}"
+            for d in dims
+        )
+        carry = ", ".join(
+            f"COALESCE(u.{d}, p.{d}) AS {d}" for d in dims
+        )
+        sql += f""",
+    a{it} AS MATERIALIZED (
+      SELECT pid, {", ".join(dims)}, cid FROM (
+        SELECT p.pid, {", ".join(f"p.{d}" for d in dims)}, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY
+            {dist} ASC, c.cid ASC) AS rn
+        FROM pts p CROSS JOIN c{it - 1} c
+      ) WHERE rn = 1
+    ),
+    u{it} AS MATERIALIZED (
+      SELECT cid, {means} FROM a{it} GROUP BY cid
+    ),
+    c{it} AS MATERIALIZED (
+      SELECT p.cid, {carry}
+      FROM c{it - 1} p LEFT JOIN u{it} u ON u.cid = p.cid
+    )"""
+    cents = ", ".join(f"c.{d} AS c{d}" for d in dims)
+    sql += f"""
+    SELECT CAST(c.cid AS BIGINT) AS cluster_id, n.n_points, {cents}
+    FROM c{_Q257_ITER} c
+    JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_points
+          FROM a{_Q257_ITER} GROUP BY cid) n ON n.cid = c.cid
+    ORDER BY cluster_id ASC
+    """
+    return sql
+
+
+@query("q257_hashed_feature_clusters", oracle=_q257_oracle())
+def q257_hashed_feature_clusters(spark, sf_dir):
+    """operators/encoding.feature_hash ∘ operators/kmeans.kmeans:
+    16-dim hashing-trick vectors clustered with deterministic Lloyd
+    rounds (integer features → exact distances)."""
+    from ..operators.encoding import feature_hash
+    from ..operators.kmeans import kmeans
+
+    d = T(spark, sf_dir, "documents")
+    dims = [f"f{i}" for i in range(_Q257_DIMS)]
+    pts = feature_hash(d, "doc_id", "text", k=_Q257_DIMS, salt="fh").select(
+        F.col("doc_id").alias("pid"),
+        *[
+            F.col("features")[i].cast("double").alias(f"f{i}")
+            for i in range(_Q257_DIMS)
+        ],
+    ).persist()  # kmeans scans n_iter+1 times — vectorize once
+    assigned, cents = kmeans(
+        pts, dims, "pid", k=_Q257_K, n_iter=_Q257_ITER, salt="km257"
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+    cent_df = spark.createDataFrame(
+        [
+            tuple([i] + [float(v) for v in c])
+            for i, c in enumerate(cents)
+        ],
+        "cid int, " + ", ".join(f"c{d} double" for d in dims),
+    )
+    return (
+        cent_df.join(counts, "cid")
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "n_points",
+            *[f"c{d}" for d in dims],
+        )
+        .orderBy("cluster_id")
+    )
