@@ -373,3 +373,98 @@ def poisson_bootstrap_diff_oracle(
       ci.ci_lo, ci.ci_hi
     FROM exact CROSS JOIN ci
     """
+
+
+def randomization_test_diff(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    replicates: int = 200,
+    salt: str = "perm",
+    value_scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate randomization (Fisher-style permutation) test for
+    the difference of arm means: under H0 the labels are
+    exchangeable, so relabel every row with an md5-derived fair coin
+    per (row, replicate), recompute the mean difference B times, and
+    report p = (1 + #{|diff_b| ≥ |diff_obs|}) / (B + 1) — the
+    add-one form that keeps the test exact-level for finite B
+    (Phipson & Smyth 2010). Bernoulli reassignment rather than a
+    strict permutation (group sizes vary ~√n per replicate) — the
+    standard large-sample randomization variant, and the one that
+    needs NO global shuffle: relabeling is a pure per-row hash.
+
+    1-row output: ``n_a, n_b, diff_obs, n_replicates, p_value``.
+    Same map-side ×B plan as the bootstrap (partial aggregate caps
+    the Exchange at 2·B rows per partition); every draw is
+    md5-deterministic and DuckDB-replayable.
+    """
+    if replicates < 1:
+        raise ValueError("replicates must be >= 1")
+    dec = f"decimal(28,{value_scale})"
+    both = _widen(
+        df.filter(F.col(arm_col).isin([arm_a, arm_b])), key_col
+    )
+    exact = both.agg(
+        F.count(F.when(F.col(arm_col) == arm_a, F.lit(1)))
+        .cast("bigint")
+        .alias("n_a"),
+        F.count(F.when(F.col(arm_col) == arm_b, F.lit(1)))
+        .cast("bigint")
+        .alias("n_b"),
+        (
+            F.sum(
+                F.when(F.col(arm_col) == arm_a, F.col(value_col).cast(dec))
+            ).cast("double")
+            / F.count(F.when(F.col(arm_col) == arm_a, F.lit(1)))
+            - F.sum(
+                F.when(F.col(arm_col) == arm_b, F.col(value_col).cast(dec))
+            ).cast("double")
+            / F.count(F.when(F.col(arm_col) == arm_b, F.lit(1)))
+        ).alias("_d_obs"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b")
+    drawn = both.select(F.col(key_col), F.col(value_col).cast(dec).alias("_x"), b)
+    rkey = F.concat(
+        F.col("_b").cast("string"), F.lit("|"), F.col(key_col).cast("string")
+    )
+    coin = (md5_uniform(rkey, salt) < F.lit(0.5)).alias("_heads")
+    rep = (
+        drawn.withColumn("_heads", coin)
+        .groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_heads"), F.col("_x"))).cast("double").alias("_sa"),
+            F.count(F.when(F.col("_heads"), F.lit(1))).cast("bigint").alias("_na"),
+            F.sum(F.when(~F.col("_heads"), F.col("_x"))).cast("double").alias("_sb"),
+            F.count(F.when(~F.col("_heads"), F.lit(1))).cast("bigint").alias("_nb"),
+        )
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .select(
+            (F.col("_sa") / F.col("_na") - F.col("_sb") / F.col("_nb")).alias("_d")
+        )
+    )
+    counted = rep.crossJoin(F.broadcast(exact)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.sum(
+            F.when(F.abs(F.col("_d")) >= F.abs(F.col("_d_obs")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("_ge"),
+    )
+    return exact.crossJoin(F.broadcast(counted)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_d_obs"), ndigits).cast("double").alias("diff_obs"),
+        "n_replicates",
+        F.round(
+            (F.col("_ge").cast("double") + 1.0)
+            / (F.col("n_replicates").cast("double") + 1.0),
+            ndigits,
+        )
+        .cast("double")
+        .alias("p_value"),
+    )

@@ -2018,3 +2018,95 @@ def q251_bootstrap_uplift_ci(spark, sf_dir):
         replicates=201,
         salt="boot251",
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — approximate randomization test (Fisher-style) for the arm
+# mean difference: md5 fair-coin relabels per (row, replicate) — a
+# pure per-row hash, no permutation shuffle — with the Phipson-Smyth
+# add-one p-value. Same map-side ×B plan as the bootstrap tier.
+# ---------------------------------------------------------------------------
+_Q258_B = 200
+
+
+def _q258_oracle() -> str:
+    arm = (
+        "CASE WHEN CAST(('0x' || substr(md5('ab251' "
+        "|| CAST(o_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0 "
+        "THEN 'control' ELSE 'treatment' END"
+    )
+    return f"""
+    WITH reps AS (SELECT unnest(range(0, {_Q258_B})) AS b),
+    base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(28,2)) AS x,
+        {arm} AS arm
+      FROM orders
+    ),
+    exact AS (
+      SELECT
+        CAST(COUNT(CASE WHEN arm = 'treatment' THEN 1 END) AS BIGINT)
+          AS n_a,
+        CAST(COUNT(CASE WHEN arm = 'control' THEN 1 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN x END) AS DOUBLE)
+          / COUNT(CASE WHEN arm = 'treatment' THEN 1 END)
+        - CAST(SUM(CASE WHEN arm = 'control' THEN x END) AS DOUBLE)
+          / COUNT(CASE WHEN arm = 'control' THEN 1 END) AS d_obs
+      FROM base
+    ),
+    d AS (
+      SELECT b, x,
+        (CAST(('0x' || substr(md5('perm258' || CAST(b AS VARCHAR) || '|'
+          || CAST(k AS VARCHAR)), 1, 8)) AS UBIGINT) + 1.0)
+          / 4294967297.0 < 0.5 AS heads
+      FROM base CROSS JOIN reps
+    ),
+    rep AS (
+      SELECT b,
+        CAST(SUM(CASE WHEN heads THEN x END) AS DOUBLE)
+          / COUNT(CASE WHEN heads THEN 1 END)
+        - CAST(SUM(CASE WHEN NOT heads THEN x END) AS DOUBLE)
+          / COUNT(CASE WHEN NOT heads THEN 1 END) AS dd
+      FROM d GROUP BY b
+      HAVING COUNT(CASE WHEN heads THEN 1 END) > 0
+         AND COUNT(CASE WHEN NOT heads THEN 1 END) > 0
+    ),
+    counted AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+        CAST(SUM(CASE WHEN ABS(rep.dd) >= ABS(exact.d_obs)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS ge
+      FROM rep CROSS JOIN exact
+    )
+    SELECT exact.n_a, exact.n_b,
+      CAST(ROUND(exact.d_obs, 6) AS DOUBLE) AS diff_obs,
+      counted.n_replicates,
+      CAST(ROUND((CAST(counted.ge AS DOUBLE) + 1.0)
+        / (CAST(counted.n_replicates AS DOUBLE) + 1.0), 6) AS DOUBLE)
+        AS p_value
+    FROM exact CROSS JOIN counted
+    """
+
+
+@query("q258_randomization_test", oracle=_q258_oracle())
+def q258_randomization_test(spark, sf_dir):
+    """operators/bootstrap.randomization_test_diff over the
+    md5-assigned order arms."""
+    from ..operators.bootstrap import randomization_test_diff
+    from ..operators.sampling import hash_bucket
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "arm",
+        F.when(
+            hash_bucket("o_custkey", 2, salt="ab251") == 0, "control"
+        ).otherwise("treatment"),
+    )
+    return randomization_test_diff(
+        o,
+        "o_orderkey",
+        "o_totalprice",
+        "arm",
+        "treatment",
+        "control",
+        replicates=_Q258_B,
+        salt="perm258",
+    )
