@@ -406,3 +406,79 @@ def q250_sssp_weighted(spark, sf_dir):
         .orderBy(F.asc("dist"), F.asc("id"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q259 — local clustering coefficients over the part co-order graph:
+# per-node triangle credit from the degree-ordered triangle listing
+# (O(|E|^1.5) bounded), lcc = 2·tri/(deg·(deg−1)). The oracle lists
+# the same triangles with the canonical a<b<c three-way join and
+# credits all three endpoints.
+# ---------------------------------------------------------------------------
+@query(
+    "q259_local_clustering",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                      GREATEST(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    ),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    credit AS MATERIALIZED (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY v
+    )
+    SELECT CAST(deg.v AS BIGINT) AS id, deg.deg,
+      CAST(COALESCE(credit.triangles, 0) AS BIGINT) AS triangles,
+      CAST(ROUND(CASE WHEN deg.deg >= 2 THEN
+        2.0 * CAST(COALESCE(credit.triangles, 0) AS DOUBLE)
+        / (CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0))
+      END, 6) AS DOUBLE) AS lcc
+    FROM deg LEFT JOIN credit ON credit.v = deg.v
+    WHERE deg.deg >= 5
+    ORDER BY lcc DESC, id ASC
+    LIMIT 20
+    """,
+)
+def q259_local_clustering(spark, sf_dir):
+    """operators/graph_rank.local_clustering over the part co-order
+    graph: top-20 most clustered parts with degree >= 5."""
+    from ..operators.graph_rank import local_clustering
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.expr(
+                        "transform(ps, x ->"
+                        " transform(ps, y -> struct(x AS a, y AS b)))"
+                    )
+                ),
+                lambda s: s.getField("a") < s.getField("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    lcc = local_clustering(pairs)
+    return (
+        lcc.filter(F.col("deg") >= 5)
+        .select(F.col("id").cast("bigint").alias("id"), "deg", "triangles", "lcc")
+        .orderBy(F.desc("lcc"), F.asc("id"))
+        .limit(20)
+    )
