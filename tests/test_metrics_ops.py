@@ -128,3 +128,83 @@ def test_bootstrap_diff_ci_brackets_true_uplift(spark):
     assert r["ci_lo"] <= r["diff"] <= r["ci_hi"]
     assert r["diff"] > 5.0  # true uplift is ~10
     assert r["ci_lo"] > 0.0  # clearly separated arms
+
+
+def test_conformal_coverage_on_linear_data(spark):
+    from aden_hive_fork_spark.operators.conformal import (
+        split_conformal_linear,
+    )
+
+    # y = 2x + noise bounded by ±3: q_hat must be <= 3 and coverage
+    # on the test split must be high (the band contains the truth)
+    rows = [
+        (i, float(i % 100), 2.0 * (i % 100) + ((i * 37) % 7 - 3))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, x double, y double")
+    r = split_conformal_linear(df, "k", "x", "y", alpha=0.1).collect()[0]
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == 1000
+    assert 0.0 < r["q_hat"] <= 3.5
+    assert r["coverage"] >= 0.85
+    assert abs(r["slope"] - 2.0) < 0.1
+
+
+def test_conformal_rejects_no_test_split(spark):
+    import pytest as _pytest
+
+    from aden_hive_fork_spark.operators.conformal import (
+        split_conformal_linear,
+    )
+
+    df = spark.createDataFrame([(1, 1.0, 1.0)], "k bigint, x double, y double")
+    with _pytest.raises(ValueError):
+        split_conformal_linear(df, "k", "x", "y", train_pct=80, cal_pct=20)
+
+
+def test_randomization_test_detects_separation(spark):
+    from aden_hive_fork_spark.operators.bootstrap import (
+        randomization_test_diff,
+    )
+
+    # hugely separated arms: p-value at its add-one floor
+    rows = [(i, "a", 100.0 + i % 5) for i in range(200)] + [
+        (i + 1000, "b", 10.0 + i % 5) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, arm string, x double")
+    r = randomization_test_diff(
+        df, "id", "x", "arm", "a", "b", replicates=99
+    ).collect()[0]
+    assert r["diff_obs"] == 90.0
+    assert r["p_value"] == round(1.0 / (r["n_replicates"] + 1), 6)
+
+
+def test_randomization_test_null_effect_large_p(spark):
+    from aden_hive_fork_spark.operators.bootstrap import (
+        randomization_test_diff,
+    )
+
+    # identical distributions split arbitrarily: p should be large
+    rows = [
+        (i, "a" if i % 2 == 0 else "b", float((i // 2) % 10))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, arm string, x double")
+    r = randomization_test_diff(
+        df, "id", "x", "arm", "a", "b", replicates=99
+    ).collect()[0]
+    assert r["p_value"] > 0.2
+
+
+def test_local_clustering_hand_graph(spark):
+    from aden_hive_fork_spark.operators.graph_rank import local_clustering
+
+    # K4 on {1,2,3,4} plus pendant 5-1: every K4 node is in 3
+    # triangles; node 1 has deg 4 (3 tri of 6 pairs -> lcc 0.5)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(1, 5)], "src long, dst long")
+    out = {r["id"]: r for r in local_clustering(edges).collect()}
+    assert out[1]["triangles"] == 3 and out[1]["deg"] == 4
+    assert out[1]["lcc"] == 0.5
+    for v in (2, 3, 4):
+        assert out[v]["triangles"] == 3 and out[v]["lcc"] == 1.0
+    assert out[5]["triangles"] == 0 and out[5]["lcc"] is None
