@@ -195,3 +195,113 @@ def pca_project(
         )
         out = out.withColumn(f"pc{n}", dot)
     return out
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 6,
+) -> tuple[list[float], float]:
+    """First principal component by POWER ITERATION with every
+    arithmetic step engine-replayable — the hash-gate twin of
+    ``pca_components`` (whose LAPACK eigensolve no SQL engine can
+    replay): v ← fquant₉(Cv / ‖Cv‖) for a fixed number of rounds
+    from the all-ones start, sign fixed by the largest-|coordinate|
+    convention. Returns (component, eigenvalue estimate vᵀCv).
+
+    Each round is relational: the matrix-vector product folds the
+    d bounded terms per row in SORTED order (det_sum discipline) and
+    floor-quantizes to 9 digits, so a DuckDB unroll of the same
+    rounds reproduces the component bit for bit. The d-vector
+    collects to the driver between rounds (bounded state, kmeans
+    centroid precedent) and re-enters as literals — float64
+    round-trips exactly.
+
+    Scale: the covariance is computed ONCE (map-side d(d+1)/2
+    emission, see embedding_covariance); every round after that
+    touches only the d×d relation — corpus-independent.
+    """
+    from .similarity import stable_round6  # noqa: F401 (parity note)
+
+    spark = df.sparkSession
+    up = embedding_covariance(df, vec_col)
+    covf = up.select("i", "j", "cov").unionAll(
+        up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).persist()
+    d = covf.agg(F.max("j")).collect()[0][0]
+    fq = lambda c: F.floor(c * F.lit(1e9)).cast("double") / F.lit(1e9)  # noqa: E731
+    v = [1.0] * d
+    try:
+        for _ in range(int(iters)):
+            vdf = spark.createDataFrame(
+                [(k + 1, float(x)) for k, x in enumerate(v)], "k int, v double"
+            )
+            w = (
+                covf.join(F.broadcast(vdf), covf["j"] == vdf["k"])
+                .groupBy("i")
+                .agg(
+                    fq(
+                        F.aggregate(
+                            F.sort_array(
+                                F.collect_list(F.col("cov") * F.col("v"))
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    ).alias("w")
+                )
+            )
+            nn = w.agg(
+                fq(
+                    F.sqrt(
+                        F.aggregate(
+                            F.sort_array(
+                                F.collect_list(F.col("w") * F.col("w"))
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                ).alias("nn")
+            )
+            rows = (
+                w.crossJoin(F.broadcast(nn))
+                .select("i", fq(F.col("w") / F.col("nn")).alias("v"))
+                .collect()
+            )
+            nxt = [0.0] * d
+            for r in rows:
+                nxt[r["i"] - 1] = float(r["v"])
+            v = nxt
+        # sign convention: largest-|coordinate| positive, low index ties
+        pivot = max(range(d), key=lambda k: (abs(v[k]), -k))
+        if v[pivot] < 0:
+            v = [-x for x in v]
+        vdf = spark.createDataFrame(
+            [(k + 1, float(x)) for k, x in enumerate(v)], "k int, v double"
+        )
+        vi = vdf.select(F.col("k").alias("i"), F.col("v").alias("_vi"))
+        vj = vdf.select(F.col("k").alias("j"), F.col("v").alias("_vj"))
+        lam = (
+            covf.join(F.broadcast(vi), "i")
+            .join(F.broadcast(vj), "j")
+            .agg(
+                fq(
+                    F.aggregate(
+                        F.sort_array(
+                            F.collect_list(
+                                F.col("_vi") * F.col("cov") * F.col("_vj")
+                            )
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("lam")
+            )
+            .collect()[0]["lam"]
+        )
+    finally:
+        covf.unpersist()
+    return v, float(lam)

@@ -702,3 +702,146 @@ def q239_ivf_md5_topk(spark, sf_dir):
         F.col("qdot").cast("bigint").alias("qdot"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — first principal component by POWER ITERATION, fully inside
+# the hash gate (the rows-only q219 eigensolve's replayable twin):
+# exact-decimal covariance → 6 relational v ← Cv/‖Cv‖ rounds (sorted
+# folds, floor-quantized) → sign convention → corpus projection.
+# Every round is corpus-independent (d×d relation only).
+# ---------------------------------------------------------------------------
+_Q260_ITERS = 6
+_Q260_D = 64
+
+
+def _q260_oracle() -> str:
+    sql = f"""
+    WITH flat AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8)) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sums AS MATERIALIZED (
+      SELECT a.i, b.i AS j, SUM(a.x * b.x) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    dsum AS MATERIALIZED (
+      SELECT i AS k, SUM(x) AS sx FROM flat GROUP BY 1
+    ),
+    covu AS MATERIALIZED (
+      SELECT s.i, s.j,
+        FLOOR((
+          (CAST(s.sxy AS DOUBLE)
+           - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE)
+             / CAST(s.n AS DOUBLE))
+          / (CAST(s.n AS DOUBLE) - 1.0)
+        ) * 1000000.0 + 0.5) / 1000000.0 AS cov
+      FROM sums s
+      JOIN dsum di ON di.k = s.i
+      JOIN dsum dj ON dj.k = s.j
+    ),
+    covf AS MATERIALIZED (
+      SELECT i, j, cov FROM covu
+      UNION ALL SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+    ),
+    v0 AS MATERIALIZED (
+      SELECT unnest(range(1, {_Q260_D + 1})) AS k, CAST(1.0 AS DOUBLE) AS v
+    )"""
+    for t in range(1, _Q260_ITERS + 1):
+        sql += f""",
+    w{t} AS MATERIALIZED (
+      SELECT c.i AS k,
+        FLOOR(list_sum(list_sort(list(c.cov * p.v))) * 1e9) / 1e9 AS w
+      FROM covf c JOIN v{t - 1} p ON p.k = c.j GROUP BY c.i
+    ),
+    n{t} AS MATERIALIZED (
+      SELECT FLOOR(sqrt(list_sum(list_sort(list(w * w)))) * 1e9) / 1e9
+        AS nn
+      FROM w{t}
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT k, FLOOR(w / nn * 1e9) / 1e9 AS v
+      FROM w{t} CROSS JOIN n{t}
+    )"""
+    sql += f""",
+    piv AS MATERIALIZED (
+      SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM v{_Q260_ITERS} ORDER BY ABS(v) DESC, k ASC LIMIT 1
+    ),
+    vs AS MATERIALIZED (
+      SELECT k, v * sgn AS v FROM v{_Q260_ITERS} CROSS JOIN piv
+    ),
+    lamt AS MATERIALIZED (
+      SELECT FLOOR(list_sum(list_sort(list(v1.v * c.cov * v2.v))) * 1e9)
+        / 1e9 AS lam
+      FROM covf c JOIN vs v1 ON v1.k = c.i JOIN vs v2 ON v2.k = c.j
+    ),
+    flat2 AS MATERIALIZED (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS k,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    proj AS MATERIALIZED (
+      SELECT f.vec_id, f.label,
+        FLOOR(list_sum(list_sort(list(f.x * vs.v))) * 1000000.0 + 0.5)
+          / 1000000.0 AS score
+      FROM flat2 f JOIN vs ON vs.k = f.k
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INT) AS label,
+      CAST(score AS DOUBLE) AS score, CAST(lamt.lam AS DOUBLE) AS lam
+    FROM proj CROSS JOIN lamt
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 15
+    """
+    return sql
+
+
+@query("q260_pca_power_projection", oracle=_q260_oracle())
+def q260_pca_power_projection(spark, sf_dir):
+    """operators/pca.power_iteration_pc1 + map-side projection:
+    top-15 embeddings along the first principal direction."""
+    from ..operators.pca import power_iteration_pc1
+    from ..operators.similarity import stable_round6
+
+    emb = T(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v, lam = power_iteration_pc1(emb, "embedding", iters=_Q260_ITERS)
+    vdf = spark.createDataFrame(
+        [(k + 1, float(x)) for k, x in enumerate(v)], "k int, v double"
+    )
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("k0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("k0") + 1).alias("k"),
+        F.col("x").cast("double").alias("x"),
+    )
+    proj = (
+        flat.join(F.broadcast(vdf), "k")
+        .groupBy("vec_id", "label")
+        .agg(
+            stable_round6(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.col("x") * F.col("v"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        proj.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("label").cast("int").alias("label"),
+            F.col("score").cast("double").alias("score"),
+            F.lit(float(lam)).cast("double").alias("lam"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(15)
+    )

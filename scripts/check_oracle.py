@@ -38,9 +38,27 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    spark = build_session(cpus=8, shuffle_partitions=8)
-    con = duckdb.connect()
     import os
+
+    hostile = os.environ.get("ORACLE_HOSTILE_TZ", "").strip()
+    if hostile:
+        # simulate the DRIVER's session: one the engine did NOT
+        # configure, with a non-UTC timezone (verify-skill probe) —
+        # catches any query that round-trips NTZ through session time
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("oracle-hostile")
+            .master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", hostile)
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        print(f"HOSTILE session timezone: {hostile}")
+    else:
+        spark = build_session(cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
 
     for t in TABLES:
         p = table_path(sf_dir, t)
