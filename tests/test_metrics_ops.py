@@ -208,3 +208,25 @@ def test_local_clustering_hand_graph(spark):
     for v in (2, 3, 4):
         assert out[v]["triangles"] == 3 and out[v]["lcc"] == 1.0
     assert out[5]["triangles"] == 0 and out[5]["lcc"] is None
+
+
+def test_power_iteration_matches_numpy_pc1(spark):
+    import numpy as np
+
+    from aden_hive_fork_spark.operators.pca import power_iteration_pc1
+
+    rng = [(i * 37 % 17, i * 53 % 13, i * 29 % 11) for i in range(60)]
+    data = [
+        (i, [(a - 8.0) / 10.0, (b - 6.0) / 10.0, (a - 8.0) / 10.0 * 0.9 + (c - 5.0) / 50.0])
+        for i, (a, b, c) in enumerate(rng)
+    ]
+    df = spark.createDataFrame(data, "vec_id int, embedding array<double>")
+    v, lam = power_iteration_pc1(df, "embedding", iters=25)
+    m = np.cov(np.array([r[1] for r in data]).T, ddof=1)
+    vals, vecs = np.linalg.eigh(m)
+    top = vecs[:, int(np.argmax(vals))]
+    pivot = int(np.argmax(np.abs(top)))
+    if top[pivot] < 0:
+        top = -top
+    assert abs(lam - float(np.max(vals))) < 1e-2
+    assert max(abs(a - b) for a, b in zip(v, top)) < 1e-2
