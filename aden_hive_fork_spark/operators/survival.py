@@ -78,3 +78,96 @@ def kaplan_meier(
             F.round(surv, ndigits).cast("double").alias("survival"),
         )
     )
+
+
+def log_rank(
+    df: DataFrame,
+    t_col: str,
+    event_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel-Cox): does survival differ
+    between two arms? 1-row output ``n_a, n_b, n_events, o_minus_e,
+    var_o, z`` with O−E = Σ_t (d_a(t) − d(t)·n_a(t)/n(t)) and the
+    hypergeometric variance V = Σ_t d(n_a/n)(1−n_a/n)(n−d)/(n−1),
+    z = (O−E)/√V (NULL when V is not positive).
+
+    Same grid discipline as :func:`kaplan_meier`: the cohort
+    collapses to one row per (time bucket) — bounded by resolution —
+    at-risk counts are reverse-cumulative integer window sums, and
+    the only float reductions (the O−E and V sums over the bounded
+    grid) go through the det_sum sorted fold. Everything upstream is
+    exact integers, so the statistic replays in DuckDB.
+    """
+    a, b = arm_a, arm_b
+    per = (
+        df.filter(F.col(arm_col).isin([a, b]))
+        .groupBy(F.col(t_col).alias("t"))
+        .agg(
+            F.sum(
+                F.when(F.col(arm_col) == a, F.col(event_col)).otherwise(0)
+            ).cast("bigint").alias("d_a"),
+            F.sum(
+                F.when(F.col(arm_col) == b, F.col(event_col)).otherwise(0)
+            ).cast("bigint").alias("d_b"),
+            F.sum(F.when(F.col(arm_col) == a, 1).otherwise(0))
+            .cast("bigint").alias("m_a"),
+            F.sum(F.when(F.col(arm_col) == b, 1).otherwise(0))
+            .cast("bigint").alias("m_b"),
+        )
+    )
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = per.select(
+        "t",
+        "d_a",
+        "d_b",
+        F.sum("m_a").over(w).cast("bigint").alias("n_a_t"),
+        F.sum("m_b").over(w).cast("bigint").alias("n_b_t"),
+    ).filter((F.col("d_a") + F.col("d_b")) > 0)
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    na = F.col("n_a_t").cast("double")
+    n = (F.col("n_a_t") + F.col("n_b_t")).cast("double")
+    ea = d * na / n
+    vt = F.when(
+        n > 1.0,
+        d * (na / n) * (1.0 - na / n) * (n - d) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    terms = r.select(
+        (F.col("d_a").cast("double") - ea).alias("_oe"), vt.alias("_v")
+    )
+    sums = terms.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("_oe")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_soe"),
+        F.aggregate(
+            F.sort_array(F.collect_list("_v")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_sv"),
+    )
+    counts = df.filter(F.col(arm_col).isin([a, b])).agg(
+        F.sum(F.when(F.col(arm_col) == a, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col(arm_col) == b, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+        F.sum(F.col(event_col)).cast("bigint").alias("n_events"),
+    )
+    z = F.when(
+        F.col("_sv") > 0, F.col("_soe") / F.sqrt(F.col("_sv"))
+    )
+    return counts.crossJoin(F.broadcast(sums)).select(
+        "n_a",
+        "n_b",
+        "n_events",
+        F.round(F.col("_soe"), ndigits).cast("double").alias("o_minus_e"),
+        F.round(F.col("_sv"), ndigits).cast("double").alias("var_o"),
+        F.round(z, ndigits).cast("double").alias("z"),
+    )

@@ -2110,3 +2110,116 @@ def q258_randomization_test(spark, sf_dir):
         replicates=_Q258_B,
         salt="perm258",
     )
+
+
+# ---------------------------------------------------------------------------
+# q261 — log-rank (Mantel-Cox) survival comparison between md5 arms
+# over the q177 customer-lifetime cohort: integer event/at-risk grid
+# (reverse-cumulative window), O−E and hypergeometric variance summed
+# with the sorted fold over the bounded time grid.
+# ---------------------------------------------------------------------------
+@query(
+    "q261_log_rank_test",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+        MIN(CAST(o_orderdate AS DATE)) AS f,
+        MAX(CAST(o_orderdate AS DATE)) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (
+      SELECT MAX(l) AS mx FROM cust
+    ),
+    coh AS (
+      SELECT CAST(FLOOR(date_diff('day', f, l) / 30) AS BIGINT) AS t,
+        CASE WHEN date_diff('day', l, (SELECT mx FROM anchor)) > 365
+          THEN 1 ELSE 0 END AS ev,
+        CASE WHEN CAST(('0x' || substr(md5('lr261'
+            || CAST(o_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+          THEN 'control' ELSE 'treatment' END AS arm
+      FROM cust
+    ),
+    per AS (
+      SELECT t,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN ev ELSE 0 END)
+          AS BIGINT) AS d_a,
+        CAST(SUM(CASE WHEN arm = 'control' THEN ev ELSE 0 END)
+          AS BIGINT) AS d_b,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+          AS BIGINT) AS m_a,
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+          AS BIGINT) AS m_b
+      FROM coh GROUP BY t
+    ),
+    r AS (
+      SELECT t, d_a, d_b,
+        CAST(SUM(m_a) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS n_a_t,
+        CAST(SUM(m_b) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS n_b_t
+      FROM per
+    ),
+    terms AS (
+      SELECT
+        CAST(d_a AS DOUBLE)
+          - CAST(d_a + d_b AS DOUBLE) * CAST(n_a_t AS DOUBLE)
+            / CAST(n_a_t + n_b_t AS DOUBLE) AS oe,
+        CASE WHEN CAST(n_a_t + n_b_t AS DOUBLE) > 1.0 THEN
+          CAST(d_a + d_b AS DOUBLE)
+          * (CAST(n_a_t AS DOUBLE) / CAST(n_a_t + n_b_t AS DOUBLE))
+          * (1.0 - CAST(n_a_t AS DOUBLE) / CAST(n_a_t + n_b_t AS DOUBLE))
+          * (CAST(n_a_t + n_b_t AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+          / (CAST(n_a_t + n_b_t AS DOUBLE) - 1.0)
+        ELSE 0.0 END AS v
+      FROM r WHERE d_a + d_b > 0
+    ),
+    sums AS (
+      SELECT COALESCE(CAST(list_sum(list_sort(list(oe))) AS DOUBLE),
+          0.0) AS soe,
+        COALESCE(CAST(list_sum(list_sort(list(v))) AS DOUBLE), 0.0) AS sv
+      FROM terms
+    ),
+    counts AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_b,
+        CAST(SUM(ev) AS BIGINT) AS n_events
+      FROM coh
+    )
+    SELECT n_a, n_b, n_events,
+      CAST(ROUND(soe, 6) AS DOUBLE) AS o_minus_e,
+      CAST(ROUND(sv, 6) AS DOUBLE) AS var_o,
+      CAST(ROUND(CASE WHEN sv > 0 THEN soe / sqrt(sv) END, 6)
+        AS DOUBLE) AS z
+    FROM counts CROSS JOIN sums
+    """,
+)
+def q261_log_rank_test(spark, sf_dir):
+    """operators/survival.log_rank over the customer-lifetime cohort
+    with md5-assigned arms; churn = last order >365 days before the corpus max date."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.survival import log_rank
+
+    cust = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("f"),
+            F.max(F.to_date("o_orderdate")).alias("l"),
+        )
+    )
+    anchor = cust.agg(F.max("l").alias("mx"))
+    coh = cust.crossJoin(F.broadcast(anchor)).select(
+        F.floor(F.datediff("l", "f") / 30).cast("bigint").alias("t"),
+        F.when(F.datediff(F.col("mx"), F.col("l")) > 365, 1)
+        .otherwise(0)
+        .alias("ev"),
+        F.when(
+            hash_bucket("o_custkey", 2, salt="lr261") == 0, "control"
+        )
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    return log_rank(coh, "t", "ev", "arm", "treatment", "control")
