@@ -253,3 +253,78 @@ def calibration_bins(
             .alias("pos_rate"),
         )
     )
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    rel: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    ndigits: int = 6,
+) -> DataFrame:
+    """NDCG@k of a ranking against graded relevance: per query,
+    DCG = Σ_{r≤k} rel(doc@r)/log₂(r+1) against the ideal ordering's
+    IDCG (linear-gain form — the exponential 2^rel−1 form overflows
+    on count-valued relevance). Output: ``qid, dcg, idcg, ndcg``;
+    NULL ndcg when the query has no relevant documents.
+
+    Determinism: each discount term floor-quantizes (log₂ is
+    transcendental — the fquant ulp discipline) and the per-query
+    sums fold ≤ k bounded terms in sorted order. The ideal ranking
+    ties break on the doc id, so IDCG is a pure function of the
+    relevance table.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    r = rel.select(
+        F.col(qid_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    top = ranking.filter(F.col(rank_col) <= k).select(
+        F.col(qid_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).cast("int").alias("_r"),
+    )
+    term = lambda rank_expr: fquant(  # noqa: E731
+        F.coalesce(F.col("_rel"), F.lit(0.0))
+        / F.log2(rank_expr.cast("double") + 1.0),
+        9,
+    )
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dcg = (
+        top.join(r, ["_q", "_d"], "left")
+        .select("_q", term(F.col("_r")).alias("_t"))
+        .groupBy("_q")
+        .agg(F.round(fold(F.col("_t")), ndigits).alias("dcg"))
+    )
+    iw = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_d").asc()
+    )
+    ideal = (
+        r.filter(F.col("_rel") > 0)
+        .withColumn("_r", F.row_number().over(iw))
+        .filter(F.col("_r") <= k)
+        .select("_q", term(F.col("_r")).alias("_t"))
+        .groupBy("_q")
+        .agg(F.round(fold(F.col("_t")), ndigits).alias("idcg"))
+    )
+    out = dcg.join(ideal, "_q", "left")
+    return out.select(
+        F.col("_q").alias(qid_col),
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")),
+            ndigits,
+        )
+        .cast("double")
+        .alias("ndcg"),
+    )

@@ -271,3 +271,125 @@ def q220_hybrid_search_rrf(spark, sf_dir):
         .select(F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([lex, sem], k=60, topk=10)
+
+
+# ---------------------------------------------------------------------------
+# q262 — NDCG@10 of the BM25 ranker against graded term-frequency
+# relevance (operators/metrics.ndcg_at_k): linear-gain DCG with
+# floor-quantized log2 discounts, ideal ordering tie-broken on doc
+# id. The oracle replays the BM25 ranking (the q99 arithmetic), the
+# relevance table, and the NDCG folds end to end.
+# ---------------------------------------------------------------------------
+_Q262_SQL = f"""
+    WITH q(qid, query) AS (VALUES {_Q99_VALUES}),
+    toks AS (
+      SELECT doc_id,
+        unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    qt AS (
+      SELECT qid, query,
+        unnest(list_distinct(string_split_regex(lower(trim(query)), ' +')))
+          AS term
+      FROM q
+    ),
+    dft AS (
+      SELECT term, COUNT(*) AS df_t FROM tf
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1
+    ),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+        ROUND(SUM(
+          ln((s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+          * (tf.tf * (1.2 + 1)) /
+            (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+        ), 4) AS score
+      FROM qt
+      JOIN tf USING (term)
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC,
+                           doc_id ASC) AS rank
+      FROM scored
+    ),
+    rel AS (
+      SELECT qt.qid, tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS rel
+      FROM qt JOIN tf USING (term)
+      GROUP BY 1, 2
+    ),
+    dcg AS (
+      SELECT r.qid,
+        ROUND(list_sum(list_sort(list(
+          FLOOR(COALESCE(CAST(rel.rel AS DOUBLE), 0.0)
+                / log2(CAST(r.rank AS DOUBLE) + 1.0) * 1e9) / 1e9
+        ))), 6) AS dcg
+      FROM ranked r LEFT JOIN rel
+        ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+      WHERE r.rank <= 10
+      GROUP BY r.qid
+    ),
+    ideal AS (
+      SELECT qid,
+        ROUND(list_sum(list_sort(list(
+          FLOOR(CAST(rel AS DOUBLE)
+                / log2(CAST(irank AS DOUBLE) + 1.0) * 1e9) / 1e9
+        ))), 6) AS idcg
+      FROM (
+        SELECT qid, rel,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC,
+                             doc_id ASC) AS irank
+        FROM rel WHERE rel > 0
+      ) WHERE irank <= 10
+      GROUP BY qid
+    )
+    SELECT dcg.qid,
+      CAST(dcg.dcg AS DOUBLE) AS dcg,
+      CAST(ideal.idcg AS DOUBLE) AS idcg,
+      CAST(ROUND(CASE WHEN ideal.idcg > 0 THEN dcg.dcg / ideal.idcg END,
+        6) AS DOUBLE) AS ndcg
+    FROM dcg LEFT JOIN ideal ON ideal.qid = dcg.qid
+    ORDER BY dcg.qid ASC
+"""
+
+
+@query("q262_bm25_ndcg", oracle=_Q262_SQL)
+def q262_bm25_ndcg(spark, sf_dir):
+    """operators/metrics.ndcg_at_k over the q99 BM25 ranker, graded
+    by summed query-term frequency."""
+    from ..operators.metrics import ndcg_at_k
+    from ..sources.search_source import _WS, bm25_search
+
+    docs = T(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_Q99_QUERIES, "qid int, query string")
+    ranking = bm25_search(docs, queries, k=10)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), _WS)).alias(
+            "term"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    qt = queries.select(
+        "qid",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col("query"))), _WS)
+            )
+        ).alias("term"),
+    )
+    rel = (
+        qt.join(tf, "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("rel"))
+    )
+    return ndcg_at_k(ranking, rel, k=10).orderBy(F.asc("qid"))
