@@ -230,3 +230,70 @@ def test_power_iteration_matches_numpy_pc1(spark):
         top = -top
     assert abs(lam - float(np.max(vals))) < 1e-2
     assert max(abs(a - b) for a, b in zip(v, top)) < 1e-2
+
+
+def test_log_rank_identical_arms_zero(spark):
+    from aden_hive_fork_spark.operators.survival import log_rank
+
+    # identical survival in both arms: O-E exactly 0
+    rows = []
+    for g in ("a", "b"):
+        for t, ev in [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0)]:
+            rows.append((g, t, ev))
+    df = spark.createDataFrame(rows, "arm string, t int, ev int")
+    r = log_rank(df, "t", "ev", "arm", "a", "b").collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5 and r["n_events"] == 6
+    assert r["o_minus_e"] == 0.0
+    assert r["z"] == 0.0
+
+
+def test_log_rank_hand_value(spark):
+    from aden_hive_fork_spark.operators.survival import log_rank
+
+    # arm a dies at t=1,2; arm b dies at t=3,4 (all events)
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 3, 1), ("b", 4, 1)]
+    df = spark.createDataFrame(rows, "arm string, t int, ev int")
+    r = log_rank(df, "t", "ev", "arm", "a", "b").collect()[0]
+    # t=1: n=4, na=2, d=1, E=0.5, V=0.25; t=2: n=3, na=1, E=1/3, V=2/9
+    # t=3: n=2, na=0 -> E=0, V=0; t=4: n=1 -> V=0 (skipped via n>1)
+    oe = (1 - 0.5) + (1 - 1 / 3) + 0.0 + 0.0
+    v = 0.25 + 2 / 9
+    assert abs(r["o_minus_e"] - oe) < 1e-6
+    assert abs(r["var_o"] - v) < 1e-6
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    from aden_hive_fork_spark.operators.metrics import ndcg_at_k
+
+    rel = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 2), (1, 12, 1)], "qid int, doc_id int, rel int"
+    )
+    perfect = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "qid int, doc_id int, rank int",
+    )
+    r = ndcg_at_k(perfect, rel, k=3).collect()[0]
+    assert r["ndcg"] == 1.0
+    inverted = spark.createDataFrame(
+        [(1, 12, 1), (1, 11, 2), (1, 10, 3)],
+        "qid int, doc_id int, rank int",
+    )
+    r2 = ndcg_at_k(inverted, rel, k=3).collect()[0]
+    assert 0.0 < r2["ndcg"] < 1.0
+    import math
+
+    dcg = 1 / math.log2(2) + 2 / math.log2(3) + 3 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert abs(r2["ndcg"] - dcg / idcg) < 1e-5
+
+
+def test_ndcg_null_without_relevant_docs(spark):
+    from aden_hive_fork_spark.operators.metrics import ndcg_at_k
+
+    rel = spark.createDataFrame(
+        [(1, 99, 0)], "qid int, doc_id int, rel int"
+    )
+    ranking = spark.createDataFrame(
+        [(1, 10, 1)], "qid int, doc_id int, rank int"
+    )
+    assert ndcg_at_k(ranking, rel, k=3).collect()[0]["ndcg"] is None
