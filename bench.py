@@ -100,6 +100,9 @@ HEADLINE = [
     "q241_bootstrap_mean_ci",     # Poisson bootstrap, 201 map-side replicates
     "q244_holt_forecast",         # two-state JVM fold forecasting
     "q247_feature_hashing",       # vocabulary-free hashing-trick vectors
+    "q253_classifier_eval",       # rank-statistic AUC + quantized log loss
+    "q250_sssp_weighted",         # Bellman-Ford min-plus rounds
+    "q262_bm25_ndcg",             # ranking eval: NDCG@10 over BM25
 ]
 
 
