@@ -659,3 +659,89 @@ def q247_feature_hashing(spark, sf_dir):
     return feature_hash(d, "doc_id", "text", k=16, salt="fh").orderBy(
         F.asc("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — Zipf's-law fit of the corpus token distribution: ln(freq) vs
+# ln(rank) least squares over the top-500 terms (slope ≈ −1 for
+# natural language — a standard corpus-health signal). Ranks are
+# integers, logs floor-quantize, and the fit is the exact-suffstats
+# linear_fit, so the whole diagnostic replays in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "q263_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM toks WHERE term <> '' GROUP BY term
+    ),
+    ranked AS (
+      SELECT freq,
+        ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rnk
+      FROM tf
+    ),
+    pts AS (
+      SELECT
+        FLOOR(ln(CAST(rnk AS DOUBLE)) * 1e6) / 1e6 AS x,
+        FLOOR(ln(CAST(freq AS DOUBLE)) * 1e6) / 1e6 AS y
+      FROM ranked WHERE rnk <= 500
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6))
+          AS DECIMAL(38,12))) AS DECIMAL(38,6)) AS sxy,
+        CAST(SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))
+          AS DECIMAL(38,12))) AS DECIMAL(38,6)) AS sxx
+      FROM pts
+    )
+    SELECT n,
+      CAST(ROUND(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      END, 6) AS DOUBLE) AS slope,
+      CAST(ROUND((CAST(sy AS DOUBLE)
+        - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        AS DOUBLE) AS intercept
+    FROM s
+    """,
+)
+def q263_zipf_fit(spark, sf_dir):
+    """operators/stats.linear_fit over the fquant'd log-log token
+    rank-frequency curve (top 500 terms)."""
+    from pyspark.sql import Window
+
+    from ..operators.stats import fquant, linear_fit
+
+    toks = T(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), " +")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq")
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 500)
+        .select(
+            fquant(F.log(F.col("rnk").cast("double"))).alias("x"),
+            fquant(F.log(F.col("freq").cast("double"))).alias("y"),
+        )
+    )
+    return linear_fit(pts, "x", "y", scale=6)
