@@ -22,7 +22,7 @@ expressions, so DuckDB replays the encode bit for bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -130,5 +130,113 @@ def feature_hash(
                     F.lit(0).cast("bigint"),
                 ),
             ).alias("features"),
+        )
+    )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_cuts: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Best single-feature threshold split per feature (a depth-1
+    CART node — the primitive under every GBDT/feature-importance
+    report): candidate thresholds are the feature's interior
+    quantile cuts, split quality is weighted Gini impurity
+
+        G(s) = Σ_{side} (n_s/n)·(1 − (pos_s/n_s)² − (neg_s/n_s)²),
+
+    and the winner per feature is the min-Gini cut (ties → smaller
+    cut). Output one row per feature: ``feature, best_cut, gini,
+    n_left, n_right, pos_left, pos_right``.
+
+    Plan shape: ONE percentile aggregate per pass computes every
+    feature's cut array (broadcast); the corpus amplifies ×cuts
+    map-side (posexplode — the bootstrap pattern) and the partial
+    aggregate collapses each partition to features×cuts rows before
+    the only Exchange. Counts are exact integers; Gini is one fixed
+    IEEE expression per (feature, cut).
+    """
+    if n_cuts < 2:
+        raise ValueError("n_cuts must be >= 2")
+    fracs = [i / n_cuts for i in range(1, n_cuts)]
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(y.isNotNull())
+    cuts = base.agg(
+        *[
+            F.transform(
+                F.percentile(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(f) for f in fracs]),
+                ),
+                lambda v: F.round(v, ndigits),
+            ).alias(f"_cuts_{c}")
+            for c in feature_cols
+        ]
+    )
+    parts = []
+    with_cuts = base.crossJoin(F.broadcast(cuts))
+    for c in feature_cols:
+        parts.append(
+            with_cuts.select(
+                F.lit(c).alias("feature"),
+                F.col(c).cast("double").alias("_x"),
+                y.alias("_y"),
+                F.explode(F.array_distinct(F.col(f"_cuts_{c}"))).alias(
+                    "_cut"
+                ),
+            )
+        )
+    expl = parts[0]
+    for p in parts[1:]:
+        expl = expl.unionByName(p)
+    left = F.col("_x") <= F.col("_cut")
+    agg = expl.groupBy("feature", "_cut").agg(
+        F.sum(F.when(left, 1).otherwise(0)).cast("bigint").alias("n_l"),
+        F.sum(F.when(left & F.col("_y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("p_l"),
+        F.sum(F.when(~left, 1).otherwise(0)).cast("bigint").alias("n_r"),
+        F.sum(F.when(~left & F.col("_y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("p_r"),
+    )
+
+    def side_gini(n_s, p_s):
+        nd, pd = n_s.cast("double"), p_s.cast("double")
+        return F.when(
+            n_s > 0,
+            (nd / (F.col("n_l") + F.col("n_r")).cast("double"))
+            * (
+                1.0
+                - (pd / nd) * (pd / nd)
+                - ((nd - pd) / nd) * ((nd - pd) / nd)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    scored = agg.withColumn(
+        "_g",
+        F.round(
+            side_gini(F.col("n_l"), F.col("p_l"))
+            + side_gini(F.col("n_r"), F.col("p_r")),
+            ndigits,
+        ),
+    )
+    w = Window.partitionBy("feature").orderBy(
+        F.col("_g").asc(), F.col("_cut").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "feature",
+            F.col("_cut").cast("double").alias("best_cut"),
+            F.col("_g").cast("double").alias("gini"),
+            F.col("n_l").alias("n_left"),
+            F.col("n_r").alias("n_right"),
+            F.col("p_l").alias("pos_left"),
+            F.col("p_r").alias("pos_right"),
         )
     )

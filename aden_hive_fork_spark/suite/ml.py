@@ -330,3 +330,107 @@ def q257_hashed_feature_clusters(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — decision-stump split search (operators/encoding.
+# decision_stump): best Gini threshold per feature for predicting
+# urgent orders, candidates = interior deciles. Map-side ×cuts
+# amplification with partial aggregation — the bootstrap plan shape.
+# ---------------------------------------------------------------------------
+_Q264_FRACS = ", ".join(repr(i / 10) for i in range(1, 10))
+
+
+@query(
+    "q264_decision_stump",
+    oracle=f"""
+    WITH basej AS (
+      SELECT o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS price,
+        CAST(COUNT(*) AS DOUBLE) AS items,
+        (o.o_orderpriority = '1-URGENT') AS y
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderpriority
+    ),
+    cuts AS (
+      SELECT
+        list_distinct(list_transform(quantile_cont(price, [{_Q264_FRACS}]),
+          c -> ROUND(c, 6))) AS cp,
+        list_distinct(list_transform(quantile_cont(items, [{_Q264_FRACS}]),
+          c -> ROUND(c, 6))) AS ci
+      FROM basej
+    ),
+    expl AS (
+      SELECT 'price' AS feature, b.price AS x, b.y, unnest(cuts.cp) AS cut
+      FROM basej b CROSS JOIN cuts
+      UNION ALL
+      SELECT 'items' AS feature, b.items AS x, b.y, unnest(cuts.ci) AS cut
+      FROM basej b CROSS JOIN cuts
+    ),
+    agg AS (
+      SELECT feature, cut,
+        CAST(SUM(CASE WHEN x <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+        CAST(SUM(CASE WHEN x <= cut AND y THEN 1 ELSE 0 END) AS BIGINT)
+          AS p_l,
+        CAST(SUM(CASE WHEN x > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        CAST(SUM(CASE WHEN x > cut AND y THEN 1 ELSE 0 END) AS BIGINT)
+          AS p_r
+      FROM expl GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT feature, cut, n_l, n_r, p_l, p_r,
+        ROUND(
+          (CASE WHEN n_l > 0 THEN
+            (CAST(n_l AS DOUBLE) / CAST(n_l + n_r AS DOUBLE))
+            * (1.0
+               - (CAST(p_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                 * (CAST(p_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+               - ((CAST(n_l AS DOUBLE) - CAST(p_l AS DOUBLE))
+                  / CAST(n_l AS DOUBLE))
+                 * ((CAST(n_l AS DOUBLE) - CAST(p_l AS DOUBLE))
+                    / CAST(n_l AS DOUBLE)))
+          ELSE 0.0 END)
+          + (CASE WHEN n_r > 0 THEN
+            (CAST(n_r AS DOUBLE) / CAST(n_l + n_r AS DOUBLE))
+            * (1.0
+               - (CAST(p_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                 * (CAST(p_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+               - ((CAST(n_r AS DOUBLE) - CAST(p_r AS DOUBLE))
+                  / CAST(n_r AS DOUBLE))
+                 * ((CAST(n_r AS DOUBLE) - CAST(p_r AS DOUBLE))
+                    / CAST(n_r AS DOUBLE)))
+          ELSE 0.0 END), 6) AS g
+      FROM agg
+    ),
+    best AS (
+      SELECT feature, cut, g, n_l, n_r, p_l, p_r,
+        ROW_NUMBER() OVER (PARTITION BY feature
+                           ORDER BY g ASC, cut ASC) AS rn
+      FROM scored
+    )
+    SELECT feature, CAST(cut AS DOUBLE) AS best_cut,
+      CAST(g AS DOUBLE) AS gini,
+      n_l AS n_left, n_r AS n_right, p_l AS pos_left, p_r AS pos_right
+    FROM best WHERE rn = 1
+    ORDER BY feature ASC
+    """,
+)
+def q264_decision_stump(spark, sf_dir):
+    """operators/encoding.decision_stump: best urgent-order split on
+    order value and basket size."""
+    from ..operators.encoding import decision_stump
+
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("double").alias("items"))
+        .select(
+            F.col("o_totalprice").cast("double").alias("price"),
+            "items",
+            (F.col("o_orderpriority") == "1-URGENT").alias("y"),
+        )
+    )
+    return decision_stump(
+        base, ["price", "items"], "y", n_cuts=10
+    ).orderBy(F.asc("feature"))
