@@ -529,3 +529,72 @@ def local_clustering(
     finally:
         e.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    list: ``(id, hub, authority)`` after a fixed number of mutual-
+    reinforcement rounds — a(v) ∝ Σ_{u→v} h(u), h(u) ∝ Σ_{u→v} a(v),
+    each side L2-normalized per round.
+
+    Corpus-scale float discipline: per-node sums use QUANTIZE-THEN-
+    DECIMAL-SUM (scores are floor-quantized to 9 digits and summed as
+    exact DECIMAL — associative, so deterministic under any
+    partitioning and any in-degree, where a sorted fold would
+    materialize per-node neighbor lists). Norms go through the same
+    reduction. Node-sized state stays distributed (it scales with
+    the graph); lineage is checkpoint-truncated per round.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src).cast("long").alias("_s"),
+        F.col(dst).cast("long").alias("_d"),
+    ).distinct().persist()
+    fq = lambda c: F.floor(c * F.lit(1e9)).cast("double") / F.lit(1e9)  # noqa: E731
+    dsum = lambda c: F.sum(c.cast("decimal(28,9)")).cast("double")  # noqa: E731
+    hubs = e.select(F.col("_s").alias("id")).distinct().withColumn(
+        "h", F.lit(1.0)
+    ).localCheckpoint(eager=True)
+    auths = None
+    try:
+        for _ in range(int(iters)):
+            araw = (
+                e.join(hubs, e["_s"] == hubs["id"])
+                .groupBy(F.col("_d").alias("id"))
+                .agg(dsum(F.col("h")).alias("_ar"))
+            )
+            an = araw.agg(
+                fq(F.sqrt(dsum(fq(F.col("_ar") * F.col("_ar"))))).alias("_n")
+            )
+            auths = (
+                araw.crossJoin(F.broadcast(an))
+                .select("id", fq(F.col("_ar") / F.col("_n")).alias("a"))
+                .localCheckpoint(eager=True)
+            )
+            hraw = (
+                e.join(auths, e["_d"] == auths["id"])
+                .groupBy(F.col("_s").alias("id"))
+                .agg(dsum(F.col("a")).alias("_hr"))
+            )
+            hn = hraw.agg(
+                fq(F.sqrt(dsum(fq(F.col("_hr") * F.col("_hr"))))).alias("_n")
+            )
+            hubs = (
+                hraw.crossJoin(F.broadcast(hn))
+                .select("id", fq(F.col("_hr") / F.col("_n")).alias("h"))
+                .localCheckpoint(eager=True)
+            )
+        out = hubs.join(auths, "id", "full").select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"),
+        ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return out

@@ -482,3 +482,108 @@ def q259_local_clustering(spark, sf_dir):
         .orderBy(F.desc("lcc"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — HITS hubs & authorities over the directed purchase graph
+# (operators/graph_rank.hits): 4 mutual-reinforcement rounds with the
+# quantize-then-decimal-sum reduction (associative — safe at any
+# in-degree, unlike bounded folds), L2 norms per round, top-10 each
+# side. The oracle unrolls the identical rounds.
+# ---------------------------------------------------------------------------
+_HITS_ITER = 4
+
+
+def _q265_oracle() -> str:
+    sql = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src,
+        l.l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > 480000
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS h FROM edges
+    )"""
+    for t in range(1, _HITS_ITER + 1):
+        sql += f""",
+    ar{t} AS MATERIALIZED (
+      SELECT e.dst AS id,
+        CAST(SUM(CAST(h.h AS DECIMAL(28,9))) AS DOUBLE) AS ar
+      FROM edges e JOIN h{t - 1} h ON h.id = e.src GROUP BY e.dst
+    ),
+    an{t} AS MATERIALIZED (
+      SELECT FLOOR(sqrt(CAST(SUM(CAST(FLOOR(ar * ar * 1e9) / 1e9
+        AS DECIMAL(28,9))) AS DOUBLE)) * 1e9) / 1e9 AS nn
+      FROM ar{t}
+    ),
+    a{t} AS MATERIALIZED (
+      SELECT id, FLOOR(ar / nn * 1e9) / 1e9 AS a
+      FROM ar{t} CROSS JOIN an{t}
+    ),
+    hr{t} AS MATERIALIZED (
+      SELECT e.src AS id,
+        CAST(SUM(CAST(a.a AS DECIMAL(28,9))) AS DOUBLE) AS hr
+      FROM edges e JOIN a{t} a ON a.id = e.dst GROUP BY e.src
+    ),
+    hn{t} AS MATERIALIZED (
+      SELECT FLOOR(sqrt(CAST(SUM(CAST(FLOOR(hr * hr * 1e9) / 1e9
+        AS DECIMAL(28,9))) AS DOUBLE)) * 1e9) / 1e9 AS nn
+      FROM hr{t}
+    ),
+    h{t} AS MATERIALIZED (
+      SELECT id, FLOOR(hr / nn * 1e9) / 1e9 AS h
+      FROM hr{t} CROSS JOIN hn{t}
+    )"""
+    sql += f"""
+    SELECT role, CAST(id AS BIGINT) AS id, CAST(score AS DOUBLE) AS score
+    FROM (
+      (SELECT 'authority' AS role, id, a AS score FROM a{_HITS_ITER}
+       ORDER BY a DESC, id ASC LIMIT 10)
+      UNION ALL
+      (SELECT 'hub' AS role, id, h AS score FROM h{_HITS_ITER}
+       ORDER BY h DESC, id ASC LIMIT 10)
+    )
+    ORDER BY role ASC, score DESC, id ASC
+    """
+    return sql
+
+
+@query("q265_hits_ranking", oracle=_q265_oracle())
+def q265_hits_ranking(spark, sf_dir):
+    """operators/graph_rank.hits — 4 rounds over the directed
+    customer→supplier purchase graph, top-10 hubs and authorities."""
+    from ..operators.graph_rank import hits
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    li = T(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    res = hits(fwd, iters=_HITS_ITER)
+    top_a = (
+        res.select(
+            F.lit("authority").alias("role"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("authority").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+    )
+    top_h = (
+        res.select(
+            F.lit("hub").alias("role"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("hub").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(10)
+    )
+    return top_a.unionByName(top_h).orderBy(
+        F.asc("role"), F.desc("score"), F.asc("id")
+    )
