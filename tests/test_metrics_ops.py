@@ -297,3 +297,37 @@ def test_ndcg_null_without_relevant_docs(spark):
         [(1, 10, 1)], "qid int, doc_id int, rank int"
     )
     assert ndcg_at_k(ranking, rel, k=3).collect()[0]["ndcg"] is None
+
+
+def test_decision_stump_separable_split(spark):
+    from aden_hive_fork_spark.operators.encoding import decision_stump
+
+    # y perfectly separable at x = 50: best cut must land between
+    rows = [(float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y boolean")
+    r = decision_stump(df, ["x"], "y", n_cuts=10).collect()[0]
+    assert r["feature"] == "x"
+    assert 40.0 <= r["best_cut"] < 50.0  # deciles of 0..99
+    assert r["gini"] <= 0.1
+    assert r["pos_left"] == 0 and r["pos_right"] == 50
+
+
+def test_hits_bipartite_hand_graph(spark):
+    from aden_hive_fork_spark.operators.graph_rank import hits
+
+    # star: hub 1 points to authorities 10, 11, 12; hub 2 -> 10
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10)], "src long, dst long"
+    )
+    out = {r["id"]: r for r in hits(edges, iters=4).collect()}
+    # node 10 has two in-links: the top authority
+    assert out[10]["authority"] > out[11]["authority"]
+    assert out[11]["authority"] == out[12]["authority"]
+    # hub 1 links to more/better authorities than hub 2
+    assert out[1]["hub"] > out[2]["hub"]
+    # authorities have no out-edges -> zero hub score
+    assert out[10]["hub"] == 0.0 and out[1]["authority"] == 0.0
+    # L2 normalization: each side's norm ~ 1
+    a2 = sum(r["authority"] ** 2 for r in out.values())
+    h2 = sum(r["hub"] ** 2 for r in out.values())
+    assert abs(a2 - 1.0) < 1e-6 and abs(h2 - 1.0) < 1e-6
