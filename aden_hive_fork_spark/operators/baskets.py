@@ -196,3 +196,76 @@ def item_similarity(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def als_rank1(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    value_col: str,
+    iters: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-1 alternating least squares over the observed
+    (user, item, value) cells — the minimal matrix-factorization
+    recommender (x̂_ui = u_u·v_i), alternating the closed-form
+    per-row least-squares updates
+
+        u_u ← Σ_{i∈obs(u)} x_ui·v_i / Σ_{i∈obs(u)} v_i²
+        v_i ← Σ_{u∈obs(i)} x_ui·u_u / Σ_{u∈obs(i)} u_u²
+
+    for a fixed number of rounds from v ≡ 1. Returns (users, items)
+    DataFrames: ``(id, score)``.
+
+    Determinism at scale: per-row sums use QUANTIZE-THEN-DECIMAL-SUM
+    (the HITS discipline — terms floor-quantize to 9 digits and sum
+    as exact DECIMAL, associative at ANY degree, so a power user or
+    a hot item can never destabilize the reduction), and each update
+    floor-quantizes before the next round. Factor state is
+    node-sized and distributed; lineage checkpoint-truncates per
+    round. The fixed iteration count + fixed init make the whole fit
+    an unrollable-CTE oracle target like kmeans/pagerank/HITS.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    x = df.select(
+        F.col(user_col).cast("long").alias("_u"),
+        F.col(item_col).cast("long").alias("_i"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).persist()
+    fq = lambda c: F.floor(c * F.lit(1e9)).cast("double") / F.lit(1e9)  # noqa: E731
+    dsum = lambda c: F.sum(c.cast("decimal(28,9)")).cast("double")  # noqa: E731
+    items = (
+        x.select(F.col("_i").alias("id")).distinct()
+        .withColumn("v", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    users = None
+    try:
+        for _ in range(int(iters)):
+            users = (
+                x.join(items, x["_i"] == items["id"])
+                .groupBy(F.col("_u").alias("id"))
+                .agg(
+                    fq(
+                        dsum(fq(F.col("_x") * F.col("v")))
+                        / dsum(fq(F.col("v") * F.col("v")))
+                    ).alias("u")
+                )
+                .localCheckpoint(eager=True)
+            )
+            items = (
+                x.join(users, x["_u"] == users["id"])
+                .groupBy(F.col("_i").alias("id"))
+                .agg(
+                    fq(
+                        dsum(fq(F.col("_x") * F.col("u")))
+                        / dsum(fq(F.col("u") * F.col("u")))
+                    ).alias("v")
+                )
+                .localCheckpoint(eager=True)
+            )
+        users = users.select("id", F.col("u").alias("score"))
+        items = items.select("id", F.col("v").alias("score"))
+    finally:
+        x.unpersist()
+    return users, items

@@ -2223,3 +2223,96 @@ def q261_log_rank_test(spark, sf_dir):
         .alias("arm"),
     )
     return log_rank(coh, "t", "ev", "arm", "treatment", "control")
+
+
+# ---------------------------------------------------------------------------
+# q266 — rank-1 ALS factorization of the customer×part quantity
+# matrix (operators/baskets.als_rank1): alternating closed-form
+# least-squares rounds with the quantize-then-decimal-sum reduction
+# (degree-safe), fixed init, unrolled-CTE oracle. Top-15 each side.
+# ---------------------------------------------------------------------------
+_ALS_ITER = 4
+
+
+def _q266_oracle() -> str:
+    sql = """
+    WITH x AS MATERIALIZED (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+        CAST(SUM(l.l_quantity) AS DOUBLE) AS x
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT i AS id, CAST(1.0 AS DOUBLE) AS v FROM x
+    )"""
+    for t in range(1, _ALS_ITER + 1):
+        sql += f""",
+    u{t} AS MATERIALIZED (
+      SELECT x.u AS id,
+        FLOOR(
+          CAST(SUM(CAST(FLOOR(x.x * v.v * 1e9) / 1e9
+            AS DECIMAL(28,9))) AS DOUBLE)
+          / CAST(SUM(CAST(FLOOR(v.v * v.v * 1e9) / 1e9
+            AS DECIMAL(28,9))) AS DOUBLE) * 1e9) / 1e9 AS u
+      FROM x JOIN v{t - 1} v ON v.id = x.i GROUP BY x.u
+    ),
+    v{t} AS MATERIALIZED (
+      SELECT x.i AS id,
+        FLOOR(
+          CAST(SUM(CAST(FLOOR(x.x * u.u * 1e9) / 1e9
+            AS DECIMAL(28,9))) AS DOUBLE)
+          / CAST(SUM(CAST(FLOOR(u.u * u.u * 1e9) / 1e9
+            AS DECIMAL(28,9))) AS DOUBLE) * 1e9) / 1e9 AS v
+      FROM x JOIN u{t} u ON u.id = x.u GROUP BY x.i
+    )"""
+    sql += f"""
+    SELECT role, CAST(id AS BIGINT) AS id, CAST(score AS DOUBLE) AS score
+    FROM (
+      (SELECT 'item' AS role, id, v AS score FROM v{_ALS_ITER}
+       ORDER BY v DESC, id ASC LIMIT 15)
+      UNION ALL
+      (SELECT 'user' AS role, id, u AS score FROM u{_ALS_ITER}
+       ORDER BY u DESC, id ASC LIMIT 15)
+    )
+    ORDER BY role ASC, score DESC, id ASC
+    """
+    return sql
+
+
+@query("q266_als_rank1", oracle=_q266_oracle())
+def q266_als_rank1(spark, sf_dir):
+    """operators/baskets.als_rank1 over the customer×part quantity
+    matrix: top-15 factor scores per side after 4 rounds."""
+    from ..operators.baskets import als_rank1
+
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    x = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("x"))
+    )
+    users, items = als_rank1(x, "u", "i", "x", iters=_ALS_ITER)
+    top_i = (
+        items.select(
+            F.lit("item").alias("role"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(15)
+    )
+    top_u = (
+        users.select(
+            F.lit("user").alias("role"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(15)
+    )
+    return top_i.unionByName(top_u).orderBy(
+        F.asc("role"), F.desc("score"), F.asc("id")
+    )
