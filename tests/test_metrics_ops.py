@@ -331,3 +331,24 @@ def test_hits_bipartite_hand_graph(spark):
     a2 = sum(r["authority"] ** 2 for r in out.values())
     h2 = sum(r["hub"] ** 2 for r in out.values())
     assert abs(a2 - 1.0) < 1e-6 and abs(h2 - 1.0) < 1e-6
+
+
+def test_als_rank1_recovers_rank1_structure(spark):
+    from aden_hive_fork_spark.operators.baskets import als_rank1
+
+    # exactly rank-1 matrix x_ui = a_u * b_i: one round already fits
+    # it perfectly; factor RATIOS must match b (scale is arbitrary)
+    a = {1: 2.0, 2: 5.0, 3: 1.0}
+    b = {10: 3.0, 11: 1.0, 12: 4.0}
+    rows = [(u, i, a[u] * b[i]) for u in a for i in b]
+    df = spark.createDataFrame(rows, "u long, i long, x double")
+    users, items = als_rank1(df, "u", "i", "x", iters=3)
+    iv = {r["id"]: r["score"] for r in items.collect()}
+    uv = {r["id"]: r["score"] for r in users.collect()}
+    assert abs(iv[10] / iv[11] - 3.0) < 1e-6
+    assert abs(iv[12] / iv[11] - 4.0) < 1e-6
+    assert abs(uv[2] / uv[1] - 2.5) < 1e-6
+    # reconstruction is exact on a rank-1 matrix
+    for u in a:
+        for i in b:
+            assert abs(uv[u] * iv[i] - a[u] * b[i]) < 1e-4
