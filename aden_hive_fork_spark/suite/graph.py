@@ -587,3 +587,70 @@ def q265_hits_ranking(spark, sf_dir):
     return top_a.unionByName(top_h).orderBy(
         F.asc("role"), F.desc("score"), F.asc("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — frequent triple itemsets over order baskets: per-basket
+# 3-combinations generated map-side (baskets are bounded — C(n,3)
+# per order is a constant factor, so no Apriori candidate pruning is
+# needed; that machinery exists for unbounded baskets), one count
+# aggregate, support filter, top-20. The oracle counts the same
+# triples with the canonical a<b<c three-way join.
+# ---------------------------------------------------------------------------
+@query(
+    "q267_frequent_triples",
+    oracle="""
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    tri AS (
+      SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+        CAST(COUNT(*) AS BIGINT) AS support
+      FROM bp a
+      JOIN bp b ON b.o = a.o AND b.p > a.p
+      JOIN bp c ON c.o = a.o AND c.p > b.p
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+      CAST(p3 AS BIGINT) AS p3, support
+    FROM tri
+    WHERE support >= 2
+    ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC
+    LIMIT 20
+    """,
+)
+def q267_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemsets from order baskets, map-side combination
+    generation (bounded baskets), support >= 2, top-20."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(flatten(
+                  transform(ps, (x, i) ->
+                    transform(slice(ps, i + 2, size(ps)), (y, j) ->
+                      transform(slice(ps, i + j + 3, size(ps)), z ->
+                        struct(x AS p1, y AS p2, z AS p3))))))
+                """
+            )
+        ).alias("t")
+    ).select("t.p1", "t.p2", "t.p3")
+    return (
+        triples.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(
+            F.col("p1").cast("bigint").alias("p1"),
+            F.col("p2").cast("bigint").alias("p2"),
+            F.col("p3").cast("bigint").alias("p3"),
+            "support",
+        )
+        .orderBy(
+            F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3")
+        )
+        .limit(20)
+    )
