@@ -654,3 +654,149 @@ def q267_frequent_triples(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — association rules {A,B}→C from the frequent triples:
+# confidence = supp(ABC)/supp(AB), lift = confidence / (supp(C)/N).
+# All supports are one aggregate each over map-side basket
+# combinations; 3 candidate rules per triple; exact-count ratios.
+# ---------------------------------------------------------------------------
+@query(
+    "q268_association_rules",
+    oracle="""
+    WITH bp AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM bp),
+    item AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS s1 FROM bp GROUP BY p
+    ),
+    pair AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS s2
+      FROM bp a JOIN bp b ON b.o = a.o AND b.p > a.p
+      GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+        CAST(COUNT(*) AS BIGINT) AS s3
+      FROM bp a
+      JOIN bp b ON b.o = a.o AND b.p > a.p
+      JOIN bp c ON c.o = a.o AND c.p > b.p
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT p1 AS a, p2 AS b, p3 AS c, s3 FROM tri
+      UNION ALL SELECT p1, p3, p2, s3 FROM tri
+      UNION ALL SELECT p2, p3, p1, s3 FROM tri
+    ),
+    scored AS (
+      SELECT r.a, r.b, r.c, r.s3, pair.s2,
+        CAST(ROUND(CAST(r.s3 AS DOUBLE) / CAST(pair.s2 AS DOUBLE), 6)
+          AS DOUBLE) AS confidence,
+        CAST(ROUND(
+          (CAST(r.s3 AS DOUBLE) / CAST(pair.s2 AS DOUBLE))
+          / (CAST(item.s1 AS DOUBLE) / CAST(n_orders.n AS DOUBLE)), 6)
+          AS DOUBLE) AS lift
+      FROM rules r
+      JOIN pair ON pair.pa = LEAST(r.a, r.b)
+              AND pair.pb = GREATEST(r.a, r.b)
+      JOIN item ON item.p = r.c
+      CROSS JOIN n_orders
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      CAST(c AS BIGINT) AS c, s3 AS support, confidence, lift
+    FROM scored
+    ORDER BY confidence DESC, lift DESC, a ASC, b ASC, c ASC
+    LIMIT 20
+    """,
+)
+def q268_association_rules(spark, sf_dir):
+    """{A,B}→C rules from support-2 triples: exact-count confidence
+    and lift, totally-ordered top-20."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = li.agg(
+        F.countDistinct("o").cast("bigint").alias("n")
+    )
+    item = li.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s1")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("b.o") == F.col("a.o"))
+            & (F.col("b.p") > F.col("a.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("pa"), F.col("b.p").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s2"))
+    )
+    c = li.alias("c")
+    tri = (
+        a.join(
+            b,
+            (F.col("b.o") == F.col("a.o"))
+            & (F.col("b.p") > F.col("a.p")),
+        )
+        .join(
+            c,
+            (F.col("c.o") == F.col("a.o"))
+            & (F.col("c.p") > F.col("b.p")),
+        )
+        .groupBy(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("c.p").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s3"))
+        .filter(F.col("s3") >= 2)
+    )
+    rules = (
+        tri.select(
+            F.col("p1").alias("ra"), F.col("p2").alias("rb"),
+            F.col("p3").alias("rc"), "s3",
+        )
+        .unionByName(
+            tri.select(
+                F.col("p1").alias("ra"), F.col("p3").alias("rb"),
+                F.col("p2").alias("rc"), "s3",
+            )
+        )
+        .unionByName(
+            tri.select(
+                F.col("p2").alias("ra"), F.col("p3").alias("rb"),
+                F.col("p1").alias("rc"), "s3",
+            )
+        )
+    )
+    conf = F.col("s3").cast("double") / F.col("s2").cast("double")
+    lift = conf / (
+        F.col("s1").cast("double") / F.col("n").cast("double")
+    )
+    return (
+        rules.join(
+            pair,
+            (pair["pa"] == F.least(F.col("ra"), F.col("rb")))
+            & (pair["pb"] == F.greatest(F.col("ra"), F.col("rb"))),
+        )
+        .join(item, item["p"] == F.col("rc"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("ra").cast("bigint").alias("a"),
+            F.col("rb").cast("bigint").alias("b"),
+            F.col("rc").cast("bigint").alias("c"),
+            F.col("s3").alias("support"),
+            F.round(conf, 6).cast("double").alias("confidence"),
+            F.round(lift, 6).cast("double").alias("lift"),
+        )
+        .orderBy(
+            F.desc("confidence"), F.desc("lift"),
+            F.asc("a"), F.asc("b"), F.asc("c"),
+        )
+        .limit(20)
+    )
