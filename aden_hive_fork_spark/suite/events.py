@@ -877,3 +877,49 @@ def q157_funnel_latency(spark, sf_dir):
         .alias("p90_s"),
         F.max("delay_s").cast("bigint").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — sequential trigram motifs: the most frequent ADJACENT
+# event-type triples across per-user timelines (q174's transition
+# bigrams taken one step deeper) — one window pass with two leads,
+# one count aggregate, totally-ordered top-20.
+# ---------------------------------------------------------------------------
+@query(
+    "q269_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS e1,
+        LEAD(event_type, 1) OVER w AS e2,
+        LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+    LIMIT 20
+    """,
+)
+def q269_event_trigrams(spark, sf_dir):
+    """Adjacent event-type triples per user timeline, top-20."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(
+            F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3")
+        )
+        .limit(20)
+    )
