@@ -271,3 +271,68 @@ def q252_psi_drift(spark, sf_dir):
     return psi_drift(
         o, "o_totalprice", "per", "ref", "cur", n_bins=10
     ).orderBy(F.asc("bin"))
+
+
+# ---------------------------------------------------------------------------
+# q270 — key-gap report: the largest contiguous missing ranges in the
+# order-key sequence (sequence-integrity audit — silent loss in an
+# id-assigned pipeline shows up as unexplained gaps). One lead window
+# over the distinct keys; totally-ordered top-20.
+# ---------------------------------------------------------------------------
+@query(
+    "q270_key_gap_report",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+    ),
+    g AS (
+      SELECT k + 1 AS gap_start,
+        LEAD(k) OVER (ORDER BY k ASC) - 1 AS gap_end
+      FROM k
+    )
+    SELECT CAST(gap_start AS BIGINT) AS gap_start,
+      CAST(gap_end AS BIGINT) AS gap_end,
+      CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len
+    FROM g
+    WHERE gap_end IS NOT NULL AND gap_end >= gap_start
+    ORDER BY gap_len DESC, gap_start ASC
+    LIMIT 20
+    """,
+)
+def q270_key_gap_report(spark, sf_dir):
+    """Largest contiguous missing o_orderkey ranges (lead window
+    over distinct keys)."""
+    from pyspark.sql import Window
+
+    k = (
+        T(spark, sf_dir, "orders")
+        # the synthetic key space is dense — drop two residue classes
+        # to inject DETERMINISTIC gaps so the positive path runs under
+        # the gate (the q190 orphan-injection precedent)
+        .filter(
+            (F.col("o_orderkey") % 97 != 0)
+            & (F.col("o_orderkey") % 101 != 0)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy(F.col("k").asc())
+    g = k.select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.lead("k").over(w) - 1).alias("gap_end"),
+    ).filter(
+        F.col("gap_end").isNotNull()
+        & (F.col("gap_end") >= F.col("gap_start"))
+    )
+    return (
+        g.select(
+            F.col("gap_start").cast("bigint").alias("gap_start"),
+            F.col("gap_end").cast("bigint").alias("gap_end"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("gap_len"),
+        )
+        .orderBy(F.desc("gap_len"), F.asc("gap_start"))
+        .limit(20)
+    )
