@@ -336,3 +336,94 @@ def q270_key_gap_report(spark, sf_dir):
         .orderBy(F.desc("gap_len"), F.asc("gap_start"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q271 — quantile normalization across groups (the expression-array
+# feature-prep primitive): equal-size md5-order subsets per group,
+# within-group value ranks, each rank mapped to the cross-group mean
+# of that rank's order statistics (exact decimal). Audit slice: the
+# first 10 ranks per priority.
+# ---------------------------------------------------------------------------
+_QN_N = 200
+
+
+@query(
+    "q271_quantile_normalization",
+    oracle=f"""
+    WITH sub AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v, o_orderkey AS id
+      FROM (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY md5('qn271' || CAST(o_orderkey AS VARCHAR)) ASC,
+                     o_orderkey ASC) AS srn
+        FROM orders
+      ) WHERE srn <= {_QN_N}
+    ),
+    ranked AS (
+      SELECT g, v, id,
+        ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC, id ASC) AS r
+      FROM sub
+    ),
+    profile AS (
+      SELECT r,
+        CAST(ROUND(CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS norm_v,
+        CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM ranked GROUP BY r
+    )
+    SELECT ranked.g AS priority, CAST(ranked.r AS INT) AS r,
+      CAST(ranked.v AS DOUBLE) AS value, profile.norm_v, profile.n_groups
+    FROM ranked JOIN profile ON profile.r = ranked.r
+    WHERE ranked.r <= 10
+    ORDER BY priority ASC, r ASC
+    """,
+)
+def q271_quantile_normalization(spark, sf_dir):
+    """Cross-group quantile normalization of order values: md5-order
+    equal-size subsets, rank-profile mapping."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    sw = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(
+            F.concat(F.lit("qn271"), F.col("o_orderkey").cast("string"))
+        ).asc(),
+        F.col("o_orderkey").asc(),
+    )
+    sub = (
+        o.withColumn("srn", F.row_number().over(sw))
+        .filter(F.col("srn") <= _QN_N)
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderkey").alias("id"),
+        )
+    )
+    rw = Window.partitionBy("g").orderBy(
+        F.col("v").asc(), F.col("id").asc()
+    )
+    ranked = sub.withColumn("r", F.row_number().over(rw))
+    profile = ranked.groupBy("r").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("norm_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    return (
+        ranked.join(profile, "r")
+        .filter(F.col("r") <= 10)
+        .select(
+            F.col("g").alias("priority"),
+            F.col("r").cast("int").alias("r"),
+            F.col("v").cast("double").alias("value"),
+            "norm_v",
+            "n_groups",
+        )
+        .orderBy(F.asc("priority"), F.asc("r"))
+    )
