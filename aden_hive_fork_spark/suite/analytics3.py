@@ -2316,3 +2316,105 @@ def q266_als_rank1(spark, sf_dir):
     return top_i.unionByName(top_u).orderBy(
         F.asc("role"), F.desc("score"), F.asc("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — revenue-concentration (Lorenz) deciles: customers ranked by
+# lifetime revenue, bucketed with integer arithmetic (ceil(rn·10/n) —
+# no NTILE: the explicit form is engine-exact and documents the
+# global-sort cost), exact-decimal bucket revenue, cumulative share
+# over the 10-row result. The table behind "the top decile drives
+# X% of revenue" (the Lorenz companion to q176's Gini scalar).
+# ---------------------------------------------------------------------------
+@query(
+    "q272_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+        ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey ASC) AS rn,
+        COUNT(*) OVER () AS n
+      FROM rev
+    ),
+    b AS (
+      SELECT CAST(CEIL(CAST(rn AS DOUBLE) * 10.0 / CAST(n AS DOUBLE))
+        AS INT) AS decile, r
+      FROM ranked
+    ),
+    agg AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(r) AS DECIMAL(38,2)) AS revenue
+      FROM b GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(38,2)) AS t FROM agg)
+    SELECT decile, n_customers,
+      CAST(revenue AS DOUBLE) AS revenue,
+      CAST(ROUND(CAST(revenue AS DOUBLE) / CAST(t AS DOUBLE), 6)
+        AS DOUBLE) AS share,
+      CAST(ROUND(
+        CAST(SUM(revenue) OVER (ORDER BY decile ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(t AS DOUBLE), 6) AS DOUBLE) AS cum_share
+    FROM agg CROSS JOIN tot
+    ORDER BY decile ASC
+    """,
+)
+def q272_revenue_concentration(spark, sf_dir):
+    """Lorenz decile table of customer lifetime revenue."""
+    from pyspark.sql import Window
+    from ._helpers import dec
+
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("r"))
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey").asc())
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    b = ranked.select(
+        F.ceil(
+            F.col("rn").cast("double") * 10.0 / F.col("n").cast("double")
+        )
+        .cast("int")
+        .alias("decile"),
+        "r",
+    )
+    agg = b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("r").cast("decimal(38,2)").alias("revenue"),
+    )
+    tot = agg.agg(F.sum("revenue").cast("decimal(38,2)").alias("t"))
+    cw = Window.orderBy(F.col("decile").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("t").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
+            F.round(
+                F.sum("revenue").over(cw).cast("double")
+                / F.col("t").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("cum_share"),
+        )
+        .orderBy(F.asc("decile"))
+    )
