@@ -2418,3 +2418,78 @@ def q272_revenue_concentration(spark, sf_dir):
         )
         .orderBy(F.asc("decile"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — geometric & harmonic means per priority: the corpus-scale
+# transcendental aggregation pattern on a plain report — ln/reciprocal
+# terms floor-quantize then sum as exact DECIMAL (associative at any
+# group size), one exp/division at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "q273_pythagorean_means",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS priority,
+        FLOOR(ln(CAST(o_totalprice AS DOUBLE)) * 1e9) / 1e9 AS lx,
+        FLOOR(1.0 / CAST(o_totalprice AS DOUBLE) * 1e12) / 1e12 AS rx,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS x
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT priority,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+        AS mean_arith,
+      CAST(FLOOR(exp(CAST(SUM(CAST(lx AS DECIMAL(28,9)))
+        AS DOUBLE) / COUNT(*)) * 1e4) / 1e4 AS DOUBLE) AS mean_geom,
+      CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+        / CAST(SUM(CAST(rx AS DECIMAL(28,12))) AS DOUBLE), 4)
+        AS DOUBLE) AS mean_harm
+    FROM t GROUP BY priority
+    ORDER BY priority ASC
+    """,
+)
+def q273_pythagorean_means(spark, sf_dir):
+    """Arithmetic/geometric/harmonic means of order value per
+    priority — AM >= GM >= HM, each deterministic at corpus scale."""
+    from ..operators.stats import fquant
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    x = F.col("o_totalprice").cast("double")
+    lx = fquant(F.log(x), 9).cast("decimal(28,9)")
+    rx = fquant(1.0 / x, 12).cast("decimal(28,12)")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            .cast("double")
+            .alias("mean_arith"),
+            # exp is transcendental — FLOOR-quantize its output
+            # (plain ROUND would ride any cross-engine ulp)
+            (
+                F.floor(
+                    F.exp(
+                        F.sum(lx).cast("double") / F.count(F.lit(1))
+                    )
+                    * F.lit(1e4)
+                ).cast("double")
+                / F.lit(1e4)
+            )
+            .cast("double")
+            .alias("mean_geom"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.sum(rx).cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("mean_harm"),
+        )
+        .orderBy(F.asc("priority"))
+    )

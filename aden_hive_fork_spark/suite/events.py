@@ -923,3 +923,75 @@ def q269_event_trigrams(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — inter-arrival time analysis per event type (the point-
+# process readout): per-user lag deltas in one window pass, then
+# exact-integer second diffs feed count / mean / exact median per
+# type. Arrival intensity λ ≈ 1/mean.
+# ---------------------------------------------------------------------------
+@query(
+    "q274_interarrival_times",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+        CAST(date_diff('microsecond',
+          LAG(ts) OVER (PARTITION BY user_id, event_type
+                        ORDER BY ts ASC, event_id ASC),
+          ts) AS BIGINT) // 1000000 AS dt
+      FROM events
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      CAST(ROUND(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 4) AS DOUBLE)
+        AS mean_gap_s,
+      ROUND(quantile_cont(CAST(dt AS DOUBLE), 0.5), 4) AS median_gap_s
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type ASC
+    """,
+)
+def q274_interarrival_times(spark, sf_dir):
+    """Per-(user, type) inter-arrival gaps in seconds: count, mean,
+    exact median per event type."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    # micros-diff on two NTZ values is pure value arithmetic —
+    # timezone-independent (catalog.ts_micros_sql discipline) — and
+    # the explicit integer division pins truncation semantics (the
+    # engines' second-diffs disagree on sub-second components)
+    d = e.select(
+        "event_type",
+        (
+            F.timestamp_diff(
+                "MICROSECOND", F.lag("ts").over(w), F.col("ts")
+            ).cast("bigint")
+            / F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("_dt0"),
+    )
+    d = d.filter(F.col("_dt0").isNotNull()).select(
+        "event_type", F.col("_dt0").alias("dt")
+    )
+    g = d
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("dt").cast("double") / F.count(F.lit(1)), 4
+            )
+            .cast("double")
+            .alias("mean_gap_s"),
+            F.round(
+                F.expr("percentile(CAST(dt AS DOUBLE), 0.5)"), 4
+            ).alias("median_gap_s"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
