@@ -115,7 +115,11 @@ def main() -> int:
     for name in ("q104_purchase_pagerank", "q125_triangle_count",
                  "q166_bfs_hops", "q79_cosine_neardup_clusters",
                  "q138_dense_ids", "q13_orders_above_avg",
-                 "q191_local_supplier_volume"):
+                 "q191_local_supplier_volume",
+                 # round-6 iterative/amplified tier
+                 "q250_sssp_weighted", "q265_hits_ranking",
+                 "q266_als_rank1", "q241_bootstrap_mean_ci",
+                 "q260_pca_power_projection"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
