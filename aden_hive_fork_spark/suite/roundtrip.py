@@ -538,3 +538,51 @@ def q118_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "q275_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag AS flag, l_linestatus AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        AS DOUBLE) AS total_price,
+      CAST(MIN(l_orderkey) AS BIGINT) AS min_key
+    FROM lineitem
+    WHERE l_orderkey % 5 = 0
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY flag ASC, status ASC
+    """,
+)
+def q275_orc_roundtrip(spark, sf_dir):
+    """ORC SINK + SCAN inside the oracle gate: a lineitem slice goes
+    out through Spark's native columnar ORC writer and comes back
+    through the ORC reader (schema preserved in the file footer — no
+    inference); the aggregate must hash-match the oracle computed
+    from the original parquet. Adds a second columnar interchange
+    format beside parquet to the connector matrix (Avro is not
+    bundled in this runtime; ORC is built in)."""
+    out = _rt_dir(sf_dir, "orc_lineitem")
+    (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select(
+            "l_orderkey", "l_returnflag", "l_linestatus",
+            "l_extendedprice",
+        )
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return (
+        back.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dround(F.sum(dec("l_extendedprice"))).alias("total_price"),
+            F.min("l_orderkey").cast("bigint").alias("min_key"),
+        )
+        .orderBy(F.asc("flag"), F.asc("status"))
+    )
