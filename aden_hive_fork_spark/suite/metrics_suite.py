@@ -305,3 +305,110 @@ def q256_conformal_interval(spark, sf_dir):
     return split_conformal_linear(
         base, "k", "x", "y", alpha=0.1, salt="conf256"
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — Brier score + expected calibration error: the proper-
+# scoring-rule companions to q253's log loss. Brier terms quantize
+# then sum as exact DECIMAL (corpus-safe); ECE weights the q254
+# reliability-bin gaps by bin mass (bounded fold).
+# ---------------------------------------------------------------------------
+def _q276_oracle() -> str:
+    fr = ", ".join(repr(i / 10) for i in range(1, 10))
+    return f"""
+    WITH scored AS ({_SCORED_SQL}),
+    base AS (
+      SELECT y, s FROM scored WHERE s IS NOT NULL AND y IS NOT NULL
+    ),
+    brier AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(FLOOR(
+          (s - (CASE WHEN y THEN 1.0 ELSE 0.0 END))
+          * (s - (CASE WHEN y THEN 1.0 ELSE 0.0 END)) * 1e9) / 1e9
+          AS DECIMAL(28,9))) AS DECIMAL(38,9)) AS sb
+      FROM base
+    ),
+    cuts AS (
+      SELECT list_transform(quantile_cont(s, [{fr}]),
+                            c -> ROUND(c, 6)) AS cs
+      FROM base
+    ),
+    binned AS (
+      SELECT y, s,
+        CAST(1 + len(list_filter(cs, c -> s > c)) AS INT) AS bin
+      FROM base CROSS JOIN cuts
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS ms,
+        CAST(ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS pr
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM bins),
+    ece AS (
+      SELECT CAST(ROUND(list_sum(list_sort(list(
+        CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * ABS(ms - pr)
+      ))), 6) AS DOUBLE) AS ece
+      FROM bins CROSS JOIN tot
+    )
+    SELECT brier.n_rows,
+      CAST(ROUND(CAST(brier.sb AS DOUBLE)
+        / CAST(brier.n_rows AS DOUBLE), 6) AS DOUBLE) AS brier,
+      ece.ece
+    FROM brier CROSS JOIN ece
+    """
+
+
+@query("q276_brier_ece", oracle=_q276_oracle())
+def q276_brier_ece(spark, sf_dir):
+    """Brier score (quantize-then-decimal terms) and ECE (bin-mass-
+    weighted reliability gaps) for the language scorer."""
+    from ..operators.metrics import calibration_bins
+    from ..operators.stats import fquant
+
+    scored = _scored(spark, sf_dir).filter(
+        F.col("s").isNotNull() & F.col("y").isNotNull()
+    )
+    yd = F.when(F.col("y"), F.lit(1.0)).otherwise(F.lit(0.0))
+    term = fquant((F.col("s") - yd) * (F.col("s") - yd), 9).cast(
+        "decimal(28,9)"
+    )
+    brier = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(term).cast("decimal(38,9)").alias("_sb"),
+    )
+    bins = calibration_bins(scored, "s", "y", n_bins=10)
+    tot = bins.agg(F.sum("n").cast("bigint").alias("_nt"))
+    ece = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("n").cast("double") / F.col("_nt").cast("double")
+                * F.abs(F.col("mean_score") - F.col("pos_rate"))
+            ).alias("_t")
+        )
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("_t")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("ece")
+        )
+    )
+    return brier.crossJoin(F.broadcast(ece)).select(
+        "n_rows",
+        F.round(
+            F.col("_sb").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("brier"),
+        "ece",
+    )
