@@ -180,3 +180,48 @@ def test_bpe_initial_tokens_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # vocabulary cap is a TakeOrdered, not a global Sort+Limit
     assert "TakeOrderedAndProject" in plan
+
+
+# --- round-6 statistics/eval tier plan guards -------------------------------
+
+
+def test_q246_target_encode_broadcasts_category_tables(spark, queries):
+    plan = _plan(queries["q246_target_encoding"](spark, SF_SMALL))
+    # both the category table and the global mean must broadcast —
+    # the corpus never shuffles for the encode
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row glob
+
+
+def test_q241_bootstrap_no_cartesian_and_widened(spark, queries):
+    df = queries["q241_bootstrap_mean_ci"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the explode runs AFTER a hash repartition on narrow inputs
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_q250_sssp_no_global_sort_before_limit(spark, queries):
+    plan = _plan(queries["q250_sssp_weighted"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q247_feature_hash_single_exchange_chain(spark, queries):
+    plan = _plan(queries["q247_feature_hashing"](spark, SF_SMALL))
+    # vocabulary-free: no join anywhere in the vectorizer
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q262_ndcg_no_cartesian(spark, queries):
+    plan = _plan(queries["q262_bm25_ndcg"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+
+
+def test_q253_auc_single_window_pass(spark, queries):
+    plan = _plan(queries["q253_classifier_eval"](spark, SF_SMALL))
+    # one rank window + one tie-count window share the ordered pass;
+    # no join of the corpus against itself
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") == 0
