@@ -906,3 +906,80 @@ def cuped_adjust(
         .cast("double")
         .alias("mean_y_cuped"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis rank test (the nonparametric one-way ANOVA):
+    does the distribution of ``value_col`` differ across the levels
+    of ``group_col``? 1-row output ``k_groups, n_rows, h_stat``
+    (tie-corrected).
+
+    Exactness: doubled average ranks are INTEGERS (the spearman/AUC
+    trick), so ΣR per group and the tie table are exact integer
+    aggregates; H is one fixed IEEE expression —
+
+        H = [ 12/(N(N+1)) · Σ_g (ΣR_g)²/n_g − 3(N+1) ]
+            / (1 − Σ_t (t³−t)/(N³−N))
+
+    NULL when k < 2 or every value ties (correction denominator 0).
+    Ranking is one global ordered window — report granularity, like
+    every rank statistic in the suite.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    w = Window.orderBy(F.col(value_col).asc())
+    t = Window.partitionBy(value_col)
+    r2 = (2 * F.rank().over(w) + F.count(F.lit(1)).over(t) - 1).cast(
+        "bigint"
+    )
+    ranked = base.select(
+        F.col(group_col).alias("_g"), r2.alias("_r2")
+    )
+    per_g = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_r2").cast("bigint").alias("_sr2"),
+    )
+    # Σ (ΣR_g)²/n_g with ΣR_g = _sr2/2 → (_sr2/2)²/n = _sr2²/(4n);
+    # bounded groups → sorted fold of the per-group terms
+    term = (
+        F.col("_sr2").cast("double") * F.col("_sr2").cast("double")
+        / (4.0 * F.col("_n").cast("double"))
+    )
+    top = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_t1"),
+    )
+    ties = (
+        base.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+        .agg(
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            )
+            .cast("bigint")
+            .alias("_tie")
+        )
+    )
+    j = top.crossJoin(F.broadcast(ties))
+    n = F.col("n_rows").cast("double")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("_t1") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("_tie").cast("double") / (n * n * n - n)
+    h = F.when(
+        (F.col("k_groups") >= 2) & (corr > 0), h_raw / corr
+    )
+    return j.select(
+        "k_groups",
+        "n_rows",
+        F.round(h, ndigits).cast("double").alias("h_stat"),
+    )

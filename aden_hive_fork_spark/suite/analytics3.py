@@ -2493,3 +2493,68 @@ def q273_pythagorean_means(spark, sf_dir):
         )
         .orderBy(F.asc("priority"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — Kruskal-Wallis rank test across order priorities: the
+# nonparametric one-way ANOVA, exact via doubled average ranks
+# (integers end to end; H is one fixed IEEE expression with the tie
+# correction from an exact integer tie table).
+# ---------------------------------------------------------------------------
+@query(
+    "q277_kruskal_wallis",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g,
+        2 * RANK() OVER (ORDER BY v ASC)
+          + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM base
+    ),
+    per_g AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(r2) AS BIGINT) AS sr2
+      FROM ranked GROUP BY g
+    ),
+    top AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(list_sum(list_sort(list(
+          CAST(sr2 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+          / (4.0 * CAST(n AS DOUBLE))
+        ))) AS DOUBLE) AS t1
+      FROM per_g
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY v
+      )
+    )
+    SELECT k_groups, n_rows,
+      CAST(ROUND(CASE WHEN k_groups >= 2
+          AND 1.0 - CAST(tie AS DOUBLE)
+            / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+               * CAST(n_rows AS DOUBLE) - CAST(n_rows AS DOUBLE)) > 0
+        THEN (12.0 / (CAST(n_rows AS DOUBLE)
+                      * (CAST(n_rows AS DOUBLE) + 1.0)) * t1
+              - 3.0 * (CAST(n_rows AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie AS DOUBLE)
+                / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+                   * CAST(n_rows AS DOUBLE) - CAST(n_rows AS DOUBLE)))
+      END, 6) AS DOUBLE) AS h_stat
+    FROM top CROSS JOIN ties
+    """,
+)
+def q277_kruskal_wallis(spark, sf_dir):
+    """operators/stats.kruskal_wallis: order values across the five
+    priorities."""
+    from ..operators.stats import kruskal_wallis
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return kruskal_wallis(o, "v", "g")

@@ -352,3 +352,28 @@ def test_als_rank1_recovers_rank1_structure(spark):
     for u in a:
         for i in b:
             assert abs(uv[u] * iv[i] - a[u] * b[i]) < 1e-4
+
+
+def test_kruskal_wallis_matches_scipy_formula(spark):
+    from aden_hive_fork_spark.operators.stats import kruskal_wallis
+
+    groups = {"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0], "c": [7.0, 8.0, 9.0]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    # no ties: H = 12/(N(N+1)) * sum(Rg^2/ng) - 3(N+1)
+    ranks = {"a": [1, 2, 3], "b": [4, 5, 6], "c": [7, 8, 9]}
+    n = 9
+    t1 = sum(sum(rs) ** 2 / len(rs) for rs in ranks.values())
+    h = 12.0 / (n * (n + 1)) * t1 - 3.0 * (n + 1)
+    assert r["k_groups"] == 3 and r["n_rows"] == 9
+    assert abs(r["h_stat"] - h) < 1e-6
+
+
+def test_kruskal_wallis_null_on_constant_values(spark):
+    from aden_hive_fork_spark.operators.stats import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("a", 5.0)], "g string, v double"
+    )
+    assert kruskal_wallis(df, "v", "g").collect()[0]["h_stat"] is None
