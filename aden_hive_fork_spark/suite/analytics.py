@@ -582,6 +582,132 @@ def q150_ohlc_bars(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# q278/q279 — q150 DISCRIMINATING ENCODING A/B (VERDICT r6 task 1).
+# q150 has been driver-red (hash only) for three rounds while locally
+# unfalsifiable, so these twins run the IDENTICAL computation with
+# different OUTPUT CODECS to isolate which column the driver's hasher
+# diverges on:
+#   q278 — bucket_start as a formatted STRING (timestamp codec removed;
+#          OHLC stays on q150's DECIMAL(18,2) path)
+#   q279 — bucket_start as epoch-seconds BIGINT (tz-free integer
+#          arithmetic) and OHLC as stable_round6 DOUBLEs — the shape
+#          driver-green q22 already proves.
+# Green/red pattern in CORRECTNESS_r07 identifies the divergent codec:
+#   q278 green, q279 green → timestamp codec (fold string/epoch into q150)
+#   q278 red,   q279 green → DECIMAL codec (fold doubles into q150)
+#   all red → declare q150 rows-only per ADVICE r5's sanction.
+# ---------------------------------------------------------------------------
+_OHLC_ORACLE_CTE = """
+    WITH t AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start, ts, value,
+        event_id,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts ASC, event_id ASC) AS rn_a,
+        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+"""
+
+
+@query(
+    "q278_ohlc_bars_str",
+    oracle=_OHLC_ORACLE_CTE
+    + """
+    SELECT event_type,
+      strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DECIMAL(18,2)) AS open,
+      CAST(MAX(value) AS DECIMAL(18,2)) AS high,
+      CAST(MIN(value) AS DECIMAL(18,2)) AS low,
+      CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close,
+      CAST(COUNT(*) AS BIGINT) AS n_ticks,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS volume
+    FROM t
+    GROUP BY event_type, bucket_start
+    ORDER BY event_type ASC, bucket_start ASC
+    """,
+)
+def q278_ohlc_bars_str(spark, sf_dir):
+    """q150 with bucket_start emitted as a formatted STRING — if the
+    driver's hash diverges on the timestamp codec, this twin goes
+    green while q150 stays red."""
+    from ..operators.timeseries import ohlc_bars
+
+    e = T(spark, sf_dir, "events")
+    bars = ohlc_bars(
+        e, "ts", "value", ["event_type"], "1 hour", tiebreak_col="event_id"
+    )
+    q2 = lambda c: F.col(c).cast("decimal(18,2)").alias(c)  # noqa: E731
+    return bars.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+        q2("open"),
+        q2("high"),
+        q2("low"),
+        q2("close"),
+        "n_ticks",
+        F.col("volume").cast("decimal(28,2)").alias("volume"),
+    ).orderBy("event_type", "bucket_start")
+
+
+@query(
+    "q279_ohlc_bars_epoch",
+    oracle=_OHLC_ORACLE_CTE
+    + """
+    SELECT event_type,
+      CAST((CAST(bucket_start AS DATE) - DATE '1970-01-01') * 86400
+           + EXTRACT(hour FROM bucket_start) * 3600 AS BIGINT)
+        AS bucket_epoch,
+      CAST(FLOOR(MAX(CASE WHEN rn_a = 1 THEN value END) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS open,
+      CAST(FLOOR(MAX(value) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS high,
+      CAST(FLOOR(MIN(value) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS low,
+      CAST(FLOOR(MAX(CASE WHEN rn_d = 1 THEN value END) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS close,
+      CAST(COUNT(*) AS BIGINT) AS n_ticks,
+      CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           * 1000000 + 0.5) / 1000000 AS DOUBLE) AS volume
+    FROM t
+    GROUP BY event_type, bucket_epoch
+    ORDER BY event_type ASC, bucket_epoch ASC
+    """,
+)
+def q279_ohlc_bars_epoch(spark, sf_dir):
+    """q150 with bucket_start as epoch-seconds BIGINT (pure integer
+    day/hour arithmetic — no session-timezone dependence in either
+    engine) and OHLC/volume as stable_round6 DOUBLEs (the q22-proven
+    value shape). Green here + red q278 pins the DECIMAL codec as the
+    driver divergence; green both pins the timestamp codec."""
+    from ..operators.similarity import stable_round6
+    from ..operators.timeseries import ohlc_bars
+
+    e = T(spark, sf_dir, "events")
+    bars = ohlc_bars(
+        e, "ts", "value", ["event_type"], "1 hour", tiebreak_col="event_id"
+    )
+    epoch = (
+        F.datediff(
+            F.col("bucket_start").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint")
+        * 86400
+        + F.hour("bucket_start").cast("bigint") * 3600
+    ).alias("bucket_epoch")
+    s6 = lambda c: stable_round6(F.col(c).cast("double")).alias(c)  # noqa: E731
+    return bars.select(
+        "event_type",
+        epoch,
+        s6("open"),
+        s6("high"),
+        s6("low"),
+        s6("close"),
+        "n_ticks",
+        s6("volume"),
+    ).orderBy("event_type", "bucket_epoch")
+
+
+# ---------------------------------------------------------------------------
 # q151 — snapshot diff: today's orders derived from yesterday's by
 # deterministic edits; diff_tables recovers exactly the edit sets.
 # One full-outer hash join; output is only the differing keys.
