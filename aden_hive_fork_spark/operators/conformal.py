@@ -15,17 +15,19 @@ quantile interpolation anywhere.
 
 Scale: the fit is one aggregate; residuals are map-side against the
 broadcast 1-row model; the only ordered pass ranks the CALIBRATION
-split, which is a bounded sample by design in conformal practice
-(coverage guarantees need only modest n_cal — thousands, not the
-corpus; split fractions here are knobs). Coverage on the test split
-is one conditional aggregate.
+split via the range-partitioned two-pass numbering
+(``operators.ids.dense_ids`` — parallel in the partition count, no
+single-task window) so even an over-sized calibration split never
+funnels through one core. Coverage on the test split is one
+conditional aggregate.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ids import dense_ids
 from .sampling import hash_bucket
 from .stats import _suff
 
@@ -88,9 +90,16 @@ def split_conformal_linear(
     )
     scored = scored.withColumn("_r", resid)
     cal = scored.filter(F.col("_split") == "cal")
-    w = Window.orderBy(F.col("_r").asc(), F.col(key_col).asc())
-    ranked = cal.select(
-        F.col("_r"), F.row_number().over(w).alias("_rn")
+    # k-th order statistic WITHOUT the global row_number window (the
+    # un-partitioned window funnels the whole calibration split
+    # through one task — the SinglePartition anti-pattern): dense_ids
+    # range-partitions on (_r, key), numbers each partition locally
+    # after a driver-side offset pass, and the k-th rank filter is a
+    # map-side predicate. (_r, key) is unique because key is.
+    ranked = dense_ids(
+        cal.select(F.col("_r"), F.col(key_col).alias("_k")),
+        ["_r", "_k"],
+        id_col="_rn",
     )
     n_cal = cal.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cal")

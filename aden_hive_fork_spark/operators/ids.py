@@ -99,3 +99,79 @@ def dense_ids(
             yield pdf
 
     return sorted_df.mapInPandas(_number, out_schema)
+
+
+def running_totals(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``cum_col`` = INCLUSIVE running ``SUM(weight_col)`` in
+    ``order_cols`` order — the distributed twin of
+    ``SUM(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` without
+    the single-task global window (``Exchange SinglePartition`` +
+    one Sort of the whole input) that the naive plan produces.
+
+    Same two-pass shape as :func:`dense_ids`: range shuffle + local
+    sort (eagerly local-checkpointed to pin the sampled boundaries),
+    per-partition weight sums collected to the driver (#partitions
+    longs — scale-independent), offsets shipped in the task closure,
+    one Arrow-batched ``mapInPandas`` cumsum per partition.
+
+    ``weight_col`` must be integral (LONG) so the running sum is
+    exact under any partitioning; ``order_cols`` must be a unique key
+    for deterministic output. Built for the rank-statistic family
+    (Kruskal-Wallis doubled ranks, Lorenz shares, exact order
+    statistics), where the cumulative count over DISTINCT values
+    replaces ranking the whole corpus.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if cum_col in df.columns:
+        raise ValueError(
+            f"running_totals: column {cum_col!r} already exists in the "
+            "input — pass a different cum_col"
+        )
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"
+    )
+    sorted_df = (
+        df.withColumn("_w64", F.col(weight_col).cast("long"))
+        .repartitionByRange(int(n), *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+    )
+    sorted_df = sorted_df.localCheckpoint(eager=True)
+
+    sums = (
+        sorted_df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.sum("_w64").alias("_s"))
+        .collect()
+    )
+    psums = {r["_pid"]: int(r["_s"] or 0) for r in sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+
+    out_schema = StructType(
+        [f for f in sorted_df.schema.fields if f.name != "_w64"]
+        + [StructField(cum_col, LongType())]
+    )
+
+    def _cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        run = offsets.get(pid, 0)
+        for pdf in batches:
+            c = pdf["_w64"].cumsum() + run
+            run = int(c.iloc[-1]) if len(c) else run
+            pdf = pdf.drop(columns=["_w64"])
+            pdf[cum_col] = c.astype("int64")
+            yield pdf
+
+    return sorted_df.mapInPandas(_cumsum, out_schema)

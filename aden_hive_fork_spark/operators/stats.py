@@ -927,23 +927,44 @@ def kruskal_wallis(
             / (1 − Σ_t (t³−t)/(N³−N))
 
     NULL when k < 2 or every value ties (correction denominator 0).
-    Ranking is one global ordered window — report granularity, like
-    every rank statistic in the suite.
+
+    Scale shape: NO global window. Rows collapse to the
+    (value, group) contingency table first (one hash shuffle), then
+    the DISTINCT-VALUE table gets an inclusive running count via the
+    range-partitioned two-pass cumsum (``operators.ids.
+    running_totals`` — the dense_ids machinery), from which the
+    doubled average rank of every tied block is pure arithmetic:
+
+        r2(v) = 2·C(<v) + t_v + 1 = 2·cum_incl(v) − t_v + 1
+
+    (cum_incl = running count through v). The old form ranked the
+    ENTIRE corpus through one un-partitioned window task; this one
+    never moves more than one row per distinct value through the
+    ordered pass. Integer exactness is unchanged — r2 is the same
+    integer the rank window produced.
     """
+    from .ids import running_totals
+
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     )
-    w = Window.orderBy(F.col(value_col).asc())
-    t = Window.partitionBy(value_col)
-    r2 = (2 * F.rank().over(w) + F.count(F.lit(1)).over(t) - 1).cast(
-        "bigint"
+    vg = base.groupBy(
+        F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    vt = vg.groupBy("_v").agg(F.sum("_c").cast("bigint").alias("_t"))
+    vt_cum = running_totals(vt, ["_v"], "_t", cum_col="_cum")
+    r2tbl = vt_cum.select(
+        "_v",
+        "_t",
+        (2 * F.col("_cum") - F.col("_t") + 1).cast("bigint").alias("_r2"),
     )
-    ranked = base.select(
-        F.col(group_col).alias("_g"), r2.alias("_r2")
-    )
-    per_g = ranked.groupBy("_g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum("_r2").cast("bigint").alias("_sr2"),
+    per_g = (
+        vg.join(r2tbl.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n"),
+            F.sum(F.col("_c") * F.col("_r2")).cast("bigint").alias("_sr2"),
+        )
     )
     # Σ (ΣR_g)²/n_g with ΣR_g = _sr2/2 → (_sr2/2)²/n = _sr2²/(4n);
     # bounded groups → sorted fold of the per-group terms
@@ -960,16 +981,10 @@ def kruskal_wallis(
             lambda acc, x: acc + x,
         ).alias("_t1"),
     )
-    ties = (
-        base.groupBy(F.col(value_col).alias("_v"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
-        .agg(
-            F.sum(
-                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-            )
-            .cast("bigint")
-            .alias("_tie")
-        )
+    ties = vt.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("bigint")
+        .alias("_tie")
     )
     j = top.crossJoin(F.broadcast(ties))
     n = F.col("n_rows").cast("double")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.ids import dense_ids
 from . import query
 from ._helpers import T
 
@@ -2365,8 +2366,18 @@ def q266_als_rank1(spark, sf_dir):
     """,
 )
 def q272_revenue_concentration(spark, sf_dir):
-    """Lorenz decile table of customer lifetime revenue."""
-    from pyspark.sql import Window
+    """Lorenz decile table of customer lifetime revenue.
+
+    Scale shape (r6 VERDICT fix): the old form ranked ALL customers
+    through one un-partitioned ``row_number`` window plus a
+    ``COUNT(*) OVER ()`` — two SinglePartition funnels of the full
+    customer dimension. Now the global rank comes from the
+    range-partitioned two-pass numbering (``operators.ids.dense_ids``
+    on (−r, custkey) — decimal negation is exact, so DESC order is
+    an ASC sort), the total is a 1-row broadcast aggregate, and the
+    10-row decile cumulative is a broadcast triangular self-join —
+    zero Window operators anywhere in the plan.
+    """
     from ._helpers import dec
 
     rev = (
@@ -2374,13 +2385,13 @@ def q272_revenue_concentration(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("r"))
     )
-    w = Window.orderBy(F.col("r").desc(), F.col("o_custkey").asc())
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = dense_ids(
+        rev.withColumn("_nr", (-F.col("r")).cast("decimal(19,2)")),
+        ["_nr", "o_custkey"],
+        id_col="rn",
     )
-    b = ranked.select(
+    cnt = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = ranked.crossJoin(F.broadcast(cnt)).select(
         F.ceil(
             F.col("rn").cast("double") * 10.0 / F.col("n").cast("double")
         )
@@ -2393,11 +2404,16 @@ def q272_revenue_concentration(spark, sf_dir):
         F.sum("r").cast("decimal(38,2)").alias("revenue"),
     )
     tot = agg.agg(F.sum("revenue").cast("decimal(38,2)").alias("t"))
-    cw = Window.orderBy(F.col("decile").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum_dim = agg.select(
+        F.col("decile").alias("_d2"), F.col("revenue").alias("_r2")
+    )
+    cum = (
+        agg.join(F.broadcast(cum_dim), F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "revenue")
+        .agg(F.sum("_r2").cast("decimal(38,2)").alias("_cumrev"))
     )
     return (
-        agg.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "decile",
             "n_customers",
@@ -2409,8 +2425,7 @@ def q272_revenue_concentration(spark, sf_dir):
             .cast("double")
             .alias("share"),
             F.round(
-                F.sum("revenue").over(cw).cast("double")
-                / F.col("t").cast("double"),
+                F.col("_cumrev").cast("double") / F.col("t").cast("double"),
                 6,
             )
             .cast("double")
