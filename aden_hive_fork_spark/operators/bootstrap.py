@@ -128,6 +128,12 @@ def poisson_bootstrap_mean_ci(
                 "p*(B-1) is an integer, e.g. B=201 for 0.025/0.975)"
             )
     dec = f"decimal(28,{value_scale})"
+    # NULL metrics are excluded up front (the anova_f/roc_auc
+    # convention): otherwise sum() skips them while count() doesn't,
+    # and 'mean' is neither the full- nor the non-null-population
+    # mean. Both the exact aggregate and the replicates see the same
+    # filtered population; the oracle twin mirrors the WHERE.
+    df = df.filter(F.col(value_col).isNotNull())
     b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b")
     rkey = F.concat(
         F.col("_b").cast("string"), F.lit("|"), F.col(key_col).cast("string")
@@ -190,6 +196,7 @@ def poisson_bootstrap_oracle(
     base AS (
       SELECT {g}, {key_expr} AS k, CAST({value_expr} AS {dec}) AS x
       FROM {table_sql}
+      WHERE ({value_expr}) IS NOT NULL
     ),
     d AS (
       SELECT {g}, b, x,
@@ -253,7 +260,11 @@ def poisson_bootstrap_diff_ci(
             )
     dec = f"decimal(28,{value_scale})"
     both = _widen(
-        df.filter(F.col(arm_col).isin([arm_a, arm_b])), key_col
+        df.filter(
+            F.col(arm_col).isin([arm_a, arm_b])
+            & F.col(value_col).isNotNull()
+        ),
+        key_col,
     )
     b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("_b")
     drawn = both.select(
@@ -332,7 +343,8 @@ def poisson_bootstrap_diff_oracle(
       FROM {table_sql}
     ),
     both_arms AS (
-      SELECT * FROM base WHERE arm IN ('{arm_a}', '{arm_b}')
+      SELECT * FROM base
+      WHERE arm IN ('{arm_a}', '{arm_b}') AND x IS NOT NULL
     ),
     d AS (
       SELECT arm, b, x,
@@ -407,7 +419,11 @@ def randomization_test_diff(
         raise ValueError("replicates must be >= 1")
     dec = f"decimal(28,{value_scale})"
     both = _widen(
-        df.filter(F.col(arm_col).isin([arm_a, arm_b])), key_col
+        df.filter(
+            F.col(arm_col).isin([arm_a, arm_b])
+            & F.col(value_col).isNotNull()
+        ),
+        key_col,
     )
     exact = both.agg(
         F.count(F.when(F.col(arm_col) == arm_a, F.lit(1)))

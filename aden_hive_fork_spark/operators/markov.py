@@ -45,10 +45,20 @@ def event_transitions(
     tiebreak_col: str,
 ) -> DataFrame:
     """(src, dst, n, p): maximum-likelihood transition matrix of the
-    per-key state sequences. dst is restricted to states that also
-    occur as sources (dead-end sinks would make the chain
-    substochastic) and rows are renormalized AFTER that restriction,
-    so every row sums to exactly 1.
+    per-key state sequences. Dead-end sinks (states with no out-edge)
+    would make the chain substochastic, so the state set is closed to
+    the FIXED POINT of "every kept state has at least one out-edge
+    into the kept set" — a single-pass restriction is not enough: a
+    source whose every out-edge targets a sink loses its own row and
+    becomes a fresh dead end for states transitioning INTO it, which
+    would leak probability mass each power iteration. Rows are
+    renormalized AFTER the closure, so every surviving row sums to
+    exactly 1.
+
+    The closure runs driver-side over the DISTINCT edge list — a
+    states²-bounded collect, the same driver-bounded-state contract
+    as the matrix itself (module docstring); the corpus is still
+    touched exactly once.
     """
     w = Window.partitionBy(key_col).orderBy(
         F.col(order_col).asc(), F.col(tiebreak_col).asc()
@@ -63,8 +73,24 @@ def event_transitions(
     counts = pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    sources = counts.select(F.col("src").alias("dst")).distinct()
-    closed = counts.join(sources, "dst", "left_semi")
+    edges = [
+        (r["src"], r["dst"]) for r in counts.select("src", "dst").collect()
+    ]
+    keep = {s for s, _ in edges}
+    while True:
+        nxt = {s for s, d in edges if s in keep and d in keep}
+        if nxt == keep:
+            break
+        keep = nxt
+    if not keep:
+        # every state is transitively a dead end (e.g. a strict DAG
+        # of states): no stochastic chain exists — empty matrix
+        return counts.filter(F.lit(False)).withColumn(
+            "p", F.lit(0.0).cast("double")
+        )
+    closed = counts.filter(
+        F.col("src").isin(sorted(keep)) & F.col("dst").isin(sorted(keep))
+    )
     tot = Window.partitionBy("src")
     return closed.withColumn(
         "p",
@@ -99,6 +125,13 @@ def stationary_distribution(
     pi = {s: 1.0 / len(states) for s in states}
     by_dst: dict[str, list[tuple[str, float]]] = {s: [] for s in states}
     for r in rows:
+        if r["dst"] not in by_dst:
+            raise ValueError(
+                f"stationary_distribution: dst state {r['dst']!r} never "
+                "occurs as a src — the matrix is substochastic. Build the "
+                "input with event_transitions (which closes the state set "
+                "to a fixed point) or restrict dst to the src vocabulary."
+            )
         by_dst[r["dst"]].append((r["src"], float(r["p"])))
     for _ in range(n_iter):
         nxt: dict[str, float] = {}

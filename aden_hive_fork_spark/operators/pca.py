@@ -221,8 +221,6 @@ def power_iteration_pc1(
     emission, see embedding_covariance); every round after that
     touches only the d×d relation — corpus-independent.
     """
-    from .similarity import stable_round6  # noqa: F401 (parity note)
-
     spark = df.sparkSession
     up = embedding_covariance(df, vec_col)
     covf = up.select("i", "j", "cov").unionAll(
@@ -266,6 +264,17 @@ def power_iteration_pc1(
                     )
                 ).alias("nn")
             )
+            nn_val = nn.collect()[0]["nn"]
+            if nn_val is None or nn_val <= 0.0:
+                # all-constant corpus → zero covariance → ‖Cv‖
+                # quantizes to 0; fail loudly HERE instead of letting
+                # w/0 propagate NaN/NULL into float() mid-iteration
+                # (mirrors the module's DECIMAL(10,8) domain guard)
+                raise ValueError(
+                    "power_iteration_pc1: ||Cv|| quantized to 0 — the "
+                    "covariance matrix is degenerate (constant or "
+                    "near-constant embeddings); PC1 is undefined"
+                )
             rows = (
                 w.crossJoin(F.broadcast(nn))
                 .select("i", fq(F.col("w") / F.col("nn")).alias("v"))

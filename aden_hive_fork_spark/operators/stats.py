@@ -869,6 +869,10 @@ def cuped_adjust(
     and a broadcast of one pooled row. Output per arm: ``n, mean_y,
     mean_y_cuped``.
     """
+    # rows with a NULL covariate or metric drop up front (anova_f
+    # convention) — counting them in n while sum() skips them would
+    # skew theta, x-bar, and every mean
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     v = lambda c: F.col(c).cast(f"decimal(18,{scale})")  # noqa: E731
     p = f"decimal(38,{2 * scale})"
     pooled = df.agg(

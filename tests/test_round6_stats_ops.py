@@ -287,3 +287,119 @@ def test_sssp_unit_weights_equal_bfs_hops(spark):
         ).collect()
     }
     assert d == hops
+
+
+# ---------------------------------------------------------------------------
+# round-7 ADVICE fixes: NULL discipline, markov closure, pca guard
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_mean_excludes_null_metrics(spark):
+    from aden_hive_fork_spark.operators.bootstrap import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "g"), (2, 20.0, "g"), (3, None, "g"), (4, 30.0, "g")],
+        "k bigint, v double, g string",
+    )
+    r = poisson_bootstrap_mean_ci(df, "k", "v", ["g"], replicates=41).collect()[0]
+    # mean over the 3 NON-NULL rows, and n_rows counts only them —
+    # not sum(non-null)/count(all) = 15.0
+    assert r["n_rows"] == 3
+    assert r["mean"] == 20.0
+
+
+def test_randomization_test_excludes_null_metrics(spark):
+    from aden_hive_fork_spark.operators.bootstrap import (
+        randomization_test_diff,
+    )
+
+    rows = [(i, 10.0 + (i % 3), "a" if i % 2 == 0 else "b") for i in range(40)]
+    rows += [(100, None, "a"), (101, None, "b")]
+    df = spark.createDataFrame(rows, "k bigint, v double, arm string")
+    r = randomization_test_diff(df, "k", "v", "arm", "a", "b", replicates=19)
+    row = r.collect()[0]
+    assert row["n_a"] == 20 and row["n_b"] == 20  # NULL rows dropped
+
+
+def test_cuped_excludes_null_covariate_rows(spark):
+    from aden_hive_fork_spark.operators.stats import cuped_adjust
+
+    rows = [(float(i), float(2 * i + 1), "a" if i % 2 == 0 else "b")
+            for i in range(1, 11)]
+    rows += [(None, 99.0, "a"), (5.0, None, "b")]
+    df = spark.createDataFrame(rows, "x double, y double, arm string")
+    got = {r["arm"]: r for r in cuped_adjust(df, "x", "y", "arm").collect()}
+    # pooled n excludes the two NULL rows → 5 per arm
+    assert got["a"]["n"] == 5 and got["b"]["n"] == 5
+    # mean_y over non-null rows only
+    ya = [2 * i + 1 for i in range(1, 11) if i % 2 == 0]
+    assert got["a"]["mean_y"] == round(sum(ya) / len(ya), 4)
+
+
+def test_markov_cascading_dead_end_closure(spark):
+    from aden_hive_fork_spark.operators.markov import (
+        event_transitions,
+        stationary_distribution,
+    )
+
+    # chain per key: a -> b -> sink. Single-pass closure would keep
+    # the a->b row (b IS a source) even though b's only out-edge dies
+    # with the sink — leaving b substochastic. Fixed point must drop
+    # both a->b and b->sink here, keeping only the a<->c cycle.
+    rows = []
+    for k, seq in enumerate([
+        ["a", "b", "sink"],
+        ["a", "c", "a", "c"],
+        ["c", "a", "c"],
+    ]):
+        rows += [(k, i, s) for i, s in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, s string")
+    trans = event_transitions(df, "k", "t", "s", "t")
+    got = {(r["src"], r["dst"]): r["p"] for r in trans.collect()}
+    assert set(got) == {("a", "c"), ("c", "a")}
+    assert got[("a", "c")] == 1.0 and got[("c", "a")] == 1.0
+    # and the stationary distribution conserves mass
+    pi = {r["state"]: r["pi"] for r in
+          stationary_distribution(trans).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-6
+
+
+def test_markov_all_dead_ends_empty_matrix(spark):
+    from aden_hive_fork_spark.operators.markov import event_transitions
+
+    # strict DAG: a -> b -> c, no cycles → closure empties the chain
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "c")], "k bigint, t bigint, s string"
+    )
+    out = event_transitions(df, "k", "t", "s", "t")
+    assert out.count() == 0
+    assert out.columns == ["src", "dst", "n", "p"]
+
+
+def test_stationary_rejects_substochastic_input(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.markov import (
+        stationary_distribution,
+    )
+
+    trans = spark.createDataFrame(
+        [("a", "b", 1, 1.0)], "src string, dst string, n bigint, p double"
+    )
+    with pytest.raises(ValueError, match="substochastic"):
+        stationary_distribution(trans)
+
+
+def test_power_iteration_rejects_degenerate_covariance(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.pca import power_iteration_pc1
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0]) for i in range(8)],
+        "id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        power_iteration_pc1(df, "embedding", iters=2)
