@@ -461,3 +461,80 @@ def razorpay_payments_table(pages: DataFrame, client_factory,
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.select("page").mapInPandas(run, PAYMENT_SCHEMA)
+
+
+BREVO_CONTACT_SCHEMA = (
+    "identifier string, contact_id bigint, email string, ltv bigint, "
+    "error string"
+)
+
+
+def brevo_contacts_table(ids: DataFrame, client_factory,
+                         id_col: str = "identifier") -> DataFrame:
+    """Hydrate a TABLE of contact identifiers through the Brevo
+    connector on the executors (mapInPandas, map-only, per-row error
+    envelopes); the LTV attribute is the join-ready numeric the CRM
+    pipelines aggregate. ``client_factory`` must pickle by value."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in BREVO_CONTACT_SCHEMA.split(",")]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for ident in pdf[id_col]:
+                env = client.get_contact(str(ident))
+                if "error" in env:
+                    rows.append({"identifier": ident, "contact_id": None,
+                                 "email": None, "ltv": None,
+                                 "error": env["error"]})
+                    continue
+                attrs = env.get("attributes") or {}
+                rows.append({
+                    "identifier": ident, "contact_id": env.get("id"),
+                    "email": env.get("email"), "ltv": attrs.get("LTV"),
+                    "error": None,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ids.select(id_col).mapInPandas(run, BREVO_CONTACT_SCHEMA)
+
+
+BOOKING_SCHEMA = (
+    "event_type_id bigint, booking_id bigint, status string, "
+    "start_time string, error string"
+)
+
+
+def calcom_bookings_table(event_types: DataFrame, client_factory,
+                          limit: int = 50,
+                          et_col: str = "event_type_id") -> DataFrame:
+    """List bookings for a TABLE of Cal.com event-type ids on the
+    executors (mapInPandas, map-only, per-row error envelopes).
+    ``client_factory`` must pickle by value."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in BOOKING_SCHEMA.split(",")]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for et in pdf[et_col]:
+                env = client.list_bookings(event_type_id=int(et),
+                                           limit=limit)
+                if "error" in env:
+                    rows.append({"event_type_id": et, "booking_id": None,
+                                 "status": None, "start_time": None,
+                                 "error": env["error"]})
+                    continue
+                for b in env.get("bookings", []):
+                    rows.append({
+                        "event_type_id": et, "booking_id": b.get("id"),
+                        "status": b.get("status"),
+                        "start_time": b.get("startTime"), "error": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return event_types.select(et_col).mapInPandas(run, BOOKING_SCHEMA)

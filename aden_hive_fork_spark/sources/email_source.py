@@ -242,3 +242,47 @@ class EmailSender:
             thread_id=original["thread_id"],
             in_reply_to=original["message_id_header"] or None,
         )
+
+
+# ----------------------------------------------------------------- table tier
+SEND_RECEIPT_SCHEMA = (
+    "to string, subject string, provider string, message_id string, "
+    "success boolean, error string"
+)
+
+
+def email_send_table(messages, sender_factory, provider: str = "resend",
+                     to_col: str = "to", subject_col: str = "subject",
+                     html_col: str = "html"):
+    """Send a TABLE of (to, subject, html) messages through the
+    outbound-email connector on the executors (mapInPandas, map-only)
+    and return the delivery receipts. ``sender_factory`` must pickle
+    by value (lambda/closure)."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in SEND_RECEIPT_SCHEMA.split(",")]
+
+    def run(batches):
+        sender = sender_factory()
+        for pdf in batches:
+            rows = []
+            for to, subject, html in zip(
+                pdf[to_col], pdf[subject_col], pdf[html_col]
+            ):
+                env = sender.send_email(str(to), str(subject), str(html),
+                                        provider)
+                if "error" in env:
+                    rows.append({"to": to, "subject": subject,
+                                 "provider": provider, "message_id": None,
+                                 "success": None, "error": env["error"]})
+                    continue
+                rows.append({
+                    "to": to, "subject": subject, "provider": provider,
+                    "message_id": env.get("id"),
+                    "success": bool(env.get("success")), "error": None,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return messages.select(to_col, subject_col, html_col).mapInPandas(
+        run, SEND_RECEIPT_SCHEMA
+    )

@@ -186,3 +186,48 @@ class ExaSearchProvider:
                 for s in data.get("citations", [])
             ]
         return result
+
+
+# ----------------------------------------------------------------- table tier
+EXA_RESULT_SCHEMA = (
+    "query string, rank int, title string, url string, "
+    "published_date string, author string, error string"
+)
+
+
+def exa_search_table(queries, client_factory, num_results: int = 10,
+                     include_text: bool = False,
+                     query_col: str = "query"):
+    """Run a TABLE of search queries through the Exa connector on the
+    executors (mapInPandas, map-only, per-row error envelopes) — one
+    output row per (query, result) with a 1-based rank.
+    ``client_factory`` must pickle by value (lambda/closure).
+
+    Reference parity: exa_web_search_tool.py's one-shot search
+    consumed as a TABLE (the q233 github_issues_table pattern)."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in EXA_RESULT_SCHEMA.split(",")]
+
+    def run(batches):
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for q in pdf[query_col]:
+                env = client.search(str(q), num_results=num_results,
+                                    include_text=include_text)
+                if "error" in env:
+                    rows.append({"query": q, "rank": None, "title": None,
+                                 "url": None, "published_date": None,
+                                 "author": None, "error": env["error"]})
+                    continue
+                for rank, r in enumerate(env["results"], start=1):
+                    rows.append({
+                        "query": q, "rank": rank,
+                        "title": r.get("title"), "url": r.get("url"),
+                        "published_date": r.get("published_date"),
+                        "author": r.get("author"), "error": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return queries.select(query_col).mapInPandas(run, EXA_RESULT_SCHEMA)

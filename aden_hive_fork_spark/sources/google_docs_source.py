@@ -366,3 +366,53 @@ class GoogleDocsClient:
                 "size_bytes": len(body),
             }
         return self._handle(status, body)
+
+
+# ----------------------------------------------------------------- table tier
+def document_plain_text(doc: dict) -> str:
+    """Concatenate every textRun in the document body — the Docs
+    analog of pdf text extraction (reference reads documents through
+    google_docs_tool.py's get_document and walks the same
+    body.content/paragraph.elements/textRun.content path)."""
+    out = []
+    for el in (doc.get("body") or {}).get("content", []):
+        for pe in (el.get("paragraph") or {}).get("elements", []):
+            tr = pe.get("textRun")
+            if tr and tr.get("content"):
+                out.append(tr["content"])
+    return "".join(out)
+
+
+DOCUMENT_SCHEMA = (
+    "document_id string, title string, n_chars bigint, error string"
+)
+
+
+def docs_documents_table(doc_ids, client_factory,
+                         id_col: str = "document_id"):
+    """Hydrate a TABLE of Google Doc ids on the executors
+    (mapInPandas, map-only, per-row error envelopes): title + plain-
+    text length per document. ``client_factory`` must pickle by
+    value."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in DOCUMENT_SCHEMA.split(",")]
+
+    def run(batches):
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                env = client.get_document(str(did))
+                if "error" in env:
+                    rows.append({"document_id": did, "title": None,
+                                 "n_chars": None, "error": env["error"]})
+                    continue
+                rows.append({
+                    "document_id": did, "title": env.get("title"),
+                    "n_chars": len(document_plain_text(env)),
+                    "error": None,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return doc_ids.select(id_col).mapInPandas(run, DOCUMENT_SCHEMA)

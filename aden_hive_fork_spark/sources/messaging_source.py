@@ -270,3 +270,45 @@ def discord_messages_table(channels: DataFrame, client_factory,
             yield pd.DataFrame(rows, columns=cols)
 
     return channels.select(id_col).mapInPandas(run, DISCORD_MSG_SCHEMA)
+
+
+TELEGRAM_SEND_SCHEMA = (
+    "chat_id string, text string, message_id bigint, ok boolean, "
+    "error string"
+)
+
+
+def telegram_send_table(messages: DataFrame, client_factory,
+                        chat_col: str = "chat_id",
+                        text_col: str = "text") -> DataFrame:
+    """Send a TABLE of (chat_id, text) notifications through the
+    Telegram connector on the executors (mapInPandas, map-only) and
+    return the delivery receipts — the outbound twin of
+    discord_messages_table. ``client_factory`` must pickle by
+    value."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in TELEGRAM_SEND_SCHEMA.split(",")]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for chat, text in zip(pdf[chat_col], pdf[text_col]):
+                env = client.send_message(str(chat), str(text))
+                if "error" in env:
+                    rows.append({"chat_id": chat, "text": text,
+                                 "message_id": None, "ok": None,
+                                 "error": env["error"]})
+                    continue
+                rows.append({
+                    "chat_id": chat, "text": text,
+                    "message_id": (env.get("result") or {}).get(
+                        "message_id"),
+                    "ok": bool(env.get("ok")), "error": None,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return messages.select(chat_col, text_col).mapInPandas(
+        run, TELEGRAM_SEND_SCHEMA
+    )

@@ -253,3 +253,43 @@ class SerpAPIClient:
             "pdf": patent.get("pdf", ""),
             "classifications": patent.get("classifications", {}),
         }
+
+
+# ----------------------------------------------------------------- table tier
+SCHOLAR_RESULT_SCHEMA = (
+    "query string, rank int, title string, link string, "
+    "cited_by_count bigint, error string"
+)
+
+
+def serpapi_scholar_table(queries, client_factory, num_results: int = 10,
+                          query_col: str = "query"):
+    """Run a TABLE of Google Scholar queries through the SerpAPI
+    connector on the executors (mapInPandas, map-only, per-row error
+    envelopes) — one output row per (query, organic result) with a
+    1-based rank. ``client_factory`` must pickle by value."""
+    import pandas as pd
+
+    cols = [f.split()[0] for f in SCHOLAR_RESULT_SCHEMA.split(",")]
+
+    def run(batches):
+        client = client_factory()
+        for pdf in batches:
+            rows = []
+            for q in pdf[query_col]:
+                env = client.scholar_search(str(q), num_results=num_results)
+                if "error" in env:
+                    rows.append({"query": q, "rank": None, "title": None,
+                                 "link": None, "cited_by_count": None,
+                                 "error": env["error"]})
+                    continue
+                for rank, r in enumerate(env["results"], start=1):
+                    rows.append({
+                        "query": q, "rank": rank,
+                        "title": r.get("title"), "link": r.get("link"),
+                        "cited_by_count": r.get("cited_by_count"),
+                        "error": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return queries.select(query_col).mapInPandas(run, SCHOLAR_RESULT_SCHEMA)

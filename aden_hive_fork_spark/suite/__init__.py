@@ -49,6 +49,7 @@ def load_all() -> None:
         analytics3,
         chunking_suite,
         connectors,
+        connectors2,
         curation,
         dedup,
         dml,
