@@ -92,21 +92,77 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame
     """
     df = df.filter(F.col(vec_col).isNotNull())
     d = _dim(df, vec_col)
-    dec = (
-        f"CAST(CAST({vec_col}[i] AS DOUBLE) AS DECIMAL(10,8))"
-        f" * CAST(CAST({vec_col}[j] AS DOUBLE) AS DECIMAL(10,8))"
+    # Exact Gram pass as SCALED-INTEGER numpy (Arrow-batched), not the
+    # flatten/explode decimal plan: the JVM path allocates a BigDecimal
+    # per product — d(d+1)/2 per row — and measured 70 s on 20k×64 at
+    # the 10× stress scale; the integer path is the same arithmetic
+    # (X = HALF_UP(x·1e8), Σ X_iX_j / 1e16 ≡ Σ dec(x_i)·dec(x_j)) in
+    # ~1 s. Exactness argument, step by step:
+    #   - components are float32-sourced: x·1e8 = m24·390625·2^(e+8)
+    #     needs ≤ 43 mantissa bits → EXACT in float64 (|x| < 100 is
+    #     enforced by _dim, so |x·1e8| < 1e10 < 2^53);
+    #   - sign(x)·floor(|x·1e8| + 0.5) is BigDecimal HALF_UP (ties
+    #     away from zero), the rounding Spark's double→DECIMAL cast
+    #     uses, so X/1e8 is bit-identical to CAST(x AS DECIMAL(10,8));
+    #   - block-local X^T X in int64 is overflow-safe by construction
+    #     (block height ≤ 2^63 / max|X|²), blocks accumulate into a
+    #     Python-int (arbitrary precision) matrix;
+    #   - partials ship as DECIMAL(38,16) = S/1e16 exactly; the final
+    #     SUM of partials is exact decimal addition, so the total is
+    #     the same rational number the all-JVM plan produced.
+    # Shuffle volume is unchanged: d(d+1)/2 rows per partition.
+    from decimal import Decimal as _Dec
+
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
-    pairs = df.select(
-        F.explode(
-            F.expr(
-                f"""flatten(transform(sequence(0, {d - 1}), i ->
-                      transform(sequence(i, {d - 1}), j ->
-                        struct(i + 1 AS i, j + 1 AS j, {dec} AS p))))"""
-            )
-        ).alias("t")
-    ).select("t.i", "t.j", "t.p")
-    sums = pairs.groupBy("i", "j").agg(
-        F.sum("p").alias("sxy"), F.count(F.lit(1)).cast("bigint").alias("n")
+
+    gram_schema = StructType([
+        StructField("i", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("sxy", DecimalType(38, 16)),
+        StructField("n", LongType()),
+    ])
+    iu, ju = [list(t) for t in zip(*[
+        (a + 1, b + 1) for a in range(d) for b in range(a, d)
+    ])]
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        total = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            x8 = np.abs(arr) * 1e8
+            xq = (np.sign(arr) * np.floor(x8 + 0.5)).astype(np.int64)
+            n += xq.shape[0]
+            mx = int(np.abs(xq).max()) if xq.size else 0
+            blk = max(1, int(9.2e18) // max(1, mx * mx))
+            for s in range(0, xq.shape[0], blk):
+                b = xq[s:s + blk]
+                g = (b.T @ b).astype(object)
+                total = g if total is None else total + g
+        if total is None:
+            return
+        sxy = [
+            _Dec(int(total[a - 1][b - 1])).scaleb(-16)
+            for a, b in zip(iu, ju)
+        ]
+        yield pd.DataFrame(
+            {"i": iu, "j": ju, "sxy": sxy, "n": n}
+        )
+
+    partials = df.select(vec_col).mapInPandas(_gram, gram_schema)
+    sums = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("n").cast("bigint").alias("n")
     )
     dim_sums = (
         df.select(
@@ -222,95 +278,99 @@ def power_iteration_pc1(
     touches only the d×d relation — corpus-independent.
     """
     spark = df.sparkSession
-    up = embedding_covariance(df, vec_col)
+    # The covariance is the ONLY corpus-sized pass. Materialize the
+    # d(d+1)/2-row upper triangle eagerly (localCheckpoint truncates
+    # lineage, blocks are ContextCleaner-reclaimed) BEFORE building
+    # the symmetric view: a lazy persist on the union would run the
+    # corpus pass once per union branch on first materialization —
+    # measured 2x the whole operator's cost at the 10x stress scale.
+    # Every subsequent round touches only the 2·d² bounded relation.
+    up = embedding_covariance(df, vec_col).localCheckpoint(eager=True)
     covf = up.select("i", "j", "cov").unionAll(
         up.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    ).persist()
+    )
     d = covf.agg(F.max("j")).collect()[0][0]
     fq = lambda c: F.floor(c * F.lit(1e9)).cast("double") / F.lit(1e9)  # noqa: E731
     v = [1.0] * d
-    try:
-        for _ in range(int(iters)):
-            vdf = spark.createDataFrame(
-                [(k + 1, float(x)) for k, x in enumerate(v)], "k int, v double"
-            )
-            w = (
-                covf.join(F.broadcast(vdf), covf["j"] == vdf["k"])
-                .groupBy("i")
-                .agg(
-                    fq(
-                        F.aggregate(
-                            F.sort_array(
-                                F.collect_list(F.col("cov") * F.col("v"))
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("w")
-                )
-            )
-            nn = w.agg(
-                fq(
-                    F.sqrt(
-                        F.aggregate(
-                            F.sort_array(
-                                F.collect_list(F.col("w") * F.col("w"))
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                    )
-                ).alias("nn")
-            )
-            nn_val = nn.collect()[0]["nn"]
-            if nn_val is None or nn_val <= 0.0:
-                # all-constant corpus → zero covariance → ‖Cv‖
-                # quantizes to 0; fail loudly HERE instead of letting
-                # w/0 propagate NaN/NULL into float() mid-iteration
-                # (mirrors the module's DECIMAL(10,8) domain guard)
-                raise ValueError(
-                    "power_iteration_pc1: ||Cv|| quantized to 0 — the "
-                    "covariance matrix is degenerate (constant or "
-                    "near-constant embeddings); PC1 is undefined"
-                )
-            rows = (
-                w.crossJoin(F.broadcast(nn))
-                .select("i", fq(F.col("w") / F.col("nn")).alias("v"))
-                .collect()
-            )
-            nxt = [0.0] * d
-            for r in rows:
-                nxt[r["i"] - 1] = float(r["v"])
-            v = nxt
-        # sign convention: largest-|coordinate| positive, low index ties
-        pivot = max(range(d), key=lambda k: (abs(v[k]), -k))
-        if v[pivot] < 0:
-            v = [-x for x in v]
+    for _ in range(int(iters)):
         vdf = spark.createDataFrame(
             [(k + 1, float(x)) for k, x in enumerate(v)], "k int, v double"
         )
-        vi = vdf.select(F.col("k").alias("i"), F.col("v").alias("_vi"))
-        vj = vdf.select(F.col("k").alias("j"), F.col("v").alias("_vj"))
-        lam = (
-            covf.join(F.broadcast(vi), "i")
-            .join(F.broadcast(vj), "j")
+        w = (
+            covf.join(F.broadcast(vdf), covf["j"] == vdf["k"])
+            .groupBy("i")
             .agg(
                 fq(
                     F.aggregate(
                         F.sort_array(
-                            F.collect_list(
-                                F.col("_vi") * F.col("cov") * F.col("_vj")
-                            )
+                            F.collect_list(F.col("cov") * F.col("v"))
                         ),
                         F.lit(0.0),
                         lambda acc, x: acc + x,
                     )
-                ).alias("lam")
+                ).alias("w")
             )
-            .collect()[0]["lam"]
         )
-    finally:
-        covf.unpersist()
+        nn = w.agg(
+            fq(
+                F.sqrt(
+                    F.aggregate(
+                        F.sort_array(
+                            F.collect_list(F.col("w") * F.col("w"))
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            ).alias("nn")
+        )
+        nn_val = nn.collect()[0]["nn"]
+        if nn_val is None or nn_val <= 0.0:
+            # all-constant corpus → zero covariance → ‖Cv‖
+            # quantizes to 0; fail loudly HERE instead of letting
+            # w/0 propagate NaN/NULL into float() mid-iteration
+            # (mirrors the module's DECIMAL(10,8) domain guard)
+            raise ValueError(
+                "power_iteration_pc1: ||Cv|| quantized to 0 — the "
+                "covariance matrix is degenerate (constant or "
+                "near-constant embeddings); PC1 is undefined"
+            )
+        rows = (
+            w.crossJoin(F.broadcast(nn))
+            .select("i", fq(F.col("w") / F.col("nn")).alias("v"))
+            .collect()
+        )
+        nxt = [0.0] * d
+        for r in rows:
+            nxt[r["i"] - 1] = float(r["v"])
+        v = nxt
+    # sign convention: largest-|coordinate| positive, low index ties
+    pivot = max(range(d), key=lambda k: (abs(v[k]), -k))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    vdf = spark.createDataFrame(
+        [(k + 1, float(x)) for k, x in enumerate(v)], "k int, v double"
+    )
+    vi = vdf.select(F.col("k").alias("i"), F.col("v").alias("_vi"))
+    vj = vdf.select(F.col("k").alias("j"), F.col("v").alias("_vj"))
+    lam = (
+        covf.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .agg(
+            fq(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.col("_vi") * F.col("cov") * F.col("_vj")
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("lam")
+        )
+        .collect()[0]["lam"]
+    )
     return v, float(lam)
