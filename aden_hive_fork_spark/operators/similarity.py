@@ -815,3 +815,203 @@ def ivf_md5_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-integer vectorized tiers (round 7): the q51/q52/q53 family
+# moved INSIDE the value-hash gate. Shared arithmetic contract:
+# every component quantizes to X = HALF_UP(x·1e8) — BigDecimal
+# HALF_UP on a float32-sourced double is exactly sign·floor(|x·1e8|
+# + 0.5) in float64 (x·1e8 needs ≤43 mantissa bits; see
+# operators/pca.py) — and every cosine is the fixed IEEE sequence
+#     FLOOR( D/(sqrt(NA)·sqrt(NB)) · 1e6 + 0.5 ) / 1e6
+# over the EXACT int64 sums D = ΣX_aX_b, NA = ΣX_a², NB = ΣX_b²
+# (scale factors cancel), each converted to double by ONE correctly-
+# rounded cast — so numpy, Spark SQL, and DuckDB produce the same
+# bits.
+# ---------------------------------------------------------------------------
+def _quantize_i64(mat):
+    """float64 (from float32) matrix → HALF_UP(x·1e8) int64, with the
+    overflow guard that keeps int64 dot products exact."""
+    import numpy as np
+
+    xq = (np.sign(mat) * np.floor(np.abs(mat) * 1e8 + 0.5)).astype(np.int64)
+    mx = int(np.abs(xq).max()) if xq.size else 0
+    if mx and mx * mx * mat.shape[1] >= 2 ** 63:
+        raise ValueError(
+            "exact-integer cosine: |component| too large for int64 dot "
+            "products — L2-normalize the embeddings first"
+        )
+    return xq
+
+
+def _qcos(d, na, nq):
+    """The shared quantized-cosine IEEE sequence (numpy arrays)."""
+    import numpy as np
+
+    denom = np.sqrt(na.astype(np.float64)) * np.sqrt(nq.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = d.astype(np.float64) / denom
+    c = np.where(denom == 0, -np.inf, c)
+    return np.floor(c * 1e6 + 0.5) / 1e6
+
+
+def cosine_topk_vectorized_exact(
+    emb: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-gated twin of :func:`cosine_topk_vectorized`: the same
+    Arrow-batched BLAS-shape batch scorer (one integer matmul per
+    batch against the broadcast query matrix, partition-local top-k,
+    global top-k merge), but over exact int64 dot products with the
+    quantized-cosine contract above — so a DuckDB decimal replay
+    hash-matches. Ranking happens on the QUANTIZED value (vec_id
+    tie-break), the order the oracle's window uses."""
+    import numpy as np
+
+    q_ids = [int(i) for i, _ in query_vecs]
+    q_mat = _quantize_i64(
+        np.asarray([v for _, v in query_vecs], dtype=np.float64)
+    )
+    q_norm2 = (q_mat * q_mat).sum(axis=1)  # int64-safe per _quantize_i64
+    spark = emb.sparkSession
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat, q_norm2))
+
+    out_schema = "query_id long, vec_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ids, qm, qn2 = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _quantize_i64(
+                np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            )
+            d = mat @ qm.T  # int64 exact: |X| ≤ 1e8ish, dim-bounded
+            na = (mat * mat).sum(axis=1)
+            row_ids = pdf[id_col].to_numpy()
+            frames = []
+            for qi, qid in enumerate(ids):
+                c = _qcos(d[:, qi], na, np.full(len(na), qn2[qi]))
+                c[row_ids == qid] = -np.inf
+                keep = np.isfinite(c)
+                if not keep.any():
+                    continue
+                order = np.lexsort((row_ids[keep], -c[keep]))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "vec_id": row_ids[keep][order],
+                    "cosine": c[keep][order],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), "vec_id")
+    )
+
+
+def cosine_neardup_pairs_exact(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-gated twin of :func:`cosine_neardup_pairs`: the same
+    grouped-map blocked pairwise scorer (block = unit of shuffle),
+    with int64 Gram matrices and the quantized-cosine contract, so
+    the threshold compares the SAME number the DuckDB oracle
+    computes."""
+    import numpy as np
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = _quantize_i64(
+            np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        )
+        d = mat @ mat.T
+        na = (mat * mat).sum(axis=1)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        c = _qcos(d[ia, ib], na[ia], na[ib])
+        keep = np.isfinite(c) & (c >= threshold)
+        if not keep.any():
+            return empty
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c[keep]})
+
+    grouped = emb.groupBy(block_col) if block_col else emb.groupBy(F.lit(1))
+    return grouped.applyInPandas(
+        pairs, schema="id_a long, id_b long, cosine double"
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
+def lsh_buckets_md5(
+    emb: DataFrame,
+    num_planes: int = 10,
+    salt: str = "lsh52",
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hash-gated random-hyperplane LSH bucketing: plane weights are
+    md5-derived integers w(p,k) = md5_32('salt|p|k') % 2001 − 1000
+    (DuckDB-replayable, the ann_md5_buckets convention), the per-
+    plane scores are exact int64 dots of the 1e-8-quantized
+    components, and the bucket id packs the sign bits. Entirely
+    MAP-SIDE per row (literal weight arrays folded with zip_with —
+    no posexplode, no join): the only shuffle is whatever the caller
+    aggregates buckets by. Returns (id_col, bucket)."""
+    import hashlib
+
+    if dim is None:
+        dim = int(
+            emb.filter(F.col(vec_col).isNotNull())
+            .agg(F.max(F.size(vec_col)))
+            .collect()[0][0]
+        )
+    xq = (
+        f"transform({vec_col}, x -> CAST(CAST(CAST(x AS DOUBLE) AS "
+        f"DECIMAL(10,8)) * 100000000 AS LONG))"
+    )
+    rows = emb.filter(F.col(vec_col).isNotNull()).select(
+        id_col, F.expr(xq).alias("_xq")
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        w = [
+            int(
+                hashlib.md5(f"{salt}|{p}|{k}".encode()).hexdigest()[:8], 16
+            ) % 2001 - 1000
+            for k in range(1, dim + 1)
+        ]
+        w_arr = F.array(*[F.lit(x).cast("long") for x in w])
+        s = F.aggregate(
+            F.zip_with(F.col("_xq"), w_arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(s > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return rows.select(id_col, bucket.alias("bucket"))

@@ -1,9 +1,12 @@
 """Similarity-search suite entries (SURVEY.md §2.D).
 
 The single-query exact top-k is oracle-checked (exact-decimal dot
-product — see operators.similarity). The batched numpy path and the
-LSH bucketing are rows-only (the former returns identical values but
-exercises mapInPandas; the latter is approximate by construction).
+product — see operators.similarity). Since round 7 the batched numpy
+path (q51), the LSH bucket stats (q52), and the blocked near-dup
+scorer (q53) are oracle-checked too, via the exact-int64
+quantized-cosine tiers and md5-derived hyperplanes; only the
+seeded/approximate routing variants (q54 LSH top-k, q68 IVF) remain
+rows-only by construction.
 """
 
 from __future__ import annotations
@@ -15,8 +18,6 @@ from ..operators.similarity import (
     ann_topk,
     cosine_neardup_pairs,
     cosine_topk_exact,
-    cosine_topk_vectorized,
-    lsh_bucket_candidates,
 )
 from ._helpers import T
 
@@ -63,30 +64,112 @@ def q50_cosine_topk(spark, sf_dir):
     )
 
 
-@query("q51_cosine_topk_batch")
+@query(
+    "q51_cosine_topk_batch",
+    oracle="""
+    WITH qv AS (
+      SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    fe AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8))
+             * 100000000 AS BIGINT) AS x
+      FROM embeddings
+    ),
+    fq AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8))
+             * 100000000 AS BIGINT) AS x
+      FROM qv
+    ),
+    dots AS (
+      SELECT q.vec_id AS query_id, e.vec_id,
+        SUM(e.x * q.x) AS d, SUM(e.x * e.x) AS na, SUM(q.x * q.x) AS nq
+      FROM fe e JOIN fq q USING (i)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+        FLOOR(CAST(d AS DOUBLE)
+              / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE)),
+                       0)
+              * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots
+      WHERE query_id <> vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored WHERE cosine IS NOT NULL
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+      CAST(vec_id AS BIGINT) AS vec_id, CAST(cosine AS DOUBLE) AS cosine
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id ASC, cosine DESC, vec_id ASC
+    """,
+)
 def q51_cosine_topk_batch(spark, sf_dir):
     """Batched brute-force ANN baseline: top-5 neighbors for the first
-    8 stored vectors via one Arrow/numpy matmul per partition
-    (mapInPandas). Rows-only check (same math, exercises the
-    vectorized path)."""
+    8 stored vectors via one Arrow/numpy INTEGER matmul per partition
+    (mapInPandas). Hash-gated since round 7: the vectorized path runs
+    on exact int64 dot products of 1e-8-quantized components with the
+    shared quantized-cosine IEEE sequence, so the DuckDB decimal
+    replay matches bit for bit (the raw-double variant remains
+    available as operators/similarity.cosine_topk_vectorized)."""
+    from ..operators.similarity import cosine_topk_vectorized_exact
+
     emb = T(spark, sf_dir, "embeddings")
     queries = [
         (int(r["vec_id"]), list(r["embedding"]))
         for r in emb.orderBy("vec_id").limit(8).collect()
     ]
-    return cosine_topk_vectorized(emb, queries, k=5)
+    return cosine_topk_vectorized_exact(emb, queries, k=5)
 
 
-@query("q53_embedding_neardup")
+@query(
+    "q53_embedding_neardup",
+    oracle="""
+    WITH fe AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8))
+             * 100000000 AS BIGINT) AS x
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SUM(a.x * b.x) AS d, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+      FROM fe a JOIN fe b ON a.i = b.i AND a.label = b.label
+                          AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+        FLOOR(CAST(d AS DOUBLE)
+              / NULLIF(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)),
+                       0)
+              * 1000000 + 0.5) / 1000000 AS cosine
+      FROM dots
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      CAST(cosine AS DOUBLE) AS cosine
+    FROM scored WHERE cosine >= 0.3
+    ORDER BY cosine DESC, id_a ASC, id_b ASC
+    """,
+)
 def q53_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks (grouped-
     map numpy pairwise). Threshold 0.3 sits just under the synthetic
     corpus's max within-label cosine (~0.47 at sf0.01), so the query
-    returns a non-trivial pair set. Rows-only: blocking bounds the
-    candidate set by construction (the oracle-checked exact twin is
-    q71)."""
+    returns a non-trivial pair set. Hash-gated since round 7: the
+    blocked pairwise scorer computes exact int64 Gram matrices and
+    thresholds the quantized cosine — the same number the oracle's
+    decimal join produces (blocking still bounds the candidate set by
+    construction)."""
+    from ..operators.similarity import cosine_neardup_pairs_exact
+
     emb = T(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.3, block_col="label")
+    return cosine_neardup_pairs_exact(emb, threshold=0.3, block_col="label")
 
 
 @query("q54_ann_lsh_topk")
@@ -102,16 +185,55 @@ def q54_ann_lsh_topk(spark, sf_dir):
     return ann_topk(emb, queries, k=5, num_planes=6)
 
 
-@query("q52_lsh_bucket_stats")
+@query(
+    "q52_lsh_bucket_stats",
+    oracle="""
+    WITH w AS (
+      SELECT p.p, k.k,
+        CAST(CAST(('0x' || substr(md5('lsh52|' || CAST(p.p AS VARCHAR)
+          || '|' || CAST(k.k AS VARCHAR)), 1, 8)) AS UBIGINT) % 2001
+          AS BIGINT) - 1000 AS w
+      FROM (SELECT unnest(range(0, 10)) AS p) p
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS k) k
+    ),
+    fe AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS k,
+        CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8))
+             * 100000000 AS BIGINT) AS x
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+      SELECT f.vec_id, w.p, SUM(f.x * w.w) AS s
+      FROM fe f JOIN w ON w.k = f.k
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, p) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS bucket
+      FROM s GROUP BY 1
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM b GROUP BY bucket
+    ORDER BY n_vectors DESC, bucket ASC
+    """,
+)
 def q52_lsh_bucket_stats(spark, sf_dir):
     """Random-hyperplane LSH bucket occupancy — the ANN scale path's
-    candidate-generation stage. Deterministic given the seed, but the
-    bucket ids are implementation-defined ⇒ rows-only."""
+    candidate-generation stage. Hash-gated since round 7: plane
+    weights are md5-derived integers (the ann_md5_buckets
+    convention), per-plane scores exact int64 dots folded MAP-SIDE
+    with zip_with literal weight arrays (no explode, no join), bucket
+    ids pack the sign bits — every number DuckDB-replayable. The
+    numpy-seeded variant remains as
+    operators/similarity.lsh_bucket_candidates (q54's routing)."""
+    from ..operators.similarity import lsh_buckets_md5
+
     emb = T(spark, sf_dir, "embeddings")
-    buckets = lsh_bucket_candidates(emb, num_planes=10, seed=42)
+    buckets = lsh_buckets_md5(emb, num_planes=10, salt="lsh52")
     return (
         buckets.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy(F.desc("n_vectors"), "bucket")
     )
 

@@ -99,3 +99,74 @@ def test_ann_md5_buckets_partition_corpus(emb):
         assert top < n_vec
     finally:
         b.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# round-7 exact-integer vectorized tiers (q51/q52/q53 hash-gate move)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_vectorized_exact_matches_exact_scorer(spark):
+    from aden_hive_fork_spark.catalog import load_table
+    from aden_hive_fork_spark.operators.similarity import (
+        cosine_topk_exact,
+        cosine_topk_vectorized_exact,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = [(int(r["vec_id"]), list(r["embedding"]))
+         for r in emb.orderBy("vec_id").limit(2).collect()]
+    got = cosine_topk_vectorized_exact(emb, q, k=5).collect()
+    for qid, _vec in q:
+        mine = [(r["vec_id"], r["cosine"]) for r in got
+                if r["query_id"] == qid]
+        ref = [(r["vec_id"], r["cosine"])
+               for r in cosine_topk_exact(emb, query_id=qid, k=5).collect()]
+        # same neighbor set and same quantized values (both paths are
+        # the shared FLOOR(d/(sqrt·sqrt)·1e6+0.5)/1e6 contract)
+        assert mine == ref
+
+
+def test_quantize_i64_overflow_guard(spark):
+    import numpy as np
+    import pytest
+
+    from aden_hive_fork_spark.operators.similarity import _quantize_i64
+
+    ok = _quantize_i64(np.array([[0.5, -0.25]]))
+    assert ok.tolist() == [[50000000, -25000000]]
+    with pytest.raises(ValueError, match="int64"):
+        _quantize_i64(np.full((1, 64), 99.0))
+
+
+def test_lsh_buckets_md5_deterministic_and_bounded(spark):
+    from aden_hive_fork_spark.catalog import load_table
+    from aden_hive_fork_spark.operators.similarity import lsh_buckets_md5
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    b1 = {r["vec_id"]: r["bucket"]
+          for r in lsh_buckets_md5(emb, num_planes=6).collect()}
+    b2 = {r["vec_id"]: r["bucket"]
+          for r in lsh_buckets_md5(emb, num_planes=6).collect()}
+    assert b1 == b2 and b1
+    assert all(0 <= v < 64 for v in b1.values())
+    # different salt → different partition of the space
+    b3 = {r["vec_id"]: r["bucket"]
+          for r in lsh_buckets_md5(emb, num_planes=6, salt="other").collect()}
+    assert b3 != b1
+
+
+def test_cosine_neardup_pairs_exact_symmetric_ids(spark):
+    from aden_hive_fork_spark.operators.similarity import (
+        cosine_neardup_pairs_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [1.0, 0.01], "a"), (3, [0.0, 1.0], "a"),
+         (4, [1.0, 0.0], "b")],
+        "vec_id bigint, embedding array<float>, label string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in cosine_neardup_pairs_exact(df, 0.9, "label").collect()}
+    assert set(got) == {(1, 2)}  # blocked: 4 never compares to 1
+    assert got[(1, 2)] > 0.99
