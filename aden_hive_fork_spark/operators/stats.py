@@ -1002,3 +1002,202 @@ def kruskal_wallis(
         "n_rows",
         F.round(h, ndigits).cast("double").alias("h_stat"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test for two independent
+    samples — the nonparametric two-sample location test, the k=2
+    companion of :func:`kruskal_wallis`. 1-row output
+    ``n_a, n_b, u_stat, z_score`` (tie-corrected normal
+    approximation; z is NULL when either sample is empty or every
+    value ties).
+
+    Scale shape: identical to kruskal_wallis — NO global window.
+    Rows collapse to the (value, group) contingency table, the
+    distinct-value table gets its inclusive running count from the
+    range-partitioned two-pass cumsum (operators/ids.running_totals),
+    and doubled ranks r2(v) = 2·cum − t + 1 are pure arithmetic.
+    Everything through ΣR2 and the tie table is exact integer;
+    U = (ΣR2_a − n_a(n_a+1))/2 is exact (integer halved), and z is
+    one fixed IEEE expression both engines replay:
+
+        z = (U − n_a·n_b/2)
+            / sqrt( n_a·n_b/12 · (N+1 − Σ(t³−t)/(N(N−1))) )
+    """
+    from .ids import running_totals
+
+    base = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    )
+    vg = base.groupBy(
+        F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    vt = vg.groupBy("_v").agg(F.sum("_c").cast("bigint").alias("_t"))
+    vt_cum = running_totals(vt, ["_v"], "_t", cum_col="_cum")
+    r2tbl = vt_cum.select(
+        "_v",
+        (2 * F.col("_cum") - F.col("_t") + 1).cast("bigint").alias("_r2"),
+    )
+    per_g = (
+        vg.join(r2tbl, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").cast("bigint").alias("_n"),
+            F.sum(F.col("_c") * F.col("_r2")).cast("bigint").alias("_sr2"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+        .cast("bigint")
+        .alias("_tie")
+    )
+    a = per_g.filter(F.col("_g") == group_a).select(
+        F.col("_n").alias("n_a"), F.col("_sr2").alias("_sr2a")
+    )
+    b = per_g.filter(F.col("_g") == group_b).select(
+        F.col("_n").alias("n_b")
+    )
+    j = (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(ties))
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # ΣR_a = _sr2a/2 (exact: _sr2a has the parity of n_a(n_a+1));
+    # U = ΣR_a − n_a(n_a+1)/2 → compute doubled-integer then halve
+    u2 = (
+        F.col("_sr2a")
+        - (F.col("n_a") * (F.col("n_a") + 1)).cast("bigint")
+    )
+    u = u2.cast("double") / 2.0
+    tie_term = F.col("_tie").cast("double") / (n * (n - 1.0))
+    var_u = na * nb / 12.0 * (n + 1.0 - tie_term)
+    z = F.when(var_u > 0, (u - na * nb / 2.0) / F.sqrt(var_u))
+    return j.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        F.round(z, ndigits).cast("double").alias("z_score"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over a table of
+    (test, p-value) rows — the multiple-testing gate every metric
+    sweep needs before acting on "significant" segments. Appends
+    ``rank`` (1-based, ascending p, key tie-break), ``threshold`` =
+    rank·α/m, and ``rejected`` (true for every test with rank ≤ k,
+    k = the largest rank whose p ≤ threshold — the step-up rule,
+    which rejects SOME tests with p above their own threshold).
+
+    Scale shape: the global p-value rank comes from the
+    range-partitioned two-pass numbering (operators/ids.dense_ids) —
+    no single-task window; k is a 1-row aggregate broadcast back.
+    NULL p-values are excluded (anova_f convention). Determinism:
+    rank is integer, the threshold comparison is one IEEE expression
+    (rank·α/m) both engines evaluate identically.
+    """
+    a = float(alpha)
+    if not 0.0 < a < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    from .ids import dense_ids
+
+    base = df.filter(F.col(p_col).isNotNull()).select(
+        F.col(key_col).alias("test_id"), F.col(p_col).alias("p_value")
+    )
+    ranked = dense_ids(base, ["p_value", "test_id"], id_col="rank")
+    m = base.agg(F.count(F.lit(1)).cast("bigint").alias("_m"))
+    t = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "threshold",
+        F.col("rank").cast("double") * F.lit(a) / F.col("_m").cast("double"),
+    )
+    k = t.filter(F.col("p_value") <= F.col("threshold")).agg(
+        F.coalesce(F.max("rank"), F.lit(0)).cast("bigint").alias("_k")
+    )
+    return (
+        t.crossJoin(F.broadcast(k))
+        .select(
+            "test_id",
+            "p_value",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round(F.col("threshold"), 9).cast("double").alias("threshold"),
+            (F.col("rank") <= F.col("_k")).alias("rejected"),
+        )
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Standardized effect sizes for every ordered pair of groups:
+    ``group_a, group_b, n_a, n_b, d, g`` where d is Cohen's d on the
+    pooled sd and g is Hedges' small-sample-corrected g =
+    d·(1 − 3/(4(n_a+n_b) − 9)). The companion to the suite's t/U
+    tests: significance says "real", effect size says "how big".
+
+    One exact-decimal suffstats aggregate per group (sums and squared
+    sums in DECIMAL — engine-exact at any partitioning), then a
+    broadcast self-join of the groups×groups bounded table; every
+    downstream number is one fixed IEEE expression. Groups with < 2
+    rows produce NULL d (pooled variance undefined). NULL values are
+    excluded up front.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    p = f"decimal(38,{2 * scale})"
+    g = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(v).cast("decimal(38,6)").alias("_s"),
+        F.sum((v * v).cast(p)).cast("decimal(38,6)").alias("_ss"),
+    )
+    ga = g.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_ss").alias("_ssa"),
+    )
+    gb = g.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_ss").alias("_ssb"),
+    )
+    j = ga.join(F.broadcast(gb), F.col("group_a") < F.col("group_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    ssa, ssb = F.col("_ssa").cast("double"), F.col("_ssb").cast("double")
+    var_a = (ssa - sa * sa / na) / (na - 1.0)
+    var_b = (ssb - sb * sb / nb) / (nb - 1.0)
+    sp2 = ((na - 1.0) * var_a + (nb - 1.0) * var_b) / (na + nb - 2.0)
+    d = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (sp2 > 0),
+        (sa / na - sb / nb) / F.sqrt(sp2),
+    )
+    corr = 1.0 - 3.0 / (4.0 * (na + nb) - 9.0)
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(d, ndigits).cast("double").alias("d"),
+        F.round(d * corr, ndigits).cast("double").alias("g"),
+    )

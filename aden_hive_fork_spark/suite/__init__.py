@@ -47,6 +47,7 @@ def load_all() -> None:
         analytics,
         analytics2,
         analytics3,
+        analytics4,
         chunking_suite,
         connectors,
         connectors2,
