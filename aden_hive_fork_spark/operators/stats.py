@@ -1201,3 +1201,113 @@ def cohens_d(
         F.round(d, ndigits).cast("double").alias("d"),
         F.round(d * corr, ndigits).cast("double").alias("g"),
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity (the robust Levene
+    variant): one-way ANOVA on the absolute deviations from the GROUP
+    MEDIAN, z_ig = |x_ig − med_g| — the standard pre-check before
+    trusting pooled-variance tests (q243/q293). Output = anova_f's
+    1-row shape over z.
+
+    Scale/exactness: group medians are one exact type-7 percentile
+    aggregate (hash-matchable: Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the q102 contract) broadcast back onto the
+    rows; deviations quantize to DECIMAL(18,3) inside anova_f —
+    3 decimals is exact for 2-decimal inputs (an even-n median is a
+    midpoint, a multiple of 0.005), and the squared-sum precision
+    (38,6) then fits the DECIMAL(38,6) suffstat cast WITHOUT a lossy
+    scale-down whose rounding mode differs across engines. Two
+    corpus passes (median, suffstats) — both single keyed aggregates.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    med = base.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    z = base.join(F.broadcast(med), group_col).select(
+        group_col,
+        F.abs(
+            F.col(value_col).cast("double") - F.col("_med")
+        ).alias("_z"),
+    )
+    return anova_f(z, "_z", group_col, scale=3, ndigits=ndigits)
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    success_col: str,
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    z_crit: float = 1.959964,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test with per-arm Wilson score intervals —
+    the conversion-rate A/B readout. ``success_col`` is boolean (or
+    0/1). 1-row output: ``n_a, x_a, n_b, x_b, p_a, p_b, z_score,
+    wilson_lo_a, wilson_hi_a, wilson_lo_b, wilson_hi_b``.
+
+    One conditional exact-count aggregate (the welch_ttest shape);
+    everything downstream is a fixed IEEE expression over four
+    integers, so both engines agree bit for bit:
+
+        z  = (p̂_a − p̂_b) / sqrt( p̂(1−p̂)(1/n_a + 1/n_b) ),  p̂ pooled
+        Wilson: (p̂ + c²/2n ± c·sqrt(p̂(1−p̂)/n + c²/4n²)) / (1 + c²/n)
+
+    NULL z when either arm is empty or the pooled variance is 0.
+    NULL-flag rows are excluded (anova_f convention).
+    """
+    base = df.filter(
+        F.col(arm_col).isin([arm_a, arm_b])
+        & F.col(success_col).isNotNull()
+    )
+    s = F.col(success_col).cast("boolean")
+    side = lambda arm, tag: [  # noqa: E731
+        F.count(F.when(F.col(arm_col) == arm, F.lit(1)))
+        .cast("bigint")
+        .alias(f"n_{tag}"),
+        F.sum(F.when((F.col(arm_col) == arm) & s, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"x_{tag}"),
+    ]
+    agg = base.agg(*side(arm_a, "a"), *side(arm_b, "b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    var = pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+               (pa - pb) / F.sqrt(var))
+    c = F.lit(float(z_crit))
+
+    def wilson(p, n):
+        centre = p + c * c / (2.0 * n)
+        half = c * F.sqrt(p * (1.0 - p) / n + c * c / (4.0 * n * n))
+        denom = 1.0 + c * c / n
+        return (
+            F.round((centre - half) / denom, ndigits).cast("double"),
+            F.round((centre + half) / denom, ndigits).cast("double"),
+        )
+
+    lo_a, hi_a = wilson(pa, na)
+    lo_b, hi_b = wilson(pb, nb)
+    return agg.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa, ndigits).cast("double").alias("p_a"),
+        F.round(pb, ndigits).cast("double").alias("p_b"),
+        F.round(z, ndigits).cast("double").alias("z_score"),
+        lo_a.alias("wilson_lo_a"),
+        hi_a.alias("wilson_hi_a"),
+        lo_b.alias("wilson_lo_b"),
+        hi_b.alias("wilson_hi_b"),
+    )

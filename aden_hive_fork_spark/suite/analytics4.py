@@ -1,7 +1,9 @@
-"""Round-7 statistics wave (q291-q294): the rank/multiple-testing/
-effect-size/change-point completions of the experimentation tier —
-all on the range-partitioned machinery (running_totals/dense_ids),
-zero un-partitioned windows, all inside the value-hash gate.
+"""Round-7 statistics wave (q291-q297): rank tests, multiple-testing
+control, effect sizes, change-point detection, variance homogeneity,
+autocorrelation, and proportion A/B — the completions of the
+experimentation tier, all on the range-partitioned machinery
+(running_totals/dense_ids) or pure keyed aggregates, zero
+un-partitioned windows, all inside the value-hash gate.
 """
 
 from __future__ import annotations
@@ -250,3 +252,221 @@ def q294_cusum_changepoint(spark, sf_dir):
         "n", "cp_rank", F.col("cp_day").cast("date").alias("cp_day"),
         "s_max", "mean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q295 — Brown-Forsythe variance homogeneity across order statuses:
+# ANOVA F on |x − group median| (exact type-7 medians, q102
+# contract), the robustness pre-check for q243/q293's pooled-
+# variance assumptions.
+# ---------------------------------------------------------------------------
+@query(
+    "q295_brown_forsythe",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus AS g, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+      SELECT o.o_orderstatus AS g,
+        CAST(ABS(CAST(o.o_totalprice AS DOUBLE) - med.m)
+             AS DECIMAL(18,3)) AS v
+      FROM orders o JOIN med ON med.g = o.o_orderstatus
+      WHERE o.o_totalprice IS NOT NULL
+    ),
+    lvl AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(v) AS DECIMAL(38,6)) AS s,
+        CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS ss
+      FROM z GROUP BY g
+    ),
+    top AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+        CAST(SUM(n) AS BIGINT) AS n_rows,
+        CAST(SUM(s) AS DECIMAL(38,6)) AS sg,
+        CAST(SUM(ss) AS DECIMAL(38,6)) AS ssg,
+        CAST(list_sum(list_sort(list(
+          CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        ))) AS DOUBLE) AS t1
+      FROM lvl
+    ),
+    d AS (
+      SELECT k_groups, n_rows, t1,
+        CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+          / CAST(n_rows AS DOUBLE) AS cf,
+        CAST(ssg AS DOUBLE) AS ss_tot
+      FROM top
+    ),
+    m AS (
+      SELECT k_groups, n_rows,
+        t1 - cf AS ssb, ss_tot - t1 AS ssw, ss_tot - cf AS sst,
+        (k_groups >= 2 AND n_rows > k_groups AND ss_tot - t1 > 0) AS ok
+      FROM d
+    )
+    SELECT k_groups, n_rows,
+      CAST(ROUND(ssb / 1.0e9, 3) AS DOUBLE) AS ss_between_bn,
+      CAST(ROUND(ssw / 1.0e9, 3) AS DOUBLE) AS ss_within_bn,
+      CAST(ROUND(CASE WHEN ok THEN
+        (ssb / (CAST(k_groups AS DOUBLE) - 1.0))
+        / (ssw / (CAST(n_rows AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+      END, 6) AS DOUBLE) AS f_stat,
+      CAST(ROUND(CASE WHEN ok AND sst > 0 THEN ssb / sst END, 6)
+        AS DOUBLE) AS eta_sq
+    FROM m
+    """,
+)
+def q295_brown_forsythe(spark, sf_dir):
+    """operators/stats.brown_forsythe over order value by status —
+    group medians broadcast, deviations quantized at 1e-3 (exact for
+    2-decimal inputs), then the anova_f machinery unchanged."""
+    from ..operators.stats import brown_forsythe
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return brown_forsythe(o, "price", "status")
+
+
+# ---------------------------------------------------------------------------
+# q296 — exact autocorrelation of daily revenue at lags 1..7: the
+# weekly-seasonality probe. Integer sums (scaled 1e2), the mean
+# cleared in ONE fixed IEEE expression, no windows (lagged pairs via
+# a date+k equi-join).
+# ---------------------------------------------------------------------------
+@query(
+    "q296_revenue_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS DECIMAL(38,0)) AS t,
+        CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+          AS DECIMAL(38,0)) AS sxx
+      FROM daily
+    ),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+    per_lag AS (
+      SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CAST(a.x AS DECIMAL(19,0)) * CAST(b.x AS DECIMAL(19,0)))
+          AS DECIMAL(38,0)) AS sxy,
+        CAST(SUM(a.x) AS DECIMAL(38,0)) AS h,
+        CAST(SUM(b.x) AS DECIMAL(38,0)) AS lo
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d + l.lag
+      GROUP BY l.lag
+    )
+    SELECT lag, n_pairs,
+      CAST(CASE WHEN CAST(sxx AS DOUBLE)
+            - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        THEN FLOOR((
+          CAST(sxy AS DOUBLE)
+          - CAST(t AS DOUBLE) * (CAST(h AS DOUBLE) + CAST(lo AS DOUBLE))
+            / CAST(n AS DOUBLE)
+          + (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) * CAST(t AS DOUBLE)
+            * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        ) / (
+          CAST(sxx AS DOUBLE)
+          - CAST(t AS DOUBLE) * CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+        ) * 1000000 + 0.5) / 1000000 END AS DOUBLE) AS r
+    FROM per_lag CROSS JOIN tot
+    ORDER BY lag ASC
+    """,
+)
+def q296_revenue_acf(spark, sf_dir):
+    """operators/timeseries.acf_exact over the daily-revenue series —
+    exact integer sums, mean cleared in one IEEE expression, lagged
+    pairs from a date+k equi-join."""
+    from ..operators.timeseries import acf_exact
+    from ._helpers import dec
+
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+    )
+    return acf_exact(daily, "day", "rev", max_lag=7, scale=2)
+
+
+# ---------------------------------------------------------------------------
+# q297 — two-proportion z-test + Wilson CIs: conversion-rate A/B over
+# md5-assigned arms (success = positive account balance), the
+# categorical companion of q251's bootstrap uplift.
+# ---------------------------------------------------------------------------
+@query(
+    "q297_two_proportion_ab",
+    oracle="""
+    WITH u AS (
+      SELECT
+        CASE WHEN CAST(('0x' || substr(md5('ab297'
+            || CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 2 = 0
+          THEN 'control' ELSE 'treatment' END AS arm,
+        CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS conv
+      FROM customer
+    ),
+    agg AS (
+      SELECT
+        CAST(COUNT(CASE WHEN arm = 'control' THEN 1 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN arm = 'control' THEN conv ELSE 0 END)
+          AS BIGINT) AS x_a,
+        CAST(COUNT(CASE WHEN arm = 'treatment' THEN 1 END) AS BIGINT)
+          AS n_b,
+        CAST(SUM(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END)
+          AS BIGINT) AS x_b
+      FROM u
+    ),
+    d AS (
+      SELECT n_a, x_a, n_b, x_b,
+        CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp,
+        CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        1.959964 AS c
+      FROM agg
+    )
+    SELECT n_a, x_a, n_b, x_b,
+      CAST(ROUND(pa, 6) AS DOUBLE) AS p_a,
+      CAST(ROUND(pb, 6) AS DOUBLE) AS p_b,
+      CAST(ROUND(CASE WHEN n_a > 0 AND n_b > 0
+          AND pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) > 0
+        THEN (pa - pb)
+          / sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)) END, 6)
+        AS DOUBLE) AS z_score,
+      CAST(ROUND((pa + c * c / (2.0 * na)
+        - c * sqrt(pa * (1.0 - pa) / na + c * c / (4.0 * na * na)))
+        / (1.0 + c * c / na), 6) AS DOUBLE) AS wilson_lo_a,
+      CAST(ROUND((pa + c * c / (2.0 * na)
+        + c * sqrt(pa * (1.0 - pa) / na + c * c / (4.0 * na * na)))
+        / (1.0 + c * c / na), 6) AS DOUBLE) AS wilson_hi_a,
+      CAST(ROUND((pb + c * c / (2.0 * nb)
+        - c * sqrt(pb * (1.0 - pb) / nb + c * c / (4.0 * nb * nb)))
+        / (1.0 + c * c / nb), 6) AS DOUBLE) AS wilson_lo_b,
+      CAST(ROUND((pb + c * c / (2.0 * nb)
+        + c * sqrt(pb * (1.0 - pb) / nb + c * c / (4.0 * nb * nb)))
+        / (1.0 + c * c / nb), 6) AS DOUBLE) AS wilson_hi_b
+    FROM d
+    """,
+)
+def q297_two_proportion_ab(spark, sf_dir):
+    """operators/stats.two_proportion_ztest over md5-assigned arms on
+    customer conversion (positive balance) — one conditional exact-
+    count aggregate, Wilson intervals per arm."""
+    from ..operators.sampling import hash_bucket
+    from ..operators.stats import two_proportion_ztest
+
+    c = T(spark, sf_dir, "customer").select(
+        (F.col("c_acctbal") > 0).alias("converted"),
+        F.when(
+            hash_bucket("c_custkey", 2, salt="ab297") == 0, "control"
+        )
+        .otherwise("treatment")
+        .alias("arm"),
+    )
+    return two_proportion_ztest(c, "converted", "arm", "control", "treatment")

@@ -184,3 +184,119 @@ def test_cusum_plan_has_no_window(spark):
         [(i, float(i % 13)) for i in range(100)], "t bigint, v double"
     )
     assert "window" not in _plan(cusum_changepoint(df, "t", "v"))
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_equal_spread_zero_f(spark):
+    from aden_hive_fork_spark.operators.stats import brown_forsythe
+
+    rows = [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+            (4.0, "b"), (5.0, "b"), (6.0, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    # identical deviation patterns [1,0,1] per group → SSB = 0
+    assert r["k_groups"] == 2 and r["n_rows"] == 6
+    assert r["f_stat"] == 0.0
+
+
+def test_brown_forsythe_detects_spread_difference(spark):
+    from aden_hive_fork_spark.operators.stats import brown_forsythe
+
+    rows = [(0.0, "a"), (10.0, "a"), (1.0, "a"),
+            (5.0, "b"), (5.0, "b"), (6.0, "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    # z_a = |x−1| = [1,9,0], z_b = |x−5| = [0,0,1]
+    za, zb = [1.0, 9.0, 0.0], [0.0, 0.0, 1.0]
+    t1 = sum(za) ** 2 / 3 + sum(zb) ** 2 / 3
+    ss = sum(x * x for x in za + zb)
+    cf = sum(za + zb) ** 2 / 6
+    ssb, ssw = t1 - cf, ss - t1
+    f = (ssb / 1.0) / (ssw / 4.0)
+    assert abs(r["f_stat"] - round(f, 6)) < 1e-6
+    assert r["f_stat"] > 0
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z / Wilson
+# ---------------------------------------------------------------------------
+
+
+def test_two_proportion_hand_values(spark):
+    from aden_hive_fork_spark.operators.stats import two_proportion_ztest
+
+    rows = [(True, "a")] * 3 + [(False, "a")] + [(True, "b")] + [
+        (False, "b")
+    ] * 3 + [(None, "a")]
+    df = spark.createDataFrame(rows, "c boolean, arm string")
+    r = two_proportion_ztest(df, "c", "arm", "a", "b").collect()[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (4, 3, 4, 1)
+    assert r["p_a"] == 0.75 and r["p_b"] == 0.25
+    z = 0.5 / math.sqrt(0.25 * (0.25 + 0.25))
+    assert math.isclose(r["z_score"], round(z, 6), abs_tol=1e-9)
+    # Wilson bounds bracket the point estimates and stay in [0,1]
+    assert 0.0 <= r["wilson_lo_a"] < 0.75 < r["wilson_hi_a"] <= 1.0
+    assert 0.0 <= r["wilson_lo_b"] < 0.25 < r["wilson_hi_b"] <= 1.0
+    c = 1.959964
+    lo = (0.75 + c * c / 8 - c * math.sqrt(0.75 * 0.25 / 4 + c * c / 64)) / (
+        1 + c * c / 4
+    )
+    assert math.isclose(r["wilson_lo_a"], round(lo, 6), abs_tol=1e-9)
+
+
+def test_two_proportion_degenerate_null_z(spark):
+    from aden_hive_fork_spark.operators.stats import two_proportion_ztest
+
+    df = spark.createDataFrame(
+        [(True, "a"), (True, "b")], "c boolean, arm string"
+    )
+    r = two_proportion_ztest(df, "c", "arm", "a", "b").collect()[0]
+    assert r["z_score"] is None  # pooled p = 1 → zero variance
+
+
+# ---------------------------------------------------------------------------
+# exact ACF
+# ---------------------------------------------------------------------------
+
+
+def test_acf_alternating_series(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.timeseries import acf_exact
+
+    base = dt.date(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), 1.0 if i % 2 == 0 else 2.0)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = {r["lag"]: r for r in acf_exact(df, "day", "v", max_lag=2).collect()}
+    # deviations alternate ±0.5: lag-1 products −0.25×7, lag-2 +0.25×6
+    assert got[1]["n_pairs"] == 7 and got[2]["n_pairs"] == 6
+    assert got[1]["r"] == -0.875
+    assert got[2]["r"] == 0.75
+
+
+def test_acf_constant_series_null(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.timeseries import acf_exact
+
+    base = dt.date(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), 3.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    for r in acf_exact(df, "day", "v", max_lag=2).collect():
+        assert r["r"] is None  # zero variance → undefined, not NaN
+
+
+def test_acf_plan_has_no_window(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.timeseries import acf_exact
+
+    base = dt.date(2024, 1, 1)
+    rows = [(base + dt.timedelta(days=i), float(i % 5)) for i in range(60)]
+    df = spark.createDataFrame(rows, "day date, v double")
+    assert "window" not in _plan(acf_exact(df, "day", "v", max_lag=3))
