@@ -748,3 +748,99 @@ def psi_drift(
         .alias("psi")
     )
     return detail.crossJoin(F.broadcast(total))
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al.
+    2021, MassiveText quality filters §A1.1): per document,
+
+    - ``top_frac`` — fraction of characters covered by the single
+      most frequent word ``top_n``-gram (count × gram length /
+      text length); ties on count break to the lexicographically
+      smallest gram, so the output is a pure function of the text;
+    - ``dup_frac`` — fraction of characters in duplicated
+      ``dup_n``-grams (Σ count × gram length over grams occurring
+      more than once / text length).
+
+    Docs with fewer than ``dup_n`` words are dropped (no n-gram
+    exists; a NULL metric would poison downstream threshold filters).
+
+    Shape: n-grams are generated MAP-SIDE from the word array
+    (``transform(sequence(...))`` — pure JVM, no Python, no
+    self-join); each signal is two keyed aggregates on (doc, gram)
+    then (doc); the argmax gram avoids a window via the max-count
+    join-back. Word split is the Java∩RE2 class ``[^a-z0-9]+`` on
+    the lowercased text so DuckDB replays it byte-for-byte.
+    """
+    if top_n < 1 or dup_n < 1:
+        raise ValueError("n-gram sizes must be >= 1")
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.length(text_col).cast("bigint").alias("_len"),
+        F.expr(
+            f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+        ).alias("_w"),
+    ).filter(F.size("_w") >= dup_n)
+
+    def grams(n: int):
+        return F.expr(
+            f"transform(sequence(0, size(_w) - {n}), "
+            f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+        )
+
+    top_counts = (
+        base.select("_id", F.explode(grams(top_n)).alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    mx = top_counts.groupBy("_id").agg(F.max("_c").alias("_mc"))
+    top = (
+        top_counts.join(mx, "_id")
+        .filter(F.col("_c") == F.col("_mc"))
+        .groupBy("_id")
+        .agg(
+            F.min("_g").alias("top_gram"),
+            F.max("_mc").cast("bigint").alias("_tc"),
+        )
+    )
+    dup = (
+        base.select("_id", F.explode(grams(dup_n)).alias("_g"))
+        .groupBy("_id", "_g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .groupBy("_id")
+        .agg(
+            F.sum(F.col("_c") * F.length("_g")).cast("bigint").alias("_dc")
+        )
+    )
+    p6 = F.lit(float(10 ** ndigits))
+    q6 = lambda c: (F.floor(c * p6 + F.lit(0.5)) / p6).cast("double")  # noqa: E731
+    out = (
+        base.select("_id", "_len", F.size("_w").cast("bigint").alias("n_words"))
+        .join(top, "_id")
+        .join(dup, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "top_gram",
+            q6(
+                F.col("_tc").cast("double")
+                * F.length("top_gram").cast("double")
+                / F.col("_len").cast("double")
+            ).alias("top_frac"),
+            q6(
+                F.coalesce(F.col("_dc"), F.lit(0)).cast("double")
+                / F.col("_len").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+    return out

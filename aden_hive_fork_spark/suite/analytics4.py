@@ -470,3 +470,85 @@ def q297_two_proportion_ab(spark, sf_dir):
         .alias("arm"),
     )
     return two_proportion_ztest(c, "converted", "arm", "control", "treatment")
+
+
+# ---------------------------------------------------------------------------
+# q298 — Gopher repetition filters over the document corpus: the
+# top-2-gram and duplicated-5-gram character fractions (Rae et al.
+# 2021 quality signals), worst 15 documents.
+# ---------------------------------------------------------------------------
+@query(
+    "q298_gopher_repetition",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, length(text) AS L,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS ws
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    w AS (SELECT * FROM docs WHERE len(ws) >= 5),
+    g2 AS (
+      SELECT doc_id,
+        unnest([array_to_string(ws[i:i+1], ' ')
+                for i in range(1, len(ws))]) AS gram
+      FROM w
+    ),
+    c2 AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g2 GROUP BY 1, 2
+    ),
+    m2 AS (SELECT doc_id, MAX(c) AS mc FROM c2 GROUP BY 1),
+    t2 AS (
+      SELECT c2.doc_id, MIN(c2.gram) AS top_gram, MAX(m2.mc) AS tc
+      FROM c2 JOIN m2 ON m2.doc_id = c2.doc_id AND c2.c = m2.mc
+      GROUP BY 1
+    ),
+    g5 AS (
+      SELECT doc_id,
+        unnest([array_to_string(ws[i:i+4], ' ')
+                for i in range(1, len(ws) - 3)]) AS gram
+      FROM w
+    ),
+    c5 AS (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g5 GROUP BY 1, 2
+    ),
+    d5 AS (
+      SELECT doc_id, CAST(SUM(c * length(gram)) AS BIGINT) AS dc
+      FROM c5 WHERE c > 1 GROUP BY 1
+    ),
+    scored AS (
+      SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+        t2.top_gram,
+        FLOOR(CAST(t2.tc AS DOUBLE) * CAST(length(t2.top_gram) AS DOUBLE)
+              / CAST(w.L AS DOUBLE) * 1000000 + 0.5) / 1000000 AS top_frac,
+        FLOOR(CAST(COALESCE(d5.dc, 0) AS DOUBLE)
+              / CAST(w.L AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_frac
+      FROM w
+      JOIN t2 ON t2.doc_id = w.doc_id
+      LEFT JOIN d5 ON d5.doc_id = w.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, top_gram,
+      CAST(top_frac AS DOUBLE) AS top_frac,
+      CAST(dup_frac AS DOUBLE) AS dup_frac
+    FROM scored
+    ORDER BY dup_frac DESC, top_frac DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def q298_gopher_repetition(spark, sf_dir):
+    """operators/quality.ngram_repetition — the MassiveText/Gopher
+    intra-document repetition filters (top-2-gram and duplicated-
+    5-gram character fractions), worst 15 documents by duplication.
+    Map-side n-gram generation, two keyed aggregates per signal, the
+    argmax gram via max-count join-back (no window)."""
+    from ..operators.quality import ngram_repetition
+
+    d = T(spark, sf_dir, "documents")
+    return (
+        ngram_repetition(d, "doc_id", "text", top_n=2, dup_n=5)
+        .orderBy(
+            F.desc("dup_frac"), F.desc("top_frac"), F.asc("doc_id")
+        )
+        .limit(15)
+    )

@@ -103,6 +103,11 @@ HEADLINE = [
     "q253_classifier_eval",       # rank-statistic AUC + quantized log loss
     "q250_sssp_weighted",         # Bellman-Ford min-plus rounds
     "q262_bm25_ndcg",             # ranking eval: NDCG@10 over BM25
+    # round-7 headliners
+    "q282_discord_messages_join", # connector tier → region rollup (r7 wave)
+    "q291_mann_whitney",          # window-free rank test (running_totals)
+    "q294_cusum_changepoint",     # exact integer cumsum change-point
+    "q296_revenue_acf",           # lag-join autocorrelation, IEEE-exact
 ]
 
 

@@ -300,3 +300,55 @@ def test_acf_plan_has_no_window(spark):
     rows = [(base + dt.timedelta(days=i), float(i % 5)) for i in range(60)]
     df = spark.createDataFrame(rows, "day date, v double")
     assert "window" not in _plan(acf_exact(df, "day", "v", max_lag=3))
+
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition filters
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_repetition_hand_values(spark):
+    from aden_hive_fork_spark.operators.quality import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),          # top 2-gram 'a b' x3, no dup 5-grams
+         (2, "x y x y x y x y"),      # every 5-gram duplicated
+         (3, "a b c")],               # < 5 words → dropped
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           ngram_repetition(docs, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1["n_words"] == 6 and r1["top_gram"] == "a b"
+    # 3 occurrences x 3 chars / 11 chars, floor-quantized at 1e-6
+    import math
+    assert math.isclose(r1["top_frac"], 0.818182, abs_tol=1e-9)
+    assert r1["dup_frac"] == 0.0
+    r2 = got[2]
+    # 5-grams: two distinct patterns x2 each → 4 x 9 chars... the two
+    # patterns each occur twice: sum c*len = 2*9 + 2*9 = 36; L = 15
+    assert r2["dup_frac"] == 2.4  # overlapping n-grams can exceed 1
+
+
+def test_ngram_repetition_tie_breaks_to_smallest_gram(spark):
+    from aden_hive_fork_spark.operators.quality import ngram_repetition
+
+    # 'b c' and 'a b' both appear once... use a text where two grams
+    # tie at the max count: "z w z w q a q a" → 'z w' x2 and 'q a' x2
+    docs = spark.createDataFrame(
+        [(1, "z w z w q a q a")], "doc_id bigint, text string"
+    )
+    r = ngram_repetition(docs, "doc_id", "text").collect()[0]
+    assert r["top_gram"] == "q a"  # lexicographic min among tied max
+
+
+def test_ngram_repetition_case_and_separators(spark):
+    from aden_hive_fork_spark.operators.quality import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "Foo,bar! foo BAR foo bar")], "doc_id bigint, text string"
+    )
+    r = ngram_repetition(docs, "doc_id", "text").collect()[0]
+    # lowercased + non-alnum splits → words all 'foo'/'bar'
+    assert r["n_words"] == 6 and r["top_gram"] == "foo bar"
