@@ -844,3 +844,86 @@ def ngram_repetition(
         )
     )
     return out
+
+
+def exact_quantiles_scalable(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    ndigits: int = 6,
+) -> DataFrame:
+    """CORPUS-SCALE exact type-7 quantiles — one output row per
+    probability: ``(p, quantile)``.
+
+    Why this exists next to ``percentile()`` (q102): Spark's exact
+    percentile aggregate BUFFERS THE WHOLE GROUP in executor memory —
+    right for bounded report groups, fatal for a corpus-wide quantile
+    at 100 TB. This operator never buffers: rows collapse to the
+    DISTINCT-VALUE frequency table (one hash shuffle), the inclusive
+    running count comes from the range-partitioned two-pass cumsum
+    (``operators/ids.running_totals``), and each requested quantile
+    is located by a containment predicate against the broadcast
+    probability table — the k-th and (k+1)-th order statistics are
+    exact lookups, interpolated with the same type-7 arithmetic
+    ``percentile``/``quantile_cont`` use:
+
+        h = (n−1)·p + 1 (1-based);  result = v_lo + (h−⌊h⌋)(v_hi−v_lo)
+
+    Determinism: counts are integers; h and the interpolation are one
+    fixed IEEE expression over them — DuckDB replays it verbatim.
+    NULL values are excluded.
+    """
+    for p in probs:
+        if not 0.0 <= float(p) <= 1.0:
+            raise ValueError(f"prob {p} outside [0, 1]")
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    from .ids import running_totals
+
+    vt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+    )
+    cum = running_totals(vt, ["_v"], "_t", cum_col="_cum")
+    n = vt.agg(F.sum("_t").cast("bigint").alias("_n"))
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(float(p),) for p in sorted(set(float(p) for p in probs))],
+        "p double",
+    )
+    pos = pdf.crossJoin(F.broadcast(n)).select(
+        "p",
+        "_n",
+        ((F.col("_n") - 1).cast("double") * F.col("p") + 1.0).alias("_h"),
+    ).select(
+        "p",
+        "_n",
+        "_h",
+        F.floor("_h").cast("bigint").alias("_lo"),
+        F.ceil("_h").cast("bigint").alias("_hi"),
+    )
+    j = cum.crossJoin(F.broadcast(pos))
+    contains = lambda k: (k >= F.col("_cum") - F.col("_t") + 1) & (  # noqa: E731
+        k <= F.col("_cum")
+    )
+    picked = j.groupBy("p", "_h").agg(
+        F.max(
+            F.when(contains(F.col("_lo")), F.col("_v").cast("double"))
+        ).alias("_vlo"),
+        F.max(
+            F.when(contains(F.col("_hi")), F.col("_v").cast("double"))
+        ).alias("_vhi"),
+    )
+    p6 = F.lit(float(10 ** ndigits))
+    q = (
+        F.col("_vlo")
+        + (F.col("_h") - F.floor("_h"))
+        * (F.col("_vhi") - F.col("_vlo"))
+    )
+    return picked.select(
+        "p",
+        (F.floor(q * p6 + F.lit(0.5)) / p6)
+        .cast("double")
+        .alias("quantile"),
+    ).orderBy("p")

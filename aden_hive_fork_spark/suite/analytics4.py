@@ -552,3 +552,61 @@ def q298_gopher_repetition(spark, sf_dir):
         )
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — corpus-scale exact quantiles WITHOUT group buffering: the
+# distinct-value cumsum path (running_totals) locating exact order
+# statistics + type-7 interpolation. The 100 TB twin of q102's
+# percentile() (which buffers its group in executor memory).
+# ---------------------------------------------------------------------------
+@query(
+    "q299_scalable_quantiles",
+    oracle="""
+    WITH vt AS (
+      SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS t
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, t,
+        SUM(t) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS c
+      FROM vt
+    ),
+    nn AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM vt),
+    probs AS (
+      SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p
+    ),
+    pos AS (
+      SELECT p,
+        CAST(n - 1 AS DOUBLE) * p + 1.0 AS h,
+        CAST(FLOOR(CAST(n - 1 AS DOUBLE) * p + 1.0) AS BIGINT) AS lo,
+        CAST(CEIL(CAST(n - 1 AS DOUBLE) * p + 1.0) AS BIGINT) AS hi
+      FROM probs CROSS JOIN nn
+    ),
+    picked AS (
+      SELECT pos.p, pos.h,
+        MAX(CASE WHEN pos.lo >= c - t + 1 AND pos.lo <= c
+            THEN CAST(v AS DOUBLE) END) AS vlo,
+        MAX(CASE WHEN pos.hi >= c - t + 1 AND pos.hi <= c
+            THEN CAST(v AS DOUBLE) END) AS vhi
+      FROM cum CROSS JOIN pos
+      GROUP BY pos.p, pos.h
+    )
+    SELECT p,
+      CAST(FLOOR((vlo + (h - FLOOR(h)) * (vhi - vlo)) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS quantile
+    FROM picked
+    ORDER BY p ASC
+    """,
+)
+def q299_scalable_quantiles(spark, sf_dir):
+    """operators/quality.exact_quantiles_scalable over lineitem
+    extended price — six corpus-wide quantiles from the distinct-
+    value running-count table; no executor ever buffers the corpus
+    (contrast q102's percentile(), the bounded-group tool)."""
+    from ..operators.quality import exact_quantiles_scalable
+
+    li = T(spark, sf_dir, "lineitem")
+    return exact_quantiles_scalable(
+        li, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )

@@ -352,3 +352,45 @@ def test_ngram_repetition_case_and_separators(spark):
     r = ngram_repetition(docs, "doc_id", "text").collect()[0]
     # lowercased + non-alnum splits → words all 'foo'/'bar'
     assert r["n_words"] == 6 and r["top_gram"] == "foo bar"
+
+
+# ---------------------------------------------------------------------------
+# corpus-scale exact quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_scalable_quantiles_match_spark_percentile(spark):
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.quality import (
+        exact_quantiles_scalable,
+    )
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 1.0]
+    got = {r["p"]: r["quantile"]
+           for r in exact_quantiles_scalable(df, "x", probs).collect()}
+    ref = df.agg(
+        F.expr(f"percentile(x, array({', '.join(map(str, probs))}))")
+    ).collect()[0][0]
+    for p, want in zip(probs, ref):
+        assert abs(got[p] - want) < 1e-6, (p, got[p], want)
+
+
+def test_scalable_quantiles_plan_has_no_window_and_validates(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.quality import (
+        exact_quantiles_scalable,
+    )
+
+    df = spark.createDataFrame([(float(i % 37),) for i in range(200)],
+                               "x double")
+    out = exact_quantiles_scalable(df, "x", [0.5])
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "window" not in plan
+    with pytest.raises(ValueError, match="outside"):
+        exact_quantiles_scalable(df, "x", [1.5])
+    with pytest.raises(ValueError, match="non-empty"):
+        exact_quantiles_scalable(df, "x", [])
