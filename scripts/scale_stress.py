@@ -119,7 +119,11 @@ def main() -> int:
                  # round-6 iterative/amplified tier
                  "q250_sssp_weighted", "q265_hits_ranking",
                  "q266_als_rank1", "q241_bootstrap_mean_ci",
-                 "q260_pca_power_projection"):
+                 "q260_pca_power_projection",
+                 # round-7 window-free rank family + quantiles
+                 "q272_revenue_concentration", "q277_kruskal_wallis",
+                 "q291_mann_whitney", "q294_cusum_changepoint",
+                 "q296_revenue_acf", "q299_scalable_quantiles"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
