@@ -1311,3 +1311,159 @@ def two_proportion_ztest(
         lo_b.alias("wilson_lo_b"),
         hi_b.alias("wilson_hi_b"),
     )
+
+
+def moments_normality(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    scale: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Skewness, excess kurtosis, and the Jarque-Bera normality
+    statistic per group (or 1-row global): ``n, skewness, kurtosis_ex,
+    jb_stat`` with JB = n/6·(S² + K²/4).
+
+    One keyed aggregate of exact-decimal raw moments Σx..Σx⁴ (decimal
+    addition is exact at any partitioning; magnitude budget: |x| ≤
+    10^9 keeps Σx⁴ inside DECIMAL(38)'s range for ~10^9 rows), then
+    the central-moment algebra as one fixed IEEE expression —
+
+        m2 = Σx²/n − μ²,  m3 = Σx³/n − 3μΣx²/n + 2μ³,
+        m4 = Σx⁴/n − 4μΣx³/n + 6μ²Σx²/n − 3μ⁴
+        S = m3/m2^1.5,  K = m4/m2² − 3
+
+    — which DuckDB replays verbatim (builtin skewness() uses a
+    different, sample-corrected formula AND float accumulation, so it
+    is deliberately not used on either side). NULL stats when m2
+    quantizes to 0 or n < 2; NULL values excluded.
+    """
+    group = [group_col] if group_col else []
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    p2 = f"decimal(38,{2 * scale})"
+    p3 = f"decimal(38,{min(3 * scale, 12)})"
+    p4 = f"decimal(38,{min(4 * scale, 12)})"
+    agg = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # sums stay at their NATIVE scale (a scale-DOWN recast
+            # would round, and decimal rounding modes differ across
+            # engines); they leave decimal through one double cast
+            F.sum(v).alias("_s1"),
+            F.sum((v * v).cast(p2)).alias("_s2"),
+            F.sum(((v * v).cast(p2) * v).cast(p3)).alias("_s3"),
+            F.sum(((v * v).cast(p2) * (v * v).cast(p2)).cast(p4)).alias(
+                "_s4"
+            ),
+        )
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    s3 = F.col("_s3").cast("double")
+    s4 = F.col("_s4").cast("double")
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / n
+        - 4.0 * mu * (s3 / n)
+        + 6.0 * mu * mu * (s2 / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    skew = F.when(ok, m3 / F.sqrt(m2 * m2 * m2))
+    kurt = F.when(ok, m4 / (m2 * m2) - 3.0)
+    jb = F.when(ok, n / 6.0 * (skew * skew + kurt * kurt / 4.0))
+    return agg.select(
+        *group,
+        "n",
+        F.round(skew, ndigits).cast("double").alias("skewness"),
+        F.round(kurt, ndigits).cast("double").alias("kurtosis_ex"),
+        F.round(jb, ndigits).cast("double").alias("jb_stat"),
+    )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Forecast/regression error metrics per group: ``n, mae, rmse,
+    mape, smape, bias`` — the evaluation table every forecasting
+    pipeline (holt/ewma/seasonal tiers) reports against holdouts.
+
+    Per-row error terms quantize to DECIMAL(18,scale) (fixed IEEE
+    arithmetic then one HALF_UP cast — identical in DuckDB), so the
+    corpus-sized sums are exact and partitioning-independent; the
+    final divisions are one expression per metric. MAPE terms skip
+    rows with actual = 0 (counted separately by n_mape); sMAPE uses
+    the |a|+|p| denominator convention and skips rows where that is
+    0. Rows with NULL actual or pred are excluded.
+    """
+    group = list(group_cols or [])
+    a = F.col(actual_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    dec = f"decimal(18,{scale})"
+    err = (p - a).cast(dec)
+    abs_err = F.abs(p - a).cast(dec)
+    sq_err = ((p - a) * (p - a)).cast(dec)
+    ape = F.when(a != 0.0, (F.abs(p - a) / F.abs(a)).cast(dec))
+    sden = F.abs(a) + F.abs(p)
+    sape = F.when(sden > 0.0, (F.abs(p - a) / sden).cast(dec))
+    agg = (
+        df.filter(F.col(actual_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(abs_err).cast("decimal(38,6)").alias("_sae"),
+            F.sum(sq_err).cast("decimal(38,6)").alias("_sse"),
+            F.sum(err).cast("decimal(38,6)").alias("_se"),
+            F.sum(ape).cast("decimal(38,6)").alias("_sape"),
+            F.count(ape).cast("bigint").alias("n_mape"),
+            F.sum(sape).cast("decimal(38,6)").alias("_ssmape"),
+            F.count(sape).cast("bigint").alias("n_smape"),
+        )
+    )
+    n = F.col("n").cast("double")
+    out = agg.select(
+        *group,
+        "n",
+        F.round(F.col("_sae").cast("double") / n, ndigits)
+        .cast("double")
+        .alias("mae"),
+        F.round(F.sqrt(F.col("_sse").cast("double") / n), ndigits)
+        .cast("double")
+        .alias("rmse"),
+        F.round(
+            F.when(
+                F.col("n_mape") > 0,
+                F.col("_sape").cast("double")
+                / F.col("n_mape").cast("double")
+                * 100.0,
+            ),
+            ndigits,
+        )
+        .cast("double")
+        .alias("mape"),
+        F.round(
+            F.when(
+                F.col("n_smape") > 0,
+                F.col("_ssmape").cast("double")
+                / F.col("n_smape").cast("double")
+                * 200.0,
+            ),
+            ndigits,
+        )
+        .cast("double")
+        .alias("smape"),
+        F.round(F.col("_se").cast("double") / n, ndigits)
+        .cast("double")
+        .alias("bias"),
+    )
+    return out

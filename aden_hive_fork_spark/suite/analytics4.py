@@ -610,3 +610,161 @@ def q299_scalable_quantiles(spark, sf_dir):
     return exact_quantiles_scalable(
         li, "l_extendedprice", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
+
+
+# ---------------------------------------------------------------------------
+# q300 — moment-based normality screen per order priority: skewness,
+# excess kurtosis, Jarque-Bera from exact decimal raw moments Σx..Σx⁴
+# (one keyed aggregate; the central-moment algebra is one IEEE
+# expression — builtin skewness() float-accumulates and is unusable
+# under the hash gate).
+# ---------------------------------------------------------------------------
+@query(
+    "q300_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+        SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4))) AS s2,
+        SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4))
+            * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,6))) AS s3,
+        SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4))
+            * CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,4))
+            AS DECIMAL(33,8))) AS s4
+      FROM orders WHERE o_totalprice IS NOT NULL
+      GROUP BY o_orderpriority
+    ),
+    d AS (
+      SELECT priority, n,
+        CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+        CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+        CAST(s4 AS DOUBLE) AS s4
+      FROM m
+    ),
+    c AS (
+      SELECT priority, n, nd,
+        s1 / nd AS mu, s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+        s3 / nd - 3.0 * (s1 / nd) * (s2 / nd)
+          + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+        s4 / nd - 4.0 * (s1 / nd) * (s3 / nd)
+          + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+          - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+      FROM d
+    ),
+    s AS (
+      SELECT priority, n, nd,
+        CASE WHEN n >= 2 AND m2 > 0
+          THEN m3 / sqrt(m2 * m2 * m2) END AS sk,
+        CASE WHEN n >= 2 AND m2 > 0
+          THEN m4 / (m2 * m2) - 3.0 END AS ku
+      FROM c
+    )
+    SELECT priority, n,
+      CAST(ROUND(sk, 6) AS DOUBLE) AS skewness,
+      CAST(ROUND(ku, 6) AS DOUBLE) AS kurtosis_ex,
+      CAST(ROUND(nd / 6.0 * (sk * sk + ku * ku / 4.0), 6) AS DOUBLE)
+        AS jb_stat
+    FROM s
+    ORDER BY priority ASC
+    """,
+)
+def q300_jarque_bera(spark, sf_dir):
+    """operators/stats.moments_normality over order value per
+    priority — exact raw moments, central-moment algebra in one IEEE
+    expression, the moment casts width-safe on both engines."""
+    from ..operators.stats import moments_normality
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return moments_normality(o, "price", "priority").orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q301 — forecast accuracy of the naive-seasonal baseline (predict
+# daily revenue with the value 7 days earlier): MAE/RMSE/MAPE/sMAPE/
+# bias from exact quantized error sums.
+# ---------------------------------------------------------------------------
+@query(
+    "q301_forecast_accuracy",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          AS DECIMAL(18,2)) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.rev AS actual, b.rev AS pred
+      FROM daily a JOIN daily b ON a.day = b.day + 7
+    ),
+    terms AS (
+      SELECT
+        CAST(pred - actual AS DECIMAL(18,4)) AS err,
+        CAST(ABS(pred - actual) AS DECIMAL(18,4)) AS abs_err,
+        CAST((pred - actual) * (pred - actual) AS DECIMAL(18,4)) AS sq_err,
+        CASE WHEN actual <> 0.0
+          THEN CAST(ABS(pred - actual) / ABS(actual) AS DECIMAL(18,4))
+        END AS ape,
+        CASE WHEN ABS(actual) + ABS(pred) > 0.0
+          THEN CAST(ABS(pred - actual) / (ABS(actual) + ABS(pred))
+               AS DECIMAL(18,4))
+        END AS sape
+      FROM pairs
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(abs_err) AS DECIMAL(38,6)) AS sae,
+        CAST(SUM(sq_err) AS DECIMAL(38,6)) AS sse,
+        CAST(SUM(err) AS DECIMAL(38,6)) AS se,
+        CAST(SUM(ape) AS DECIMAL(38,6)) AS sape_sum,
+        CAST(COUNT(ape) AS BIGINT) AS n_mape,
+        CAST(SUM(sape) AS DECIMAL(38,6)) AS ssmape,
+        CAST(COUNT(sape) AS BIGINT) AS n_smape
+      FROM terms
+    )
+    SELECT n,
+      CAST(ROUND(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+        AS mae,
+      CAST(ROUND(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DOUBLE) AS rmse,
+      CAST(ROUND(CASE WHEN n_mape > 0 THEN CAST(sape_sum AS DOUBLE)
+        / CAST(n_mape AS DOUBLE) * 100.0 END, 6) AS DOUBLE) AS mape,
+      CAST(ROUND(CASE WHEN n_smape > 0 THEN CAST(ssmape AS DOUBLE)
+        / CAST(n_smape AS DOUBLE) * 200.0 END, 6) AS DOUBLE) AS smape,
+      CAST(ROUND(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+        AS bias
+    FROM agg
+    """,
+)
+def q301_forecast_accuracy(spark, sf_dir):
+    """operators/stats.forecast_accuracy over the naive-seasonal
+    (lag-7) daily-revenue baseline — the holdout evaluation table the
+    holt/ewma tiers report against. The lag join is a date+7
+    equi-join (q296's shape); error terms quantize at 1e-4 so the
+    corpus-sized sums are exact."""
+    from ..operators.stats import forecast_accuracy
+    from ._helpers import dec
+
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(dec("o_totalprice"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    a = daily.select(F.col("day").alias("_d"), F.col("rev").alias("actual"))
+    b = daily.select(
+        F.expr("date_add(day, 7)").alias("_d"), F.col("rev").alias("pred")
+    )
+    pairs = a.join(b, "_d").select("actual", "pred")
+    return forecast_accuracy(pairs, "actual", "pred")

@@ -394,3 +394,51 @@ def test_scalable_quantiles_plan_has_no_window_and_validates(spark):
         exact_quantiles_scalable(df, "x", [1.5])
     with pytest.raises(ValueError, match="non-empty"):
         exact_quantiles_scalable(df, "x", [])
+
+
+# ---------------------------------------------------------------------------
+# moments / normality + forecast accuracy
+# ---------------------------------------------------------------------------
+
+
+def test_moments_normality_symmetric_fixture(spark):
+    from aden_hive_fork_spark.operators.stats import moments_normality
+
+    # symmetric values → skewness 0; two-point ±1 → kurtosis_ex = −2,
+    # so JB = n/6 · (0 + 4/4) = n/6
+    df = spark.createDataFrame(
+        [(v, "g") for v in [-1.0] * 4 + [1.0] * 4], "v double, g string"
+    )
+    r = moments_normality(df, "v", "g").collect()[0]
+    assert r["n"] == 8
+    assert r["skewness"] == 0.0
+    assert r["kurtosis_ex"] == -2.0
+    assert abs(r["jb_stat"] - round(8 / 6, 6)) < 1e-9
+
+
+def test_moments_normality_constant_null(spark):
+    from aden_hive_fork_spark.operators.stats import moments_normality
+
+    df = spark.createDataFrame([(5.0,)] * 4, "v double")
+    r = moments_normality(df, "v").collect()[0]
+    assert r["skewness"] is None and r["jb_stat"] is None
+
+
+def test_forecast_accuracy_hand_values(spark):
+    from aden_hive_fork_spark.operators.stats import forecast_accuracy
+
+    df = spark.createDataFrame(
+        [(10.0, 12.0), (20.0, 18.0), (0.0, 1.0)], "actual double, pred double"
+    )
+    r = forecast_accuracy(df, "actual", "pred").collect()[0]
+    assert r["n"] == 3
+    assert r["mae"] == round((2 + 2 + 1) / 3, 6)
+    import math
+    assert math.isclose(r["rmse"], round(math.sqrt((4 + 4 + 1) / 3), 6),
+                        abs_tol=1e-9)
+    # MAPE skips the zero-actual row: (0.2 + 0.1)/2 * 100
+    assert r["mape"] == 15.0
+    # sMAPE uses |a|+|p|: (2/22 + 2/38 + 1/1)/3 * 200
+    smape = round((round(2 / 22, 4) + round(2 / 38, 4) + 1.0) / 3 * 200, 6)
+    assert abs(r["smape"] - smape) < 1e-6
+    assert r["bias"] == round((2 - 2 + 1) / 3, 6)
