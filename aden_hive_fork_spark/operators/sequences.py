@@ -152,3 +152,84 @@ def session_paths(
         .groupBy("path")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     )
+
+
+def funnel_steps(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    ndigits: int = 6,
+):
+    """Ordered funnel analysis: how many users complete step 1, then
+    step 2 STRICTLY AFTER their first step-1 event, then step 3 after
+    that, ... One row per step: ``step_idx, step, n_users,
+    conv_from_prev, conv_from_first`` (rates NULL on an empty
+    predecessor).
+
+    Semantics: a user "reaches" step k at the EARLIEST event of type
+    steps[k] that is strictly later than their step-(k−1) reach time
+    — the standard strict-order funnel (re-orderings don't count;
+    simultaneous events don't count, which makes the result
+    tie-independent and engine-exact: everything is MIN over
+    timestamps).
+
+    Scale shape: one filtered keyed aggregate per step, each joined
+    on ``user_col`` — k−1 co-keyed hash joins; every intermediate is
+    one row per surviving user. No windows, no per-user event lists.
+    """
+    from pyspark.sql import functions as F
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    base = df.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isin(list(steps))
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_k"),
+    )
+    reached = (
+        base.filter(F.col("_k") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_ts").alias("_t"))
+    )
+    counts = [reached.count()]
+    for step in steps[1:]:
+        ev = base.filter(F.col("_k") == step).select(
+            "_u", F.col("_ts").alias("_ts2")
+        )
+        reached = (
+            ev.join(reached, "_u")
+            .filter(F.col("_ts2") > F.col("_t"))
+            .groupBy("_u")
+            .agg(F.min("_ts2").alias("_t"))
+        )
+        reached = reached.localCheckpoint(eager=True)  # one row/user
+        counts.append(reached.count())
+    spark = df.sparkSession
+    import math
+
+    p = float(10 ** ndigits)
+    # floor-quantization in float64 — bit-identical to the oracle's
+    # FLOOR(x·1e6 + 0.5)/1e6 (Python round() is half-EVEN and would
+    # diverge at rate boundaries)
+    q = lambda x: math.floor(x * p + 0.5) / p  # noqa: E731
+    rows = []
+    for i, (step, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i > 0 else None
+        first = counts[0]
+        if i == 0:
+            conv_prev = 1.0 if n else None
+        else:
+            conv_prev = q(n / prev) if prev else None
+        conv_first = q(n / first) if first else None
+        rows.append((i + 1, step, n, conv_prev, conv_first))
+    return spark.createDataFrame(
+        rows,
+        "step_idx int, step string, n_users bigint, "
+        "conv_from_prev double, conv_from_first double",
+    )

@@ -768,3 +768,67 @@ def q301_forecast_accuracy(spark, sf_dir):
     )
     pairs = a.join(b, "_d").select("actual", "pred")
     return forecast_accuracy(pairs, "actual", "pred")
+
+
+# ---------------------------------------------------------------------------
+# q302 — ordered funnel (view → click → purchase): strict-order
+# earliest-event funnel, one keyed MIN aggregate + co-keyed join per
+# step; rates floor-quantized.
+# ---------------------------------------------------------------------------
+@query(
+    "q302_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    c AS (
+      SELECT (SELECT COUNT(*) FROM s1) AS n1,
+             (SELECT COUNT(*) FROM s2) AS n2,
+             (SELECT COUNT(*) FROM s3) AS n3
+    )
+    SELECT 1 AS step_idx, 'view' AS step, CAST(n1 AS BIGINT) AS n_users,
+      CAST(CASE WHEN n1 > 0 THEN 1.0 END AS DOUBLE) AS conv_from_prev,
+      CAST(CASE WHEN n1 > 0 THEN FLOOR(CAST(n1 AS DOUBLE)
+        / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS DOUBLE)
+        AS conv_from_first
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', CAST(n2 AS BIGINT),
+      CAST(CASE WHEN n1 > 0 THEN FLOOR(CAST(n2 AS DOUBLE)
+        / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS DOUBLE),
+      CAST(CASE WHEN n1 > 0 THEN FLOOR(CAST(n2 AS DOUBLE)
+        / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS DOUBLE)
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+      CAST(CASE WHEN n2 > 0 THEN FLOOR(CAST(n3 AS DOUBLE)
+        / CAST(n2 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS DOUBLE),
+      CAST(CASE WHEN n1 > 0 THEN FLOOR(CAST(n3 AS DOUBLE)
+        / CAST(n1 AS DOUBLE) * 1000000 + 0.5) / 1000000 END AS DOUBLE)
+    FROM c
+    ORDER BY step_idx ASC
+    """,
+)
+def q302_event_funnel(spark, sf_dir):
+    """operators/sequences.funnel_steps over the event stream:
+    view → click → purchase, strict event-time order (a user's click
+    counts only after their first view, etc.). Each step is one
+    co-keyed MIN aggregate; intermediates are one row per surviving
+    user."""
+    from ..operators.sequences import funnel_steps
+
+    e = T(spark, sf_dir, "events")
+    return funnel_steps(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step_idx")

@@ -442,3 +442,48 @@ def test_forecast_accuracy_hand_values(spark):
     smape = round((round(2 / 22, 4) + round(2 / 38, 4) + 1.0) / 3 * 200, 6)
     assert abs(r["smape"] - smape) < 1e-6
     assert r["bias"] == round((2 - 2 + 1) / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_order_semantics(spark):
+    import datetime as dt
+
+    from aden_hive_fork_spark.operators.sequences import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1 completes the full funnel in order
+        (1, t0, "a"), (1, t0 + dt.timedelta(hours=1), "b"),
+        (1, t0 + dt.timedelta(hours=2), "c"),
+        # u2 does b BEFORE a → b must not count
+        (2, t0 + dt.timedelta(hours=1), "a"), (2, t0, "b"),
+        # u3 reaches a and b only
+        (3, t0, "a"), (3, t0 + dt.timedelta(minutes=5), "b"),
+        # u4 never does a
+        (4, t0, "b"), (4, t0 + dt.timedelta(hours=1), "c"),
+        # u5: b simultaneous with a → strict > excludes it
+        (5, t0, "a"), (5, t0, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u bigint, ts timestamp_ntz, k string")
+    got = {r["step"]: r for r in
+           funnel_steps(df, "u", "ts", "k", ["a", "b", "c"]).collect()}
+    assert got["a"]["n_users"] == 4   # u1, u2, u3, u5
+    assert got["b"]["n_users"] == 2   # u1, u3 (u2 out of order, u5 tie)
+    assert got["c"]["n_users"] == 1   # u1
+    assert got["b"]["conv_from_prev"] == 0.5
+    assert got["c"]["conv_from_first"] == 0.25
+    assert got["a"]["conv_from_prev"] == 1.0
+
+
+def test_funnel_rejects_short_steps(spark):
+    import pytest
+
+    from aden_hive_fork_spark.operators.sequences import funnel_steps
+
+    df = spark.createDataFrame([(1, None, "a")], "u bigint, ts timestamp, k string")
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_steps(df, "u", "ts", "k", ["a"])
