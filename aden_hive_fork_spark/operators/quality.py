@@ -927,3 +927,59 @@ def exact_quantiles_scalable(
         .cast("double")
         .alias("quantile"),
     ).orderBy("p")
+
+
+def word_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document unigram (word-distribution) Shannon entropy in
+    nats — the template/boilerplate detector that complements
+    :func:`ngram_repetition`: near-zero entropy means the document is
+    a handful of tokens repeated. One row per doc:
+    ``(id, n_words, n_distinct, entropy)``.
+
+    H = ln(n) − (Σ_w c_w·ln c_w)/n over the per-doc word counts.
+    Engine-exactness (the q273 quantize-then-decimal-sum discipline):
+    each ln c floor-quantizes at 1e-9 — pure IEEE, identical both
+    engines — and rides an exact DECIMAL product/sum (c is an
+    integer), so the corpus-sized reduction is associative; ln(n) and
+    the final division happen once per doc. Same word splitter as
+    ngram_repetition (Java∩RE2 ``[^a-z0-9]+`` on lowercased text).
+    Docs with no words are dropped.
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'),"
+                " x -> x != '')"
+            )
+        ).alias("_w"),
+    )
+    wc = base.groupBy("_id", "_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    # ln c floor-quantized at 1e-9, carried exactly: c · fq(ln c)
+    # as DECIMAL(38,9)
+    flnc = (
+        F.floor(F.log(F.col("_c").cast("double")) * 1e9).cast("decimal(29,0)")
+    )
+    per_doc = wc.groupBy("_id").agg(
+        F.sum("_c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("_c").cast("decimal(19,0)") * flnc).alias("_sclnc"),
+    )
+    n = F.col("n_words").cast("double")
+    h = F.log(n) - F.col("_sclnc").cast("double") / F.lit(1e9) / n
+    p6 = F.lit(float(10 ** ndigits))
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "n_distinct",
+        (F.floor(h * p6 + F.lit(0.5)) / p6).cast("double").alias("entropy"),
+    )

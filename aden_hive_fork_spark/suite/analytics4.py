@@ -832,3 +832,77 @@ def q302_event_funnel(spark, sf_dir):
     return funnel_steps(
         e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     ).orderBy("step_idx")
+
+
+# ---------------------------------------------------------------------------
+# q303 — per-source word-entropy profile: the template/boilerplate
+# screen (near-zero entropy = a handful of tokens repeated). Per-doc
+# entropies are exact (quantize-then-decimal-sum over word counts),
+# then aggregate per source as exact DECIMAL(18,6) sums.
+# ---------------------------------------------------------------------------
+@query(
+    "q303_word_entropy_profile",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    wc AS (
+      SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+        CAST(SUM(c) AS BIGINT) AS n_words,
+        SUM(CAST(c AS DECIMAL(10,0))
+            * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000000)
+                   AS DECIMAL(12,0))) AS sclnc
+      FROM wc GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT doc_id, source, n_words,
+        FLOOR((ln(CAST(n_words AS DOUBLE))
+               - CAST(sclnc AS DOUBLE) / 1e9 / CAST(n_words AS DOUBLE))
+              * 1000000 + 0.5) / 1000000 AS h
+      FROM per_doc
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(ROUND(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS avg_entropy,
+      CAST(MIN(h) AS DOUBLE) AS min_entropy,
+      CAST(MAX(h) AS DOUBLE) AS max_entropy
+    FROM ent
+    GROUP BY source
+    ORDER BY source ASC
+    """,
+)
+def q303_word_entropy_profile(spark, sf_dir):
+    """operators/quality.word_entropy rolled up per source — average/
+    min/max per-doc unigram entropy (exact decimal aggregation of the
+    floor-quantized per-doc values)."""
+    from ..operators.quality import word_entropy
+
+    d = T(spark, sf_dir, "documents")
+    ent = word_entropy(d, "doc_id", "text")
+    src = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        ent.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("entropy").cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_entropy"),
+            F.min("entropy").cast("double").alias("min_entropy"),
+            F.max("entropy").cast("double").alias("max_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -487,3 +487,25 @@ def test_funnel_rejects_short_steps(spark):
     df = spark.createDataFrame([(1, None, "a")], "u bigint, ts timestamp, k string")
     with pytest.raises(ValueError, match="at least 2"):
         funnel_steps(df, "u", "ts", "k", ["a"])
+
+
+# ---------------------------------------------------------------------------
+# word entropy
+# ---------------------------------------------------------------------------
+
+
+def test_word_entropy_hand_values(spark):
+    from aden_hive_fork_spark.operators.quality import word_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),            # single token → H = 0
+         (2, "a b c d"),            # uniform over 4 → H = ln 4
+         (3, "x x y y")],           # uniform over 2 → H = ln 2
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           word_entropy(docs, "doc_id", "text").collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_distinct"] == 1
+    assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 2e-6
+    assert abs(got[3]["entropy"] - round(math.log(2), 6)) < 2e-6
+    assert got[3]["n_words"] == 4 and got[3]["n_distinct"] == 2
