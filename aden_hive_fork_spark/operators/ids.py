@@ -104,8 +104,8 @@ def dense_ids(
 def running_totals(
     df: DataFrame,
     order_cols: list[str],
-    weight_col: str,
-    cum_col: str = "cum",
+    weight_col: str | list[str],
+    cum_col: str | list[str] = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append ``cum_col`` = INCLUSIVE running ``SUM(weight_col)`` in
@@ -129,49 +129,62 @@ def running_totals(
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
-    if cum_col in df.columns:
+    weights = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    cums = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(weights) != len(cums):
         raise ValueError(
-            f"running_totals: column {cum_col!r} already exists in the "
-            "input — pass a different cum_col"
+            "running_totals: weight_col and cum_col lists must pair up"
         )
+    for c in cums:
+        if c in df.columns:
+            raise ValueError(
+                f"running_totals: column {c!r} already exists in the "
+                "input — pass a different cum_col"
+            )
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"
     )
-    sorted_df = (
-        df.withColumn("_w64", F.col(weight_col).cast("long"))
-        .repartitionByRange(int(n), *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-    )
+    tmp = [f"_w64_{i}" for i in range(len(weights))]
+    sorted_df = df
+    for t, w in zip(tmp, weights):
+        sorted_df = sorted_df.withColumn(t, F.col(w).cast("long"))
+    sorted_df = sorted_df.repartitionByRange(
+        int(n), *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
     sorted_df = sorted_df.localCheckpoint(eager=True)
 
     sums = (
         sorted_df.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
-        .agg(F.sum("_w64").alias("_s"))
+        .agg(*[F.sum(t).alias(t) for t in tmp])
         .collect()
     )
-    psums = {r["_pid"]: int(r["_s"] or 0) for r in sums}
-    offsets: dict[int, int] = {}
-    acc = 0
+    psums = {r["_pid"]: [int(r[t] or 0) for t in tmp] for r in sums}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(tmp)
     for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
+        offsets[pid] = list(acc)
+        acc = [a + b for a, b in zip(acc, psums[pid])]
 
     out_schema = StructType(
-        [f for f in sorted_df.schema.fields if f.name != "_w64"]
-        + [StructField(cum_col, LongType())]
+        [f for f in sorted_df.schema.fields if f.name not in tmp]
+        + [StructField(c, LongType()) for c in cums]
     )
 
     def _cumsum(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        run = offsets.get(pid, 0)
+        run = list(offsets.get(pid, [0] * len(tmp)))
         for pdf in batches:
-            c = pdf["_w64"].cumsum() + run
-            run = int(c.iloc[-1]) if len(c) else run
-            pdf = pdf.drop(columns=["_w64"])
-            pdf[cum_col] = c.astype("int64")
+            outs = {}
+            for j, (t, c) in enumerate(zip(tmp, cums)):
+                col = pdf[t].cumsum() + run[j]
+                run[j] = int(col.iloc[-1]) if len(col) else run[j]
+                outs[c] = col.astype("int64")
+            pdf = pdf.drop(columns=tmp)
+            for c, col in outs.items():
+                pdf[c] = col
             yield pdf
 
     return sorted_df.mapInPandas(_cumsum, out_schema)

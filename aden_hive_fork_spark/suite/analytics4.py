@@ -906,3 +906,68 @@ def q303_word_entropy_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q304 — exact 1-Wasserstein drift between URGENT and LOW order-value
+# distributions: the earth-mover magnitude KS can't give. One range
+# shuffle for BOTH cumulative counts (two-weight running_totals),
+# rationals cleared by n_a·n_b so the reduction is an exact decimal
+# integer sum; one division at the end.
+# ---------------------------------------------------------------------------
+@query(
+    "q304_wasserstein_drift",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        AS v, o_orderpriority AS g
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND o_totalprice IS NOT NULL
+    ),
+    vt AS (
+      SELECT v,
+        CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cb
+      FROM base GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+        SUM(ca) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cuma,
+        SUM(cb) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS cumb,
+        LEAD(v) OVER (ORDER BY v ASC) AS vnext
+      FROM vt
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM vt
+    ),
+    terms AS (
+      SELECT na, nb,
+        ABS(CAST(cuma AS DECIMAL(14,0)) * CAST(nb AS DECIMAL(14,0))
+            - CAST(cumb AS DECIMAL(14,0)) * CAST(na AS DECIMAL(14,0)))
+          * CAST(vnext - v AS DECIMAL(9,0)) AS t
+      FROM cum CROSS JOIN tot WHERE vnext IS NOT NULL
+    )
+    SELECT na AS n_a, nb AS n_b,
+      CAST(CASE WHEN na > 0 AND nb > 0 THEN
+        FLOOR(CAST(SUM(t) AS DOUBLE)
+              / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 100.0)
+              * 1000000 + 0.5) / 1000000 END AS DOUBLE) AS w1
+    FROM terms GROUP BY na, nb
+    """,
+)
+def q304_wasserstein_drift(spark, sf_dir):
+    """operators/stats.wasserstein_1d between URGENT and LOW order
+    values — the exact earth-mover distance from one two-weight
+    range-partitioned cumsum over merged distinct values; neighbor
+    gaps via a dense-rank equi-join, no windows."""
+    from ..operators.stats import wasserstein_1d
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return wasserstein_1d(o, "price", "priority", "1-URGENT", "5-LOW")

@@ -509,3 +509,67 @@ def test_word_entropy_hand_values(spark):
     assert abs(got[2]["entropy"] - round(math.log(4), 6)) < 2e-6
     assert abs(got[3]["entropy"] - round(math.log(2), 6)) < 2e-6
     assert got[3]["n_words"] == 4 and got[3]["n_distinct"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1
+# ---------------------------------------------------------------------------
+
+
+def test_wasserstein_identical_samples_zero(spark):
+    from aden_hive_fork_spark.operators.stats import wasserstein_1d
+
+    rows = [(float(v), g) for g in ("a", "b") for v in (1, 2, 3, 7)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert r["w1"] == 0.0 and r["n_a"] == 4 and r["n_b"] == 4
+
+
+def test_wasserstein_shift_equals_offset(spark):
+    from aden_hive_fork_spark.operators.stats import wasserstein_1d
+
+    # b = a + 2.5 pointwise → W1 = 2.5 exactly
+    a_vals = [1.0, 2.0, 4.0, 8.0]
+    rows = [(v, "a") for v in a_vals] + [(v + 2.5, "b") for v in a_vals]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert r["w1"] == 2.5
+
+
+def test_wasserstein_hand_value_unequal_sizes(spark):
+    from aden_hive_fork_spark.operators.stats import wasserstein_1d
+
+    # a = {0, 1}, b = {1}: F_a = .5 on [0,1), diff 0 after → W1 = 0.5
+    df = spark.createDataFrame(
+        [(0.0, "a"), (1.0, "a"), (1.0, "b")], "v double, g string"
+    )
+    r = wasserstein_1d(df, "v", "g", "a", "b").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 1
+    assert r["w1"] == 0.5
+
+
+def test_wasserstein_plan_has_no_window(spark):
+    from aden_hive_fork_spark.operators.stats import wasserstein_1d
+
+    df = spark.createDataFrame(
+        [(float(i % 17), "a" if i % 2 == 0 else "b") for i in range(60)],
+        "v double, g string",
+    )
+    assert "window" not in _plan(wasserstein_1d(df, "v", "g", "a", "b"))
+
+
+def test_running_totals_multi_weight(spark):
+    from aden_hive_fork_spark.operators.ids import running_totals
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 2) % 5) for i in range(30)],
+        "k bigint, wa bigint, wb bigint",
+    )
+    got = {r["k"]: (r["ca"], r["cb"]) for r in running_totals(
+        df, ["k"], ["wa", "wb"], cum_col=["ca", "cb"], num_partitions=4
+    ).collect()}
+    aa = bb = 0
+    for i in range(30):
+        aa += i % 3
+        bb += (i * 2) % 5
+        assert got[i] == (aa, bb)
