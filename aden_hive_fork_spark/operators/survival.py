@@ -171,3 +171,69 @@ def log_rank(
         F.round(F.col("_sv"), ndigits).cast("double").alias("var_o"),
         F.round(z, ndigits).cast("double").alias("z"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator per group — the
+    additive companion of :func:`kaplan_meier`: one row per event
+    time with ``t, n_risk, n_events, cum_hazard, cum_haz_var``,
+
+        H(t) = Σ_{s ≤ t} d_s/n_s,    Var(t) = Σ_{s ≤ t} d_s/n_s²
+
+    Same scale shape as KM (the cohort collapses to the duration
+    grid; at-risk counts are a group-partitioned window sum), but the
+    prefix accumulation is EXACT: each increment floor-quantizes at
+    1e-9 to an integer, so the in-group fold is an int64 sum —
+    associative, engine-identical (the KM prefix product must instead
+    pin a left-to-right IEEE chain). Censored-only times contribute 0
+    and are excluded from the output.
+    """
+    g = group_cols or []
+    t = F.col(duration_col).cast("bigint")
+    ev = F.col(event_col).cast("int")
+    base = df.filter(t.isNotNull() & (t >= 0) & ev.isNotNull())
+    per_t = base.groupBy(*g, t.alias("t")).agg(
+        F.sum(ev).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nd = F.col("d").cast("double")
+    nr = F.col("n_risk").cast("double")
+    rows = (
+        per_t.withColumn("n_risk", F.sum("m").over(w).cast("bigint"))
+        .withColumn("h9", F.floor(nd / nr * 1e9).cast("long"))
+        .withColumn("v9", F.floor(nd / (nr * nr) * 1e9).cast("long"))
+    )
+    arr = rows.groupBy(*g).agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "n_risk", "h9", "v9"))
+        ).alias("a")
+    )
+    ex = arr.select(*g, "a", F.posexplode("a").alias("i", "s"))
+    cum = lambda field: F.aggregate(  # noqa: E731
+        F.slice(
+            F.transform(F.col("a"), lambda s: s[field]), 1, F.col("i") + 1
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p6 = F.lit(float(10 ** ndigits))
+    q6 = lambda c: (F.floor(c * p6 + F.lit(0.5)) / p6).cast("double")  # noqa: E731
+    return ex.filter(F.col("s.d") > 0).select(
+        *g,
+        F.col("s.t").alias("t"),
+        F.col("s.n_risk").alias("n_risk"),
+        F.col("s.d").alias("n_events"),
+        q6(cum("h9").cast("double") / F.lit(1e9)).alias("cum_hazard"),
+        q6(cum("v9").cast("double") / F.lit(1e9)).alias("cum_haz_var"),
+    )

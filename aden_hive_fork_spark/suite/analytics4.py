@@ -971,3 +971,76 @@ def q304_wasserstein_drift(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
     )
     return wasserstein_1d(o, "price", "priority", "1-URGENT", "5-LOW")
+
+
+# ---------------------------------------------------------------------------
+# q305 — Nelson-Aalen cumulative hazard of customer lifetimes (the
+# additive twin of q177's KM curve, same cohort): increments
+# floor-quantized at 1e-9 so the in-group prefix accumulation is an
+# exact integer sum.
+# ---------------------------------------------------------------------------
+@query(
+    "q305_nelson_aalen",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+        MIN(CAST(o_orderdate AS DATE)) AS f,
+        MAX(CAST(o_orderdate AS DATE)) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    coh AS (
+      SELECT CAST(FLOOR(date_diff('day', f, l) / 30) AS BIGINT) AS t,
+        CASE WHEN l < DATE '2000-01-01' THEN 1 ELSE 0 END AS ev
+      FROM cust
+    ),
+    per AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS m
+      FROM coh GROUP BY t
+    ),
+    r AS (
+      SELECT t, d,
+        CAST(SUM(m) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM per
+    ),
+    a AS (
+      SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+        list(n_risk ORDER BY t) AS ns,
+        list(CAST(FLOOR(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) * 1e9)
+             AS BIGINT) ORDER BY t) AS hs,
+        list(CAST(FLOOR(CAST(d AS DOUBLE)
+             / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) * 1e9)
+             AS BIGINT) ORDER BY t) AS vs
+      FROM r
+    )
+    SELECT ts[i] AS t, ns[i] AS n_risk, ds[i] AS n_events,
+      CAST(FLOOR(CAST(list_sum(hs[1:i]) AS DOUBLE) / 1e9 * 1000000 + 0.5)
+        / 1000000 AS DOUBLE) AS cum_hazard,
+      CAST(FLOOR(CAST(list_sum(vs[1:i]) AS DOUBLE) / 1e9 * 1000000 + 0.5)
+        / 1000000 AS DOUBLE) AS cum_haz_var
+    FROM a, unnest(generate_series(1, len(ts))) AS u(i)
+    WHERE ds[i] > 0
+    ORDER BY t ASC
+    """,
+)
+def q305_nelson_aalen(spark, sf_dir):
+    """operators/survival.nelson_aalen over the q177 customer-
+    lifetime cohort — cumulative hazard + its variance at every event
+    time, exact integer prefix sums of 1e-9-quantized increments."""
+    from ..operators.survival import nelson_aalen
+
+    cust = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.to_date("o_orderdate")).alias("f"),
+            F.max(F.to_date("o_orderdate")).alias("l"),
+        )
+    )
+    coh = cust.select(
+        F.floor(F.datediff("l", "f") / 30).cast("bigint").alias("t"),
+        F.when(F.col("l") < F.lit("2000-01-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return nelson_aalen(coh, "t", "ev").orderBy("t")

@@ -573,3 +573,37 @@ def test_running_totals_multi_weight(spark):
         aa += i % 3
         bb += (i * 2) % 5
         assert got[i] == (aa, bb)
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen
+# ---------------------------------------------------------------------------
+
+
+def test_nelson_aalen_hand_values(spark):
+    from aden_hive_fork_spark.operators.survival import nelson_aalen
+
+    # durations 1,2,2,3 — events at 1 and 2 (one censored at 2),
+    # censored at 3: n_risk(1)=4, n_risk(2)=3, n_risk(3)=1
+    rows = [(1, 1), (2, 1), (2, 0), (3, 0)]
+    df = spark.createDataFrame(rows, "t bigint, ev int")
+    got = {r["t"]: r for r in nelson_aalen(df, "t", "ev").collect()}
+    assert set(got) == {1, 2}  # censored-only times excluded
+    assert got[1]["n_risk"] == 4 and got[1]["n_events"] == 1
+    assert abs(got[1]["cum_hazard"] - 0.25) < 1e-9
+    # H(2) = 1/4 + 1/3 (floor-quantized at 1e-9 then 1e-6)
+    assert abs(got[2]["cum_hazard"] - 0.583333) < 1e-9
+    # Var(2) = 1/16 + 1/9
+    assert abs(got[2]["cum_haz_var"] - round(1 / 16 + 1 / 9, 6)) < 2e-6
+
+
+def test_nelson_aalen_grouped_independent(spark):
+    from aden_hive_fork_spark.operators.survival import nelson_aalen
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, "g string, t bigint, ev int")
+    got = {(r["g"], r["t"]): r["cum_hazard"]
+           for r in nelson_aalen(df, "t", "ev", ["g"]).collect()}
+    assert abs(got[("a", 1)] - 0.5) < 1e-9
+    assert abs(got[("a", 2)] - 1.5) < 1e-9
+    assert abs(got[("b", 1)] - 1.0) < 1e-9
