@@ -1412,7 +1412,10 @@ def forecast_accuracy(
     dec = f"decimal(18,{scale})"
     err = (p - a).cast(dec)
     abs_err = F.abs(p - a).cast(dec)
-    sq_err = ((p - a) * (p - a)).cast(dec)
+    # squared errors need double the integer digits of the raw error
+    # (a 4e6 daily-revenue miss squares to 1.6e13 — DECIMAL(18,4)
+    # overflows under ANSI at sf0.1; measured, hence the wide cast)
+    sq_err = ((p - a) * (p - a)).cast(f"decimal(30,{scale})")
     ape = F.when(a != 0.0, (F.abs(p - a) / F.abs(a)).cast(dec))
     sden = F.abs(a) + F.abs(p)
     sape = F.when(sden > 0.0, (F.abs(p - a) / sden).cast(dec))

@@ -708,7 +708,7 @@ def q300_jarque_bera(spark, sf_dir):
       SELECT
         CAST(pred - actual AS DECIMAL(18,4)) AS err,
         CAST(ABS(pred - actual) AS DECIMAL(18,4)) AS abs_err,
-        CAST((pred - actual) * (pred - actual) AS DECIMAL(18,4)) AS sq_err,
+        CAST((pred - actual) * (pred - actual) AS DECIMAL(30,4)) AS sq_err,
         CASE WHEN actual <> 0.0
           THEN CAST(ABS(pred - actual) / ABS(actual) AS DECIMAL(18,4))
         END AS ape,
