@@ -544,58 +544,64 @@ def q149_pseudonymized_revenue(spark, sf_dir):
       FROM events
     )
     SELECT event_type, bucket_start,
-      CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DECIMAL(18,2)) AS open,
-      CAST(MAX(value) AS DECIMAL(18,2)) AS high,
-      CAST(MIN(value) AS DECIMAL(18,2)) AS low,
-      CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close,
+      CAST(FLOOR(MAX(CASE WHEN rn_a = 1 THEN value END) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS open,
+      CAST(FLOOR(MAX(value) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS high,
+      CAST(FLOOR(MIN(value) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS low,
+      CAST(FLOOR(MAX(CASE WHEN rn_d = 1 THEN value END) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS close,
       CAST(COUNT(*) AS BIGINT) AS n_ticks,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS volume
+      CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           * 1000000 + 0.5) / 1000000 AS DOUBLE) AS volume
     FROM t
     GROUP BY event_type, bucket_start
     ORDER BY event_type ASC, bucket_start ASC
     """,
 )
 def q150_ohlc_bars(spark, sf_dir):
-    """operators/timeseries.ohlc_bars over the event stream."""
+    """operators/timeseries.ohlc_bars over the event stream.
+
+    Output codec (round 8): OHLC/volume as ``stable_round6`` DOUBLEs.
+    The r6-designed A/B (q278/q279) adjudicated in CORRECTNESS_r07 that
+    the driver's DuckDB environment hashes the DOUBLE→DECIMAL(18,2)
+    output cast differently (q279 epoch+doubles GREEN, q278
+    string+DECIMAL RED alongside q150) — so q150 keeps its NTZ
+    timestamp bucket and adopts q279's driver-green value codec. Tick
+    values are 2-decimal by construction, so the 6-decimal quantization
+    is lossless; volume still sums exactly in DECIMAL(18,2) before the
+    final double emit (identical on both engines for these magnitudes).
+    """
+    from ..operators.similarity import stable_round6
     from ..operators.timeseries import ohlc_bars
 
     e = T(spark, sf_dir, "events")
     bars = ohlc_bars(
         e, "ts", "value", ["event_type"], "1 hour", tiebreak_col="event_id"
     )
-    # SURVEY §7.3 float discipline: the bar bounds are raw unquantized
-    # DOUBLEs (the only such outputs in the whole suite) — quantize to
-    # DECIMAL(18,2) on BOTH engine and oracle sides so the value hash
-    # can never diverge on float formatting. Tick values are 2-decimal
-    # by construction, so the cast is lossless.
-    q2 = lambda c: F.col(c).cast("decimal(18,2)").alias(c)  # noqa: E731
+    s6 = lambda c: stable_round6(F.col(c).cast("double")).alias(c)  # noqa: E731
     return bars.select(
         "event_type",
         "bucket_start",
-        q2("open"),
-        q2("high"),
-        q2("low"),
-        q2("close"),
+        s6("open"),
+        s6("high"),
+        s6("low"),
+        s6("close"),
         "n_ticks",
-        F.col("volume").cast("decimal(28,2)").alias("volume"),
+        s6("volume"),
     ).orderBy("event_type", "bucket_start")
 
 
 # ---------------------------------------------------------------------------
-# q278/q279 — q150 DISCRIMINATING ENCODING A/B (VERDICT r6 task 1).
-# q150 has been driver-red (hash only) for three rounds while locally
-# unfalsifiable, so these twins run the IDENTICAL computation with
-# different OUTPUT CODECS to isolate which column the driver's hasher
-# diverges on:
-#   q278 — bucket_start as a formatted STRING (timestamp codec removed;
-#          OHLC stays on q150's DECIMAL(18,2) path)
-#   q279 — bucket_start as epoch-seconds BIGINT (tz-free integer
-#          arithmetic) and OHLC as stable_round6 DOUBLEs — the shape
-#          driver-green q22 already proves.
-# Green/red pattern in CORRECTNESS_r07 identifies the divergent codec:
-#   q278 green, q279 green → timestamp codec (fold string/epoch into q150)
-#   q278 red,   q279 green → DECIMAL codec (fold doubles into q150)
-#   all red → declare q150 rows-only per ADVICE r5's sanction.
+# q278/q279 — q150 ENCODING A/B, ADJUDICATED in CORRECTNESS_r07
+# (VERDICT r6 task 1 → VERDICT r7 task 1). The discriminating run came
+# back: q279 (epoch BIGINT bucket + stable_round6 DOUBLE values) GREEN,
+# q278 (string bucket + DECIMAL(18,2) values) RED alongside q150 — per
+# the pre-registered decision table, the driver divergence is the
+# DOUBLE→DECIMAL(18,2) OUTPUT CAST on the OHLC extremes, not the
+# timestamp codec. Round 8 folds the doubles codec into q150 and q278;
+# both twins stay in the suite as regression sentinels (string bucket /
+# epoch bucket respectively). No DECIMAL output cast remains anywhere
+# in the OHLC family.
 # ---------------------------------------------------------------------------
 _OHLC_ORACLE_CTE = """
     WITH t AS (
@@ -616,39 +622,47 @@ _OHLC_ORACLE_CTE = """
     + """
     SELECT event_type,
       strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
-      CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DECIMAL(18,2)) AS open,
-      CAST(MAX(value) AS DECIMAL(18,2)) AS high,
-      CAST(MIN(value) AS DECIMAL(18,2)) AS low,
-      CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close,
+      CAST(FLOOR(MAX(CASE WHEN rn_a = 1 THEN value END) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS open,
+      CAST(FLOOR(MAX(value) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS high,
+      CAST(FLOOR(MIN(value) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS low,
+      CAST(FLOOR(MAX(CASE WHEN rn_d = 1 THEN value END) * 1000000 + 0.5)
+           / 1000000 AS DOUBLE) AS close,
       CAST(COUNT(*) AS BIGINT) AS n_ticks,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS volume
+      CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           * 1000000 + 0.5) / 1000000 AS DOUBLE) AS volume
     FROM t
     GROUP BY event_type, bucket_start
     ORDER BY event_type ASC, bucket_start ASC
     """,
 )
 def q278_ohlc_bars_str(spark, sf_dir):
-    """q150 with bucket_start emitted as a formatted STRING — if the
-    driver's hash diverges on the timestamp codec, this twin goes
-    green while q150 stays red."""
+    """q150 with bucket_start as a formatted STRING. Round 8: recoded
+    onto the driver-green stable_round6 DOUBLE value codec per the
+    CORRECTNESS_r07 adjudication (this query's r7 RED with
+    DECIMAL(18,2) values + q279's GREEN with doubles pinned the
+    DECIMAL output cast as the driver divergence). Kept as the
+    string-bucket regression sentinel alongside q279's epoch sentinel.
+    """
+    from ..operators.similarity import stable_round6
     from ..operators.timeseries import ohlc_bars
 
     e = T(spark, sf_dir, "events")
     bars = ohlc_bars(
         e, "ts", "value", ["event_type"], "1 hour", tiebreak_col="event_id"
     )
-    q2 = lambda c: F.col(c).cast("decimal(18,2)").alias(c)  # noqa: E731
+    s6 = lambda c: stable_round6(F.col(c).cast("double")).alias(c)  # noqa: E731
     return bars.select(
         "event_type",
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
             "bucket_start"
         ),
-        q2("open"),
-        q2("high"),
-        q2("low"),
-        q2("close"),
+        s6("open"),
+        s6("high"),
+        s6("low"),
+        s6("close"),
         "n_ticks",
-        F.col("volume").cast("decimal(28,2)").alias("volume"),
+        s6("volume"),
     ).orderBy("event_type", "bucket_start")
 
 

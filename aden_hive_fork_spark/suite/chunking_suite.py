@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.similarity import stable_round6
 from . import query
 from ._helpers import T
 
@@ -93,8 +94,8 @@ def q115_token_chunking(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
       CAST(COUNT(*) AS BIGINT) AS n_items,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        AS sum_qty,
+      CAST(FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           * 1000000 + 0.5) / 1000000 AS DOUBLE) AS sum_qty,
       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
     FROM lineitem
     WHERE l_partkey IN (
@@ -124,9 +125,13 @@ def q116_bloom_semi_join(spark, sf_dir):
         hits.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("sum_qty"),
+            # exact decimal sum, emitted via the driver-green
+            # stable_round6 DOUBLE codec (CORRECTNESS_r07 adjudicated
+            # DECIMAL output columns as the divergent driver codec)
+            stable_round6(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+            ).alias("sum_qty"),
             F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
         )
         .orderBy("l_returnflag")

@@ -671,13 +671,20 @@ def q121_scd2_intervals(spark, sf_dir):
       FROM grid g LEFT JOIN hourly h
         ON g.user_id = h.user_id AND g.bucket = h.bucket
     )
+    , locf AS (
+      SELECT user_id, bucket,
+        LAST_VALUE(total IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS total,
+        filled
+      FROM joined
+    )
     SELECT user_id, bucket,
-      LAST_VALUE(total IGNORE NULLS) OVER (
-        PARTITION BY user_id ORDER BY bucket
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS total,
+      CAST(FLOOR(CAST(total AS DOUBLE) * 1000000 + 0.5) / 1000000
+           AS DOUBLE) AS total,
       filled
-    FROM joined
+    FROM locf
     ORDER BY user_id ASC, bucket ASC
     """,
 )
@@ -708,10 +715,22 @@ def q124_gapfill_locf(spark, sf_dir):
             .alias("total")
         )
     )
-    return gapfill(
+    out = gapfill(
         hourly, "user_id", "bucket", "total",
         start="2024-01-01 00:00:00", end="2024-01-02 23:00:00",
         step="1 hour", fill="locf",
+    )
+    # LOCF runs on the exact DECIMAL totals; the output is emitted via
+    # the driver-green stable_round6 DOUBLE codec (CORRECTNESS_r07
+    # adjudicated DECIMAL output columns as the divergent driver
+    # codec). Leading-gap NULLs pass through unchanged.
+    from ..operators.similarity import stable_round6
+
+    return out.select(
+        "user_id",
+        "bucket",
+        stable_round6(F.col("total").cast("double")).alias("total"),
+        "filled",
     ).orderBy("user_id", "bucket")
 
 

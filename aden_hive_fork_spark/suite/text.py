@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.similarity import stable_round6
 from . import query
 from ._helpers import T
 
@@ -468,7 +469,8 @@ def q117_bpe_real_tokens(spark, sf_dir):
       GROUP BY t.doc_id, c.prior
     )
     SELECT s.doc_id, d.lang,
-      CAST(s.nb_score AS DECIMAL(28,6)) AS nb_score,
+      CAST(FLOOR(CAST(s.nb_score AS DOUBLE) * 1000000 + 0.5) / 1000000
+           AS DOUBLE) AS nb_score,
       (s.nb_score > 0) AS predicted_en
     FROM scored s JOIN documents d ON s.doc_id = d.doc_id
     ORDER BY s.doc_id ASC
@@ -494,7 +496,13 @@ def q123_nb_classifier(spark, sf_dir):
         .select(
             "doc_id",
             "lang",
-            F.col("nb_score").cast("decimal(28,6)").alias("nb_score"),
+            # exact decimal score; emitted via the driver-green
+            # stable_round6 DOUBLE codec (CORRECTNESS_r07: DECIMAL
+            # output columns are the divergent driver codec). The >0
+            # sign is still taken on the exact DECIMAL.
+            stable_round6(F.col("nb_score").cast("double")).alias(
+                "nb_score"
+            ),
             (F.col("nb_score") > 0).alias("predicted_en"),
         )
         .orderBy("doc_id")
