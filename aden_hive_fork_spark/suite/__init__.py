@@ -48,6 +48,7 @@ def load_all() -> None:
         analytics2,
         analytics3,
         analytics4,
+        builder_suite,
         chunking_suite,
         connectors,
         connectors2,
