@@ -1,0 +1,375 @@
+"""Deep Research Agent — the reference's flagship template executed
+hermetically on this engine's §2.B surface.
+
+Reference parity: examples/templates/deep_research_agent/agent.py
+(goal :23-80, nodes :83-89, edges :91-144, GraphSpec :163-201) and
+nodes/__init__.py (the four NodeSpecs). The reference's four
+event-loop nodes call a live LLM and the open web; here every node is
+a DataFrame transform and the whole flow runs on local data:
+
+- **intake** — the research brief comes from the pluggable LLM
+  backend (MockLLMBackend in tests, any functions.llm_tier backend in
+  production), batched through one Arrow mapInPandas pass — the same
+  seam every other LLM tier in this engine uses.
+- **research** — "web search" becomes keyword retrieval over the
+  ``documents`` corpus: term containment scoring + per-topic top-k,
+  sources tracked per finding exactly like the reference's URL
+  discipline. A ``feedback`` column (NULL on the first pass —
+  reference nullable_output_keys) relaxes the match threshold on
+  feedback rounds.
+- **review** — the reference's user checkpoint, as a deterministic
+  rule: topics with fewer than ``min_sources`` findings get
+  ``needs_more_research = True`` plus feedback text; a topic loops at
+  most once (second-pass results are accepted, and Pipeline
+  ``max_visits`` bounds the cycle regardless — reference
+  max_node_visits).
+- **report** — numbered-citation report assembly per topic.
+
+Edge semantics: the reference routes CONTROL FLOW per run; this
+engine routes ROWS, so the two review edges carry the SAME priority
+and their guards partition the topic set (needs_more_research
+True/False) — both branches of the fan-out fire on disjoint subsets
+in one lazily-built plan. The reference's report→intake "new topic"
+edge is interactive (a user typing a new topic); in batch semantics
+report is terminal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.llm_tier import LLMBackend
+from .graph import Edge, Node, Pipeline
+
+# ---------------------------------------------------------------------------
+# Goal definition (reference agent.py:23-80, verbatim WHAT)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SuccessCriterion:
+    id: str
+    description: str
+    metric: str
+    target: str
+    weight: float
+
+
+@dataclass(frozen=True)
+class Goal:
+    id: str
+    name: str
+    description: str
+    success_criteria: tuple[SuccessCriterion, ...] = field(default_factory=tuple)
+    constraints: tuple[str, ...] = field(default_factory=tuple)
+
+
+GOAL = Goal(
+    id="rigorous-interactive-research",
+    name="Rigorous Interactive Research",
+    description=(
+        "Research any topic by searching diverse sources, analyzing "
+        "findings, and producing a cited report — with checkpoints to "
+        "guide direction."
+    ),
+    success_criteria=(
+        SuccessCriterion(
+            "source-diversity",
+            "Use multiple diverse, authoritative sources",
+            "n_sources", ">= 3", 0.25,
+        ),
+        SuccessCriterion(
+            "citation-coverage",
+            "Every factual claim in the report cites its source",
+            "citation_coverage", ">= 1.0", 0.25,
+        ),
+        SuccessCriterion(
+            "review-checkpoint",
+            "Findings pass the review gate before report generation",
+            "reviewed", "== True", 0.25,
+        ),
+        SuccessCriterion(
+            "report-completeness",
+            "Final report answers the original research brief",
+            "has_findings", "== True", 0.25,
+        ),
+    ),
+    constraints=(
+        "no-hallucination: only include content found in the corpus",
+        "source-attribution: every claim carries a numbered reference",
+        "review-checkpoint: findings reviewed before the final report",
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Nodes
+# ---------------------------------------------------------------------------
+
+
+def _complete_column(
+    df: DataFrame, prompt_col: str, out_col: str, backend: LLMBackend
+) -> DataFrame:
+    """Free-text LLM completion of one column, Arrow-batched (the
+    llm_route seam without choice parsing)."""
+    import pandas as pd
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            replies = backend.complete(list(pdf[prompt_col].astype(str)))
+            pdf = pdf.copy()
+            pdf[out_col] = replies
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def intake_node(backend: LLMBackend):
+    """Reference intake NodeSpec: topic -> research_brief via the LLM
+    tier; the ``feedback`` key starts NULL (nullable_output_keys)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = _complete_column(df, "topic", "research_brief", backend)
+        return out.withColumn("feedback", F.lit(None).cast("string"))
+
+    return Node("intake", fn)
+
+
+def research_node(documents: DataFrame, top_k: int = 5):
+    """Reference research NodeSpec: search + fetch + analyze over the
+    documents corpus.
+
+    Scoring: number of distinct brief terms present in the document's
+    word set — an EQUI-join of brief terms against the tokenized
+    corpus (the inverted-index shape: one shuffle on the term key, no
+    nested-loop scan — this is the part that must survive a 100 TB
+    corpus). First pass (feedback IS NULL) requires >= 2 matching
+    terms; feedback rounds accept >= 1 — the "focus on the gaps"
+    relaxation. Per-topic top-k by (score desc, doc_id asc); findings
+    carry their source docs — the citation discipline. Topics with
+    zero hits still emit a row (left join) with n_sources = 0 so
+    review sees them.
+    """
+    from pyspark.sql.window import Window
+
+    doc_words = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower("text"), "[^a-z0-9]+")
+            )
+        ).alias("_term"),
+    ).filter(F.length("_term") >= 4)
+
+    def fn(df: DataFrame) -> DataFrame:
+        topics = df.select("topic", "research_brief", "feedback")
+        terms = topics.withColumn(
+            "_term",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower("research_brief"), "[^a-z0-9]+"),
+                        lambda t: F.length(t) >= 4,  # skip stopword-ish
+                    )
+                )
+            ),
+        )
+        hits = terms.join(doc_words, "_term", "inner")
+        scored = hits.groupBy("topic", "research_brief", "feedback", "doc_id").agg(
+            F.count(F.lit(1)).cast("int").alias("score")
+        )
+        min_score = F.when(F.col("feedback").isNull(), F.lit(2)).otherwise(
+            F.lit(1)
+        )
+        w = Window.partitionBy("topic").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        top = (
+            scored.filter(F.col("score") >= min_score)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k)
+        )
+        found = top.groupBy("topic", "research_brief", "feedback").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rk"), F.col("doc_id")))
+                ),
+                lambda s: s.doc_id,
+            ).alias("sources"),
+            F.count(F.lit(1)).cast("int").alias("n_sources"),
+        )
+        return (
+            topics.join(found, ["topic", "research_brief", "feedback"], "left")
+            .withColumn(
+                "sources", F.coalesce("sources", F.array().cast("array<bigint>"))
+            )
+            .withColumn("n_sources", F.coalesce("n_sources", F.lit(0)))
+            .withColumn(
+                "findings",
+                F.when(
+                    F.col("n_sources") > 0,
+                    F.concat(
+                        F.lit("found "),
+                        F.col("n_sources").cast("string"),
+                        F.lit(" sources for: "),
+                        F.col("research_brief"),
+                    ),
+                ),
+            )
+            .withColumn(
+                "gaps",
+                F.when(
+                    F.col("n_sources") == 0, F.lit("no matching sources")
+                ),
+            )
+        )
+
+    return Node("research", fn)
+
+
+def review_node(min_sources: int = 3):
+    """Reference review NodeSpec (the user checkpoint) as a rule:
+    below min_sources on the FIRST pass -> needs_more_research with
+    feedback; feedback rounds are always accepted (the loop fires at
+    most once per topic; max_visits bounds it anyway)."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        first_pass = F.col("feedback").isNull()
+        needs_more = first_pass & (F.col("n_sources") < min_sources)
+        return df.withColumn(
+            "needs_more_research", needs_more
+        ).withColumn(
+            "feedback",
+            F.when(
+                needs_more,
+                F.lit("broaden the search: accept partial term matches"),
+            ).otherwise(F.col("feedback")),
+        )
+
+    return Node("review", fn)
+
+
+def report_node():
+    """Reference report NodeSpec: numbered-citation report per topic."""
+
+    def fn(df: DataFrame) -> DataFrame:
+        citations = F.array_join(
+            F.transform(
+                F.col("sources"),
+                lambda d, i: F.concat(
+                    F.lit("["),
+                    (i + 1).cast("string"),
+                    F.lit("] doc:"),
+                    d.cast("string"),
+                ),
+            ),
+            "; ",
+        )
+        return df.select(
+            "topic",
+            "research_brief",
+            "findings",
+            "sources",
+            "n_sources",
+            F.concat(
+                F.lit("# Research report: "),
+                F.col("topic"),
+                F.lit("\n"),
+                F.coalesce("findings", F.lit("no findings")),
+                F.lit("\nSources: "),
+                citations,
+            ).alias("report"),
+            F.lit(True).alias("reviewed"),
+            (F.col("n_sources") > 0).alias("has_findings"),
+        )
+
+    return Node("report", fn)
+
+
+# ---------------------------------------------------------------------------
+# Graph assembly (reference agent.py:91-144 edges, :163-201 GraphSpec)
+# ---------------------------------------------------------------------------
+
+
+def build_deep_research_pipeline(
+    documents: DataFrame,
+    backend: LLMBackend,
+    top_k: int = 5,
+    min_sources: int = 3,
+) -> Pipeline:
+    """The reference edge list on plans.Pipeline. Row-routing note:
+    review's two CONDITIONAL edges share one priority so their guards
+    partition the topic rows (see module docstring)."""
+    nodes = [
+        intake_node(backend),
+        research_node(documents, top_k=top_k),
+        review_node(min_sources=min_sources),
+        report_node(),
+    ]
+    edges = [
+        Edge("intake", "research", condition="always", priority=1),
+        Edge("research", "review", condition="always", priority=1),
+        # feedback loop (reference review-to-research-feedback)
+        Edge(
+            "review",
+            "research",
+            condition="needs_more_research == True",
+            input_mapping={
+                "topic": "topic",
+                "research_brief": "research_brief",
+                "feedback": "feedback",
+            },
+            priority=1,
+        ),
+        # accept (reference review-to-report)
+        Edge(
+            "review",
+            "report",
+            condition="needs_more_research == False",
+            priority=1,
+        ),
+    ]
+    return Pipeline(
+        nodes, edges, entry="intake", terminals=["report"], max_visits=3
+    )
+
+
+def evaluate_success_criteria(report: DataFrame) -> DataFrame:
+    """Weighted criterion progress over the final report rows
+    (reference outcome aggregation: met_weight / total_weight). The
+    citation-coverage metric is structural here — every finding row
+    carries its sources array, so coverage = fraction of rows with
+    findings that also have >= 1 source."""
+    checks = {
+        "source-diversity": F.col("n_sources") >= 3,
+        "citation-coverage": F.col("findings").isNull()
+        | (F.size("sources") >= 1),
+        "review-checkpoint": F.col("reviewed"),
+        "report-completeness": F.col("has_findings"),
+    }
+    weights = {c.id: c.weight for c in GOAL.success_criteria}
+    rows = [
+        report.agg(
+            (
+                F.sum(F.when(cond, 1).otherwise(0)) / F.count(F.lit(1))
+            ).alias("progress")
+        ).select(
+            F.lit(cid).alias("criterion_id"),
+            F.lit(weights[cid]).alias("weight"),
+            "progress",
+        )
+        for cid, cond in checks.items()
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

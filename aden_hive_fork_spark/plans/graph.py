@@ -137,6 +137,9 @@ class Pipeline:
         """
         visits: dict[str, int] = {}
         results: dict[str, DataFrame] = {}
+        # executed node sequence, for tests/diagnostics (the
+        # reference's decision-trace analog)
+        self.last_trace: list[str] = []
         # (node, frame) worklist; deterministic FIFO order
         work: list[tuple[str, DataFrame]] = [(self.entry, df)]
         while work:
@@ -144,6 +147,7 @@ class Pipeline:
             visits[name] = visits.get(name, 0) + 1
             if visits[name] > self.max_visits:
                 continue
+            self.last_trace.append(name)
             out = self.nodes[name].apply(frame)
             if name in self.terminals:
                 results[name] = (
