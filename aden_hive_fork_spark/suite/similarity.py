@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..operators.similarity import (
-    ann_topk,
     cosine_neardup_pairs,
     cosine_topk_exact,
 )
@@ -172,17 +171,8 @@ def q53_embedding_neardup(spark, sf_dir):
     return cosine_neardup_pairs_exact(emb, threshold=0.3, block_col="label")
 
 
-@query("q54_ann_lsh_topk")
-def q54_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN top-5 for 4 stored queries: bucket routing +
-    exact rerank inside the bucket. Approximate (bucket recall) ⇒
-    rows-only."""
-    emb = T(spark, sf_dir, "embeddings")
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.orderBy("vec_id").limit(4).collect()
-    ]
-    return ann_topk(emb, queries, k=5, num_planes=6)
+# q54_ann_lsh_topk: migrated into the hash gate in round 8 — defined
+# below q239 with the md5-oracle machinery it shares.
 
 
 @query(
@@ -238,21 +228,8 @@ def q52_lsh_bucket_stats(spark, sf_dir):
     )
 
 
-@query("q68_ivf_ann_topk")
-def q68_ivf_ann_topk(spark, sf_dir):
-    """IVF ANN top-5 for 4 stored queries: k-means coarse quantizer
-    (trained on a bounded deterministic sample), cell assignment,
-    n_probe=4-of-16 probing, exact rerank inside probed cells.
-    Approximate (probe recall) ⇒ rows-only; deterministic for a fixed
-    seed."""
-    from ..operators.similarity import ivf_topk
-
-    emb = T(spark, sf_dir, "embeddings")
-    queries = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.orderBy("vec_id").limit(4).collect()
-    ]
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+# q68_ivf_ann_topk: migrated into the hash gate in round 8 — defined
+# below q239 with the md5-oracle machinery it shares.
 
 
 @query(
@@ -672,7 +649,12 @@ _QUANT_CTE = """
       FROM embeddings
 """
 
-_Q238_SQL = f"""
+def _ann_md5_sql(
+    tables: int, planes: int, dim: int, qids: tuple, k: int = 5
+) -> str:
+    """Parameterized oracle for ann_md5_topk (shared by q238 and the
+    round-8-migrated q54 — two amplification regimes, one SQL)."""
+    return f"""
     WITH q AS ({_QUANT_CTE}),
     planes AS (
       SELECT t.t, p.j, i.i,
@@ -680,13 +662,13 @@ _Q238_SQL = f"""
                              || CAST(p.j AS VARCHAR) || ':'
                              || CAST(i.i AS VARCHAR)), 1, 1) < '8'
              THEN 1 ELSE -1 END AS s
-      FROM (SELECT unnest(range(0, {_ANN_TABLES})) AS t) t
-      CROSS JOIN (SELECT unnest(range(0, {_ANN_PLANES})) AS j) p
-      CROSS JOIN (SELECT unnest(range(0, {_ANN_DIM})) AS i) i
+      FROM (SELECT unnest(range(0, {tables})) AS t) t
+      CROSS JOIN (SELECT unnest(range(0, {planes})) AS j) p
+      CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) i
     ),
     comps AS (
       SELECT vec_id, i.i AS i, qvec[i.i + 1] AS c
-      FROM q CROSS JOIN (SELECT unnest(range(0, {_ANN_DIM})) AS i) i
+      FROM q CROSS JOIN (SELECT unnest(range(0, {dim})) AS i) i
     ),
     dots AS (
       SELECT vec_id, t, j, SUM(s * c) AS d
@@ -702,11 +684,11 @@ _Q238_SQL = f"""
     ),
     qb AS (
       SELECT vec_id AS query_id, bucket FROM buck
-      WHERE vec_id IN {_ANN_QUERY_IDS}
+      WHERE vec_id IN {qids}
     ),
     cb AS (
       SELECT vec_id AS id, bucket FROM buck
-      WHERE vec_id NOT IN {_ANN_QUERY_IDS}
+      WHERE vec_id NOT IN {qids}
     ),
     pairs AS (
       SELECT DISTINCT query_id, id FROM cb JOIN qb USING (bucket)
@@ -727,9 +709,12 @@ _Q238_SQL = f"""
     )
     SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
       CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
-    FROM ranked WHERE rank <= 5
+    FROM ranked WHERE rank <= {k}
     ORDER BY query_id ASC, rank ASC
 """
+
+
+_Q238_SQL = _ann_md5_sql(_ANN_TABLES, _ANN_PLANES, _ANN_DIM, _ANN_QUERY_IDS)
 
 
 @query("q238_ann_md5_topk", oracle=_Q238_SQL)
@@ -758,13 +743,17 @@ def q238_ann_md5_topk(spark, sf_dir):
 _IVF_CELLS = 16
 _IVF_PROBE = 6
 
-_Q239_SQL = f"""
+
+def _ivf_md5_sql(cells: int, probe: int, qids: tuple, k: int = 5) -> str:
+    """Parameterized oracle for ivf_md5_topk (shared by q239 and the
+    round-8-migrated q68 — two cell/probe regimes, one SQL)."""
+    return f"""
     WITH q AS ({_QUANT_CTE}),
     seeds AS (
       SELECT vec_id AS seed_id, qvec AS seed_qvec
       FROM q
       ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
-      LIMIT {_IVF_CELLS}
+      LIMIT {cells}
     ),
     scored_seed AS (
       SELECT q.vec_id AS id, q.qvec, s.seed_id,
@@ -782,15 +771,15 @@ _Q239_SQL = f"""
       SELECT id AS query_id, qvec AS qv, seed_id AS cell FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY id
                     ORDER BY sdot DESC, seed_id ASC) AS rn
-        FROM scored_seed WHERE id IN {_ANN_QUERY_IDS})
-      WHERE rn <= {_IVF_PROBE}
+        FROM scored_seed WHERE id IN {qids})
+      WHERE rn <= {probe}
     ),
     scored AS (
       SELECT p.query_id, c.id,
         list_sum([c.qvec[i] * p.qv[i]
                   for i in range(1, len(c.qvec) + 1)]) AS qdot
       FROM assigned c JOIN probes p ON c.cell = p.cell
-      WHERE c.id NOT IN {_ANN_QUERY_IDS}
+      WHERE c.id NOT IN {qids}
     ),
     ranked AS (
       SELECT query_id, id, qdot,
@@ -800,9 +789,12 @@ _Q239_SQL = f"""
     )
     SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
       CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
-    FROM ranked WHERE rank <= 5
+    FROM ranked WHERE rank <= {k}
     ORDER BY query_id ASC, rank ASC
 """
+
+
+_Q239_SQL = _ivf_md5_sql(_IVF_CELLS, _IVF_PROBE, _ANN_QUERY_IDS)
 
 
 @query("q239_ivf_md5_topk", oracle=_Q239_SQL)
@@ -818,6 +810,68 @@ def q239_ivf_md5_topk(spark, sf_dir):
     return ivf_md5_topk(
         emb, query_ids=list(_ANN_QUERY_IDS), k=5,
         num_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("qdot").cast("bigint").alias("qdot"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 / q68 — MIGRATED INTO THE HASH GATE in round 8 (VERDICT r7 task
+# 6): formerly the numpy-seeded rows-only variants, now the md5 tiers
+# at a SECOND operating point each (q54: 4 tables × 6 planes — deeper,
+# narrower buckets than q238's 8×4; q68: 12 cells / 3 probes vs q239's
+# 16/6 — a stricter probe budget), different query vectors. The seeded
+# originals (operators/similarity.ann_topk / ivf_topk) remain the
+# production paths, exercised by unit tests.
+# ---------------------------------------------------------------------------
+_Q54_TABLES = 4
+_Q54_PLANES = 6
+_Q54_QUERY_IDS = (4, 5, 6, 7)
+
+
+@query(
+    "q54_ann_lsh_topk",
+    oracle=_ann_md5_sql(_Q54_TABLES, _Q54_PLANES, _ANN_DIM, _Q54_QUERY_IDS),
+)
+def q54_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-5: md5 sign-plane routing (4×6 — the
+    few-tables/many-planes amplification regime) + exact int8 integer
+    rerank, DuckDB-replayable end to end."""
+    from ..operators.similarity import ann_md5_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ann_md5_topk(
+        emb, query_ids=list(_Q54_QUERY_IDS), k=5,
+        num_tables=_Q54_TABLES, num_planes=_Q54_PLANES, dim=_ANN_DIM,
+    ).select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("qdot").cast("bigint").alias("qdot"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_Q68_CELLS = 12
+_Q68_PROBE = 3
+
+
+@query(
+    "q68_ivf_ann_topk",
+    oracle=_ivf_md5_sql(_Q68_CELLS, _Q68_PROBE, _Q54_QUERY_IDS),
+)
+def q68_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN top-5: md5-sampled coarse centroids, integer-dot cell
+    assignment, 3-of-12 probing (the strict-probe-budget regime next
+    to q239's 6-of-16), in-cell exact rerank — value-hash checked."""
+    from ..operators.similarity import ivf_md5_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    return ivf_md5_topk(
+        emb, query_ids=list(_Q54_QUERY_IDS), k=5,
+        num_cells=_Q68_CELLS, n_probe=_Q68_PROBE,
     ).select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("id").cast("bigint").alias("id"),

@@ -36,9 +36,19 @@ HOT_USER = 7  # absorbs skewed events
 def build(con) -> None:
     os.makedirs(DST, exist_ok=True)
     # dimension tables: copy as-is
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "documents"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # documents ×10: replicas are EXACT text dups re-keyed — worst
+    # case for the n-gram/entropy text tier (every duplicated n-gram
+    # table grows 10×, repetition fractions saturate)
+    con.execute(f"""
+      COPY (
+        SELECT doc_id + rep * 10000000 AS doc_id,
+          text, lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet')
+        CROSS JOIN (SELECT unnest(generate_series(0, {REPS - 1})) AS rep)
+      ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+    """)
     # orders ×10: rep 0 is the original; reps 1..9 re-key orderkey and
     # send 25% of customers to ONE hot key
     con.execute(f"""
@@ -123,7 +133,13 @@ def main() -> int:
                  # round-7 window-free rank family + quantiles
                  "q272_revenue_concentration", "q277_kruskal_wallis",
                  "q291_mann_whitney", "q294_cusum_changepoint",
-                 "q296_revenue_acf", "q299_scalable_quantiles"):
+                 "q296_revenue_acf", "q299_scalable_quantiles",
+                 # round-7 text/drift tier (VERDICT r7 task 5) —
+                 # documents now ×10 exact-dup replicas, events hot-user
+                 "q298_gopher_repetition", "q302_event_funnel",
+                 "q303_word_entropy_profile", "q304_wasserstein_drift",
+                 # round-8 builder analytics over the hot-user run log
+                 "q306_run_failure_patterns", "q309_failure_analysis"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
