@@ -1503,8 +1503,6 @@ def wasserstein_1d(
     NULL values and other groups are excluded; W1 is NULL if either
     sample is empty.
     """
-    from .ids import dense_ids, running_totals
-
     mult = 10 ** scale
     base = df.filter(
         F.col(group_col).isin([group_a, group_b])
@@ -1523,6 +1521,22 @@ def wasserstein_1d(
         .cast("long")
         .alias("_cb"),
     )
+    return wasserstein_from_counts(vt, scale=scale, ndigits=ndigits)
+
+
+def wasserstein_from_counts(
+    vt: DataFrame, scale: int = 2, ndigits: int = 6
+) -> DataFrame:
+    """The W1 reduction of ``wasserstein_1d`` starting from a
+    per-distinct-value count table ``(_v, _ca, _cb)`` where ``_v`` is
+    the value already quantized to scaled integers (×10^scale). This
+    is the seam the streaming twin merges into: integer count tables
+    are exactly sum-mergeable per micro-batch, so the streamed state
+    reduces to the SAME bits as a one-pass batch rebuild
+    (streaming/drift_stream.read_wasserstein)."""
+    from .ids import dense_ids, running_totals
+
+    mult = 10 ** scale
     cum = running_totals(
         vt, ["_v"], ["_ca", "_cb"], cum_col=["_cuma", "_cumb"]
     )

@@ -95,3 +95,72 @@ def test_merge_without_reference_raises(spark, tmp_path):
     batch = spark.createDataFrame([(1, 1.0)], SCHEMA)
     with pytest.raises(FileNotFoundError):
         merge_drift_batch(batch, 0, str(tmp_path / "nope"), "v")
+
+
+# --- streaming exact 1-Wasserstein (round 8) --------------------------------
+
+
+def test_wasserstein_streamed_equals_batch_bitexact(spark, tmp_path):
+    from aden_hive_fork_spark.operators.stats import wasserstein_1d
+    from aden_hive_fork_spark.streaming.drift_stream import (
+        freeze_wasserstein_reference,
+        maintain_wasserstein,
+        read_wasserstein,
+    )
+
+    path, ckpt, in_dir = (str(tmp_path / d) for d in ("w1", "ckpt", "in"))
+    ref_rows = [(i, round(i % 100 + 0.25, 2)) for i in range(400)]
+    freeze_wasserstein_reference(
+        spark.createDataFrame(ref_rows, SCHEMA), "v", path, scale=2
+    )
+    b1 = [{"id": i, "v": round(30 + i % 70 + 0.5, 2)} for i in range(250)]
+    b2 = [{"id": 900 + i, "v": round(i % 40 + 0.75, 2)} for i in range(150)]
+    _write_jsonl(in_dir, "b1.json", b1)
+    st = spark.readStream.schema(SCHEMA).json(in_dir)
+    maintain_wasserstein(st, path, ckpt, "v").awaitTermination(120)
+    _write_jsonl(in_dir, "b2.json", b2)
+    st = spark.readStream.schema(SCHEMA).json(in_dir)
+    maintain_wasserstein(st, path, ckpt, "v").awaitTermination(120)
+    streamed = read_wasserstein(spark, path).collect()[0]
+
+    # batch twin: wasserstein_1d over ref ∪ stream with group labels
+    both = spark.createDataFrame(
+        [(float(v), "ref") for _, v in ref_rows]
+        + [(r["v"], "cur") for r in b1 + b2],
+        "v double, g string",
+    )
+    batch = wasserstein_1d(both, "v", "g", "ref", "cur", scale=2).collect()[0]
+    assert streamed["n_a"] == batch["n_a"] == 400
+    assert streamed["n_b"] == batch["n_b"] == 400
+    assert streamed["w1"] == batch["w1"]  # bit-exact, not approx
+
+
+def test_wasserstein_replay_is_noop_and_identity_is_zero(spark, tmp_path):
+    from aden_hive_fork_spark.streaming.drift_stream import (
+        freeze_wasserstein_reference,
+        merge_wasserstein_batch,
+        read_wasserstein,
+    )
+
+    path = str(tmp_path / "w1")
+    ref = spark.createDataFrame(
+        [(i, float(i % 50)) for i in range(500)], SCHEMA
+    )
+    freeze_wasserstein_reference(ref, "v", path, scale=2)
+    merge_wasserstein_batch(ref, 0, path, "v")  # identical distribution
+    out = read_wasserstein(spark, path).collect()[0]
+    assert out["w1"] == 0.0
+    # replaying the committed batch id changes nothing
+    shifted = spark.createDataFrame([(1, 999.0)], SCHEMA)
+    merge_wasserstein_batch(shifted, 0, path, "v")
+    assert read_wasserstein(spark, path).collect()[0]["w1"] == 0.0
+
+
+def test_wasserstein_merge_without_reference_raises(spark, tmp_path):
+    from aden_hive_fork_spark.streaming.drift_stream import (
+        merge_wasserstein_batch,
+    )
+
+    batch = spark.createDataFrame([(1, 1.0)], SCHEMA)
+    with pytest.raises(FileNotFoundError):
+        merge_wasserstein_batch(batch, 0, str(tmp_path / "nope"), "v")
