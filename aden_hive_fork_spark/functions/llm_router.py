@@ -102,6 +102,12 @@ class RouterBackend:
                     replies = spec.backend.complete(
                         [prompts[i] for i in pending]
                     )
+                    # a misbehaving backend returning the wrong count
+                    # would silently drop tail prompts from retries
+                    # AND the rest of the chain (ADVICE r7) — treat a
+                    # length mismatch exactly like an exception
+                    if len(replies) != len(pending):
+                        replies = [""] * len(pending)
                 except Exception:
                     replies = [""] * len(pending)
                 still: list[int] = []

@@ -156,9 +156,35 @@ def running_totals(
     sums = (
         sorted_df.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
-        .agg(*[F.sum(t).alias(t) for t in tmp])
+        .agg(
+            *[F.sum(t).alias(t) for t in tmp],
+            *[
+                F.sum(F.col(t).isNull().cast("long")).alias(f"_null_{t}")
+                for t in tmp
+            ],
+        )
         .collect()
     )
+    # enforce the documented "must be integral" contract: a NULL
+    # weight survives the long cast and the driver-side sum coalesces
+    # it to 0, but the pandas cumsum path would turn the column
+    # float-with-NaN and fail (or corrupt) inside an executor, far
+    # from the cause (ADVICE r7). Checked from the SAME per-partition
+    # aggregate — no extra pass.
+    bad = sorted(
+        {
+            w
+            for r in sums
+            for t, w in zip(tmp, weights)
+            if (r[f"_null_{t}"] or 0) > 0
+        }
+    )
+    if bad:
+        raise ValueError(
+            f"running_totals: weight column(s) {bad} contain NULLs "
+            "(or values that cast to NULL as LONG) — weights must be "
+            "non-null integral"
+        )
     psums = {r["_pid"]: [int(r[t] or 0) for t in tmp] for r in sums}
     offsets: dict[int, list[int]] = {}
     acc = [0] * len(tmp)

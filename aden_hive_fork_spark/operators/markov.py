@@ -73,6 +73,12 @@ def event_transitions(
     counts = pairs.groupBy("src", "dst").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # materialize the states²-bounded edge table BEFORE the closure's
+    # collect — otherwise the corpus window/aggregate lineage executes
+    # once for the collect and AGAIN when the returned DataFrame is
+    # consumed, breaking the "corpus touched exactly once" contract
+    # (ADVICE r7)
+    counts = counts.localCheckpoint(eager=True)
     edges = [
         (r["src"], r["dst"]) for r in counts.select("src", "dst").collect()
     ]

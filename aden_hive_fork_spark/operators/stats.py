@@ -1014,10 +1014,13 @@ def mann_whitney_u(
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test for two independent
     samples — the nonparametric two-sample location test, the k=2
-    companion of :func:`kruskal_wallis`. 1-row output
-    ``n_a, n_b, u_stat, z_score`` (tie-corrected normal
-    approximation; z is NULL when either sample is empty or every
-    value ties).
+    companion of :func:`kruskal_wallis`. Output
+    ``n_a, n_b, u_stat, z_score`` — ONE row when both groups have
+    rows (z NULL if every value ties); EMPTY when either group is
+    absent entirely (the inner join of per-group aggregates has
+    nothing to pair — callers needing a sentinel row should guard
+    with a count first; the q291 oracle twin shares this shape, so
+    the gate is consistent either way).
 
     Scale shape: identical to kruskal_wallis — NO global window.
     Rows collapse to the (value, group) contingency table, the
@@ -1337,12 +1340,23 @@ def moments_normality(
     different, sample-corrected formula AND float accumulation, so it
     is deliberately not used on either side). NULL stats when m2
     quantizes to 0 or n < 2; NULL values excluded.
+
+    Exactness bound: the Σx³/Σx⁴ terms carry 3·scale/4·scale decimal
+    digits, so scale > 3 would force a per-row scale-DOWN recast —
+    precisely the cross-engine decimal-rounding hazard the comment
+    below avoids — and is rejected (ADVICE r7).
     """
+    if scale > 3:
+        raise ValueError(
+            "moments_normality: scale > 3 would round per-row moment "
+            "terms (4*scale exceeds the DECIMAL(38,12) cap) — quantize "
+            "the input coarser instead"
+        )
     group = [group_col] if group_col else []
     v = F.col(value_col).cast(f"decimal(18,{scale})")
     p2 = f"decimal(38,{2 * scale})"
-    p3 = f"decimal(38,{min(3 * scale, 12)})"
-    p4 = f"decimal(38,{min(4 * scale, 12)})"
+    p3 = f"decimal(38,{3 * scale})"
+    p4 = f"decimal(38,{4 * scale})"
     agg = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*group)

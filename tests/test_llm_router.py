@@ -235,3 +235,32 @@ def test_stream_unterminated_text_closes_at_eof():
     ev = events_from_chunks([{"type": "text", "text": "tail"}])
     assert [e.type for e in ev] == ["text_delta", "text_end"]
     assert ev[-1].full_text == "tail"
+
+
+def test_short_reply_list_falls_through_chain(monkeypatch):
+    """A backend returning the WRONG NUMBER of replies must be treated
+    like an exception: every pending prompt stays pending and falls to
+    the next provider (ADVICE r7 — previously tail prompts were
+    silently dropped)."""
+    from aden_hive_fork_spark.functions.llm_router import (
+        ProviderSpec,
+        RouterBackend,
+    )
+
+    class ShortBackend:
+        def complete(self, prompts):
+            return ["only-one"]  # wrong length for 2+ prompts
+
+    class GoodBackend:
+        def complete(self, prompts):
+            return [f"ok:{p}" for p in prompts]
+
+    router = RouterBackend(
+        [
+            ProviderSpec("short", ShortBackend(), max_retries=0),
+            ProviderSpec("good", GoodBackend(), max_retries=0),
+        ],
+        sleep=lambda s: None,
+    )
+    out = router.complete(["a", "b", "c"])
+    assert out == ["ok:a", "ok:b", "ok:c"]

@@ -15,6 +15,8 @@ ever used was the un-partitioned global kind).
 
 from __future__ import annotations
 
+import pytest
+
 
 def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString().lower()
@@ -134,3 +136,21 @@ def test_running_totals_rejects_collision_and_empty_order(spark):
         running_totals(df, ["v"], "v")
     with pytest.raises(ValueError, match="order_cols"):
         running_totals(df, [], "v", cum_col="c2")
+
+
+def test_running_totals_rejects_null_weights(spark):
+    from aden_hive_fork_spark.operators.ids import running_totals
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "k int, w int"
+    )
+    with pytest.raises(ValueError, match="non-null integral"):
+        running_totals(df, ["k"], "w").collect()
+
+
+def test_moments_normality_rejects_wide_scale(spark):
+    from aden_hive_fork_spark.operators.stats import moments_normality
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="scale > 3"):
+        moments_normality(df, "v", scale=4)
