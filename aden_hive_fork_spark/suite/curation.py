@@ -895,3 +895,97 @@ def q226_contrastive_negatives(spark, sf_dir):
         F.col("neg_label").alias("neg_lang"),
         "rank",
     ).orderBy(F.asc("anchor_id"), F.asc("rank"))
+
+
+# ---------------------------------------------------------------------------
+# q311/q312 — GPT-style sequence packing (round 8): the corpus laid
+# out as one token stream and chunked into capacity-4096 context
+# windows (operators/packing). Token count = n_chars (exact integer
+# in both engines — no tokenization drift in the gate); the Spark
+# side's prefix sum is the window-free running_totals two-pass.
+# ---------------------------------------------------------------------------
+_PACK_CAP = 4096
+
+_PACK_SPANS_SQL = f"""
+    docs AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    cum AS (
+      SELECT doc_id, len,
+        CAST(SUM(len) OVER (ORDER BY doc_id ASC) AS BIGINT) AS e
+      FROM docs
+    ),
+    exploded AS (
+      SELECT doc_id, e - len AS s, e,
+        unnest(range((e - len) // {_PACK_CAP}, (e - 1) // {_PACK_CAP} + 1))
+          AS window_id
+      FROM cum
+    ),
+    packed AS (
+      SELECT doc_id, CAST(window_id AS BIGINT) AS window_id,
+        CAST(GREATEST(s, window_id * {_PACK_CAP}) - s AS BIGINT)
+          AS doc_offset,
+        CAST(GREATEST(s, window_id * {_PACK_CAP}) - window_id * {_PACK_CAP}
+          AS BIGINT) AS win_offset,
+        CAST(LEAST(e, (window_id + 1) * {_PACK_CAP})
+          - GREATEST(s, window_id * {_PACK_CAP}) AS BIGINT) AS n_tokens
+      FROM exploded
+    )
+"""
+
+
+@query(
+    "q311_sequence_packing",
+    oracle=f"""
+    WITH {_PACK_SPANS_SQL.strip()}
+    SELECT doc_id, window_id, doc_offset, win_offset, n_tokens
+    FROM packed
+    ORDER BY doc_id ASC, window_id ASC
+    """,
+)
+def q311_sequence_packing(spark, sf_dir):
+    """operators/packing.pack_token_stream: every document's token
+    span mapped to its context windows — one exclusive prefix sum
+    (range-partitioned two-pass, no global window) + map-side span
+    arithmetic."""
+    from ..operators.packing import pack_token_stream
+
+    docs = T(spark, sf_dir, "documents")
+    return pack_token_stream(
+        docs, "doc_id", "n_chars", capacity=_PACK_CAP
+    ).orderBy("doc_id", "window_id")
+
+
+@query(
+    "q312_packing_stats",
+    oracle=f"""
+    WITH {_PACK_SPANS_SQL.strip()}
+    SELECT window_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN win_offset + n_tokens = {_PACK_CAP}
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+      CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_CAP}.0
+           * 1000000 + 0.5) / 1000000 AS DOUBLE) AS fill
+    FROM packed
+    GROUP BY window_id
+    ORDER BY window_id ASC
+    """,
+)
+def q312_packing_stats(spark, sf_dir):
+    """operators/packing.packing_stats: the per-window batch
+    diagnostic — every window but the last must report fill = 1.0
+    (gapless chunking)."""
+    from ..operators.packing import pack_token_stream, packing_stats
+    from ..operators.similarity import stable_round6
+
+    docs = T(spark, sf_dir, "documents")
+    packed = pack_token_stream(docs, "doc_id", "n_chars", capacity=_PACK_CAP)
+    return packing_stats(packed, capacity=_PACK_CAP).select(
+        "window_id",
+        "n_docs",
+        "n_tokens",
+        "n_boundary_docs",
+        stable_round6(F.col("fill")).alias("fill"),
+    ).orderBy("window_id")
