@@ -989,3 +989,78 @@ def q312_packing_stats(spark, sf_dir):
         "n_boundary_docs",
         stable_round6(F.col("fill")).alias("fill"),
     ).orderBy("window_id")
+
+
+# ---------------------------------------------------------------------------
+# q313 — domain-mixture reweighting (operators/mixing): measured
+# corpus shares vs a fixed target mix → sampling weights, token
+# allocations, effective epochs. One keyed aggregate over the corpus;
+# everything else is |domains|-row arithmetic.
+# ---------------------------------------------------------------------------
+_MIX_TARGET = {
+    "src0": 0.4,
+    "src1": 0.3,
+    "src2": 0.15,
+    "src3": 0.1,
+    "src4": 0.05,
+}
+_MIX_BUDGET = 1_000_000
+
+_MIX_TARGET_SQL = " ".join(
+    f"WHEN '{k}' THEN CAST({v} AS DOUBLE)" for k, v in sorted(_MIX_TARGET.items())
+)
+
+
+@query(
+    "q313_domain_mixture",
+    oracle=f"""
+    WITH per_domain AS (
+      SELECT source AS domain,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus FROM per_domain),
+    j AS (
+      SELECT d.*, t.corpus,
+        CAST(d.n_tokens AS DOUBLE) / CAST(t.corpus AS DOUBLE) AS cur,
+        CASE d.domain {_MIX_TARGET_SQL} ELSE CAST(0.0 AS DOUBLE) END AS tgt
+      FROM per_domain d CROSS JOIN tot t
+    )
+    SELECT domain, n_docs, n_tokens,
+      CAST(FLOOR(cur * 1000000 + 0.5) / 1000000 AS DOUBLE) AS current_share,
+      tgt AS target_share,
+      CAST(FLOOR((tgt / cur) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS weight,
+      CAST(FLOOR(tgt * CAST({_MIX_BUDGET} AS DOUBLE)) AS BIGINT)
+        AS allocated_tokens,
+      CAST(FLOOR(CAST(FLOOR(tgt * CAST({_MIX_BUDGET} AS DOUBLE)) AS DOUBLE)
+           / CAST(n_tokens AS DOUBLE) * 1000000 + 0.5) / 1000000 AS DOUBLE)
+        AS epochs
+    FROM j
+    ORDER BY domain ASC
+    """,
+)
+def q313_domain_mixture(spark, sf_dir):
+    """operators/mixing.domain_mix_report: src0-src4 upweighted to a
+    fixed 40/30/15/10/5 target mix over a 1M-token budget; the other
+    fifteen sources drop to weight 0. Epochs > 1 on the upweighted
+    domains expose the repetition the budget implies."""
+    from ..operators.mixing import domain_mix_report
+    from ..operators.similarity import stable_round6
+
+    docs = T(spark, sf_dir, "documents")
+    rep = domain_mix_report(
+        docs, "source", "n_chars", _MIX_TARGET, _MIX_BUDGET
+    )
+    return rep.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        stable_round6(F.col("current_share")).alias("current_share"),
+        "target_share",
+        stable_round6(F.col("weight")).alias("weight"),
+        "allocated_tokens",
+        stable_round6(F.col("epochs")).alias("epochs"),
+    ).orderBy("domain")
