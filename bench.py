@@ -108,6 +108,10 @@ HEADLINE = [
     "q291_mann_whitney",          # window-free rank test (running_totals)
     "q294_cusum_changepoint",     # exact integer cumsum change-point
     "q296_revenue_acf",           # lag-join autocorrelation, IEEE-exact
+    # round-8 headliners
+    "q306_run_failure_patterns",  # builder analytics over the run-log star
+    "q311_sequence_packing",      # running_totals prefix sum + span explode
+    "q313_domain_mixture",        # one keyed agg + |domains|-row arithmetic
 ]
 
 

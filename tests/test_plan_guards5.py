@@ -126,3 +126,34 @@ def test_session_paths_single_sequence_shuffle(spark):
     assert plan.count("CartesianProduct") == 0
     wins = plan.count("Window")
     assert wins >= 1
+
+
+def test_pack_token_stream_no_window_no_singlepartition(spark):
+    from aden_hive_fork_spark.operators.packing import pack_token_stream
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 50) for i in range(500)], "doc_id long, n_tok int"
+    )
+    plan = _plan(pack_token_stream(df, "doc_id", "n_tok", capacity=64))
+    # the prefix sum must be the range-partitioned two-pass, never a
+    # global window (Exchange SinglePartition + whole-input sort)
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_domain_mix_single_corpus_aggregate(spark):
+    from aden_hive_fork_spark.operators.mixing import domain_mix_report
+
+    df = spark.createDataFrame(
+        [(f"s{i % 4}", 10 + i) for i in range(200)],
+        "source string, n_tok int",
+    )
+    rep = domain_mix_report(
+        df, "source", "n_tok",
+        {"s0": 0.25, "s1": 0.25, "s2": 0.25, "s3": 0.25}, 1000,
+    )
+    plan = _plan(rep)
+    # the corpus total is a 1-row broadcast, not a re-aggregation of
+    # the corpus per domain row
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
