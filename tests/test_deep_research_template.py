@@ -131,3 +131,46 @@ def test_goal_metadata_parity():
     assert len(GOAL.success_criteria) == 4
     assert sum(c.weight for c in GOAL.success_criteria) == pytest.approx(1.0)
     assert len(GOAL.constraints) == 3
+
+
+def test_pipeline_on_real_corpus(spark):
+    """The capstone on the actual documents table (sf0.001): topics
+    built from real corpus vocabulary must research end-to-end."""
+    from tests.conftest import SF_SMALL
+
+    from aden_hive_fork_spark.catalog import load_table
+    from aden_hive_fork_spark.functions.llm_tier import MockLLMBackend
+    from aden_hive_fork_spark.plans.deep_research import (
+        build_deep_research_pipeline,
+        evaluate_success_criteria,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # pick four real words from the corpus so the brief has hits
+    words = [
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .filter(F.length("w") >= 6)
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(4)
+        .collect()
+    ]
+    backend = MockLLMBackend(
+        rules=[("corpus", " ".join(words))], default="unmatched"
+    )
+    pipe = build_deep_research_pipeline(docs, backend, top_k=5, min_sources=3)
+    topics = spark.createDataFrame([("corpus topic",)], "topic string")
+    report = pipe.run(topics)["report"]
+    rows = report.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_sources"] == 5  # common words -> full top-k
+    crit = {
+        r["criterion_id"]: r["progress"]
+        for r in evaluate_success_criteria(report).collect()
+    }
+    assert crit["source-diversity"] == 1.0
+    assert crit["citation-coverage"] == 1.0
