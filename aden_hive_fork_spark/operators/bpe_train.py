@@ -81,6 +81,35 @@ def bpe_train_relational(
     model: k rows, driver-safe by construction). Stops early when the
     best pair's count falls below ``min_count``.
     """
+    merges, _ = _train_with_tokens(
+        df, text_col, n_merges, top_words, min_count
+    )
+    return merges
+
+
+def bpe_vocab_segmentation(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+    top_words: int = 500,
+    min_count: int = 2,
+) -> DataFrame:
+    """The APPLICATION side of training: the final token table after
+    all learned merges — (wid, freq, pos, sym), one row per token of
+    each vocabulary word. This is what an encoder ships to executors;
+    exposing it puts BPE application (not just the merge choices)
+    under the value-hash gate (suite q314)."""
+    _, toks = _train_with_tokens(df, text_col, n_merges, top_words, min_count)
+    return toks
+
+
+def _train_with_tokens(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    top_words: int,
+    min_count: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     spark = df.sparkSession
     toks = _initial_tokens(
         bpe_word_freqs(df, text_col, top_words)
@@ -157,7 +186,7 @@ def bpe_train_relational(
             .select("wid", "freq", "pos", "sym")
             .localCheckpoint(eager=True)
         )
-    return merges
+    return merges, toks
 
 
 def bpe_merges_df(

@@ -519,10 +519,12 @@ _BPE_MERGES = 6
 _BPE_TOP_WORDS = 500
 
 
-def _bpe_oracle(n_merges: int = _BPE_MERGES,
-                top_words: int = _BPE_TOP_WORDS) -> str:
-    """Unrolled BPE rounds: lead → pair argmax → greedy islands merge,
-    mirroring operators/bpe_train.bpe_train_relational exactly."""
+def _bpe_cte_chain(n_merges: int = _BPE_MERGES,
+                   top_words: int = _BPE_TOP_WORDS) -> str:
+    """The shared unrolled training chain (WITH ... t{n_merges}):
+    lead → pair argmax → greedy islands merge per round, mirroring
+    operators/bpe_train exactly. q240 selects the merge table from it;
+    q314 selects the final segmentation (the application side)."""
     sql = f"""
     WITH wf AS MATERIALIZED (
       SELECT word, freq FROM (
@@ -582,15 +584,33 @@ def _bpe_oracle(n_merges: int = _BPE_MERGES,
         LEFT JOIN k{r} kp ON kp.wid = t.wid AND kp.pos = t.pos - 1
         WHERE kp.pos IS NULL)
     )"""
+    return sql
+
+
+def _bpe_oracle(n_merges: int = _BPE_MERGES,
+                top_words: int = _BPE_TOP_WORDS) -> str:
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS rank, a AS lhs, b AS rhs,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
         for r in range(1, n_merges + 1)
     )
-    sql += f"""
+    return _bpe_cte_chain(n_merges, top_words) + f"""
     SELECT * FROM ({union}) ORDER BY rank ASC
     """
-    return sql
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_MERGES,
+                      top_words: int = _BPE_TOP_WORDS,
+                      top_out: int = 50) -> str:
+    return _bpe_cte_chain(n_merges, top_words) + f"""
+    SELECT wid AS word, CAST(freq AS BIGINT) AS freq,
+      CAST(COUNT(*) AS INT) AS n_tokens,
+      string_agg(sym, ' ' ORDER BY pos ASC) AS tokenized
+    FROM t{n_merges}
+    GROUP BY wid, freq
+    ORDER BY freq DESC, word ASC
+    LIMIT {top_out}
+    """
 
 
 @query("q240_bpe_train_merges", oracle=_bpe_oracle())
@@ -753,3 +773,47 @@ def q263_zipf_fit(spark, sf_dir):
         )
     )
     return linear_fit(pts, "x", "y", scale=6)
+
+
+# ---------------------------------------------------------------------------
+# q314 — BPE APPLICATION under the hash gate (round 8): the final
+# segmentation the trained merges produce — exact token strings and
+# counts for the 50 most frequent vocabulary words. q240 checks WHICH
+# merges are learned; this checks what they DO to words (the encoder's
+# shipped state). The rows-only q117 (150 merges, Arrow-batched
+# encode) keeps the production path; its floor entry now has gated
+# twins on both halves of the algorithm.
+# ---------------------------------------------------------------------------
+@query("q314_bpe_apply", oracle=_bpe_apply_oracle())
+def q314_bpe_apply(spark, sf_dir):
+    """operators/bpe_train.bpe_vocab_segmentation: per-word final
+    token sequence after the 6 learned merges, value-hash checked
+    (space-joined token string + token count for the top-50 words)."""
+    from ..operators.bpe_train import bpe_vocab_segmentation
+
+    docs = T(spark, sf_dir, "documents")
+    toks = bpe_vocab_segmentation(
+        docs, text_col="text", n_merges=_BPE_MERGES,
+        top_words=_BPE_TOP_WORDS,
+    )
+    return (
+        toks.groupBy(F.col("wid").alias("word"), "freq")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s.sym,
+                ),
+            ).alias("tokenized"),
+        )
+        .select(
+            "word",
+            F.col("freq").cast("bigint").alias("freq"),
+            "n_tokens",
+            "tokenized",
+        )
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(50)
+    )
