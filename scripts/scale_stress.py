@@ -139,7 +139,10 @@ def main() -> int:
                  "q298_gopher_repetition", "q302_event_funnel",
                  "q303_word_entropy_profile", "q304_wasserstein_drift",
                  # round-8 builder analytics over the hot-user run log
-                 "q306_run_failure_patterns", "q309_failure_analysis"):
+                 "q306_run_failure_patterns", "q309_failure_analysis",
+                 # round-8 training-data ops over documents ×10
+                 "q311_sequence_packing", "q313_domain_mixture",
+                 "q314_bpe_apply"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
