@@ -273,3 +273,31 @@ def suite_pass_rates(tests: DataFrame) -> DataFrame:
             / F.nullif(F.sum("run_count").cast("double"), F.lit(0.0))
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# suite persistence (reference testing/test_storage.py:1-261 — file
+# CRUD per test; here the suite snapshots through the same versioned
+# parquet + atomic pointer protocol every other store in this engine
+# uses, so concurrent readers never see a torn suite)
+# ---------------------------------------------------------------------------
+
+
+def save_tests(
+    spark: SparkSession, cases: list[TestCase], path: str
+) -> int:
+    """Publish the suite as a new immutable version; returns it."""
+    from ..operators.layout import publish_version
+
+    return publish_version(tests_table(spark, cases), path)
+
+
+def load_tests(spark: SparkSession, path: str) -> DataFrame:
+    """The currently-published suite table (schema _TESTS_SCHEMA)."""
+    from ..operators.layout import read_pointer
+    import os
+
+    ptr = read_pointer(path)
+    if not ptr.get("path"):
+        raise FileNotFoundError(f"no test suite published at {path}")
+    return spark.read.parquet(os.path.join(path, ptr["path"]))

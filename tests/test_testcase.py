@@ -155,3 +155,34 @@ def test_runtime_logs_feed_categorization():
     )
     cat, conf = categorize_result(r)
     assert cat == "edge_case"  # DEBUG line excluded, ERROR line counted
+
+
+def test_save_and_load_suite_roundtrip(spark, tmp_path):
+    from aden_hive_fork_spark.state.testcase import load_tests, save_tests
+
+    cases = criteria_to_testcases("g", [("c1", "d1")], [("k1", "d2")])
+    cases[0].approve()
+    cases[0].record_result(True)
+    path = str(tmp_path / "suite")
+    v1 = save_tests(spark, cases, path)
+    assert v1 == 0  # first published version
+    loaded = {r["id"]: r for r in load_tests(spark, path).collect()}
+    assert loaded["g::outcome::c1"]["approval_status"] == "approved"
+    assert loaded["g::outcome::c1"]["pass_count"] == 1
+    # publishing again versions, never overwrites
+    cases[1].reject("dup")
+    v2 = save_tests(spark, cases, path)
+    assert v2 == v1 + 1
+    assert (
+        load_tests(spark, path)
+        .filter("approval_status = 'rejected'")
+        .count()
+        == 1
+    )
+
+
+def test_load_without_publish_raises(spark, tmp_path):
+    from aden_hive_fork_spark.state.testcase import load_tests
+
+    with pytest.raises(FileNotFoundError):
+        load_tests(spark, str(tmp_path / "none"))
