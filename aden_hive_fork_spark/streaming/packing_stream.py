@@ -145,7 +145,10 @@ def maintain_packing(
 
 def read_packed(spark: SparkSession, path: str) -> DataFrame:
     """All committed (doc, window) rows — identical to the batch
-    pack_token_stream over the arrival-ordered corpus."""
+    pack_token_stream over the arrival-ordered corpus. Before the
+    first merge the empty result uses the default ``doc_id`` id-column
+    name (the stored parts carry whatever id_col the sink was given).
+    """
     ptr = read_pointer(path)
     version = ptr.get("version")
     if version is None:

@@ -88,7 +88,13 @@ def test_wasserstein_from_counts_matches_bruteforce(sp, triples):
         [(v, a, b) for v, (a, b) in vt.items()],
         "_v long, _ca long, _cb long",
     )
-    row = wasserstein_from_counts(df, scale=0).collect()[0]
+    out = wasserstein_from_counts(df, scale=0).collect()
+    if len(vt) == 1:
+        # documented contract (ADVICE r7): a single merged distinct
+        # value has no neighbor segment -> EMPTY result
+        assert out == []
+        return
+    row = out[0]
     # exact rational model: sum |Fa - Fb| * dv over merged values
     vals = sorted(vt)
     from fractions import Fraction
