@@ -520,3 +520,88 @@ def q245_seasonal_decompose(spark, sf_dir):
         _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
         half_window=3,
     ).orderBy(F.asc("priority"), F.asc("isodow"))
+
+
+# ---------------------------------------------------------------------------
+# q315 — Holt-Winters additive seasonal smoothing (round 8): the
+# seasonal member of the q160/q244 fold family. Spark folds a
+# (level, trend, seasonal-ring) struct accumulator JVM-side; DuckDB
+# replays the identical IEEE order with a recursive CTE whose state
+# row carries the seasonal LIST (chained list_reduce stays banned —
+# the analytics2 gotcha; single list_reduce only for the two init
+# means, matching Spark's aggregate-fold order exactly).
+# ---------------------------------------------------------------------------
+_HW_M = 7
+_HW_A = 0.3
+_HW_B = 0.1
+_HW_G = 0.2
+
+
+@query(
+    "q315_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_DAILY_REV_SQL}),
+    s AS (
+      SELECT priority, CAST(rev AS DOUBLE) AS x,
+        ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d ASC) AS i
+      FROM base
+    ),
+    mx AS (
+      SELECT priority, MAX(i) AS n FROM s GROUP BY priority
+      HAVING MAX(i) >= {2 * _HW_M}
+    ),
+    arrs AS (
+      SELECT s.priority, list(s.x ORDER BY s.i ASC) AS xs
+      FROM s JOIN mx ON mx.priority = s.priority
+      GROUP BY s.priority
+    ),
+    init AS (
+      SELECT priority,
+        list_reduce(xs[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0 AS l,
+        (list_reduce(xs[{_HW_M + 1}:{2 * _HW_M}], (p, q) -> p + q)
+           / {_HW_M}.0
+         - list_reduce(xs[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0)
+          / {_HW_M}.0 AS b,
+        [x - list_reduce(xs[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0
+         FOR x IN xs[1:{_HW_M}]] AS sv
+      FROM arrs
+    ),
+    rec AS (
+      SELECT priority, {_HW_M} AS i, l, b, sv FROM init
+      UNION ALL
+      SELECT priority, i,
+        lnew AS l,
+        CAST({_HW_B} * (lnew - lprev) + {1.0 - _HW_B} * bprev AS DOUBLE)
+          AS b,
+        svprev[2:{_HW_M}]
+          || [CAST({_HW_G} * (x - lnew) + {1.0 - _HW_G} * su AS DOUBLE)]
+          AS sv
+      FROM (
+        SELECT r.priority, s.i, s.x, r.l AS lprev, r.b AS bprev,
+          r.sv AS svprev, r.sv[1] AS su,
+          CAST({_HW_A} * (s.x - r.sv[1])
+               + {1.0 - _HW_A} * (r.l + r.b) AS DOUBLE) AS lnew
+        FROM rec r JOIN s ON s.priority = r.priority AND s.i = r.i + 1
+      )
+    )
+    SELECT rec.priority, CAST(mx.n AS BIGINT) AS n_obs,
+      CAST(ROUND(rec.l, 4) AS DOUBLE) AS level,
+      CAST(ROUND(rec.b, 4) AS DOUBLE) AS trend,
+      CAST(ROUND(rec.sv[1], 4) AS DOUBLE) AS seasonal_next,
+      CAST(ROUND(rec.l + 1.0 * rec.b + rec.sv[1], 4) AS DOUBLE) AS fc_1,
+      CAST(ROUND(rec.l + 2.0 * rec.b + rec.sv[2], 4) AS DOUBLE) AS fc_2,
+      CAST(ROUND(rec.l + 3.0 * rec.b + rec.sv[3], 4) AS DOUBLE) AS fc_3
+    FROM rec JOIN mx ON mx.priority = rec.priority AND rec.i = mx.n
+    ORDER BY rec.priority ASC
+    """,
+)
+def q315_holt_winters(spark, sf_dir):
+    """operators/timeseries.holt_winters over per-priority daily
+    revenue: weekly additive seasonality (m=7), level/trend/seasonal
+    state and 1/2/3-step seasonal forecasts."""
+    from ..operators.timeseries import holt_winters
+
+    return holt_winters(
+        _daily_rev(spark, sf_dir), ["priority"], "d", "rev",
+        period=_HW_M, alpha=_HW_A, beta=_HW_B, gamma=_HW_G, horizon=3,
+    ).orderBy("priority")

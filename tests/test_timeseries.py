@@ -98,3 +98,56 @@ def test_gapfill_interpolate(spark):
     assert out[("b", 1)] == (7.0, False)
     assert out[("b", 2)] == (None, True)
     assert out[("b", 3)] == (None, True)
+
+
+def _hw_model(xs, m, a, b, g):
+    l = sum(xs[:m]) / m
+    bb = (sum(xs[m:2 * m]) / m - sum(xs[:m]) / m) / m
+    sv = [x - l for x in xs[:m]]
+    for x in xs[m:]:
+        su = sv[0]
+        lnew = a * (x - su) + (1 - a) * (l + bb)
+        bb = b * (lnew - l) + (1 - b) * bb
+        sv = sv[1:] + [g * (x - lnew) + (1 - g) * su]
+        l = lnew
+    return l, bb, sv
+
+
+def test_holt_winters_matches_python_model(spark):
+    from aden_hive_fork_spark.operators.timeseries import holt_winters
+
+    # 3 weekly seasons with trend + a fixed weekday profile
+    profile = [5.0, -3.0, 0.0, 2.0, -1.0, 4.0, -7.0]
+    xs = [100.0 + 2.0 * t + profile[t % 7] for t in range(21)]
+    df = spark.createDataFrame(
+        [("k", t, x) for t, x in enumerate(xs)],
+        "k string, t int, v double",
+    )
+    row = holt_winters(
+        df, ["k"], "t", "v", period=7, alpha=0.3, beta=0.1, gamma=0.2,
+        horizon=3,
+    ).collect()[0]
+    l, b, sv = _hw_model(xs, 7, 0.3, 0.1, 0.2)
+    assert row["n_obs"] == 21
+    assert row["level"] == pytest.approx(round(l, 4))
+    assert row["trend"] == pytest.approx(round(b, 4))
+    assert row["seasonal_next"] == pytest.approx(round(sv[0], 4))
+    assert row["fc_1"] == pytest.approx(round(l + b + sv[0], 4))
+    assert row["fc_3"] == pytest.approx(round(l + 3 * b + sv[2], 4))
+    # with a clean seasonal+trend signal the 1-step forecast tracks
+    # the true next point (x_21 = 147) up to the lag a low-beta
+    # smoother carries on a steep trend (~5 here after 3 seasons)
+    assert abs(row["fc_1"] - (100.0 + 2.0 * 21 + profile[0])) < 8.0
+
+
+def test_holt_winters_drops_short_series_and_validates(spark):
+    from aden_hive_fork_spark.operators.timeseries import holt_winters
+
+    df = spark.createDataFrame(
+        [("k", t, float(t)) for t in range(10)], "k string, t int, v double"
+    )
+    assert holt_winters(df, ["k"], "t", "v", period=7).count() == 0
+    with pytest.raises(ValueError):
+        holt_winters(df, ["k"], "t", "v", period=7, horizon=9)
+    with pytest.raises(ValueError):
+        holt_winters(df, ["k"], "t", "v", period=1)
