@@ -562,8 +562,9 @@ _HW_G = 0.2
            / {_HW_M}.0
          - list_reduce(xs[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0)
           / {_HW_M}.0 AS b,
-        [x - list_reduce(xs[1:{_HW_M}], (p, q) -> p + q) / {_HW_M}.0
-         FOR x IN xs[1:{_HW_M}]] AS sv
+        list_transform(xs[1:{_HW_M}],
+          x -> x - list_reduce(xs[1:{_HW_M}], (p, q) -> p + q)
+                 / {_HW_M}.0) AS sv
       FROM arrs
     ),
     rec AS (
