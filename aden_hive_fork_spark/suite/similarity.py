@@ -377,9 +377,10 @@ _Q106_QUERY_IDS = (0, 1, 2)
 _Q106_SQL = f"""
     WITH q AS (
       SELECT vec_id,
-        [CAST(round(127 * CAST(x AS DOUBLE)
-               / sqrt(list_sum([CAST(y AS DOUBLE) * y for y in embedding])))
-          AS BIGINT) for x in embedding] AS qvec
+        list_transform(embedding, x -> CAST(round(127
+               * CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                   y -> CAST(y AS DOUBLE) * y)))) AS BIGINT)) AS qvec
       FROM embeddings
     ),
     queries AS (
@@ -392,7 +393,7 @@ _Q106_SQL = f"""
     ),
     scored AS (
       SELECT query_id, id,
-        list_sum([qvec[i] * qv[i] for i in range(1, len(qvec) + 1)]) AS qdot
+        list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qv[i])) AS qdot
       FROM cands CROSS JOIN queries
     ),
     ranked AS (
@@ -511,14 +512,16 @@ def q219_pca_projection(spark, sf_dir):
 # operator, exact tier.
 # ---------------------------------------------------------------------------
 _Q228_IDS = (0, 1, 2)
-_Q228_DOT = "list_sum([a.qvec[i] * b.qvec[i] for i in range(1, len(a.qvec) + 1)])"
+_Q228_DOT = ("list_sum(list_transform(range(1, len(a.qvec) + 1), "
+             "i -> a.qvec[i] * b.qvec[i]))")
 
 _Q237_SQL = f"""
     WITH q AS (
       SELECT vec_id,
-        [CAST(round(127 * CAST(x AS DOUBLE)
-               / sqrt(list_sum([CAST(y AS DOUBLE) * y for y in embedding])))
-          AS BIGINT) for x in embedding] AS qvec
+        list_transform(embedding, x -> CAST(round(127
+               * CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                   y -> CAST(y AS DOUBLE) * y)))) AS BIGINT)) AS qvec
       FROM embeddings
     ),
     queries AS (
@@ -527,7 +530,8 @@ _Q237_SQL = f"""
     ),
     scored AS (
       SELECT query_id, c.vec_id AS id, c.qvec,
-        list_sum([c.qvec[i] * qv[i] for i in range(1, len(c.qvec) + 1)])
+        list_sum(list_transform(range(1, len(c.qvec) + 1),
+                 i -> c.qvec[i] * qv[i]))
           AS qdot
       FROM q c CROSS JOIN queries
       WHERE c.vec_id NOT IN {_Q228_IDS}
@@ -643,9 +647,10 @@ _ANN_DIM = 64
 
 _QUANT_CTE = """
       SELECT vec_id,
-        [CAST(round(127 * CAST(x AS DOUBLE)
-               / sqrt(list_sum([CAST(y AS DOUBLE) * y for y in embedding])))
-          AS BIGINT) for x in embedding] AS qvec
+        list_transform(embedding, x -> CAST(round(127
+               * CAST(x AS DOUBLE)
+               / sqrt(list_sum(list_transform(embedding,
+                   y -> CAST(y AS DOUBLE) * y)))) AS BIGINT)) AS qvec
       FROM embeddings
 """
 
@@ -695,8 +700,8 @@ def _ann_md5_sql(
     ),
     scored AS (
       SELECT p.query_id, p.id,
-        list_sum([a.qvec[i] * b.qvec[i]
-                  for i in range(1, len(a.qvec) + 1)]) AS qdot
+        list_sum(list_transform(range(1, len(a.qvec) + 1),
+                 i -> a.qvec[i] * b.qvec[i])) AS qdot
       FROM pairs p
       JOIN q a ON a.vec_id = p.id
       JOIN q b ON b.vec_id = p.query_id
@@ -757,8 +762,8 @@ def _ivf_md5_sql(cells: int, probe: int, qids: tuple, k: int = 5) -> str:
     ),
     scored_seed AS (
       SELECT q.vec_id AS id, q.qvec, s.seed_id,
-        list_sum([q.qvec[i] * s.seed_qvec[i]
-                  for i in range(1, len(q.qvec) + 1)]) AS sdot
+        list_sum(list_transform(range(1, len(q.qvec) + 1),
+                 i -> q.qvec[i] * s.seed_qvec[i])) AS sdot
       FROM q CROSS JOIN seeds s
     ),
     assigned AS (
@@ -776,8 +781,8 @@ def _ivf_md5_sql(cells: int, probe: int, qids: tuple, k: int = 5) -> str:
     ),
     scored AS (
       SELECT p.query_id, c.id,
-        list_sum([c.qvec[i] * p.qv[i]
-                  for i in range(1, len(c.qvec) + 1)]) AS qdot
+        list_sum(list_transform(range(1, len(c.qvec) + 1),
+                 i -> c.qvec[i] * p.qv[i])) AS qdot
       FROM assigned c JOIN probes p ON c.cell = p.cell
       WHERE c.id NOT IN {qids}
     ),
