@@ -1,12 +1,14 @@
 """Similarity-search suite entries (SURVEY.md §2.D).
 
 The single-query exact top-k is oracle-checked (exact-decimal dot
-product — see operators.similarity). Since round 7 the batched numpy
+product — see operators.similarity). Round 7 moved the batched numpy
 path (q51), the LSH bucket stats (q52), and the blocked near-dup
-scorer (q53) are oracle-checked too, via the exact-int64
-quantized-cosine tiers and md5-derived hyperplanes; only the
-seeded/approximate routing variants (q54 LSH top-k, q68 IVF) remain
-rows-only by construction.
+scorer (q53) inside the gate via the exact-int64 quantized-cosine
+tiers and md5-derived hyperplanes; round 8 migrated the last two
+routing variants too — q54 (LSH top-k) and q68 (IVF) now run the md5
+tiers at second operating points, so the WHOLE family is value-hash
+checked. The numpy-seeded originals stay as the production fast paths
+(unit-tested).
 """
 
 from __future__ import annotations
