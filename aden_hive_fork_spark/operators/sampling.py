@@ -526,3 +526,62 @@ def contrastive_negatives(
             F.col("_rnk").cast("int").alias("rank"),
         )
     )
+
+
+def decontaminate_split(
+    split_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    test_label: str = "test",
+    train_label: str = "train",
+    score_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate-aware split decontamination: any TRAIN row that
+    near-duplicates a TEST row (per a symmetric candidate ``pairs``
+    table of (id_a, id_b[, score])) is dropped from training — the
+    step that keeps eval leakage out even when exact-hash splitting
+    (train_test_split) is clean but near-dups straddle the boundary.
+
+    Returns ``(clean, dropped_report)``: ``clean`` is split_df minus
+    the contaminated train rows; the report has one row per dropped
+    train id with ``n_test_matches`` and (when ``score_col`` given)
+    ``min_<score>``. Scale shape: the pair table is the banded
+    near-dup output (never all-pairs); both directions union, two
+    co-keyed joins against the split map, one keyed aggregate — no
+    corpus self-join here.
+    """
+    base_cols = ["id_a", "id_b"] + ([score_col] if score_col else [])
+    sym = pairs.select(*base_cols).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            *([F.col(score_col)] if score_col else []),
+        )
+    )
+    s = split_df.select(F.col(id_col), F.col(split_col))
+    flagged = (
+        sym.join(
+            s.select(
+                F.col(id_col).alias("id_a"), F.col(split_col).alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            s.select(
+                F.col(id_col).alias("id_b"), F.col(split_col).alias("_sb")
+            ),
+            "id_b",
+        )
+        .filter(
+            (F.col("_sa") == train_label) & (F.col("_sb") == test_label)
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("int").alias("n_test_matches")]
+    if score_col:
+        aggs.append(F.min(score_col).alias(f"min_{score_col}"))
+    report = flagged.groupBy(F.col("id_a").alias(id_col)).agg(*aggs)
+    clean = split_df.join(
+        report.select(id_col), id_col, "left_anti"
+    )
+    return clean, report

@@ -359,10 +359,8 @@ def q227_ppjoin_neardup(spark, sf_dir):
 # hash swapped xxhash64 → md5-prefix so DuckDB replays the exact
 # fingerprints, bands, and Hamming verification).
 # ---------------------------------------------------------------------------
-@query(
-    "q231_simhash_md5_neardup",
-    oracle="""
-    WITH sh AS (
+_SIMHASH_PAIRS_CTE = """
+    sh AS (
       SELECT doc_id,
         list_distinct(list_transform(
           range(1, len(string_split(trim(text), ' ')) - 1),
@@ -402,6 +400,13 @@ def q227_ppjoin_neardup(spark, sf_dir):
         AND a.doc_id < b.doc_id
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     )
+"""
+
+
+@query(
+    "q231_simhash_md5_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_PAIRS_CTE.strip()}
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
       CAST(hamming AS INT) AS hamming
     FROM pairs
@@ -506,3 +511,64 @@ def q232_minhash_md5_neardup(spark, sf_dir):
         F.col("id_b").cast("bigint").alias("id_b"),
         "est_jaccard",
     ).orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
+
+
+# ---------------------------------------------------------------------------
+# q316 — near-duplicate-aware split decontamination (round 8): the
+# q95 content-hash split is exact-leak-free by construction, but
+# near-dups can straddle it — any TRAIN doc that simhash-near-dups a
+# TEST doc is dropped. Composes the q231 banded pair table with the
+# q95 bucket split; the report (and the post-drop split census) are
+# value-hash checked.
+# ---------------------------------------------------------------------------
+from .sampling import _BUCKET_DUCK  # the q95 split expression
+
+
+@query(
+    "q316_decontaminated_split",
+    oracle=f"""
+    WITH {_SIMHASH_PAIRS_CTE.strip()},
+    s AS (
+      SELECT doc_id, lang,
+        CASE WHEN {_BUCKET_DUCK} < 20 THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    ),
+    sym AS (
+      SELECT id_a, id_b, hamming FROM pairs
+      UNION ALL
+      SELECT id_b AS id_a, id_a AS id_b, hamming FROM pairs
+    ),
+    dropped AS (
+      SELECT sym.id_a AS doc_id,
+        CAST(COUNT(*) AS INT) AS n_test_matches,
+        CAST(MIN(sym.hamming) AS INT) AS min_hamming
+      FROM sym
+      JOIN s sa ON sa.doc_id = sym.id_a AND sa.split = 'train'
+      JOIN s sb ON sb.doc_id = sym.id_b AND sb.split = 'test'
+      GROUP BY sym.id_a
+    )
+    SELECT d.doc_id, s.lang, d.n_test_matches, d.min_hamming
+    FROM dropped d JOIN s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id ASC
+    """,
+)
+def q316_decontaminated_split(spark, sf_dir):
+    """operators/sampling.decontaminate_split over the q95 split and
+    the q231 simhash pair table: the dropped-train report (who leaked,
+    how many test near-dups, closest Hamming distance)."""
+    from ..operators.dedup import simhash_md5_neardup_pairs
+    from ..operators.sampling import decontaminate_split, train_test_split
+
+    docs = T(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id", test_percent=20)
+    pairs = simhash_md5_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+    clean, report = decontaminate_split(
+        split, pairs, id_col="doc_id", score_col="hamming"
+    )
+    return (
+        report.join(split.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_test_matches", "min_hamming")
+        .orderBy("doc_id")
+    )

@@ -411,3 +411,40 @@ def test_contrastive_negatives_anchor_filter_and_autosize(spark):
     assert anchors and all(a < 10 for a in anchors)
     with pytest.raises(ValueError):
         contrastive_negatives(df, "doc_id", "lang", k=0)
+
+
+def test_decontaminate_split_drops_only_contaminated_train(spark):
+    from aden_hive_fork_spark.operators.sampling import decontaminate_split
+
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "test"), (5, "train")],
+        "doc_id bigint, split string",
+    )
+    # 1~3 (train-test: drop 1), 2~5 (train-train: keep), 4~5 (test-
+    # train: drop 5; symmetric direction), 3~4 (test-test: keep)
+    pairs = spark.createDataFrame(
+        [(1, 3, 2), (2, 5, 1), (4, 5, 3), (3, 4, 0)],
+        "id_a bigint, id_b bigint, hamming int",
+    )
+    clean, report = decontaminate_split(
+        split, pairs, id_col="doc_id", score_col="hamming"
+    )
+    rep = {r["doc_id"]: r for r in report.collect()}
+    assert set(rep) == {1, 5}
+    assert rep[1]["n_test_matches"] == 1 and rep[1]["min_hamming"] == 2
+    assert rep[5]["min_hamming"] == 3
+    kept = {(r["doc_id"], r["split"]) for r in clean.collect()}
+    # test rows always survive; train 2 survives (only train-train pair)
+    assert kept == {(2, "train"), (3, "test"), (4, "test")}
+
+
+def test_decontaminate_split_no_pairs_is_identity(spark):
+    from aden_hive_fork_spark.operators.sampling import decontaminate_split
+
+    split = spark.createDataFrame(
+        [(1, "train"), (2, "test")], "doc_id bigint, split string"
+    )
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    clean, report = decontaminate_split(split, pairs, id_col="doc_id")
+    assert report.count() == 0
+    assert clean.count() == 2
