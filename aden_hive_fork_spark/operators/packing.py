@@ -90,8 +90,10 @@ def pack_token_stream(
 
 def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
     """Per-window packing report from :func:`pack_token_stream`'s
-    output: ``window_id, n_docs, n_tokens, n_splits, fill``
-    (n_splits = docs that continue beyond this window boundary;
+    output: ``window_id, n_docs, n_tokens, n_boundary_docs, fill``
+    (n_boundary_docs = docs whose span reaches exactly the window's
+    end — a SUPERSET of true cross-window splits, since it also counts
+    docs that happen to end flush at the boundary without continuing;
     fill = n_tokens/capacity as a double). The training-batch
     diagnostic: every window but the last should show fill = 1.0."""
     return (

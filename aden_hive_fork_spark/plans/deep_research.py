@@ -198,7 +198,13 @@ def research_node(documents: DataFrame, top_k: int = 5):
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= top_k)
         )
-        found = top.groupBy("topic", "research_brief", "feedback").agg(
+        # Group WITHOUT feedback and join back on the non-nullable keys
+        # only: feedback is NULL on the first pass, and NULL keys never
+        # match in a Spark equi-join, which would silently drop every
+        # first-pass retrieval result. feedback is functionally
+        # dependent on topic within a pass, so the two-key join is
+        # lossless.
+        found = top.groupBy("topic", "research_brief").agg(
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("_rk"), F.col("doc_id")))
@@ -208,7 +214,7 @@ def research_node(documents: DataFrame, top_k: int = 5):
             F.count(F.lit(1)).cast("int").alias("n_sources"),
         )
         return (
-            topics.join(found, ["topic", "research_brief", "feedback"], "left")
+            topics.join(found, ["topic", "research_brief"], "left")
             .withColumn(
                 "sources", F.coalesce("sources", F.array().cast("array<bigint>"))
             )

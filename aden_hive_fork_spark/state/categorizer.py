@@ -14,12 +14,27 @@ categorizer.py:4-8):
 - implementation_error — a code bug in nodes/edges
 - edge_case            — a new scenario worth its own test
 
-Pattern semantics: the reference's regexes are, with one exception,
-literal substrings (``TypeError``, ``timeout`` ...); the exception
-(``NoneType.*has no attribute``) is covered by the literal
-``has no attribute``. Literal containment is bit-identical across
-engines (no regex-dialect drift), which is what lets the classifier
-sit under the DuckDB oracle gate (suite q307).
+Pattern semantics: the mapping from the reference's regexes to this
+module's lowercase literal substrings is APPROXIMATE by design —
+literal containment is bit-identical across engines (no regex-dialect
+drift), which is what lets the classifier sit under the DuckDB oracle
+gate (suite q307). Concretely:
+- Most reference patterns ARE literals (``TypeError``, ``timeout``)
+  and carry over unchanged (case-folded).
+- ``NoneType.*has no attribute`` -> literal ``has no attribute``;
+  ``NullPointerException``, ``assertion.*failed``,
+  ``expected.*but got``, ``unexpected.*type``, ``null.*value``,
+  ``rare input`` -> the contiguous literal forms
+  (``nullpointerexception``, ``assertion failed``, ``but got``,
+  ``unexpected type``, ``null value``, ``rare input``) — the common
+  phrasings match identically; an interposed-word variant like
+  "assertion clearly failed" is a known divergence.
+- ``constraint violated:?\\s*core`` is BROADENED to
+  ``constraint violated`` (the reference's ``core`` suffix anchor is
+  dropped); ``connection.*timeout`` / ``request.*timeout`` are
+  intentionally NOT separate literals — the bare ``timeout`` literal
+  subsumes them (adding both would double-count one mention and
+  skew the confidence ratio vs the reference).
 
 Priority on multi-category hits mirrors the reference: logic >
 implementation > edge, defaulting to implementation_error with
@@ -58,6 +73,10 @@ IMPLEMENTATION_ERROR_PATTERNS: tuple[str, ...] = (
     "runtimeerror",
     "assertionerror",
     "has no attribute",
+    "nullpointerexception",
+    "assertion failed",
+    "but got",
+    "unexpected type",
     "tool call failed",
     "node execution error",
     "agent execution failed",
@@ -76,6 +95,8 @@ EDGE_CASE_PATTERNS: tuple[str, ...] = (
     "empty result",
     "empty response",
     "no results",
+    "null value",
+    "rare input",
     "unicode",
     "encoding error",
     "special character",

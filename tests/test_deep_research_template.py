@@ -88,6 +88,36 @@ def test_node_path_includes_feedback_loop(spark, corpus, backend):
     assert pipe.last_trace.count("research") == 3  # max_visits bound
 
 
+def test_first_pass_results_survive_null_feedback_join(spark, backend):
+    """Regression: the research join-back must not key on feedback —
+    feedback is NULL on the first pass and NULL keys never match in a
+    Spark equi-join, which silently dropped every first-pass result
+    and routed ALL topics through the relaxed (>= 1 term) feedback
+    pass. With the fix, a topic with >= min_sources two-term matches
+    is accepted on the FIRST pass, so a 1-term doc that only the
+    relaxed pass would admit must NOT appear in its sources."""
+    from aden_hive_fork_spark.plans.deep_research import (
+        build_deep_research_pipeline,
+    )
+
+    rows = [
+        (1, "alpha systems overview with engines and pipelines"),
+        (2, "alpha pipelines in production systems"),
+        (3, "engines and systems design"),
+        # 1 brief term only ("pipelines") — admissible ONLY under the
+        # relaxed feedback pass; must be excluded when the first pass
+        # already satisfies min_sources
+        (7, "pipelines everywhere newsletter"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pipe = build_deep_research_pipeline(corpus, backend, top_k=5, min_sources=3)
+    topics = spark.createDataFrame([("alpha systems",)], "topic string")
+    out = pipe.run(topics)["report"].collect()
+    assert len(out) == 1
+    assert out[0]["sources"] == [1, 2, 3]  # doc 7 excluded
+    assert out[0]["n_sources"] == 3
+
+
 def test_zero_hit_topic_still_reports(spark, corpus, backend):
     from aden_hive_fork_spark.plans.deep_research import (
         build_deep_research_pipeline,
