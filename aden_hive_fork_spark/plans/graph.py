@@ -37,13 +37,34 @@ class GraphValidationError(ValueError):
 @dataclass
 class Node:
     """A named DataFrame transform. ``fn=None`` is identity (router /
-    terminal nodes)."""
+    terminal nodes).
+
+    client_facing: marks a node that talks to the user (reference
+    NodeSpec.client_facing) — at most ONE branch of any fan-out may
+    carry it (edge.py:668-679).
+    output_keys: the shared-state keys (columns) the node writes
+    (reference NodeSpec.output_keys) — parallel fan-out branches must
+    declare DISJOINT keys or a last-wins race loses data
+    (edge.py:681-698).
+    """
 
     name: str
     fn: Callable[[DataFrame], DataFrame] | None = None
+    client_facing: bool = False
+    output_keys: tuple[str, ...] = ()
 
     def apply(self, df: DataFrame) -> DataFrame:
         return self.fn(df) if self.fn is not None else df
+
+
+@dataclass
+class EntryPoint:
+    """A named alternative entry (reference AsyncEntryPoint,
+    edge.py:~520): ``id`` must be unique across the pipeline and
+    ``node`` must exist; entry-point nodes are reachability roots."""
+
+    id: str
+    node: str
 
 
 @dataclass
@@ -87,12 +108,14 @@ class Pipeline:
         entry: str,
         terminals: list[str],
         max_visits: int = 3,
+        entry_points: list[EntryPoint] | None = None,
     ):
         self.nodes = {n.name: n for n in nodes}
         self.edges = edges
         self.entry = entry
         self.terminals = list(terminals)
         self.max_visits = max_visits
+        self.entry_points = list(entry_points or [])
         self.validate()
 
     # -- validation (reference GraphSpec.validate, edge.py:574-698) ----
@@ -107,12 +130,27 @@ class Pipeline:
         for e in self.edges:
             if e.source not in self.nodes or e.target not in self.nodes:
                 raise GraphValidationError(f"edge references unknown node: {e}")
-        # reachability from entry
+        # alternative entry points: unique ids, known nodes
+        # (reference async_entry_points validation, edge.py:582-604)
+        seen_entry_ids: set[str] = set()
+        for ep in self.entry_points:
+            if ep.id in seen_entry_ids:
+                raise GraphValidationError(
+                    f"duplicate entry point id: '{ep.id}'"
+                )
+            seen_entry_ids.add(ep.id)
+            if ep.node not in self.nodes:
+                raise GraphValidationError(
+                    f"entry point '{ep.id}' references missing node "
+                    f"'{ep.node}'"
+                )
+        # reachability from the entry AND every declared entry point
         adj: dict[str, list[str]] = {}
         for e in self.edges:
             adj.setdefault(e.source, []).append(e.target)
-        seen = {self.entry}
-        stack = [self.entry]
+        roots = [self.entry] + [ep.node for ep in self.entry_points]
+        seen = set(roots)
+        stack = list(roots)
         while stack:
             for nxt in adj.get(stack.pop(), []):
                 if nxt not in seen:
@@ -124,6 +162,50 @@ class Pipeline:
         unreachable_terminals = [t for t in self.terminals if t not in seen]
         if unreachable_terminals:
             raise GraphValidationError(f"terminals unreachable: {unreachable_terminals}")
+        self._validate_fan_out()
+
+    def _validate_fan_out(self) -> None:
+        """Fan-out legality (reference edge.py:668-698). A fan-out is
+        a (source, priority) edge group with >1 edge — the edges that
+        can FIRE TOGETHER under this executor's priority grouping
+        (run() keeps only the top-priority matching group, so edges of
+        different priorities are alternatives, not parallel branches).
+
+        Rule 1: at most one branch may target a client_facing node —
+        two user-visible branches of one fan-out race for the
+        conversation.
+        Rule 2: parallel branches that declare output_keys must be
+        DISJOINT — concurrent writers to one shared-state key are a
+        last-wins data loss. (The reference scopes this to event_loop
+        nodes; here every node that declares output_keys participates,
+        since the Spark analog has one node kind.)
+        """
+        groups: dict[tuple[str, int], list[str]] = {}
+        for e in self.edges:
+            groups.setdefault((e.source, e.priority), []).append(e.target)
+        for (source, _prio), targets in sorted(groups.items()):
+            if len(targets) <= 1:
+                continue
+            client = sorted(
+                t for t in set(targets) if self.nodes[t].client_facing
+            )
+            if len(client) > 1:
+                raise GraphValidationError(
+                    f"fan-out from '{source}' has multiple client-facing "
+                    f"branches: {client}; only one branch may be "
+                    f"client-facing"
+                )
+            writers: dict[str, str] = {}
+            for t in sorted(set(targets)):
+                for key in self.nodes[t].output_keys:
+                    if key in writers and writers[key] != t:
+                        raise GraphValidationError(
+                            f"fan-out from '{source}': nodes "
+                            f"'{writers[key]}' and '{t}' both write "
+                            f"output_key '{key}'; parallel branches must "
+                            f"have disjoint output_keys"
+                        )
+                    writers[key] = t
 
     # -- execution -----------------------------------------------------
     def run(self, df: DataFrame, cache_fanout: bool = True) -> dict[str, DataFrame]:

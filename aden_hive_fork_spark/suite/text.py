@@ -817,3 +817,163 @@ def q314_bpe_apply(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q317/q318 — language identification (operators/langid.py): the
+# Cavnar–Trenkle character-n-gram rank-profile classifier, the CCNet-
+# style pipeline's first filter. All-integer arithmetic (counts,
+# ranks, |rank diffs|) so both the trained profile table and the
+# classification are exact under the DuckDB oracle gate — no log(),
+# no quantization step.
+# ---------------------------------------------------------------------------
+
+_LANGID_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+@query(
+    "q317_langid_profiles",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, {_LANGID_NORM} AS t
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    grams AS (
+      SELECT lang,
+        unnest(list_transform(range(1, length(t) - 1),
+                              i -> substr(t, i, 3))) AS gram
+      FROM base WHERE length(t) >= 3
+    ),
+    counts AS (
+      SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS gram_count
+      FROM grams GROUP BY 1, 2
+    )
+    SELECT lang, gram,
+      CAST(row_number() OVER (
+        PARTITION BY lang ORDER BY gram_count DESC, gram ASC
+      ) AS BIGINT) AS rank,
+      gram_count
+    FROM counts
+    QUALIFY rank <= 50
+    ORDER BY lang ASC, rank ASC
+    """,
+)
+def q317_langid_profiles(spark, sf_dir):
+    """operators/langid.langid_profiles on the labeled corpus: the
+    top-50 ranked trigram profile per language — the TRAIN half of
+    the classifier, gated row-exact (every count and rank)."""
+    from ..operators.langid import langid_profiles
+
+    # the gram explode is CPU-bound; a small parquet arrives as ONE
+    # input split locally, so spread it (at cluster scale the scan is
+    # naturally multi-split and this hash exchange is noise)
+    d = T(spark, sf_dir, "documents").repartition(64, "doc_id")
+    return langid_profiles(
+        d, text_col="text", lang_col="lang", n=3, profile_size=50
+    ).orderBy("lang", "rank")
+
+
+@query(
+    "q318_langid_predictions",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_LANGID_NORM} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    prof AS MATERIALIZED (
+      SELECT lang, gram,
+        row_number() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, gram ASC
+        ) AS lrank
+      FROM (
+        SELECT lang,
+          unnest(list_transform(range(1, length(t) - 1),
+                                i -> substr(t, i, 3))) AS gram
+        FROM base
+        WHERE doc_id % 2 = 0 AND lang IS NOT NULL AND length(t) >= 3
+      )
+      GROUP BY lang, gram
+      QUALIFY lrank <= 100
+    ),
+    doc_ranked AS MATERIALIZED (
+      SELECT doc_id, true_lang, gram,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC
+        ) AS drank
+      FROM (
+        SELECT doc_id, lang AS true_lang,
+          unnest(list_transform(range(1, length(t) - 1),
+                                i -> substr(t, i, 3))) AS gram
+        FROM base WHERE doc_id % 2 = 1 AND length(t) >= 3
+      )
+      GROUP BY doc_id, true_lang, gram
+      QUALIFY drank <= 100
+    ),
+    per_doc AS (
+      SELECT doc_id, true_lang, COUNT(*) AS kdoc
+      FROM doc_ranked GROUP BY 1, 2
+    ),
+    matched AS (
+      SELECT d.doc_id, p.lang,
+        SUM(ABS(d.drank - p.lrank)) AS msum, COUNT(*) AS mcnt
+      FROM doc_ranked d JOIN prof p USING (gram)
+      GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT pd.doc_id, pd.true_lang, l.lang,
+        COALESCE(m.msum, 0) + 100 * (pd.kdoc - COALESCE(m.mcnt, 0))
+          AS distance
+      FROM per_doc pd
+      CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+      LEFT JOIN matched m ON m.doc_id = pd.doc_id AND m.lang = l.lang
+    ),
+    best AS (
+      SELECT doc_id, true_lang, lang AS pred_lang, distance,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY distance ASC, lang ASC
+        ) AS rk
+      FROM dist QUALIFY rk = 1
+    )
+    SELECT pred_lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_label_match,
+      CAST(SUM(distance) AS BIGINT) AS sum_distance,
+      CAST(MIN(distance) AS BIGINT) AS min_distance,
+      CAST(MAX(distance) AS BIGINT) AS max_distance
+    FROM best GROUP BY pred_lang ORDER BY pred_lang ASC
+    """,
+)
+def q318_langid_predictions(spark, sf_dir):
+    """Held-out langid: TRAIN rank profiles on even doc_ids, CLASSIFY
+    odd doc_ids, roll predictions up per predicted language with the
+    exact integer distance totals and true-label agreement counts.
+    The full train→classify path in one gated query."""
+    from ..operators.langid import langid_classify, langid_profiles
+
+    d = T(spark, sf_dir, "documents").repartition(64, "doc_id")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    prof = langid_profiles(
+        train, text_col="text", lang_col="lang", n=3, profile_size=100
+    )
+    pred = langid_classify(
+        test, prof, text_col="text", id_col="doc_id", n=3,
+        profile_size=100,
+    ).filter(F.col("n_doc_grams") > 0)
+    truth = test.select("doc_id", F.col("lang").alias("true_lang"))
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_lang") == F.col("true_lang"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_label_match"),
+            F.sum("distance").cast("bigint").alias("sum_distance"),
+            F.min("distance").cast("bigint").alias("min_distance"),
+            F.max("distance").cast("bigint").alias("max_distance"),
+        )
+        .orderBy("pred_lang")
+    )

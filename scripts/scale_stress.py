@@ -142,7 +142,14 @@ def main() -> int:
                  "q306_run_failure_patterns", "q309_failure_analysis",
                  # round-8 training-data ops over documents ×10
                  "q311_sequence_packing", "q313_domain_mixture",
-                 "q314_bpe_apply"):
+                 "q314_bpe_apply",
+                 # round-9 gap-closers (VERDICT r8 task 3): per-key
+                 # folds and banded joins with gated precedents
+                 "q315_holt_winters", "q316_decontaminated_split",
+                 "q307_error_categorizer", "q310_suggest_improvements",
+                 "q312_packing_stats",
+                 # round-9 langid over documents ×10 exact-dup replicas
+                 "q317_langid_profiles", "q318_langid_predictions"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

@@ -293,3 +293,99 @@ def test_pipeline_validation(spark):
         Pipeline([Node("a"), Node("orphan")], [], entry="a", terminals=["a"])
     with pytest.raises(GraphValidationError):
         Pipeline([Node("a"), Node("b")], [Edge("a", "nope")], entry="a", terminals=["b"])
+
+
+def _fan_pipeline(b=None, c=None, edges=None, entry_points=None):
+    from aden_hive_fork_spark.plans import Edge, Node, Pipeline
+
+    b = b or Node("b")
+    c = c or Node("c")
+    return Pipeline(
+        [Node("a"), b, c, Node("t")],
+        edges
+        or [Edge("a", "b"), Edge("a", "c"), Edge("b", "t"), Edge("c", "t")],
+        entry="a",
+        terminals=["t"],
+        entry_points=entry_points,
+    )
+
+
+def test_fan_out_single_client_facing_branch_ok():
+    from aden_hive_fork_spark.plans import Node
+
+    _fan_pipeline(b=Node("b", client_facing=True))  # validates
+
+
+def test_fan_out_two_client_facing_branches_rejected():
+    from aden_hive_fork_spark.plans import GraphValidationError, Node
+
+    with pytest.raises(GraphValidationError, match="client-facing"):
+        _fan_pipeline(
+            b=Node("b", client_facing=True), c=Node("c", client_facing=True)
+        )
+
+
+def test_fan_out_client_facing_different_priorities_ok():
+    """Edges of different priorities are ALTERNATIVES (run() keeps
+    only the top-priority matching group), not parallel branches —
+    two client-facing targets across priority levels must validate."""
+    from aden_hive_fork_spark.plans import Edge, Node
+
+    _fan_pipeline(
+        b=Node("b", client_facing=True),
+        c=Node("c", client_facing=True),
+        edges=[
+            Edge("a", "b", priority=1),
+            Edge("a", "c", priority=0),
+            Edge("b", "t"),
+            Edge("c", "t"),
+        ],
+    )
+
+
+def test_fan_out_overlapping_output_keys_rejected():
+    from aden_hive_fork_spark.plans import GraphValidationError, Node
+
+    with pytest.raises(GraphValidationError, match="output_key 'x'"):
+        _fan_pipeline(
+            b=Node("b", output_keys=("x", "y")),
+            c=Node("c", output_keys=("x",)),
+        )
+
+
+def test_fan_out_disjoint_output_keys_ok():
+    from aden_hive_fork_spark.plans import Node
+
+    _fan_pipeline(
+        b=Node("b", output_keys=("x",)), c=Node("c", output_keys=("y",))
+    )
+
+
+def test_duplicate_entry_point_ids_rejected():
+    from aden_hive_fork_spark.plans import EntryPoint, GraphValidationError
+
+    with pytest.raises(GraphValidationError, match="duplicate entry point"):
+        _fan_pipeline(
+            entry_points=[EntryPoint("hook", "b"), EntryPoint("hook", "c")]
+        )
+
+
+def test_entry_point_missing_node_rejected():
+    from aden_hive_fork_spark.plans import EntryPoint, GraphValidationError
+
+    with pytest.raises(GraphValidationError, match="missing node"):
+        _fan_pipeline(entry_points=[EntryPoint("hook", "nope")])
+
+
+def test_entry_point_makes_node_reachable():
+    """A node reachable only through a declared entry point is legal
+    (the reference's pause/resume + async entry architecture)."""
+    from aden_hive_fork_spark.plans import Edge, EntryPoint, Node, Pipeline
+
+    Pipeline(
+        [Node("a"), Node("side"), Node("t")],
+        [Edge("a", "t"), Edge("side", "t")],
+        entry="a",
+        terminals=["t"],
+        entry_points=[EntryPoint("webhook", "side")],
+    )  # validates: 'side' is an entry-point root
