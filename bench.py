@@ -112,6 +112,9 @@ HEADLINE = [
     "q306_run_failure_patterns",  # builder analytics over the run-log star
     "q311_sequence_packing",      # running_totals prefix sum + span explode
     "q313_domain_mixture",        # one keyed agg + |domains|-row arithmetic
+    # round-9 headliners
+    "q317_langid_profiles",       # char-trigram rank profiles (one keyed agg)
+    "q318_langid_predictions",    # rank-distance langid, broadcast profiles
 ]
 
 
