@@ -977,3 +977,137 @@ def q318_langid_predictions(spark, sf_dir):
         )
         .orderBy("pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 — composed CCNet-style curation: langid (first filter) →
+# exact dedup (content hash, deterministic survivor) → per-label
+# census. The north-star pipeline's head stages in ONE gated query:
+# the classifier's predictions decide which docs survive, the dedup
+# collapses exact copies, every count is integer-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q319_curated_corpus_census",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, {_LANGID_NORM} AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    prof AS MATERIALIZED (
+      SELECT lang, gram,
+        row_number() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, gram ASC
+        ) AS lrank
+      FROM (
+        SELECT lang,
+          unnest(list_transform(range(1, length(t) - 1),
+                                i -> substr(t, i, 3))) AS gram
+        FROM base WHERE lang IS NOT NULL AND length(t) >= 3
+      )
+      GROUP BY lang, gram
+      QUALIFY lrank <= 100
+    ),
+    doc_ranked AS MATERIALIZED (
+      SELECT doc_id, gram,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC
+        ) AS drank
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, length(t) - 1),
+                                i -> substr(t, i, 3))) AS gram
+        FROM base WHERE length(t) >= 3
+      )
+      GROUP BY doc_id, gram
+      QUALIFY drank <= 100
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS kdoc FROM doc_ranked GROUP BY 1
+    ),
+    matched AS (
+      SELECT d.doc_id, p.lang,
+        SUM(ABS(d.drank - p.lrank)) AS msum, COUNT(*) AS mcnt
+      FROM doc_ranked d JOIN prof p USING (gram)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT pd.doc_id, l.lang AS pred_lang,
+        row_number() OVER (
+          PARTITION BY pd.doc_id
+          ORDER BY COALESCE(m.msum, 0)
+                   + 100 * (pd.kdoc - COALESCE(m.mcnt, 0)) ASC,
+                   l.lang ASC
+        ) AS rk
+      FROM per_doc pd
+      CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+      LEFT JOIN matched m ON m.doc_id = pd.doc_id AND m.lang = l.lang
+      QUALIFY rk = 1
+    ),
+    kept AS (
+      SELECT b.doc_id, b.lang, b.source, b.t
+      FROM base b JOIN best ON best.doc_id = b.doc_id
+      WHERE best.pred_lang = 'en'
+    ),
+    deduped AS (
+      SELECT doc_id, lang, source, t,
+        row_number() OVER (
+          PARTITION BY md5(t) ORDER BY doc_id ASC
+        ) AS dup_rank
+      FROM kept
+      QUALIFY dup_rank = 1
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(length(t) - length(replace(t, ' ', '')) + 1) AS BIGINT)
+        AS n_tokens
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang ASC
+    """,
+)
+def q319_curated_corpus_census(spark, sf_dir):
+    """The composed curation head: train langid profiles on the
+    labeled corpus, classify EVERY doc, keep the predicted-'en' pool
+    (the CCNet first filter), collapse exact duplicates of the
+    normalized text (md5, min-doc_id survivor — the q95/q40
+    discipline), and report the surviving census per TRUE label with
+    whitespace token totals. One gated query spanning three pipeline
+    stages."""
+    from ..operators.langid import (
+        _normalize,
+        langid_classify,
+        langid_profiles,
+    )
+
+    d = T(spark, sf_dir, "documents").repartition(64, "doc_id")
+    prof = langid_profiles(
+        d, text_col="text", lang_col="lang", n=3, profile_size=100
+    )
+    pred = langid_classify(
+        d, prof, text_col="text", id_col="doc_id", n=3, profile_size=100
+    )
+    kept = (
+        d.select("doc_id", "lang", "source", _normalize("text").alias("_t"))
+        .join(pred.filter(F.col("pred_lang") == "en"), "doc_id")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("_t")).orderBy(F.asc("doc_id"))
+    deduped = (
+        kept.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.length("_t")
+                - F.length(F.regexp_replace("_t", " ", ""))
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -149,7 +149,8 @@ def main() -> int:
                  "q307_error_categorizer", "q310_suggest_improvements",
                  "q312_packing_stats",
                  # round-9 langid over documents ×10 exact-dup replicas
-                 "q317_langid_profiles", "q318_langid_predictions"):
+                 "q317_langid_profiles", "q318_langid_predictions",
+                 "q319_curated_corpus_census"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
