@@ -221,9 +221,11 @@ def validate_node(tool_registry: DataFrame):
         )
         # fabricated tools: declared minus registry (explode + left
         # join + re-aggregate keeps the registry broadcast and the
-        # spec side shuffle-free beyond its own key)
+        # spec side shuffle-free beyond its own key). Keyed by the
+        # ORIGINAL request, not agent_name — two different requests
+        # can slug to the same agent_name and must not cross-match.
         decl = sdf.select(
-            "agent_name", F.explode_outer("declared_tools").alias("tool_name")
+            "request", F.explode_outer("declared_tools").alias("tool_name")
         )
         fab = (
             decl.join(
@@ -232,11 +234,11 @@ def validate_node(tool_registry: DataFrame):
                 "left",
             )
             .filter(F.col("tool_name").isNotNull() & F.col("_known").isNull())
-            .groupBy("agent_name")
+            .groupBy("request")
             .agg(F.array_sort(F.collect_list("tool_name")).alias("_fabricated"))
         )
         out = (
-            sdf.join(fab, "agent_name", "left")
+            sdf.join(fab, "request", "left")
             .withColumn(
                 "_fabricated",
                 F.coalesce(

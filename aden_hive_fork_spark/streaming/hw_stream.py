@@ -6,7 +6,9 @@ Shape (the drift_stream / packing_stream discipline):
 
 - ``init_holt_winters`` publishes generation 0 with the smoothing
   contract (period m, alpha/beta/gamma) in the pointer payload — the
-  recursion is only meaningful under fixed parameters.
+  recursion is only meaningful under fixed parameters. NULL-key rows
+  are excluded from streaming state (the state join is an equi-join;
+  canonicalize nullable keys before streaming).
 - Each micro-batch appends its per-key observations IN ORDER
   (``order_col`` must be unique per key and batches must arrive in
   order — the packing_stream cross-batch-continuation contract).
@@ -125,10 +127,21 @@ def merge_holt_winters_batch(
     a, b_, g = cfg["alpha"], cfg["beta"], cfg["gamma"]
     spark = batch.sparkSession
 
+    # NULL keys are excluded: the state join below is an equi-join and
+    # NULL never matches NULL, so a null-key series would fork a new
+    # state row every batch instead of continuing one. The batch
+    # operator groups NULL keys into their own series; callers with
+    # nullable keys must canonicalize (coalesce to a sentinel) before
+    # streaming — the same contract the keyed connectors document.
+    null_key = None
+    for kc in key_cols:
+        cond = F.col(kc).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
     new = (
         batch.filter(
             F.col(cfg["value_col"]).isNotNull()
             & F.col(cfg["order_col"]).isNotNull()
+            & ~null_key
         )
         .groupBy(*key_cols)
         .agg(
