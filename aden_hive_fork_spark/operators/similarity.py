@@ -1015,3 +1015,284 @@ def lsh_buckets_md5(
             F.lit(0).cast("long")
         )
     return rows.select(id_col, bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN tier — the compression-based scale
+# path (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011): split the vector into m subspaces, code each
+# subvector against a per-subspace codebook, search with asymmetric
+# distance (ADC) lookups. A 64-dim float32 vector becomes m=8 bytes —
+# a 32× memory cut, the difference between an in-memory and a
+# spilled index at 100 TB.
+#
+# This tier uses md5-HASH-ORDER SAMPLED codebooks (the first k
+# vectors by md5(salt||id) — exactly the kmeans c0 init) rather than
+# Lloyd-refined ones, the same engine-replayable-twin discipline as
+# ann_md5_topk/ivf_md5_topk: every distance is an exact integer on
+# the DECIMAL(10,8)→×1e8 grid, so encode, ADC tables, and the final
+# ranking all sit under the DuckDB value-hash gate. The production
+# path refines the same codebooks with operators/kmeans (driver state
+# is m·k·d_sub doubles — scale-independent), changing recall, not
+# plumbing.
+# ---------------------------------------------------------------------------
+
+
+def _xq_expr(vec_col: str) -> str:
+    return (
+        f"transform({vec_col}, x -> CAST(CAST(CAST(x AS DOUBLE) AS "
+        f"DECIMAL(10,8)) * 100000000 AS LONG))"
+    )
+
+
+def pq_codebooks_md5(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    salt: str = "pq",
+) -> list[list[list[int]]]:
+    """Sampled codebooks: the k hash-order vectors' subvectors, as
+    exact ×1e8 integers. Returns ``codebooks[j][h] -> list[int]``
+    (m × k × d_sub). Driver state is m·k·d_sub ints — the kmeans
+    centroid-state discipline; ONE tiny job (k rows collected)."""
+    rows = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(salt), F.col("_id").cast("string"))).asc(),
+            F.col("_id").asc(),
+        )
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least {k} vectors to sample codebooks")
+    dim = len(rows[0]["_xq"])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d_sub = dim // m
+    return [
+        [
+            [int(v) for v in r["_xq"][j * d_sub : (j + 1) * d_sub]]
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per subspace, the argmin-distance
+    codebook entry (ties -> lowest code). The codebooks are literals,
+    so encoding is ONE codegen-fused map pass — no join, no shuffle;
+    the 100 TB write-side pass that shrinks the index m·8 bits/vector."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    xq = F.expr(_xq_expr(vec_col))
+    codes = []
+    for j in range(m):
+        sub = F.slice(xq, j * d_sub + 1, d_sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(
+                            *[F.lit(int(c)).cast("long")
+                              for c in codebooks[j][h]]
+                        ),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for h in range(k)
+            ]
+        )
+        # first position of the min = lowest code on ties
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.array(*codes).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_nn: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    salt: str = "pq",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries stay UNquantized; per query
+    the m×k ADC table (exact integer distances query-subvector ->
+    centroid) is computed driver-side (m·k ints) and the corpus pays
+    m table LOOKUPS per vector — element_at into literal arrays, one
+    codegen-fused pass over the ENCODED corpus, then a per-query
+    top-k window. Returns (query_id, id, pq_dist, rank), rank by
+    (pq_dist asc, id asc), self excluded."""
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    codebooks = pq_codebooks_md5(emb, id_col, vec_col, m, k, salt)
+    d_sub = len(codebooks[0][0])
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("_id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+        )
+        .collect()
+    )
+    # RELATIONAL formulation (the literal/HOF form in pq_encode costs
+    # seconds of Catalyst analysis per action at m·k=256 lambdas):
+    # centroid dims and per-query ADC tables are tiny BROADCAST
+    # dimension tables; encode is explode -> broadcast join -> keyed
+    # argmin; scoring is codes ⋈ table -> keyed sum. Standard
+    # operators, small plans, and the shuffles stay keyed on the
+    # vector id.
+    cb_rows = [
+        (j, h, j * d_sub + d + 1, int(codebooks[j][h][d]))
+        for j in range(m)
+        for h in range(k)
+        for d in range(d_sub)
+    ]
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "j int, h int, i int, c long")
+    )
+    xdim = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.expr(_xq_expr(vec_col))).alias("_pos", "x"),
+        )
+        .select("id", (F.col("_pos") + 1).alias("i"), "x")
+    )
+    enc = (
+        xdim.join(cb, "i")
+        .groupBy("id", "j", "h")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    wj = Window.partitionBy("id", "j").orderBy(F.asc("d"), F.asc("h"))
+    codes = (
+        enc.withColumn("_rn", F.row_number().over(wj))
+        .filter(F.col("_rn") == 1)
+        .select("id", "j", "h")
+    )
+    qtab_rows = []
+    for qr in qrows:
+        qx = [int(v) for v in qr["_xq"]]
+        for j in range(m):
+            qsub = qx[j * d_sub : (j + 1) * d_sub]
+            for h in range(k):
+                t = sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qsub, codebooks[j][h])
+                )
+                qtab_rows.append((int(qr["_id"]), j, h, int(t)))
+    qtab = F.broadcast(
+        spark.createDataFrame(
+            qtab_rows, "query_id long, j int, h int, t long"
+        )
+    )
+    scored = (
+        codes.join(qtab, ["j", "h"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("t").cast("long").alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("id")
+    )
+    return (
+        scored.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("id"),
+            "pq_dist",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_nn)
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_nn: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    k: int = 16,
+    salt: str = "pq",
+) -> DataFrame:
+    """The production PQ pattern: ADC shortlists ``shortlist``
+    candidates per query from the CODED corpus (m byte-lookups per
+    vector), then only the shortlist pays the exact integer squared
+    Euclidean distance (the ×1e8 grid) and the final top-k ranks by
+    it — approximate pruning, exact ordering. Returns
+    (query_id, id, dist, rank); rank by (dist asc, id asc).
+
+    Scale: the corpus-wide pass touches m smallint codes per vector;
+    the exact re-rank touches |queries|·shortlist rows — independent
+    of corpus size. Recall is governed by the shortlist width (the
+    PQ-paper ADC+R regime), not the final k."""
+    from pyspark.sql.window import Window
+
+    cands = pq_adc_topk(
+        emb, query_ids, k_nn=shortlist, id_col=id_col, vec_col=vec_col,
+        m=m, k=k, salt=salt,
+    ).select("query_id", "id")
+    xq = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+    )
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("_id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+        )
+        .collect()
+    )
+    qlit = {
+        int(r["_id"]): F.array(
+            *[F.lit(int(v)).cast("long") for v in r["_xq"]]
+        )
+        for r in qrows
+    }
+    joined = cands.join(xq, "id")
+    dist = None
+    for qid, arr in sorted(qlit.items()):
+        d = F.aggregate(
+            F.zip_with(F.col("_xq"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dist = (
+            F.when(F.col("query_id") == qid, d)
+            if dist is None
+            else dist.when(F.col("query_id") == qid, d)
+        )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("id"))
+    return (
+        joined.select("query_id", "id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_nn)
+        .orderBy("query_id", "rank")
+    )

@@ -1028,3 +1028,112 @@ def q260_pca_power_projection(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q320 — product-quantization ANN with exact re-rank (round 9): the
+# compression-based scale path (PQ, Jégou et al. 2011). md5-hash-
+# order sampled codebooks (the kmeans-c0 discipline), integer encode
+# on the ×1e8 grid, ADC table lookups shortlist 100 candidates per
+# query, exact integer squared-Euclidean re-ranks the final 10 —
+# every distance exact, the whole tier value-hash gated.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_DSUB, _PQ_SHORT, _PQ_NN = 16, 16, 4, 100, 10
+_PQ_QUERIES = (0, 1, 2, 3)
+
+
+@query(
+    "q320_pq_adc_rerank_topk",
+    oracle=f"""
+    WITH xe AS (
+      SELECT vec_id, i,
+        CAST(CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) * 100000000
+             AS BIGINT) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    cb_ids AS (
+      SELECT vec_id,
+        row_number() OVER (
+          ORDER BY md5('pq' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        ) AS h
+      FROM embeddings QUALIFY h <= {_PQ_K}
+    ),
+    cb AS (
+      SELECT c.h, xe.i, xe.x,
+        CAST((xe.i - 1) // {_PQ_DSUB} AS INT) AS j
+      FROM xe JOIN cb_ids c USING (vec_id)
+    ),
+    enc AS (
+      SELECT e.vec_id, c.j, c.h,
+        CAST(SUM((e.x - c.x) * (e.x - c.x)) AS BIGINT) AS d
+      FROM xe e JOIN cb c ON c.i = e.i
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, j, h FROM (
+        SELECT vec_id, j, h,
+          row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY d ASC, h ASC
+          ) AS rn
+        FROM enc) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT qe.vec_id AS query_id, c.j, c.h,
+        CAST(SUM((qe.x - c.x) * (qe.x - c.x)) AS BIGINT) AS t
+      FROM xe qe JOIN cb c ON c.i = qe.i
+      WHERE qe.vec_id IN {_PQ_QUERIES}
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT q.query_id, codes.vec_id,
+        CAST(SUM(q.t) AS BIGINT) AS pq_dist
+      FROM codes JOIN qtab q ON q.j = codes.j AND q.h = codes.h
+      WHERE codes.vec_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          row_number() OVER (
+            PARTITION BY query_id ORDER BY pq_dist ASC, vec_id ASC
+          ) AS rn
+        FROM adc) WHERE rn <= {_PQ_SHORT}
+    ),
+    ex AS (
+      SELECT s.query_id, s.vec_id,
+        CAST(SUM((e.x - qx.x) * (e.x - qx.x)) AS BIGINT) AS dist
+      FROM short s
+      JOIN xe e ON e.vec_id = s.vec_id
+      JOIN xe qx ON qx.vec_id = s.query_id AND qx.i = e.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+      CAST(vec_id AS BIGINT) AS vec_id, dist, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, dist,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+        ) AS rn
+      FROM ex) WHERE rn <= {_PQ_NN}
+    ORDER BY query_id ASC, rank ASC
+    """,
+)
+def q320_pq_adc_rerank_topk(spark, sf_dir):
+    """operators/similarity.pq_rerank_topk: PQ-coded shortlist (m=16
+    subspaces x 16 codes, sampled codebooks) + exact integer
+    re-rank — approximate pruning, exact ordering, fully gated."""
+    from ..operators.similarity import pq_rerank_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = pq_rerank_topk(
+        emb, list(_PQ_QUERIES), k_nn=_PQ_NN, shortlist=_PQ_SHORT,
+        m=_PQ_M, k=_PQ_K, salt="pq",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

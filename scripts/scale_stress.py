@@ -150,7 +150,8 @@ def main() -> int:
                  "q312_packing_stats",
                  # round-9 langid over documents ×10 exact-dup replicas
                  "q317_langid_profiles", "q318_langid_predictions",
-                 "q319_curated_corpus_census"):
+                 "q319_curated_corpus_census",
+                 "q320_pq_adc_rerank_topk"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
