@@ -1136,6 +1136,7 @@ def pq_adc_topk(
     m: int = 8,
     k: int = 16,
     salt: str = "pq",
+    codebooks: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: queries stay UNquantized; per query
     the m×k ADC table (exact integer distances query-subvector ->
@@ -1147,7 +1148,9 @@ def pq_adc_topk(
     from pyspark.sql.window import Window
 
     spark = emb.sparkSession
-    codebooks = pq_codebooks_md5(emb, id_col, vec_col, m, k, salt)
+    if codebooks is None:
+        codebooks = pq_codebooks_md5(emb, id_col, vec_col, m, k, salt)
+    m, k = len(codebooks), len(codebooks[0])
     d_sub = len(codebooks[0][0])
     qrows = (
         emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
@@ -1242,6 +1245,7 @@ def pq_rerank_topk(
     m: int = 16,
     k: int = 16,
     salt: str = "pq",
+    codebooks: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """The production PQ pattern: ADC shortlists ``shortlist``
     candidates per query from the CODED corpus (m byte-lookups per
@@ -1258,7 +1262,7 @@ def pq_rerank_topk(
 
     cands = pq_adc_topk(
         emb, query_ids, k_nn=shortlist, id_col=id_col, vec_col=vec_col,
-        m=m, k=k, salt=salt,
+        m=m, k=k, salt=salt, codebooks=codebooks,
     ).select("query_id", "id")
     xq = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.expr(_xq_expr(vec_col)).alias("_xq")
@@ -1296,3 +1300,54 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= k_nn)
         .orderBy("query_id", "rank")
     )
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    salt: str = "pq",
+    n_iter: int = 2,
+) -> list[list[list[int]]]:
+    """Lloyd-REFINED codebooks — the production training path the
+    sampled (pq_codebooks_md5) tier stands in for under the oracle
+    gate: per subspace, run operators/kmeans over the integer-grid
+    subvectors (hash-order init with a per-subspace salt, so the
+    refinement STARTS from the sampled codebook's discipline) and
+    round the final centroids back onto the grid. The returned shape
+    is identical, so pq_encode / pq_adc_topk / pq_rerank_topk consume
+    it unchanged — refinement moves recall, not plumbing. Driver
+    state: m·k·d_sub ints; m small kmeans jobs (each k·d_sub-bounded
+    per iteration)."""
+    from .kmeans import kmeans as _kmeans
+
+    base = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("pid"), F.expr(_xq_expr(vec_col)).alias("_xq")
+    )
+    dim = len(base.select("_xq").first()["_xq"])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d_sub = dim // m
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        cols = [
+            F.element_at(F.col("_xq"), j * d_sub + d + 1)
+            .cast("double")
+            .alias(f"d{d}")
+            for d in range(d_sub)
+        ]
+        pts = base.select("pid", *cols)
+        _, cents = _kmeans(
+            pts,
+            [f"d{d}" for d in range(d_sub)],
+            "pid",
+            k=k,
+            n_iter=n_iter,
+            salt=f"{salt}|{j}",
+        )
+        books.append(
+            [[int(round(c)) for c in cent] for cent in cents]
+        )
+    return books

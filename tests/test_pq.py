@@ -120,3 +120,44 @@ def test_adc_plan_broadcasts_dimensions(spark, emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # centroid + ADC tables
+
+
+def test_kmeans_refined_codebooks_plug_in(spark, emb):
+    """pq_codebooks_kmeans returns the same shape (m x k x d_sub ints
+    on the grid) and plugs into the rerank path unchanged; refinement
+    must not REGRESS recall vs the sampled codebooks for the pinned
+    query (isotropic data caps the upside, but the plumbing and the
+    non-regression are what this pins)."""
+    from aden_hive_fork_spark.operators.similarity import (
+        pq_codebooks_kmeans,
+        pq_rerank_topk,
+    )
+
+    m = 8
+    books = pq_codebooks_kmeans(emb, m=m, k=16, n_iter=1)
+    assert len(books) == m and len(books[0]) == 16
+    assert all(isinstance(v, int) for v in books[0][0])
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    q = rows[0]
+    exact_ids = {
+        vid
+        for _, vid in sorted(
+            (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+            for vid, v in rows.items()
+            if vid != 0
+        )[:10]
+    }
+    sampled = {
+        r["id"]
+        for r in pq_rerank_topk(
+            emb, [0], k_nn=10, shortlist=100, m=m
+        ).collect()
+    }
+    refined = {
+        r["id"]
+        for r in pq_rerank_topk(
+            emb, [0], k_nn=10, shortlist=100, m=m, codebooks=books
+        ).collect()
+    }
+    assert len(refined & exact_ids) >= len(sampled & exact_ids)
