@@ -1351,3 +1351,184 @@ def pq_codebooks_kmeans(
             [[int(round(c)) for c in cent] for cent in cents]
         )
     return books
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_nn: int = 10,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    k_pq: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ — the production ANN index architecture (FAISS
+    IndexIVFPQ; Jégou et al. 2011 §V): an IVF coarse quantizer routes
+    each vector to one cell, PQ codes compress the residual working
+    set, queries probe their ``n_probe`` best cells, ADC shortlists
+    within the probed cells only, and an exact integer re-rank orders
+    the final top-k. Composes this module's two gated tiers
+    unchanged: the md5-seeded coarse routing of ``ivf_md5_topk``
+    (int8-by-norm grid) and the PQ code/ADC machinery of
+    ``pq_adc_topk`` (×1e8 grid) — separate grids exactly as coarse
+    quantizer and PQ codebooks are separate in the reference design.
+
+    Every number is an exact integer, so the WHOLE composition sits
+    under the value-hash gate (q321). Scale shape: seeds and ADC
+    tables broadcast; assignment is broadcast-join + keyed argmax;
+    scoring touches only probed cells' members (corpus fraction
+    ~n_probe/num_cells); the exact re-rank touches
+    |queries|·shortlist rows. The corpus never self-joins.
+    """
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    # --- coarse routing (the ivf_md5_topk quantizer, verbatim) -----
+    qn = quantize_embeddings(emb, id_col, vec_col)
+    seeds = (
+        qn.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .select(
+            F.col("id").alias("seed_id"), F.col("qvec").alias("seed_qvec")
+        )
+    )
+    dot_seed = F.aggregate(
+        F.zip_with("qvec", "seed_qvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored_seed = qn.crossJoin(F.broadcast(seeds)).select(
+        "id", "seed_id", dot_seed.alias("sdot")
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.desc("sdot"), F.asc("seed_id")
+    )
+    assigned = (
+        scored_seed.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("seed_id").alias("cell"))
+    )
+    probes = (
+        scored_seed.filter(F.col("id").isin([int(q) for q in query_ids]))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("seed_id").alias("cell"))
+    )
+    # --- PQ codes + ADC tables (the pq_adc_topk machinery) ---------
+    if codebooks is None:
+        codebooks = pq_codebooks_md5(emb, id_col, vec_col, m, k_pq, salt)
+    m, k_pq = len(codebooks), len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    cb_rows = [
+        (j, h, j * d_sub + d + 1, int(codebooks[j][h][d]))
+        for j in range(m)
+        for h in range(k_pq)
+        for d in range(d_sub)
+    ]
+    cb = F.broadcast(
+        spark.createDataFrame(cb_rows, "j int, h int, i int, c long")
+    )
+    xdim = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.expr(_xq_expr(vec_col))).alias("_pos", "x"),
+        )
+        .select("id", (F.col("_pos") + 1).alias("i"), "x")
+    )
+    enc = (
+        xdim.join(cb, "i")
+        .groupBy("id", "j", "h")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    wj = Window.partitionBy("id", "j").orderBy(F.asc("d"), F.asc("h"))
+    codes = (
+        enc.withColumn("_rn", F.row_number().over(wj))
+        .filter(F.col("_rn") == 1)
+        .select("id", "j", "h")
+    )
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("_id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+        )
+        .collect()
+    )
+    qtab_rows = []
+    for qr in qrows:
+        qx = [int(v) for v in qr["_xq"]]
+        for j in range(m):
+            qsub = qx[j * d_sub : (j + 1) * d_sub]
+            for h in range(k_pq):
+                t = sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qsub, codebooks[j][h])
+                )
+                qtab_rows.append((int(qr["_id"]), j, h, int(t)))
+    qtab = F.broadcast(
+        spark.createDataFrame(
+            qtab_rows, "query_id long, j int, h int, t long"
+        )
+    )
+    # --- ADC within probed cells only -------------------------------
+    member = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+    )
+    adc = (
+        member.join(codes, "id")
+        .join(qtab, ["query_id", "j", "h"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("t").cast("long").alias("pq_dist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("id")
+    )
+    cands = (
+        adc.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "id")
+    )
+    # --- exact integer re-rank (the pq_rerank_topk tail) -----------
+    xq_full = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+    )
+    dist = None
+    for qr in sorted(qrows, key=lambda r: r["_id"]):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in qr["_xq"]])
+        d = F.aggregate(
+            F.zip_with(F.col("_xq"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        qid = int(qr["_id"])
+        dist = (
+            F.when(F.col("query_id") == qid, d)
+            if dist is None
+            else dist.when(F.col("query_id") == qid, d)
+        )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("id")
+    )
+    return (
+        cands.join(xq_full, "id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("id"),
+            dist.alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k_nn)
+        .orderBy("query_id", "rank")
+    )

@@ -1137,3 +1137,146 @@ def q320_pq_adc_rerank_topk(spark, sf_dir):
         F.col("dist").cast("bigint").alias("dist"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q321 — IVF-PQ (round 9): the production ANN index architecture
+# (FAISS IndexIVFPQ) as a COMPOSITION of the two gated tiers — q239's
+# md5-seeded IVF coarse routing (int8-by-norm grid) + q320's PQ
+# code/ADC machinery (×1e8 grid) + exact integer re-rank. Queries
+# probe 4 of 16 cells; ADC shortlists 100 within the probed cells;
+# the final 10 rank by exact squared Euclidean. Every number integer.
+# ---------------------------------------------------------------------------
+_IVFPQ_CELLS, _IVFPQ_PROBE = 16, 4
+_IVFPQ_QIDS = (0, 1, 2, 3)
+
+
+@query(
+    "q321_ivf_pq_topk",
+    oracle=f"""
+    WITH qn AS ({_QUANT_CTE}),
+    seeds AS (
+      SELECT vec_id AS seed_id, qvec AS seed_qvec
+      FROM qn
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+      LIMIT {_IVFPQ_CELLS}
+    ),
+    scored_seed AS (
+      SELECT q.vec_id AS id, s.seed_id,
+        list_sum(list_transform(range(1, len(q.qvec) + 1),
+                 i -> q.qvec[i] * s.seed_qvec[i])) AS sdot
+      FROM qn q CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT id, seed_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM scored_seed) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, seed_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM scored_seed WHERE id IN {_IVFPQ_QIDS})
+      WHERE rn <= {_IVFPQ_PROBE}
+    ),
+    xe AS (
+      SELECT vec_id, i,
+        CAST(CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) * 100000000
+             AS BIGINT) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    cb_ids AS (
+      SELECT vec_id,
+        row_number() OVER (
+          ORDER BY md5('pq' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        ) AS h
+      FROM embeddings QUALIFY h <= {_PQ_K}
+    ),
+    cb AS (
+      SELECT c.h, xe.i, xe.x,
+        CAST((xe.i - 1) // {_PQ_DSUB} AS INT) AS j
+      FROM xe JOIN cb_ids c USING (vec_id)
+    ),
+    enc AS (
+      SELECT e.vec_id, c.j, c.h,
+        CAST(SUM((e.x - c.x) * (e.x - c.x)) AS BIGINT) AS d
+      FROM xe e JOIN cb c ON c.i = e.i
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, j, h FROM (
+        SELECT vec_id, j, h,
+          row_number() OVER (
+            PARTITION BY vec_id, j ORDER BY d ASC, h ASC
+          ) AS rn
+        FROM enc) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT qe.vec_id AS query_id, c.j, c.h,
+        CAST(SUM((qe.x - c.x) * (qe.x - c.x)) AS BIGINT) AS t
+      FROM xe qe JOIN cb c ON c.i = qe.i
+      WHERE qe.vec_id IN {_IVFPQ_QIDS}
+      GROUP BY 1, 2, 3
+    ),
+    member AS (
+      SELECT p.query_id, a.id
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.id <> p.query_id
+    ),
+    adc AS (
+      SELECT m.query_id, m.id AS vec_id,
+        CAST(SUM(q.t) AS BIGINT) AS pq_dist
+      FROM member m
+      JOIN codes c ON c.vec_id = m.id
+      JOIN qtab q ON q.query_id = m.query_id
+                 AND q.j = c.j AND q.h = c.h
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          row_number() OVER (
+            PARTITION BY query_id ORDER BY pq_dist ASC, vec_id ASC
+          ) AS rn
+        FROM adc) WHERE rn <= {_PQ_SHORT}
+    ),
+    ex AS (
+      SELECT s.query_id, s.vec_id,
+        CAST(SUM((e.x - qx.x) * (e.x - qx.x)) AS BIGINT) AS dist
+      FROM short s
+      JOIN xe e ON e.vec_id = s.vec_id
+      JOIN xe qx ON qx.vec_id = s.query_id AND qx.i = e.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+      CAST(vec_id AS BIGINT) AS vec_id, dist, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, dist,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY dist ASC, vec_id ASC
+        ) AS rn
+      FROM ex) WHERE rn <= {_PQ_NN}
+    ORDER BY query_id ASC, rank ASC
+    """,
+)
+def q321_ivf_pq_topk(spark, sf_dir):
+    """operators/similarity.ivf_pq_topk: coarse IVF routing + PQ ADC
+    within probed cells + exact re-rank — the full FAISS-style
+    composition, value-hash gated end to end."""
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk(
+        emb, list(_IVFPQ_QIDS), k_nn=_PQ_NN,
+        num_cells=_IVFPQ_CELLS, n_probe=_IVFPQ_PROBE,
+        m=_PQ_M, k_pq=_PQ_K, shortlist=_PQ_SHORT, salt="pq",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("query_id", "rank")

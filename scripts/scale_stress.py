@@ -151,7 +151,8 @@ def main() -> int:
                  # round-9 langid over documents ×10 exact-dup replicas
                  "q317_langid_profiles", "q318_langid_predictions",
                  "q319_curated_corpus_census",
-                 "q320_pq_adc_rerank_topk"):
+                 "q320_pq_adc_rerank_topk",
+                 "q321_ivf_pq_topk"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

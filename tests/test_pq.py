@@ -161,3 +161,45 @@ def test_kmeans_refined_codebooks_plug_in(spark, emb):
         ).collect()
     }
     assert len(refined & exact_ids) >= len(sampled & exact_ids)
+
+
+def test_ivf_pq_composition_recall_pin(spark, emb):
+    """IVF-PQ: probing 4 of 16 cells prunes ~75% of the corpus, so
+    recall must sit at-or-below the unpruned PQ rerank for the same
+    codebooks (7/4/5/5 measured on the isotropic fixture) while every
+    returned distance stays the exact integer Euclidean."""
+    from aden_hive_fork_spark.operators.similarity import ivf_pq_topk
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    out = ivf_pq_topk(
+        emb, [0, 1, 2, 3], k_nn=10, num_cells=16, n_probe=4, m=16,
+        shortlist=100,
+    )
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(r)
+    total = 0
+    for qid in (0, 1, 2, 3):
+        q = rows[qid]
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+            for vid, v in rows.items()
+            if vid != qid
+        )[:10]
+        ids = {r["id"] for r in got[qid]}
+        overlap = len(ids & {vid for _, vid in exact})
+        assert overlap >= 4, (qid, overlap)
+        total += overlap
+        # returned dists are the exact integers, ordered
+        dists = [r["dist"] for r in sorted(got[qid], key=lambda r: r["rank"])]
+        assert dists == sorted(dists)
+    assert total >= 21  # 7+4+5+5 measured; deterministic
+
+
+def test_ivf_pq_no_cartesian_broadcast_dims(spark, emb):
+    from aden_hive_fork_spark.operators.similarity import ivf_pq_topk
+
+    out = ivf_pq_topk(emb, [0], k_nn=5, num_cells=16, n_probe=4, m=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
