@@ -217,3 +217,176 @@ def bpe_merges_df(
     return spark.createDataFrame(
         [(r, a, b, c) for r, a, b, c in rows], schema
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match segmentation (round 9) — the
+# maximal-munch cousin of BPE apply: instead of replaying merges, it
+# segments each word against a frequency-thresholded substring vocab,
+# always taking the LONGEST vocab token at the cursor. Single
+# characters are always in-vocab, so segmentation never fails and
+# every round advances every unfinished word by >= 1 char.
+# ---------------------------------------------------------------------------
+def wordpiece_vocab(
+    wf: DataFrame,
+    min_occ: int = 50,
+    max_sub_len: int = 4,
+) -> DataFrame:
+    """Deterministic WordPiece vocabulary from a (word, freq)
+    relation: every single character of the corpus, plus every
+    substring of length 2..``max_sub_len`` whose frequency-weighted
+    occurrence count is >= ``min_occ``. Two map-side position
+    explodes and one keyed aggregate — no iteration, no floats.
+
+    Returns one column ``token`` (distinct)."""
+    chars = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            )
+        ).alias("token")
+    ).distinct()
+    subs = (
+        wf.select(
+            "freq",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.filter(
+                            F.transform(
+                                F.sequence(
+                                    F.lit(2), F.lit(max_sub_len)
+                                ),
+                                lambda l: F.when(
+                                    i + l - 1 <= F.length("word"),
+                                    F.col("word").substr(i, l),
+                                ),
+                            ),
+                            lambda t: t.isNotNull(),
+                        ),
+                    )
+                )
+            ).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("_occ"))
+        .filter(F.col("_occ") >= min_occ)
+        .select("token")
+    )
+    return chars.unionByName(subs).distinct()
+
+
+def wordpiece_segment(
+    df: DataFrame,
+    text_col: str = "text",
+    min_occ: int = 50,
+    max_sub_len: int = 4,
+) -> DataFrame:
+    """Greedy longest-match (maximal munch) segmentation of every
+    distinct corpus word against the ``wordpiece_vocab`` table.
+
+    The corpus reduces ONCE to (word, freq) — the BPE-train shuffle
+    discipline — then the greedy loop runs on the vocabulary-sized
+    relation only: each round explodes candidate lengths
+    ``max_sub_len``..1 at the cursor (bounded map-side blowup), joins
+    the broadcast vocab, takes MAX(match length) per word, and
+    advances the cursor. Rounds are bounded by the longest word (a
+    one-scalar driver collect, the pagerank convergence-check
+    precedent); lineage is localCheckpoint-truncated every round.
+    All-integer/string arithmetic — bit-identical in any engine.
+
+    Returns (word, word_freq, wordpiece, n_pieces) — wordpiece is the
+    space-joined greedy segmentation."""
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), " ")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = wordpiece_vocab(words, min_occ, max_sub_len)
+    max_len = words.agg(
+        F.max(F.length("word")).alias("m")
+    ).collect()[0]["m"]
+    if max_len is None:
+        return words.select(
+            "word",
+            F.col("freq").alias("word_freq"),
+            F.lit("").alias("wordpiece"),
+            F.lit(0).cast("int").alias("n_pieces"),
+        )
+    state = words.select(
+        "word",
+        F.length("word").alias("_len"),
+        F.lit(1).alias("_pos"),
+        F.lit("").alias("_toks"),
+    ).localCheckpoint(eager=True)
+    done_parts = []
+    bvocab = F.broadcast(vocab)
+    for _ in range(int(max_len)):
+        finished = state.filter(F.col("_pos") > F.col("_len"))
+        if finished.take(1):
+            done_parts.append(
+                finished.select("word", "_toks").localCheckpoint(
+                    eager=True
+                )
+            )
+        live = state.filter(F.col("_pos") <= F.col("_len"))
+        if not live.take(1):
+            state = None
+            break
+        cand = live.select(
+            "word",
+            "_len",
+            "_pos",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(max_sub_len))
+            ).alias("_l"),
+        ).filter(F.col("_pos") + F.col("_l") - 1 <= F.col("_len"))
+        matched = cand.join(
+            bvocab,
+            cand["word"].substr(F.col("_pos"), F.col("_l"))
+            == vocab["token"],
+        )
+        best = matched.groupBy("word", "_len", "_pos", "_toks").agg(
+            F.max("_l").alias("_ml")
+        )
+        tok = F.col("word").substr(F.col("_pos"), F.col("_ml"))
+        state = best.select(
+            "word",
+            "_len",
+            (F.col("_pos") + F.col("_ml")).alias("_pos"),
+            F.when(F.col("_toks") == "", tok)
+            .otherwise(F.concat_ws(" ", "_toks", tok))
+            .alias("_toks"),
+        ).localCheckpoint(eager=True)
+    if state is not None:
+        done_parts.append(
+            state.filter(F.col("_pos") > F.col("_len")).select(
+                "word", "_toks"
+            )
+        )
+    spark = df.sparkSession
+    if not done_parts:
+        empty = spark.createDataFrame([], "word string, _toks string")
+        done_parts.append(empty)
+    done = done_parts[0]
+    for part in done_parts[1:]:
+        done = done.unionByName(part)
+    return (
+        done.join(words, "word")
+        .select(
+            "word",
+            F.col("freq").alias("word_freq"),
+            F.col("_toks").alias("wordpiece"),
+            F.size(F.split("_toks", " ")).cast("int").alias(
+                "n_pieces"
+            ),
+        )
+    )

@@ -1149,3 +1149,195 @@ def minhash_md5_lsh_pairs(
         .distinct()
         .orderBy(F.desc("est_jaccard"), F.asc("id_a"), F.asc("id_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS algorithm) — positional local-minima fingerprint selection, the
+# guarantee-carrying cousin of MinHash: every shared substring of at
+# least k + window - 1 words produces at least one SHARED fingerprint.
+# md5-prefix hashes keep the whole plan engine-replayable (q322).
+# ---------------------------------------------------------------------------
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint set per document: hash every word
+    ``k``-gram (md5 prefix → 60-bit BIGINT, the q231/q232 replayable
+    family), slide a ``window``-wide window over the hash SEQUENCE,
+    and in each window keep the minimum hash (rightmost on ties —
+    the paper's tie-break, so both engines select identical
+    positions). Documents shorter than ``k + window - 1`` words
+    degrade to a single window spanning all their hashes, so every
+    doc with >= k words yields >= 1 fingerprint.
+
+    Expected fingerprint density is 2/(window+1) of the shingle
+    count — the membership explode is a bounded ×window map-side
+    blowup, then ONE shuffle on (id, window-start) for the per-window
+    argmin and one distinct on (id, hash). No driver state, no UDF.
+
+    Returns (``id_col``, fingerprint BIGINT) distinct."""
+    from pyspark.sql import Window
+
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("_id"), ws.alias("_ws")
+    ).filter(F.size("_ws") >= k)
+    n_sh = F.size("_ws") - (k - 1)
+    sh = base.select(
+        "_id",
+        n_sh.alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_ws", i, F.lit(k))
+                ),
+            )
+        ).alias("_p", "_shingle"),
+    )
+    hashed = sh.select(
+        "_id",
+        "_n",
+        (F.col("_p") + 1).alias("_idx"),
+        F.conv(F.substring(F.md5("_shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    # windows containing position idx: [idx-window+1, idx] clamped to
+    # the valid window-start range [1, max(n-window+1, 1)] — the
+    # GREATEST clamp is the short-document degradation above.
+    last_start = F.greatest(
+        F.col("_n") - (window - 1), F.lit(1)
+    )
+    memb = hashed.select(
+        "_id",
+        "_idx",
+        "_h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_idx") - (window - 1), F.lit(1)),
+                F.least(F.col("_idx"), last_start),
+            )
+        ).alias("_win"),
+    )
+    w = Window.partitionBy("_id", "_win").orderBy(
+        F.asc("_h"), F.desc("_idx")
+    )
+    sel = memb.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return sel.select(
+        F.col("_id").alias(id_col), F.col("_h").alias("fingerprint")
+    ).distinct()
+
+
+def winnowing_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_overlap: float = 0.5,
+    max_fp_df: int = 100,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: the
+    inverted-index join (fingerprint → documents) with a document-
+    frequency cap — any fingerprint present in more than ``max_fp_df``
+    documents is boilerplate-grade and dropped BEFORE the self-join
+    (the stop-shingle discipline of the PPJoin/KMV tiers), so no
+    bucket can go quadratic. overlap = shared / min(|fp_a|, |fp_b|)
+    over the RETAINED fingerprint sets (containment-style, so a
+    near-copy embedded in a longer doc still scores ~1.0).
+
+    Plan: fingerprints (two shuffles) → df-cap aggregate → keyed
+    self-join on fingerprint → pair count aggregate → two co-keyed
+    size joins. Never all-pairs; the id ordering dedups mirrored
+    pairs at the join condition, not post-hoc.
+
+    Returns (id_a, id_b, shared INT, overlap DOUBLE round-6),
+    overlap >= ``min_overlap`` pre-round."""
+    fp = winnowing_fingerprints(df, id_col, text_col, k, window)
+    dfreq = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("_df")
+    )
+    kept = fp.join(
+        dfreq.filter(F.col("_df") <= max_fp_df).select("fingerprint"),
+        "fingerprint",
+    )
+    nfp = kept.groupBy(id_col).agg(F.count("*").alias("_n_fp"))
+    a = kept.select(
+        F.col(id_col).alias("id_a"), "fingerprint"
+    )
+    b = kept.select(
+        F.col(id_col).alias("id_b"), "fingerprint"
+    )
+    pairs = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = nfp.select(
+        F.col(id_col).alias("id_a"), F.col("_n_fp").alias("_na")
+    )
+    nb = nfp.select(
+        F.col(id_col).alias("id_b"), F.col("_n_fp").alias("_nb")
+    )
+    ratio = F.col("shared").cast("double") / F.least(
+        F.col("_na"), F.col("_nb")
+    ).cast("double")
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(ratio >= min_overlap)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("int").alias("shared"),
+            F.round(ratio, 6).alias("overlap"),
+        )
+    )
+
+
+def editdist_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_sim: float = 0.8,
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs —
+    the verify stage of the fingerprint → block → verify pipeline.
+    Levenshtein is O(|a|·|b|) per pair, which is exactly why it never
+    touches the corpus directly: it runs only on the banded candidate
+    set (LSH/SimHash/winnowing output), which is linear-ish in corpus
+    size by construction. similarity = 1 - dist / max(len_a, len_b).
+
+    Plan: two co-keyed joins to attach both texts (the candidate set
+    is small → AQE broadcasts it against the corpus), then a map-side
+    JVM levenshtein per pair. No shuffle beyond the joins, no UDF.
+
+    Returns ``pairs``' columns + edit_dist INT + edit_sim DOUBLE
+    (round-6), filtered to edit_sim >= ``min_sim`` pre-round."""
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+    )
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+    dist = F.levenshtein("_text_a", "_text_b")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("_text_a"), F.length("_text_b")
+    ).cast("double")
+    return (
+        joined.withColumn("edit_dist", dist.cast("int"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= min_sim)
+        .withColumn("edit_sim", F.round("_sim", 6))
+        .drop("_text_a", "_text_b", "_sim")
+    )

@@ -983,3 +983,72 @@ def word_entropy(
         "n_distinct",
         (F.floor(h * p6 + F.lit(0.5)) / p6).cast("double").alias("entropy"),
     )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    buckets: int = 20,
+) -> DataFrame:
+    """Vocabulary-saturation (Heaps'-law) census: cumulative corpus
+    token count vs cumulative DISTINCT-word count along the corpus
+    order, reported at ``buckets`` equal-width id milestones. The
+    growth curve V(N) ~ K·N^beta is the standard corpus-health probe
+    (a flattening curve means new data stops adding vocabulary —
+    dedup/curation feedback at a glance).
+
+    Cumulative COUNT(DISTINCT) is not windowable, so the plan uses the
+    first-occurrence trick: a word contributes to the bucket of its
+    MINIMUM doc id — one keyed aggregate over the exploded words, one
+    tiny cumulative window over ``buckets`` rows. Token mass per
+    bucket is map-side (size of the split array). No all-corpus
+    window, no driver loop; both aggregates shuffle once.
+
+    Returns (bucket, n_docs, tokens_cum, vocab_cum) — all exact
+    integers, one row per non-empty bucket."""
+    from pyspark.sql import Window
+
+    bounds = df.select(
+        F.min(F.col(id_col)).alias("_lo"),
+        (F.max(F.col(id_col)) + 1).alias("_hi"),
+    )
+    base = df.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("_id"),
+        F.floor(
+            (F.col(id_col) - F.col("_lo")).cast("bigint") * buckets
+            / (F.col("_hi") - F.col("_lo"))
+        ).cast("int").alias("_bucket"),
+        F.split(F.trim(F.col(text_col)), " ").alias("_ws"),
+    )
+    toks = base.select(
+        "_id", "_bucket", F.explode("_ws").alias("_w")
+    ).filter(F.col("_w") != "")
+    first = (
+        toks.groupBy("_w")
+        .agg(F.min("_bucket").alias("_fb"))
+        .groupBy("_fb")
+        .agg(F.count("*").alias("_new_words"))
+        .withColumnRenamed("_fb", "_bucket")
+    )
+    per_bucket = base.groupBy("_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.filter("_ws", lambda w: w != ""))
+        ).alias("_toks"),
+    )
+    w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(first, "_bucket", "left")
+        .select(
+            F.col("_bucket").alias("bucket"),
+            "n_docs",
+            F.sum("_toks").over(w).cast("bigint").alias("tokens_cum"),
+            F.sum(F.coalesce("_new_words", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+        )
+    )

@@ -572,3 +572,135 @@ def q316_decontaminated_split(spark, sf_dir):
         .select("doc_id", "lang", "n_test_matches", "min_hamming")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q322 — winnowing fingerprint near-dup (Schleimer/Wilkerson/Aiken
+# 2003, the MOSS algorithm), round 9: positional local-minima
+# fingerprinting on the md5-replayable hash tier. Unlike MinHash
+# (random sample of the shingle set) winnowing is GUARANTEE-carrying:
+# any shared run of >= k+window-1 words yields a shared fingerprint.
+# Fingerprint selection, the df-capped inverted-index join, and the
+# containment overlap score are all value-hash checked.
+# ---------------------------------------------------------------------------
+_Q322_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+        len(string_split(trim(text), ' ')) - 2 AS n,
+        list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> struct_pack(
+            idx := i,
+            h := CAST(('0x' || substr(md5(array_to_string(
+              list_slice(string_split(trim(text), ' '), i, i + 2), ' ')),
+              1, 15)) AS UBIGINT)::BIGINT)
+        ) AS hs
+      FROM documents
+      WHERE len(string_split(trim(text), ' ')) >= 3
+    ),
+    hx AS (SELECT doc_id, n, unnest(hs, recursive := true) FROM sh),
+    memb AS (
+      SELECT doc_id, idx, h, idx + s.s AS win
+      FROM hx CROSS JOIN (SELECT unnest(range(-3, 1)) AS s) s
+      WHERE idx + s.s >= 1 AND idx + s.s <= GREATEST(n - 3, 1)
+    ),
+    sel AS (
+      SELECT doc_id, win, idx, h,
+        ROW_NUMBER() OVER (PARTITION BY doc_id, win
+                           ORDER BY h ASC, idx DESC) AS rn
+      FROM memb
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+    dfreq AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 100),
+    kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h)),
+    nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p.id_a AS BIGINT) AS id_a,
+      CAST(p.id_b AS BIGINT) AS id_b,
+      CAST(p.shared AS INT) AS shared,
+      ROUND(CAST(p.shared AS DOUBLE) / LEAST(na.n_fp, nb.n_fp), 6)
+        AS overlap
+    FROM pairs p JOIN nfp na ON na.doc_id = p.id_a
+                 JOIN nfp nb ON nb.doc_id = p.id_b
+    WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_fp, nb.n_fp) >= 0.5
+    ORDER BY overlap DESC, id_a ASC, id_b ASC
+"""
+
+
+@query("q322_winnowing_neardup", oracle=_Q322_SQL)
+def q322_winnowing_neardup(spark, sf_dir):
+    """operators/dedup.winnowing_neardup_pairs over documents: word
+    3-gram md5 hashes, window 4 (fingerprint density 2/5), rightmost-
+    minimum tie-break, df cap 100, containment overlap >= 0.5. The
+    full positional plan — hash sequence → per-window argmin → df-
+    capped inverted-index join — is value-hash checked vs DuckDB."""
+    from ..operators.dedup import winnowing_neardup_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    out = winnowing_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, window=4,
+        min_overlap=0.5, max_fp_df=100,
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("shared").cast("int").alias("shared"),
+        "overlap",
+    ).orderBy(F.desc("overlap"), F.asc("id_a"), F.asc("id_b"))
+
+
+# ---------------------------------------------------------------------------
+# q323 — exact edit-distance VERIFICATION of the q231 simhash
+# candidates (round 9): the verify stage of fingerprint → block →
+# verify. Levenshtein is O(|a|·|b|) per pair, so it runs only on the
+# banded candidate set — never the corpus. Both engines' levenshtein
+# is the same character-level DP, so distance, normalized similarity
+# and the 0.8 cut are all value-hash checked.
+# ---------------------------------------------------------------------------
+@query(
+    "q323_editdist_verified_neardup",
+    oracle=f"""
+    WITH {_SIMHASH_PAIRS_CTE.strip()},
+    withtext AS (
+      SELECT p.id_a, p.id_b, p.hamming,
+        levenshtein(da.text, db.text) AS edit_dist,
+        1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+            / GREATEST(length(da.text), length(db.text)) AS sim
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+      CAST(hamming AS INT) AS hamming,
+      CAST(edit_dist AS INT) AS edit_dist,
+      ROUND(sim, 6) AS edit_sim
+    FROM withtext WHERE sim >= 0.8
+    ORDER BY edit_sim DESC, id_a ASC, id_b ASC
+    """,
+)
+def q323_editdist_verified_neardup(spark, sf_dir):
+    """operators/dedup.editdist_verify_pairs over the q231 simhash
+    candidate tier: exact Levenshtein on candidates only, normalized
+    similarity 1 - dist/max(len), verified survivors at >= 0.8."""
+    from ..operators.dedup import (
+        editdist_verify_pairs,
+        simhash_md5_neardup_pairs,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    cands = simhash_md5_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, max_hamming=3
+    ).select("id_a", "id_b", "hamming")
+    out = editdist_verify_pairs(
+        cands, docs, id_col="doc_id", text_col="text", min_sim=0.8
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+        "edit_sim",
+    ).orderBy(F.desc("edit_sim"), F.asc("id_a"), F.asc("id_b"))

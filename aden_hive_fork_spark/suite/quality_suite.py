@@ -427,3 +427,65 @@ def q271_quantile_normalization(spark, sf_dir):
         )
         .orderBy(F.asc("priority"), F.asc("r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q324 — vocabulary-saturation (Heaps'-law) census (round 9):
+# cumulative corpus tokens vs cumulative distinct words at 20 id
+# milestones via the first-occurrence trick (a word counts in the
+# bucket of its MIN doc id — cumulative COUNT(DISTINCT) without a
+# corpus-wide window). All-integer outputs, fully hash-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "q324_vocab_growth",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+        CAST(FLOOR((doc_id - lo) * 20 / (hi - lo)) AS INT) AS bucket,
+        string_split(trim(text), ' ') AS ws
+      FROM documents CROSS JOIN bounds
+    ),
+    toks AS (
+      SELECT bucket, t.w AS w
+      FROM base, unnest(ws) AS t(w)
+      WHERE t.w != ''
+    ),
+    firsts AS (
+      SELECT fb AS bucket, COUNT(*) AS new_words FROM (
+        SELECT w, MIN(bucket) AS fb FROM toks GROUP BY w
+      ) GROUP BY fb
+    ),
+    per_bucket AS (
+      SELECT bucket, COUNT(*) AS n_docs,
+        SUM(len(list_filter(ws, x -> x != ''))) AS toks
+      FROM base GROUP BY bucket
+    )
+    SELECT CAST(p.bucket AS INT) AS bucket,
+      CAST(p.n_docs AS BIGINT) AS n_docs,
+      CAST(SUM(p.toks) OVER (ORDER BY p.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS tokens_cum,
+      CAST(SUM(COALESCE(f.new_words, 0)) OVER (ORDER BY p.bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS vocab_cum
+    FROM per_bucket p LEFT JOIN firsts f ON f.bucket = p.bucket
+    ORDER BY bucket ASC
+    """,
+)
+def q324_vocab_growth(spark, sf_dir):
+    """operators/quality.vocabulary_growth over documents: 20-bucket
+    Heaps'-law curve — tokens_cum vs vocab_cum, exact integers."""
+    from ..operators.quality import vocabulary_growth
+
+    docs = T(spark, sf_dir, "documents")
+    out = vocabulary_growth(docs, id_col="doc_id", text_col="text",
+                            buckets=20)
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "tokens_cum",
+        "vocab_cum",
+    ).orderBy("bucket")

@@ -1111,3 +1111,84 @@ def q319_curated_corpus_census(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q325 — WordPiece-style greedy longest-match segmentation (round 9):
+# the maximal-munch member of the tokenizer family (q240 trains BPE
+# merges, q314 replays them; this segments against a frequency-
+# thresholded substring vocab, longest token first). The Spark side
+# is the iterative cursor relation (operators/bpe_train.
+# wordpiece_segment); the oracle replays the SAME greedy walk as a
+# recursive CTE whose step is the per-(word, cursor) MAX match
+# length. All-integer/string — exact on both engines.
+# ---------------------------------------------------------------------------
+_Q325_MIN_OCC = 50
+_Q325_MAX_LEN = 4
+
+
+@query(
+    "q325_wordpiece_segments",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents)
+      WHERE w != '' GROUP BY w
+    ),
+    chars AS (
+      SELECT DISTINCT substr(word, i.i, 1) AS token
+      FROM words CROSS JOIN (SELECT unnest(range(1, 64)) AS i) i
+      WHERE i.i <= len(word)
+    ),
+    subs AS (
+      SELECT substr(word, i.i, l.l) AS token
+      FROM words
+      CROSS JOIN (SELECT unnest(range(1, 64)) AS i) i
+      CROSS JOIN (SELECT unnest(range(2, {_Q325_MAX_LEN + 1})) AS l) l
+      WHERE i.i + l.l - 1 <= len(word)
+      GROUP BY 1
+      HAVING SUM(freq) >= {_Q325_MIN_OCC}
+    ),
+    vocab AS (SELECT token FROM chars UNION SELECT token FROM subs),
+    seg AS (
+      SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM words
+      UNION ALL
+      SELECT word, pos + ml,
+        CASE WHEN toks = '' THEN substr(word, pos, ml)
+             ELSE toks || ' ' || substr(word, pos, ml) END
+      FROM (
+        SELECT s.word, s.pos, s.toks, MAX(l.l) AS ml
+        FROM seg s
+        CROSS JOIN (SELECT unnest(range(1, {_Q325_MAX_LEN + 1})) AS l) l
+        JOIN vocab v ON l.l <= len(s.word) - s.pos + 1
+          AND v.token = substr(s.word, s.pos, l.l)
+        WHERE s.pos <= len(s.word)
+        GROUP BY s.word, s.pos, s.toks
+      )
+    ),
+    done AS (SELECT word, toks FROM seg WHERE pos > len(word))
+    SELECT d.word, CAST(w.freq AS BIGINT) AS word_freq,
+      d.toks AS wordpiece,
+      CAST(len(string_split(d.toks, ' ')) AS INT) AS n_pieces
+    FROM done d JOIN words w USING (word)
+    ORDER BY d.word ASC
+    """,
+)
+def q325_wordpiece_segments(spark, sf_dir):
+    """operators/bpe_train.wordpiece_segment over documents: greedy
+    longest-match segmentation of every distinct corpus word against
+    the min-occ-50, max-len-4 substring vocabulary."""
+    from ..operators.bpe_train import wordpiece_segment
+
+    docs = T(spark, sf_dir, "documents")
+    out = wordpiece_segment(
+        docs, text_col="text",
+        min_occ=_Q325_MIN_OCC, max_sub_len=_Q325_MAX_LEN,
+    )
+    return out.select(
+        "word",
+        F.col("word_freq").cast("bigint").alias("word_freq"),
+        "wordpiece",
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+    ).orderBy("word")

@@ -1,0 +1,277 @@
+"""Differential property tests for the round-9b operators
+(winnowing fingerprints, edit-distance verification, vocabulary
+growth, WordPiece segmentation): Spark results vs exact plain-Python
+models on randomized inputs — the round-7/8/9 discipline (few
+examples, exact models, loud failures)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pytest
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+WORDS = st.text(alphabet="abcdef", min_size=1, max_size=5)
+DOC = st.lists(WORDS, min_size=0, max_size=25).map(" ".join)
+
+
+@pytest.fixture(scope="module")
+def sp():
+    from aden_hive_fork_spark.session import build_session
+
+    return build_session(
+        app_name="r9b-props", cpus=4, shuffle_partitions=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing ≡ plain-Python Schleimer/Wilkerson/Aiken selection
+# ---------------------------------------------------------------------------
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _model_winnow(text: str, k: int, w: int) -> set[int]:
+    words = [t for t in text.strip().split(" ")]
+    # Spark's split on " " keeps empties; the operator filters docs
+    # with < k tokens on the RAW split — mirror that exactly.
+    if len(words) < k or text.strip() == "":
+        return set()
+    hs = [
+        _md5_60(" ".join(words[i : i + k]))
+        for i in range(len(words) - k + 1)
+    ]
+    m = len(hs)
+    last = max(m - w + 1, 1)
+    fps = set()
+    for s in range(1, last + 1):
+        window = hs[s - 1 : min(s - 1 + w, m)]
+        best_h, best_off = None, None
+        for off, h in enumerate(window):
+            if best_h is None or h <= best_h:
+                best_h, best_off = h, off
+        fps.add(best_h)
+    return fps
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_winnowing_matches_python_model(sp, docs):
+    from aden_hive_fork_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    df = sp.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(
+            df, "doc_id", "text", k=2, window=3
+        ).collect()
+    }
+    want = {
+        (i, h)
+        for i, d in enumerate(docs)
+        for h in _model_winnow(d, k=2, w=3)
+    }
+    assert got == want
+
+
+def test_winnowing_guarantee_and_pairs(sp):
+    # the MOSS guarantee: two docs sharing a run of >= k + window - 1
+    # words share at least one fingerprint; an exact duplicate pair
+    # scores overlap 1.0.
+    base = "one two three four five six seven eight nine ten"
+    docs = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "zz yy " + base + " xx qq"),  # containment superset
+        (3, "totally different words entirely here now"),
+    ]
+    from aden_hive_fork_spark.operators.dedup import (
+        winnowing_neardup_pairs,
+    )
+
+    df = sp.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["overlap"])
+        for r in winnowing_neardup_pairs(
+            df, "doc_id", "text", k=3, window=4,
+            min_overlap=0.5, max_fp_df=100,
+        ).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)][1] == 1.0
+    assert (0, 2) in out and out[(0, 2)][0] >= 1  # shared run
+    assert not any(3 in pair for pair in out)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification ≡ plain-Python Levenshtein
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_editdist_verify_matches_python(sp, texts):
+    from aden_hive_fork_spark.operators.dedup import (
+        editdist_verify_pairs,
+    )
+
+    docs = sp.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    cand = sp.createDataFrame(
+        [
+            (a, b)
+            for a in range(len(texts))
+            for b in range(a + 1, len(texts))
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_dist"], r["edit_sim"])
+        for r in editdist_verify_pairs(
+            cand, docs, "doc_id", "text", min_sim=0.0
+        ).collect()
+    }
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            d = _lev(texts[a], texts[b])
+            sim = 1.0 - d / max(len(texts[a]), len(texts[b]))
+            assert got[(a, b)][0] == d
+            assert abs(got[(a, b)][1] - round(sim, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth ≡ plain-Python first-occurrence cumsums
+# ---------------------------------------------------------------------------
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_vocab_growth_matches_python(sp, docs):
+    from aden_hive_fork_spark.operators.quality import (
+        vocabulary_growth,
+    )
+
+    buckets = 4
+    lo, hi = 0, len(docs)
+    seen: set[str] = set()
+    per = {}
+    for i, d in enumerate(docs):
+        b = (i - lo) * buckets // (hi - lo)
+        ws = [w for w in d.strip().split(" ") if w != ""]
+        st_ = per.setdefault(b, [0, 0, 0])  # docs, toks, new
+        st_[0] += 1
+        st_[1] += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+                st_[2] += 1
+    want, tc, vc = {}, 0, 0
+    for b in sorted(per):
+        tc += per[b][1]
+        vc += per[b][2]
+        want[b] = (per[b][0], tc, vc)
+
+    df = sp.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["bucket"]: (r["n_docs"], r["tokens_cum"], r["vocab_cum"])
+        for r in vocabulary_growth(
+            df, "doc_id", "text", buckets=buckets
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy segmentation ≡ plain-Python maximal munch
+# ---------------------------------------------------------------------------
+
+
+def _model_wordpiece(docs, min_occ, max_len):
+    from collections import Counter
+
+    words = Counter()
+    for d in docs:
+        for w in d.strip().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {c for w in words for c in w}
+    occ = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for l in range(2, max_len + 1):
+                if i + l <= len(w):
+                    occ[w[i : i + l]] += f
+    vocab |= {s for s, c in occ.items() if c >= min_occ}
+    out = {}
+    for w, f in words.items():
+        pos, toks = 0, []
+        while pos < len(w):
+            for l in range(min(max_len, len(w) - pos), 0, -1):
+                if w[pos : pos + l] in vocab:
+                    toks.append(w[pos : pos + l])
+                    pos += l
+                    break
+        out[w] = (f, " ".join(toks), len(toks))
+    return out
+
+
+@given(
+    docs=st.lists(DOC, min_size=1, max_size=10),
+    min_occ=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_wordpiece_matches_python_model(sp, docs, min_occ):
+    from aden_hive_fork_spark.operators.bpe_train import (
+        wordpiece_segment,
+    )
+
+    df = sp.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: (r["word_freq"], r["wordpiece"], r["n_pieces"])
+        for r in wordpiece_segment(
+            df, "text", min_occ=min_occ, max_sub_len=3
+        ).collect()
+    }
+    want = _model_wordpiece(docs, min_occ, 3)
+    assert got == want
