@@ -1320,6 +1320,14 @@ def editdist_verify_pairs(
     Plan: two co-keyed joins to attach both texts (the candidate set
     is small → AQE broadcasts it against the corpus), then a map-side
     JVM levenshtein per pair. No shuffle beyond the joins, no UDF.
+    Two exact, result-preserving fast paths keep the DP off the hot
+    path: equal texts short-circuit to dist 0 (byte compare, no DP —
+    the dominant case when the candidate set is full of exact dups),
+    and pairs whose LENGTH DIFFERENCE already proves sim < min_sim
+    are pruned before the DP (levenshtein >= |len_a - len_b|, so
+    sim <= 1 - |Δlen|/max_len — a pure lower-bound cut, no false
+    negatives). 10× stress: 87.6 s → the short-circuited path (the
+    replica corpus is exactly this worst case).
 
     Returns ``pairs``' columns + edit_dist INT + edit_sim DOUBLE
     (round-6), filtered to edit_sim >= ``min_sim`` pre-round."""
@@ -1329,11 +1337,23 @@ def editdist_verify_pairs(
     tb = docs.select(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
     )
-    joined = pairs.join(ta, "id_a").join(tb, "id_b")
-    dist = F.levenshtein("_text_a", "_text_b")
-    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
-        F.length("_text_a"), F.length("_text_b")
-    ).cast("double")
+    la = F.length("_text_a")
+    lb = F.length("_text_b")
+    max_len = F.greatest(la, lb)
+    joined = (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        # |Δlen| lower bound: dist >= |la-lb| ⇒ sim <= 1-|Δ|/max —
+        # anything over the budget can never pass the min_sim filter.
+        .filter(
+            F.abs(la - lb).cast("double")
+            <= F.lit(1.0 - min_sim) * max_len.cast("double")
+        )
+    )
+    dist = F.when(
+        F.col("_text_a") == F.col("_text_b"), F.lit(0)
+    ).otherwise(F.levenshtein("_text_a", "_text_b"))
+    sim = F.lit(1.0) - dist.cast("double") / max_len.cast("double")
     return (
         joined.withColumn("edit_dist", dist.cast("int"))
         .withColumn("_sim", sim)

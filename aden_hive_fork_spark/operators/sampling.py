@@ -585,3 +585,120 @@ def decontaminate_split(
         report.select(id_col), id_col, "left_anti"
     )
     return clean, report
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    score every document by the log-likelihood ratio of its tokens
+    under a TARGET unigram model vs the RAW-corpus unigram model —
+    documents that look like the target domain score high. The
+    deterministic top-k selection variant (the paper adds Gumbel
+    noise for sampled selection; ranking by the weight itself is the
+    exact-replay form).
+
+    ``target_col`` is a boolean column of ``df`` marking the target
+    subset. Both models are add-one-smoothed over the SHARED corpus
+    vocabulary, so every token has nonzero mass under both and no
+    document is unscorable.
+
+    Determinism (the q181 discipline): probabilities are integer
+    ratios rounded to ``ndigits``; per-token terms
+    ln(p_target) − ln(p_raw) are floor-quantized at 1e-9 and reduced
+    with the sorted fold (doc-length-bounded), so the score is
+    engine-exact despite ln.
+
+    Scale shape: ONE tokenize pass; token counts are one keyed
+    aggregate (map-side combined); vocab size and the two token
+    totals are 1-row broadcast aggregates; scoring joins tokens to
+    the vocabulary-sized ratio table on the word key. Both shuffles
+    track distinct-word counts, not corpus rows.
+
+    Returns (``id_col``, n_tokens BIGINT, log_ratio DOUBLE
+    round-``ndigits``) — one row per document with >= 1 token."""
+    from .stats import det_sum, fquant
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(target_col).alias("_tgt"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_w"),
+    ).filter(F.col("_w") != "")
+    counts = toks.groupBy("_w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c_raw"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_c_tgt"),
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_v"),
+        F.sum("_c_raw").cast("bigint").alias("_n_raw"),
+        F.sum("_c_tgt").cast("bigint").alias("_n_tgt"),
+    )
+    p_t = F.round(
+        (F.col("_c_tgt") + 1).cast("double")
+        / (F.col("_n_tgt") + F.col("_v")).cast("double"),
+        ndigits,
+    )
+    p_r = F.round(
+        (F.col("_c_raw") + 1).cast("double")
+        / (F.col("_n_raw") + F.col("_v")).cast("double"),
+        ndigits,
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "_w", fquant(F.log(p_t) - F.log(p_r), 9).alias("_term")
+    )
+    per = (
+        toks.join(ratios, "_w")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            det_sum(F.col("_term"), 9).alias("_s"),
+        )
+    )
+    return per.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round("_s", ndigits).cast("double").alias("log_ratio"),
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Deterministic interleaved curriculum order: rank documents
+    WITHIN each domain by descending ``score_col`` (the per-domain
+    difficulty/quality signal), then emit in round-robin rounds —
+    round r carries each domain's rank-r document, so consecutive
+    training batches see every domain at matched difficulty instead
+    of one domain block at a time.
+
+    The only window partitions by domain (keyed — skewed domains
+    split under AQE); the global curriculum ORDER is the sort key
+    (round, domain, id), not a global row_number, so a top-N
+    curriculum prefix is TakeOrderedAndProject at any scale.
+
+    Returns (round BIGINT, ``domain_col``, ``id_col``, score) sorted
+    consumers should ORDER BY (round, domain, id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        df.select(
+            F.col(domain_col),
+            F.col(id_col),
+            F.col(score_col).alias("score"),
+        )
+        .withColumn("round", F.row_number().over(w).cast("bigint"))
+        .select("round", domain_col, id_col, "score")
+    )

@@ -251,3 +251,117 @@ def q127_weighted_sample(spark, sf_dir):
         )
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 — DSIR-style importance selection (round 9): log-likelihood
+# ratio of every document's tokens under the TARGET (lang='en')
+# unigram model vs the raw-corpus model, add-one smoothed over the
+# shared vocabulary — the "Data Selection via Importance Resampling"
+# scoring pass, deterministic top-k variant. The q181 discipline
+# keeps ln engine-exact: integer-ratio probs ROUND-6, per-token
+# terms floor-quantized 1e-9, sorted-fold reduction.
+# ---------------------------------------------------------------------------
+@query(
+    "q326_dsir_selection",
+    oracle=r"""
+    WITH tok0 AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+        unnest(string_split_regex(text, '\s+')) AS w
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, tgt, w FROM tok0 WHERE w <> ''),
+    counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c_raw,
+        CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      FROM tok GROUP BY w
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+        CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+      FROM counts
+    ),
+    ratios AS (
+      SELECT w,
+        FLOOR((ln(ROUND(CAST(c_tgt + 1 AS DOUBLE)
+                        / CAST(n_tgt + v AS DOUBLE), 6))
+             - ln(ROUND(CAST(c_raw + 1 AS DOUBLE)
+                        / CAST(n_raw + v AS DOUBLE), 6)))
+             * 1000000000.0) / 1000000000.0 AS term
+      FROM counts CROSS JOIN totals
+    ),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        ROUND(list_sum(list_sort(list(term))), 9) AS s
+      FROM tok JOIN ratios USING (w)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, CAST(ROUND(s, 6) AS DOUBLE) AS log_ratio
+    FROM per
+    ORDER BY log_ratio DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q326_dsir_selection(spark, sf_dir):
+    """operators/sampling.dsir_importance over documents with the
+    lang='en' target model: the 50 most target-like documents by
+    unigram log-likelihood ratio."""
+    from ..operators.sampling import dsir_importance
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "_is_tgt", F.col("lang") == "en"
+    )
+    out = dsir_importance(docs, "doc_id", "text", "_is_tgt")
+    return (
+        out.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_tokens",
+            "log_ratio",
+        )
+        .orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q327 — interleaved curriculum order (round 9): per-domain rank by
+# descending difficulty signal, emitted in round-robin rounds so
+# every training batch sees all domains at matched difficulty. The
+# only window is keyed by domain; the global order is a sort key
+# (TakeOrderedAndProject at any scale), never a global row_number.
+# ---------------------------------------------------------------------------
+@query(
+    "q327_curriculum_interleave",
+    oracle="""
+    SELECT * FROM (
+      SELECT CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+        ) AS BIGINT) AS round,
+        lang,
+        CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(n_chars AS BIGINT) AS score
+      FROM documents
+    )
+    ORDER BY round ASC, lang ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def q327_curriculum_interleave(spark, sf_dir):
+    """operators/sampling.curriculum_interleave over documents
+    (domain = lang, difficulty = n_chars): the first 100 rows of the
+    round-robin curriculum."""
+    from ..operators.sampling import curriculum_interleave
+
+    docs = T(spark, sf_dir, "documents")
+    out = curriculum_interleave(docs, "doc_id", "lang", "n_chars")
+    return (
+        out.select(
+            "round",
+            "lang",
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+        .orderBy("round", "lang", "doc_id")
+        .limit(100)
+    )

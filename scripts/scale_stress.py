@@ -152,7 +152,14 @@ def main() -> int:
                  "q317_langid_profiles", "q318_langid_predictions",
                  "q319_curated_corpus_census",
                  "q320_pq_adc_rerank_topk",
-                 "q321_ivf_pq_topk"):
+                 "q321_ivf_pq_topk",
+                 # round-9b: winnowing/editdist dedup (documents ×10
+                 # exact-dup replicas — worst case for banded joins),
+                 # Heaps census, WordPiece greedy segmentation
+                 "q322_winnowing_neardup",
+                 "q323_editdist_verified_neardup",
+                 "q324_vocab_growth", "q325_wordpiece_segments",
+                 "q326_dsir_selection", "q327_curriculum_interleave"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

@@ -275,3 +275,123 @@ def test_wordpiece_matches_python_model(sp, docs, min_occ):
     }
     want = _model_wordpiece(docs, min_occ, 3)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance ≡ plain-Python Spark-faithful model (HALF_UP
+# rounds via Decimal on the exact binary value, floor-quantized ln
+# terms, sorted-fold sum)
+# ---------------------------------------------------------------------------
+
+
+def _r(x: float, d: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+    )
+
+
+def _model_dsir(docs_tgt):
+    import math
+    import re
+    from collections import Counter
+
+    tok = []
+    for i, (d, tgt) in enumerate(docs_tgt):
+        for w in re.split(r"\s+", d):
+            if w:
+                tok.append((i, tgt, w))
+    c_raw, c_tgt = Counter(), Counter()
+    for _i, tgt, w in tok:
+        c_raw[w] += 1
+        if tgt:
+            c_tgt[w] += tgt
+    v = len(c_raw)
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.values())
+    term = {}
+    for w in c_raw:
+        pt = _r((c_tgt.get(w, 0) + 1) / (n_tgt + v), 6)
+        pr = _r((c_raw[w] + 1) / (n_raw + v), 6)
+        x = math.log(pt) - math.log(pr)
+        term[w] = math.floor(x * 1e9) / 1e9
+    out = {}
+    for i in {i for i, _t, _w in tok}:
+        terms = sorted(term[w] for j, _t, w in tok if j == i)
+        s = 0.0
+        for t in terms:
+            s += t
+        s = _r(s, 9)
+        out[i] = (len(terms), _r(s, 6))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(DOC, st.booleans()), min_size=1, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_dsir_matches_python_model(sp, docs):
+    from aden_hive_fork_spark.operators.sampling import dsir_importance
+
+    df = sp.createDataFrame(
+        [(i, d, t) for i, (d, t) in enumerate(docs)],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_importance(df, "doc_id", "text", "tgt").collect()
+    }
+    assert got == _model_dsir(docs)
+
+
+def test_dsir_prefers_target_like_docs(sp):
+    # docs made of target-only words must outrank docs of raw-only
+    # words — the selection property the operator exists for.
+    rows = [
+        (0, "alpha alpha beta", True),
+        (1, "alpha beta beta alpha", True),
+        (2, "gamma delta gamma delta", False),
+        (3, "alpha beta alpha", False),   # target-like but unlabeled
+        (4, "gamma gamma delta", False),
+    ]
+    from aden_hive_fork_spark.operators.sampling import dsir_importance
+
+    df = sp.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_importance(df, "doc_id", "text", "tgt").collect()
+    }
+    assert got[3] > got[2] and got[3] > got[4]
+    assert got[0] > got[2]
+
+
+# ---------------------------------------------------------------------------
+# curriculum interleave: per-domain rank + round-robin order
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_interleave(sp):
+    rows = [
+        (1, "a", 10), (2, "a", 30), (3, "a", 20),
+        (4, "b", 5), (5, "b", 50),
+        (6, "c", 7),
+    ]
+    from aden_hive_fork_spark.operators.sampling import (
+        curriculum_interleave,
+    )
+
+    df = sp.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = [
+        (r["round"], r["lang"], r["doc_id"])
+        for r in curriculum_interleave(df, "doc_id", "lang", "n_chars")
+        .orderBy("round", "lang", "doc_id")
+        .collect()
+    ]
+    assert out == [
+        (1, "a", 2), (1, "b", 5), (1, "c", 6),
+        (2, "a", 3), (2, "b", 4),
+        (3, "a", 1),
+    ]
