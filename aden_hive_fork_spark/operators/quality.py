@@ -990,6 +990,8 @@ def vocabulary_growth(
     id_col: str,
     text_col: str = "text",
     buckets: int = 20,
+    id_lo: int | None = None,
+    id_hi: int | None = None,
 ) -> DataFrame:
     """Vocabulary-saturation (Heaps'-law) census: cumulative corpus
     token count vs cumulative DISTINCT-word count along the corpus
@@ -1005,14 +1007,29 @@ def vocabulary_growth(
     bucket is map-side (size of the split array). No all-corpus
     window, no driver loop; both aggregates shuffle once.
 
+    ``id_lo``/``id_hi`` optionally pin the bucket domain to an
+    EXPLICIT half-open id range [id_lo, id_hi) instead of the data's
+    own min/max(+1) — the streaming twin's contract
+    (streaming/vocab_stream maintains the same counters under a
+    static domain declared at init, so streamed == batch requires
+    both to bucket identically).
+
     Returns (bucket, n_docs, tokens_cum, vocab_cum) — all exact
     integers, one row per non-empty bucket."""
     from pyspark.sql import Window
 
-    bounds = df.select(
-        F.min(F.col(id_col)).alias("_lo"),
-        (F.max(F.col(id_col)) + 1).alias("_hi"),
-    )
+    if (id_lo is None) != (id_hi is None):
+        raise ValueError("pass both id_lo and id_hi, or neither")
+    if id_lo is not None:
+        bounds = df.sparkSession.range(1).select(
+            F.lit(int(id_lo)).alias("_lo"),
+            F.lit(int(id_hi)).alias("_hi"),
+        )
+    else:
+        bounds = df.select(
+            F.min(F.col(id_col)).alias("_lo"),
+            (F.max(F.col(id_col)) + 1).alias("_hi"),
+        )
     base = df.crossJoin(F.broadcast(bounds)).select(
         F.col(id_col).alias("_id"),
         F.floor(
