@@ -328,3 +328,187 @@ def ndcg_at_k(
         .cast("double")
         .alias("ndcg"),
     )
+
+
+def ngram_overlap_eval(
+    pairs: DataFrame,
+    pair_col: str,
+    cand_col: str,
+    ref_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-pair n-gram overlap evaluation: ROUGE-2
+    precision/recall/F1 and sentence BLEU-2 between a candidate and a
+    reference text — the text-generation eval tier's workhorse
+    metrics, computed with CLIPPED counts exactly as Papineni et al.
+    2002 / Lin 2004 define them: overlap_n = Σ_g min(count_cand(g),
+    count_ref(g)) over word n-grams WITH multiplicity.
+
+    BLEU-2 = BP · sqrt(p1 · p2) with brevity penalty
+    exp(1 − ref_len/cand_len) when cand is shorter (ln-free via the
+    sqrt geometric mean; exp is floor-quantized at 1e-9, the q181
+    transcendental discipline — sqrt itself is correctly rounded
+    IEEE, identical in every engine). Zero candidate bigrams or a
+    zero clipped count short-circuit to bleu2 = 0 (no log of zero
+    anywhere).
+
+    Scale shape: one n-gram explode per side per order (map-side),
+    clipped sums via a co-keyed inner join on (pair, gram) — only
+    grams PRESENT IN BOTH sides materialize — and one final keyed
+    aggregate per pair. No all-pairs anything; cost tracks the pair
+    list the caller supplies.
+
+    Returns (``pair_col``, cand_tokens, ref_tokens, clip1, clip2,
+    rouge2_p, rouge2_r, rouge2_f1, bleu2) — counts BIGINT, ratios
+    DOUBLE round-``ndigits``."""
+    def toks(c):
+        return F.filter(
+            F.split(F.trim(F.col(c)), r"\s+"), lambda w: w != ""
+        )
+
+    def grams(arr, n):
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(arr, i, F.lit(n))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = pairs.select(
+        F.col(pair_col).alias("_pid"),
+        toks(cand_col).alias("_cw"),
+        toks(ref_col).alias("_rw"),
+    )
+    lens = base.select(
+        "_pid",
+        F.size("_cw").cast("bigint").alias("cand_tokens"),
+        F.size("_rw").cast("bigint").alias("ref_tokens"),
+    )
+
+    def clipped(n):
+        c = (
+            base.select(
+                "_pid", F.explode(grams(F.col("_cw"), n)).alias("_g")
+            )
+            .groupBy("_pid", "_g")
+            .agg(F.count(F.lit(1)).alias("_cc"))
+        )
+        r = (
+            base.select(
+                "_pid", F.explode(grams(F.col("_rw"), n)).alias("_g")
+            )
+            .groupBy("_pid", "_g")
+            .agg(F.count(F.lit(1)).alias("_rc"))
+        )
+        return (
+            c.join(r, ["_pid", "_g"])
+            .groupBy("_pid")
+            .agg(
+                F.sum(F.least("_cc", "_rc"))
+                .cast("bigint")
+                .alias(f"clip{n}")
+            )
+        )
+
+    out = (
+        lens.join(clipped(1), "_pid", "left")
+        .join(clipped(2), "_pid", "left")
+        .select(
+            "_pid",
+            "cand_tokens",
+            "ref_tokens",
+            F.coalesce("clip1", F.lit(0)).cast("bigint").alias("clip1"),
+            F.coalesce("clip2", F.lit(0)).cast("bigint").alias("clip2"),
+        )
+    )
+    n_c2 = F.greatest(F.col("cand_tokens") - 1, F.lit(0))
+    n_r2 = F.greatest(F.col("ref_tokens") - 1, F.lit(0))
+    p2 = F.when(
+        n_c2 > 0, F.col("clip2").cast("double") / n_c2.cast("double")
+    ).otherwise(F.lit(0.0))
+    r2 = F.when(
+        n_r2 > 0, F.col("clip2").cast("double") / n_r2.cast("double")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (p2 + r2) > 0, 2.0 * p2 * r2 / (p2 + r2)
+    ).otherwise(F.lit(0.0))
+    p1 = F.when(
+        F.col("cand_tokens") > 0,
+        F.col("clip1").cast("double")
+        / F.col("cand_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    bp = F.when(
+        F.col("cand_tokens") >= F.col("ref_tokens"), F.lit(1.0)
+    ).otherwise(
+        fquant(
+            F.exp(
+                F.lit(1.0)
+                - F.col("ref_tokens").cast("double")
+                / F.col("cand_tokens").cast("double")
+            ),
+            9,
+        )
+    )
+    bleu2 = F.when(
+        (F.col("clip1") > 0)
+        & (F.col("clip2") > 0)
+        & (F.col("cand_tokens") > 0),
+        bp * F.sqrt(p1 * p2),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_pid").alias(pair_col),
+        "cand_tokens",
+        "ref_tokens",
+        "clip1",
+        "clip2",
+        F.round(p2, ndigits).cast("double").alias("rouge2_p"),
+        F.round(r2, ndigits).cast("double").alias("rouge2_r"),
+        F.round(f1, ndigits).cast("double").alias("rouge2_f1"),
+        F.round(bleu2, ndigits).cast("double").alias("bleu2"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: "F.Column",
+    rater_b: "F.Column",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cohen's kappa between two binary raters: chance-corrected
+    agreement (po − pe) / (1 − pe) — the standard label-quality /
+    annotator-agreement statistic for curation pipelines. ONE wide
+    aggregate over the scan (four conditional counts); every ratio
+    is a division of exact integers, so the statistic is
+    engine-exact at round-``ndigits``.
+
+    Returns 1 row: n, n11, n10, n01, n00, po, pe, kappa (kappa NULL
+    when pe = 1, i.e. both raters are constant — the undefined
+    case)."""
+    a = rater_a.cast("boolean")
+    b = rater_b.cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("bigint").alias("n01"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pa1 = (F.col("n11") + F.col("n10")).cast("double") / n
+    pb1 = (F.col("n11") + F.col("n01")).cast("double") / n
+    pe = pa1 * pb1 + (1.0 - pa1) * (1.0 - pb1)
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return agg.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, ndigits).cast("double").alias("po"),
+        F.round(pe, ndigits).cast("double").alias("pe"),
+        F.round(kappa, ndigits).cast("double").alias("kappa"),
+    )

@@ -412,3 +412,174 @@ def q276_brier_ece(spark, sf_dir):
         .alias("brier"),
         "ece",
     )
+
+
+# ---------------------------------------------------------------------------
+# q328 — ROUGE-2 / BLEU-2 n-gram overlap evaluation (round 9): the
+# text-generation eval workhorse over deterministic same-lang
+# adjacent-id pairs (cand = doc, ref = LEAD(doc) within lang).
+# Clipped counts per Papineni/Lin; BLEU-2 = BP·sqrt(p1·p2) (ln-free
+# geometric mean; exp(BP) floor-quantized 1e-9, the q181 discipline;
+# sqrt is correctly rounded IEEE in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q328_ngram_overlap_eval",
+    oracle=r"""
+    WITH p0 AS (
+      SELECT doc_id, lang, text,
+        LEAD(text) OVER (PARTITION BY lang ORDER BY doc_id) AS ref_text
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id AS pid,
+        list_filter(string_split_regex(trim(text), '\s+'),
+                    w -> w <> '') AS cw,
+        list_filter(string_split_regex(trim(ref_text), '\s+'),
+                    w -> w <> '') AS rw
+      FROM p0 WHERE ref_text IS NOT NULL
+    ),
+    lens AS (SELECT pid, len(cw) AS ct, len(rw) AS rt FROM p),
+    cc1 AS (SELECT pid, g, COUNT(*) AS c FROM (
+              SELECT pid, unnest(cw) AS g FROM p) GROUP BY 1, 2),
+    rc1 AS (SELECT pid, g, COUNT(*) AS c FROM (
+              SELECT pid, unnest(rw) AS g FROM p) GROUP BY 1, 2),
+    cl1 AS (SELECT cc1.pid, SUM(LEAST(cc1.c, rc1.c)) AS clip1
+            FROM cc1 JOIN rc1 ON cc1.pid = rc1.pid AND cc1.g = rc1.g
+            GROUP BY 1),
+    cc2 AS (SELECT pid, g, COUNT(*) AS c FROM (
+              SELECT pid, unnest(list_transform(range(1, len(cw)),
+                i -> cw[i] || ' ' || cw[i+1])) AS g
+              FROM p WHERE len(cw) >= 2) GROUP BY 1, 2),
+    rc2 AS (SELECT pid, g, COUNT(*) AS c FROM (
+              SELECT pid, unnest(list_transform(range(1, len(rw)),
+                i -> rw[i] || ' ' || rw[i+1])) AS g
+              FROM p WHERE len(rw) >= 2) GROUP BY 1, 2),
+    cl2 AS (SELECT cc2.pid, SUM(LEAST(cc2.c, rc2.c)) AS clip2
+            FROM cc2 JOIN rc2 ON cc2.pid = rc2.pid AND cc2.g = rc2.g
+            GROUP BY 1),
+    m AS (
+      SELECT l.pid, l.ct, l.rt,
+        COALESCE(c1.clip1, 0) AS clip1, COALESCE(c2.clip2, 0) AS clip2,
+        CASE WHEN l.ct - 1 > 0
+          THEN CAST(COALESCE(c2.clip2, 0) AS DOUBLE) / (l.ct - 1)
+          ELSE 0.0 END AS p2,
+        CASE WHEN l.rt - 1 > 0
+          THEN CAST(COALESCE(c2.clip2, 0) AS DOUBLE) / (l.rt - 1)
+          ELSE 0.0 END AS r2,
+        CASE WHEN l.ct > 0
+          THEN CAST(COALESCE(c1.clip1, 0) AS DOUBLE) / l.ct
+          ELSE 0.0 END AS p1,
+        CASE WHEN l.ct >= l.rt THEN 1.0
+          ELSE FLOOR(exp(1.0 - CAST(l.rt AS DOUBLE) / l.ct)
+                     * 1000000000.0) / 1000000000.0 END AS bp
+      FROM lens l LEFT JOIN cl1 c1 ON c1.pid = l.pid
+                  LEFT JOIN cl2 c2 ON c2.pid = l.pid
+    )
+    SELECT pid AS doc_id, CAST(ct AS BIGINT) AS cand_tokens,
+      CAST(rt AS BIGINT) AS ref_tokens,
+      CAST(clip1 AS BIGINT) AS clip1, CAST(clip2 AS BIGINT) AS clip2,
+      ROUND(p2, 6) AS rouge2_p, ROUND(r2, 6) AS rouge2_r,
+      ROUND(CASE WHEN p2 + r2 > 0 THEN 2.0 * p2 * r2 / (p2 + r2)
+            ELSE 0.0 END, 6) AS rouge2_f1,
+      ROUND(CASE WHEN clip1 > 0 AND clip2 > 0 AND ct > 0
+            THEN bp * sqrt(p1 * p2) ELSE 0.0 END, 6) AS bleu2
+    FROM m ORDER BY doc_id ASC
+    """,
+)
+def q328_ngram_overlap_eval(spark, sf_dir):
+    """operators/metrics.ngram_overlap_eval over same-lang adjacent
+    pairs: ROUGE-2 P/R/F1 and sentence BLEU-2 per pair."""
+    from pyspark.sql import Window
+
+    from ..operators.metrics import ngram_overlap_eval
+
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pairs = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("text").alias("_cand"),
+            F.lead("text").over(w).alias("_ref"),
+        )
+        .filter(F.col("_ref").isNotNull())
+    )
+    out = ngram_overlap_eval(pairs, "doc_id", "_cand", "_ref")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "cand_tokens",
+        "ref_tokens",
+        "clip1",
+        "clip2",
+        "rouge2_p",
+        "rouge2_r",
+        "rouge2_f1",
+        "bleu2",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q329 — Cohen's kappa between two binary quality raters (round 9):
+# chance-corrected agreement of the char-length rater (n_chars >=
+# 350) and the token-count rater (tokens >= 60) — the label-quality
+# statistic a curation pipeline reports before trusting any single
+# heuristic. One wide aggregate; exact-integer ratios.
+# ---------------------------------------------------------------------------
+@query(
+    "q329_cohens_kappa",
+    oracle=r"""
+    WITH r AS (
+      SELECT n_chars >= 350 AS a,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> w <> '')) >= 60 AS b
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n11,
+        CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n10,
+        CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n01,
+        CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+          AS BIGINT) AS n00
+      FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+      ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+      ROUND((CAST(n11 + n10 AS DOUBLE) / n)
+              * (CAST(n11 + n01 AS DOUBLE) / n)
+            + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+              * (1.0 - CAST(n11 + n01 AS DOUBLE) / n), 6) AS pe,
+      ROUND(CASE WHEN (CAST(n11 + n10 AS DOUBLE) / n)
+                      * (CAST(n11 + n01 AS DOUBLE) / n)
+                    + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                      * (1.0 - CAST(n11 + n01 AS DOUBLE) / n) < 1.0
+            THEN (CAST(n11 + n00 AS DOUBLE) / n
+                  - ((CAST(n11 + n10 AS DOUBLE) / n)
+                       * (CAST(n11 + n01 AS DOUBLE) / n)
+                     + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                       * (1.0 - CAST(n11 + n01 AS DOUBLE) / n)))
+                 / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n)
+                             * (CAST(n11 + n01 AS DOUBLE) / n)
+                           + (1.0 - CAST(n11 + n10 AS DOUBLE) / n)
+                             * (1.0 - CAST(n11 + n01 AS DOUBLE) / n)))
+            END, 6) AS kappa
+    FROM agg
+    """,
+)
+def q329_cohens_kappa(spark, sf_dir):
+    """operators/metrics.cohens_kappa between the n_chars>=350 and
+    token-count>=60 binary quality raters over documents."""
+    from ..operators.metrics import cohens_kappa
+
+    docs = T(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""
+        )
+    )
+    return cohens_kappa(
+        docs, F.col("n_chars") >= 350, ntok >= 60
+    )

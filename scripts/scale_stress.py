@@ -159,7 +159,8 @@ def main() -> int:
                  "q322_winnowing_neardup",
                  "q323_editdist_verified_neardup",
                  "q324_vocab_growth", "q325_wordpiece_segments",
-                 "q326_dsir_selection", "q327_curriculum_interleave"):
+                 "q326_dsir_selection", "q327_curriculum_interleave",
+                 "q328_ngram_overlap_eval", "q329_cohens_kappa"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

@@ -395,3 +395,120 @@ def test_curriculum_interleave(sp):
         (2, "a", 3), (2, "b", 4),
         (3, "a", 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2/BLEU-2 overlap ≡ plain-Python clipped-count model
+# ---------------------------------------------------------------------------
+
+
+def _model_overlap(cand: str, ref: str):
+    import math
+    import re
+    from collections import Counter
+
+    cw = [w for w in re.split(r"\s+", cand.strip()) if w]
+    rw = [w for w in re.split(r"\s+", ref.strip()) if w]
+
+    def grams(ws, n):
+        return Counter(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+
+    def clip(n):
+        c, r = grams(cw, n), grams(rw, n)
+        return sum(min(v, r[g]) for g, v in c.items() if g in r)
+
+    ct, rt = len(cw), len(rw)
+    c1, c2 = clip(1), clip(2)
+    p2 = c2 / (ct - 1) if ct - 1 > 0 else 0.0
+    r2 = c2 / (rt - 1) if rt - 1 > 0 else 0.0
+    f1 = 2 * p2 * r2 / (p2 + r2) if p2 + r2 > 0 else 0.0
+    p1 = c1 / ct if ct > 0 else 0.0
+    if c1 > 0 and c2 > 0 and ct > 0:
+        bp = (
+            1.0
+            if ct >= rt
+            else math.floor(math.exp(1.0 - rt / ct) * 1e9) / 1e9
+        )
+        bleu2 = bp * math.sqrt(p1 * p2)
+    else:
+        bleu2 = 0.0
+    return (
+        ct, rt, c1, c2,
+        _r(p2, 6), _r(r2, 6), _r(f1, 6), _r(bleu2, 6),
+    )
+
+
+@given(
+    pairs=st.lists(st.tuples(DOC, DOC), min_size=1, max_size=8)
+)
+@settings(**SETTINGS)
+def test_ngram_overlap_matches_python(sp, pairs):
+    from aden_hive_fork_spark.operators.metrics import (
+        ngram_overlap_eval,
+    )
+
+    df = sp.createDataFrame(
+        [(i, c, r) for i, (c, r) in enumerate(pairs)],
+        "pid long, cand string, ref string",
+    )
+    got = {
+        r["pid"]: (
+            r["cand_tokens"], r["ref_tokens"], r["clip1"], r["clip2"],
+            r["rouge2_p"], r["rouge2_r"], r["rouge2_f1"], r["bleu2"],
+        )
+        for r in ngram_overlap_eval(df, "pid", "cand", "ref").collect()
+    }
+    want = {i: _model_overlap(c, r) for i, (c, r) in enumerate(pairs)}
+    assert got == want
+
+
+def test_overlap_identity_pair_is_perfect(sp):
+    from aden_hive_fork_spark.operators.metrics import (
+        ngram_overlap_eval,
+    )
+
+    df = sp.createDataFrame(
+        [(0, "a b c d e", "a b c d e")], "pid long, cand string, ref string"
+    )
+    row = ngram_overlap_eval(df, "pid", "cand", "ref").collect()[0]
+    assert row["rouge2_f1"] == 1.0 and row["bleu2"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa ≡ closed-form on known confusion counts
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_known_value(sp):
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.metrics import cohens_kappa
+
+    # 20 rows: n11=8, n10=2, n01=3, n00=7
+    rows = (
+        [(True, True)] * 8 + [(True, False)] * 2
+        + [(False, True)] * 3 + [(False, False)] * 7
+    )
+    df = sp.createDataFrame(rows, "a boolean, b boolean")
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    po = 15 / 20
+    pe = (10 / 20) * (11 / 20) + (10 / 20) * (9 / 20)
+    kappa = (po - pe) / (1 - pe)
+    assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (8, 2, 3, 7)
+    assert got["po"] == _r(po, 6)
+    assert got["pe"] == _r(pe, 6)
+    assert got["kappa"] == _r(kappa, 6)
+
+
+def test_cohens_kappa_constant_raters_null(sp):
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.metrics import cohens_kappa
+
+    df = sp.createDataFrame(
+        [(True, True)] * 5, "a boolean, b boolean"
+    )
+    got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
+    assert got["kappa"] is None  # pe = 1: undefined by contract
