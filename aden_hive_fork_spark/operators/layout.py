@@ -343,3 +343,41 @@ def prunable_fraction(path: str, column: str, lo, hi) -> float:
                 if st is not None and st.has_min_max and (st.max < lo or st.min >= hi):
                     skipped += 1
     return skipped / total if total else 0.0
+
+
+def hrw_assign(
+    df: DataFrame, key_col: str, n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: key k
+    goes to argmax_s md5(s || ':' || k) over shards 0..n_shards-1 —
+    the placement scheme whose defining property is MINIMAL MOTION:
+    growing to n+1 shards moves only the ~1/(n+1) of keys the new
+    shard now wins, and every key moves TO the new shard, never
+    between old ones (consistent-hashing's guarantee without the
+    ring). md5-prefix weights keep the whole assignment
+    engine-replayable.
+
+    Pure map-side: the argmax is a GREATEST over n_shards (weight,
+    shard) structs — no explode, no shuffle, whole-stage codegen.
+    Ties (md5 collisions across 60 bits) break to the larger shard
+    id by struct comparison, deterministically."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.col(key_col).cast("string")
+    cands = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), key)), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            F.lit(s).cast("int").alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    best = cands[0] if n_shards == 1 else F.greatest(*cands)
+    return df.withColumn(out_col, best.getField("s"))

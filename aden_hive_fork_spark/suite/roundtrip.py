@@ -586,3 +586,132 @@ def q275_orc_roundtrip(spark, sf_dir):
         )
         .orderBy(F.asc("flag"), F.asc("status"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 — Z-order (Morton) layout census (round 9): the
+# operators/layout.zorder_value bit interleave under the value-hash
+# gate. 16 equal-width z-buckets over distinct (l_partkey,
+# l_suppkey): every bucket covers a NARROW RECTANGLE of both
+# dimensions at once — the min/max-pruning property a lexicographic
+# sort only gives its leading column. All-integer bit arithmetic
+# after the min/max scaling (identical IEEE division + floor).
+# ---------------------------------------------------------------------------
+_Z_BITS = 16
+_Z_TOP = (1 << _Z_BITS) - 1
+
+
+def _z_scaled_duck(c: str, lo: str, hi: str) -> str:
+    return (
+        f"CAST(LEAST({_Z_TOP}, FLOOR((CAST({c} AS DOUBLE) - {lo}) / "
+        f"(CASE WHEN {hi} = {lo} THEN 1.0 ELSE {hi} - {lo} END)"
+        f" * {_Z_TOP})) AS BIGINT)"
+    )
+
+
+def _z_terms_duck() -> str:
+    terms = []
+    for j, (c, lo, hi) in enumerate(
+        [("x", "lox", "hix"), ("y", "loy", "hiy")]
+    ):
+        s = _z_scaled_duck(c, lo, hi)
+        for i in range(_Z_BITS):
+            terms.append(f"((({s} >> {i}) & 1) << {i * 2 + j})")
+    return " + ".join(terms)
+
+
+@query(
+    "q330_zorder_layout_census",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS x, l_suppkey AS y FROM lineitem
+    ),
+    b AS (
+      SELECT MIN(CAST(x AS DOUBLE)) AS lox, MAX(CAST(x AS DOUBLE)) AS hix,
+             MIN(CAST(y AS DOUBLE)) AS loy, MAX(CAST(y AS DOUBLE)) AS hiy
+      FROM e
+    ),
+    z AS (SELECT x, y, ({_z_terms_duck()}) AS z FROM e CROSS JOIN b)
+    SELECT CAST(z >> 28 AS INT) AS zbucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+      CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def q330_zorder_layout_census(spark, sf_dir):
+    """operators/layout.zorder_value over distinct (l_partkey,
+    l_suppkey): per-z-bucket extent census — each of the 16 buckets
+    pins a narrow rectangle of BOTH key dimensions."""
+    from ..operators.layout import zorder_value
+
+    e = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y")
+        )
+        .distinct()
+    )
+    z = e.withColumn("z", zorder_value(e, ["x", "y"], bits=_Z_BITS))
+    return (
+        z.groupBy(
+            F.shiftright("z", 28).cast("int").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — rendezvous (HRW) shard assignment census (round 9):
+# operators/layout.hrw_assign over documents, 8 shards. The argmax
+# md5 weight is map-side GREATEST over (weight, shard) structs — no
+# explode, no shuffle before the census aggregate; the md5 tier
+# keeps the whole placement engine-replayable.
+# ---------------------------------------------------------------------------
+@query(
+    "q331_hrw_shard_census",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars, s.s AS shard,
+        CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
+          CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS h
+      FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+    ),
+    pick AS (
+      SELECT doc_id, n_chars, shard,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY h DESC, shard DESC) AS rn
+      FROM w
+    )
+    SELECT CAST(shard AS INT) AS shard,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM pick WHERE rn = 1 GROUP BY shard ORDER BY shard
+    """,
+)
+def q331_hrw_shard_census(spark, sf_dir):
+    """operators/layout.hrw_assign over documents (8 shards):
+    per-shard census of the rendezvous placement."""
+    from ..operators.layout import hrw_assign
+
+    docs = T(spark, sf_dir, "documents")
+    assigned = hrw_assign(docs, "doc_id", 8)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

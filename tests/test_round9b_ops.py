@@ -512,3 +512,36 @@ def test_cohens_kappa_constant_raters_null(sp):
     )
     got = cohens_kappa(df, F.col("a"), F.col("b")).collect()[0]
     assert got["kappa"] is None  # pe = 1: undefined by contract
+
+
+# ---------------------------------------------------------------------------
+# rendezvous sharding: minimal motion + map-side plan
+# ---------------------------------------------------------------------------
+
+
+def test_hrw_minimal_motion_and_balance(sp):
+    from aden_hive_fork_spark.operators.layout import hrw_assign
+
+    df = sp.range(0, 2000).withColumnRenamed("id", "k")
+    a8 = {r["k"]: r["shard"] for r in hrw_assign(df, "k", 8).collect()}
+    a9 = {r["k"]: r["shard"] for r in hrw_assign(df, "k", 9).collect()}
+    moved = {k for k in a8 if a8[k] != a9[k]}
+    # every moved key moved TO the new shard — never between old ones
+    assert all(a9[k] == 8 for k in moved)
+    # moved fraction ~ 1/9 (loose band: binomial around 222/2000)
+    assert 120 <= len(moved) <= 340
+    # balance: each of 8 shards holds 2000/8 = 250 +- wide band
+    from collections import Counter
+
+    c = Counter(a8.values())
+    assert set(c) == set(range(8))
+    assert all(150 <= v <= 350 for v in c.values())
+
+
+def test_hrw_plan_is_mapside(sp):
+    from aden_hive_fork_spark.operators.layout import hrw_assign
+
+    df = sp.range(0, 10).withColumnRenamed("id", "k")
+    plan = hrw_assign(df, "k", 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure projection
+    assert "Generate" not in plan  # no explode
