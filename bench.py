@@ -115,6 +115,10 @@ HEADLINE = [
     # round-9 headliners
     "q317_langid_profiles",       # char-trigram rank profiles (one keyed agg)
     "q318_langid_predictions",    # rank-distance langid, broadcast profiles
+    # round-9b headliners
+    "q322_winnowing_neardup",     # MOSS positional fingerprint dedup
+    "q326_dsir_selection",        # importance-resampling data selection
+    "q330_zorder_layout_census",  # Morton layout key + extent census
 ]
 
 
