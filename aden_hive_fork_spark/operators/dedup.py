@@ -1262,12 +1262,13 @@ def winnowing_neardup_pairs(
     overlap >= ``min_overlap`` pre-round."""
     # Deliberately NOT persisted: the fingerprint pipeline feeds the
     # df-cap aggregate and both self-join sides, but it is cheap
-    # map-side work (explode + one keyed window) — measured at the
-    # 10× stress, persisting it (the _cached_inverted_index path)
-    # REGRESSED 18.5 → 27.4 s because materializing the corpus-sized
-    # fingerprint table costs more than recomputing it in parallel.
-    # The PPJoin/Jaccard tiers persist because their shingle
-    # projections are an order heavier per row.
+    # map-side work (explode + one keyed window). A/B at the 10×
+    # stress in identical standalone sessions: persisted
+    # (_cached_inverted_index) 27.4 s vs unpersisted 26.9 s —
+    # materializing the corpus-sized fingerprint table buys nothing
+    # over parallel recompute, so the simpler plan wins. The
+    # PPJoin/Jaccard tiers persist because their shingle projections
+    # are an order heavier per row.
     fp = winnowing_fingerprints(df, id_col, text_col, k, window)
     dfreq = fp.groupBy("fingerprint").agg(
         F.count("*").alias("_df")
