@@ -1069,3 +1069,98 @@ def vocabulary_growth(
             .alias("vocab_cum"),
         )
     )
+
+
+def dataset_datasheet(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """One-call corpus datasheet (Gebru et al., "Datasheets for
+    Datasets"): the per-language summary a dataset release ships —
+    volume (docs/tokens/chars), provenance breadth (distinct
+    sources), length profile (min/max/mean tokens), vocabulary size,
+    and exact-duplicate exposure (docs sharing an md5(text) within
+    the language, and how many a dedup pass would remove).
+
+    Three per-language aggregates joined on the language key: the
+    doc census (one pass over the scan), the duplicate profile (one
+    (lang, content-hash) aggregate then a per-lang rollup), and the
+    vocabulary count (word explode → COUNT(DISTINCT)). Everything is
+    exact integers except mean_tokens/dup_rate (single divisions,
+    round-4/-6).
+
+    Returns one row per language, sorted consumers should ORDER BY
+    the language column."""
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: w != "",
+        )
+    )
+    base = df.select(
+        F.col(lang_col).alias("_lang"),
+        F.col(source_col).alias("_src"),
+        F.col(chars_col).alias("_nc"),
+        ntok.alias("_nt"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.col(text_col).alias("_text"),
+    )
+    census = base.groupBy("_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("_src").cast("bigint").alias("n_sources"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.sum("_nc").cast("bigint").alias("n_chars"),
+        F.min("_nt").cast("bigint").alias("min_tokens"),
+        F.max("_nt").cast("bigint").alias("max_tokens"),
+    )
+    dup = (
+        base.groupBy("_lang", "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_lang")
+        .agg(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.sum(F.col("_c") - 1).cast("bigint").alias(
+                "removable_docs"
+            ),
+        )
+    )
+    vocab = (
+        base.select(
+            "_lang", F.explode(F.split(F.trim("_text"), r"\s+")).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .groupBy("_lang")
+        .agg(F.countDistinct("_w").cast("bigint").alias("distinct_words"))
+    )
+    return (
+        census.join(dup, "_lang")
+        .join(vocab, "_lang")
+        .select(
+            F.col("_lang").alias(lang_col),
+            "n_docs",
+            "n_sources",
+            "n_tokens",
+            "n_chars",
+            "min_tokens",
+            "max_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_docs").cast("double"),
+                4,
+            ).alias("mean_tokens"),
+            "distinct_words",
+            "dup_docs",
+            "removable_docs",
+            F.round(
+                F.col("removable_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

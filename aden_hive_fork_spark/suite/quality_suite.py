@@ -489,3 +489,67 @@ def q324_vocab_growth(spark, sf_dir):
         "tokens_cum",
         "vocab_cum",
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q332 — dataset datasheet (round 9): the Gebru et al. "Datasheets
+# for Datasets" release report in one call — per-language volume,
+# provenance breadth, length profile, vocabulary size, and exact-
+# duplicate exposure. Three per-language aggregates joined on the
+# language key; exact integers except two guarded divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "q332_dataset_datasheet",
+    oracle=r"""
+    WITH base AS (
+      SELECT lang, source, text, n_chars,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> w <> '')) AS n_tokens,
+        md5(text) AS h
+      FROM documents
+    ),
+    dups AS (
+      SELECT lang, h, COUNT(*) AS c FROM base GROUP BY lang, h
+    ),
+    dupagg AS (
+      SELECT lang,
+        SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_docs,
+        SUM(c - 1) AS removable_docs
+      FROM dups GROUP BY lang
+    ),
+    vocab AS (
+      SELECT lang, COUNT(DISTINCT w) AS distinct_words FROM (
+        SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY lang
+    )
+    SELECT b.lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT b.source) AS BIGINT) AS n_sources,
+      CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(b.n_chars) AS BIGINT) AS n_chars,
+      CAST(MIN(b.n_tokens) AS BIGINT) AS min_tokens,
+      CAST(MAX(b.n_tokens) AS BIGINT) AS max_tokens,
+      ROUND(CAST(SUM(b.n_tokens) AS DOUBLE) / COUNT(*), 4)
+        AS mean_tokens,
+      CAST(v.distinct_words AS BIGINT) AS distinct_words,
+      CAST(d.dup_docs AS BIGINT) AS dup_docs,
+      CAST(d.removable_docs AS BIGINT) AS removable_docs,
+      ROUND(CAST(d.removable_docs AS DOUBLE) / COUNT(*), 6)
+        AS dup_rate
+    FROM base b
+    JOIN dupagg d ON d.lang = b.lang
+    JOIN vocab v ON v.lang = b.lang
+    GROUP BY b.lang, v.distinct_words, d.dup_docs, d.removable_docs
+    ORDER BY b.lang ASC
+    """,
+)
+def q332_dataset_datasheet(spark, sf_dir):
+    """operators/quality.dataset_datasheet over documents: the
+    per-language release datasheet in one call."""
+    from ..operators.quality import dataset_datasheet
+
+    docs = T(spark, sf_dir, "documents")
+    return dataset_datasheet(
+        docs, "doc_id", "text", "lang", "source", "n_chars"
+    ).orderBy("lang")

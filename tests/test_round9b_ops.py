@@ -545,3 +545,62 @@ def test_hrw_plan_is_mapside(sp):
     plan = hrw_assign(df, "k", 8)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: pure projection
     assert "Generate" not in plan  # no explode
+
+
+# ---------------------------------------------------------------------------
+# dataset datasheet ≡ plain-Python census (incl. dup exposure)
+# ---------------------------------------------------------------------------
+
+
+def test_datasheet_matches_python_model(sp):
+    import re
+    from collections import Counter, defaultdict
+
+    from aden_hive_fork_spark.operators.quality import dataset_datasheet
+
+    rows = [
+        (0, "en", "s1", "the quick fox", 13),
+        (1, "en", "s2", "the quick fox", 13),   # exact dup of 0
+        (2, "en", "s1", "a different doc", 15),
+        (3, "de", "s3", "der schnelle fuchs", 18),
+        (4, "de", "s3", "der schnelle fuchs", 18),  # dup
+        (5, "de", "s3", "der schnelle fuchs", 18),  # dup (triple)
+        (6, "fr", "s4", "le renard", 9),
+    ]
+    df = sp.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string,"
+        " n_chars long"
+    )
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["n_sources"], r["n_tokens"],
+            r["distinct_words"], r["dup_docs"], r["removable_docs"],
+            r["dup_rate"],
+        )
+        for r in dataset_datasheet(
+            df, "doc_id", "text", "lang", "source", "n_chars"
+        ).collect()
+    }
+    by_lang = defaultdict(list)
+    for _i, lang, src, text, nc in rows:
+        by_lang[lang].append((src, text, nc))
+    want = {}
+    for lang, docs in by_lang.items():
+        toks = [
+            [w for w in re.split(r"\s+", t.strip()) if w]
+            for _s, t, _c in docs
+        ]
+        texts = Counter(t for _s, t, _c in docs)
+        dup_docs = sum(c for c in texts.values() if c > 1)
+        removable = sum(c - 1 for c in texts.values())
+        want[lang] = (
+            len(docs),
+            len({s for s, _t, _c in docs}),
+            sum(len(t) for t in toks),
+            len({w for t in toks for w in t}),
+            dup_docs,
+            removable,
+            _r(removable / len(docs), 6),
+        )
+    assert got == want
+    assert got["de"][4] == 3 and got["de"][5] == 2  # triple → 2 removable
