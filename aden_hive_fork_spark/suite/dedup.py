@@ -704,3 +704,105 @@ def q323_editdist_verified_neardup(spark, sf_dir):
         F.col("edit_dist").cast("int").alias("edit_dist"),
         "edit_sim",
     ).orderBy(F.desc("edit_sim"), F.asc("id_a"), F.asc("id_b"))
+
+
+# ---------------------------------------------------------------------------
+# q333 — winnowing dedup SURVIVORS (round 9): the full application of
+# the q322 tier — winnowing pairs (overlap >= 0.5) fed through
+# connected components, min-id survivor per cluster, per-language
+# survivor census. The oracle replays the pair table verbatim and
+# closes it with the q77/q78 recursive reachability CTE.
+# ---------------------------------------------------------------------------
+_Q333_WINNOW_PAIRS = """
+    sh AS (
+      SELECT doc_id,
+        len(string_split(trim(text), ' ')) - 2 AS n,
+        list_transform(range(1, len(string_split(trim(text), ' ')) - 1),
+          i -> struct_pack(
+            idx := i,
+            h := CAST(('0x' || substr(md5(array_to_string(
+              list_slice(string_split(trim(text), ' '), i, i + 2), ' ')),
+              1, 15)) AS UBIGINT)::BIGINT)
+        ) AS hs
+      FROM documents
+      WHERE len(string_split(trim(text), ' ')) >= 3
+    ),
+    hx AS (SELECT doc_id, n, unnest(hs, recursive := true) FROM sh),
+    memb AS (
+      SELECT doc_id, idx, h, idx + s.s AS win
+      FROM hx CROSS JOIN (SELECT unnest(range(-3, 1)) AS s) s
+      WHERE idx + s.s >= 1 AND idx + s.s <= GREATEST(n - 3, 1)
+    ),
+    sel AS (
+      SELECT doc_id, win, idx, h,
+        ROW_NUMBER() OVER (PARTITION BY doc_id, win
+                           ORDER BY h ASC, idx DESC) AS rn
+      FROM memb
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+    dfreq AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= 100),
+    kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h)),
+    nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM kept GROUP BY doc_id),
+    rawpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b
+      FROM rawpairs p JOIN nfp na ON na.doc_id = p.id_a
+                      JOIN nfp nb ON nb.doc_id = p.id_b
+      WHERE CAST(p.shared AS DOUBLE) / LEAST(na.n_fp, nb.n_fp) >= 0.5
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      WHERE s.v <> r.u
+    ),
+    lab AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    )
+"""
+
+
+@query(
+    "q333_winnowing_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_Q333_WINNOW_PAIRS.strip()},
+    losers AS (SELECT id FROM lab WHERE comp <> id)
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    GROUP BY d.lang ORDER BY d.lang ASC
+    """,
+)
+def q333_winnowing_dedup_survivors(spark, sf_dir):
+    """End-to-end winnowing dedup: q322's overlap >= 0.5 pairs fed
+    through connected components (min-id survivor), per-language
+    survivor census — the MOSS-fingerprint twin of q78."""
+    from ..operators.dedup import (
+        dedup_by_components,
+        winnowing_neardup_pairs,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = winnowing_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", k=3, window=4,
+        min_overlap=0.5, max_fp_df=100,
+    ).select("id_a", "id_b")
+    return (
+        dedup_by_components(docs, pairs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -162,7 +162,8 @@ def main() -> int:
                  "q326_dsir_selection", "q327_curriculum_interleave",
                  "q328_ngram_overlap_eval", "q329_cohens_kappa",
                  "q330_zorder_layout_census", "q331_hrw_shard_census",
-                 "q332_dataset_datasheet"):
+                 "q332_dataset_datasheet",
+                 "q333_winnowing_dedup_survivors"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
