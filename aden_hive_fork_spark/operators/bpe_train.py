@@ -283,6 +283,7 @@ def wordpiece_segment(
     text_col: str = "text",
     min_occ: int = 50,
     max_sub_len: int = 4,
+    max_rounds: int = 4096,
 ) -> DataFrame:
     """Greedy longest-match (maximal munch) segmentation of every
     distinct corpus word against the ``wordpiece_vocab`` table.
@@ -294,7 +295,11 @@ def wordpiece_segment(
     the broadcast vocab, takes MAX(match length) per word, and
     advances the cursor. Rounds are bounded by the longest word (a
     one-scalar driver collect, the pagerank convergence-check
-    precedent); lineage is localCheckpoint-truncated every round.
+    precedent) AND by ``max_rounds`` — a single pathological unsplit
+    token (URL/base64/DNA) would otherwise make the driver loop
+    effectively unbounded, so a corpus whose longest word exceeds
+    ``max_rounds`` chars raises ValueError loudly instead of looping;
+    lineage is localCheckpoint-truncated every round.
     All-integer/string arithmetic — bit-identical in any engine.
 
     Returns (word, word_freq, wordpiece, n_pieces) — wordpiece is the
@@ -313,6 +318,14 @@ def wordpiece_segment(
     max_len = words.agg(
         F.max(F.length("word")).alias("m")
     ).collect()[0]["m"]
+    if max_len is not None and int(max_len) > max_rounds:
+        raise ValueError(
+            f"wordpiece_segment: longest corpus word is {max_len} "
+            f"chars > max_rounds={max_rounds}; segmentation needs one "
+            "driver round per character of the longest word. Pre-"
+            "filter pathological unsplit tokens (URLs/base64) or "
+            "raise max_rounds explicitly."
+        )
     if max_len is None:
         return words.select(
             "word",

@@ -484,12 +484,17 @@ def cohens_kappa(
     is a division of exact integers, so the statistic is
     engine-exact at round-``ndigits``.
 
+    NULL policy: rows where EITHER rater is NULL are excluded from
+    ALL counts (n as well as the four cells) — otherwise n would
+    include rows that land in no cell and silently deflate po and
+    pe.
+
     Returns 1 row: n, n11, n10, n01, n00, po, pe, kappa (kappa NULL
     when pe = 1, i.e. both raters are constant — the undefined
     case)."""
     a = rater_a.cast("boolean")
     b = rater_b.cast("boolean")
-    agg = df.agg(
+    agg = df.filter(a.isNotNull() & b.isNotNull()).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.when(a & b, 1).otherwise(0)).cast("bigint").alias("n11"),
         F.sum(F.when(a & ~b, 1).otherwise(0)).cast("bigint").alias("n10"),

@@ -1138,9 +1138,13 @@ def dataset_datasheet(
         .groupBy("_lang")
         .agg(F.countDistinct("_w").cast("bigint").alias("distinct_words"))
     )
+    # Left joins: a language whose documents are all empty/whitespace
+    # has no vocab row (and dup/census always exist per census key) —
+    # it must still appear in the datasheet with distinct_words = 0,
+    # honoring the one-row-per-language contract.
     return (
-        census.join(dup, "_lang")
-        .join(vocab, "_lang")
+        census.join(dup, "_lang", "left")
+        .join(vocab, "_lang", "left")
         .select(
             F.col("_lang").alias(lang_col),
             "n_docs",
@@ -1154,11 +1158,18 @@ def dataset_datasheet(
                 / F.col("n_docs").cast("double"),
                 4,
             ).alias("mean_tokens"),
-            "distinct_words",
-            "dup_docs",
-            "removable_docs",
+            F.coalesce(
+                F.col("distinct_words"), F.lit(0).cast("bigint")
+            ).alias("distinct_words"),
+            F.coalesce(F.col("dup_docs"), F.lit(0).cast("bigint")).alias(
+                "dup_docs"
+            ),
+            F.coalesce(
+                F.col("removable_docs"), F.lit(0).cast("bigint")
+            ).alias("removable_docs"),
             F.round(
-                F.col("removable_docs").cast("double")
+                F.coalesce(F.col("removable_docs"), F.lit(0))
+                .cast("double")
                 / F.col("n_docs").cast("double"),
                 6,
             ).alias("dup_rate"),

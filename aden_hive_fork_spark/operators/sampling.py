@@ -640,15 +640,26 @@ def dsir_importance(
         F.sum("_c_raw").cast("bigint").alias("_n_raw"),
         F.sum("_c_tgt").cast("bigint").alias("_n_tgt"),
     )
-    p_t = F.round(
-        (F.col("_c_tgt") + 1).cast("double")
-        / (F.col("_n_tgt") + F.col("_v")).cast("double"),
-        ndigits,
+    # Floor the rounded probability at 10**-ndigits: once a corpus
+    # total exceeds ~2*10**ndigits tokens, round(1/(N+V), ndigits)
+    # underflows to 0.0 and ln(0) would NULL the term (silently
+    # dropped by the sorted fold while n_tokens still counts it).
+    p_floor = F.lit(10.0**-ndigits)
+    p_t = F.greatest(
+        F.round(
+            (F.col("_c_tgt") + 1).cast("double")
+            / (F.col("_n_tgt") + F.col("_v")).cast("double"),
+            ndigits,
+        ),
+        p_floor,
     )
-    p_r = F.round(
-        (F.col("_c_raw") + 1).cast("double")
-        / (F.col("_n_raw") + F.col("_v")).cast("double"),
-        ndigits,
+    p_r = F.greatest(
+        F.round(
+            (F.col("_c_raw") + 1).cast("double")
+            / (F.col("_n_raw") + F.col("_v")).cast("double"),
+            ndigits,
+        ),
+        p_floor,
     )
     ratios = counts.crossJoin(F.broadcast(totals)).select(
         "_w", fquant(F.log(p_t) - F.log(p_r), 9).alias("_term")

@@ -149,15 +149,25 @@ def read_ratio_table(spark: SparkSession, path: str) -> DataFrame:
         F.sum("c_raw").cast("bigint").alias("_n_raw"),
         F.sum("c_tgt").cast("bigint").alias("_n_tgt"),
     )
-    p_t = F.round(
-        (F.col("c_tgt") + 1).cast("double")
-        / (F.col("_n_tgt") + F.col("_v")).cast("double"),
-        nd,
+    # Same probability floor as the batch operator: round-to-nd of
+    # 1/(N+V) underflows to 0.0 past ~2*10**nd total tokens and ln(0)
+    # would NULL the term — clamp at 10**-nd.
+    p_floor = F.lit(10.0**-nd)
+    p_t = F.greatest(
+        F.round(
+            (F.col("c_tgt") + 1).cast("double")
+            / (F.col("_n_tgt") + F.col("_v")).cast("double"),
+            nd,
+        ),
+        p_floor,
     )
-    p_r = F.round(
-        (F.col("c_raw") + 1).cast("double")
-        / (F.col("_n_raw") + F.col("_v")).cast("double"),
-        nd,
+    p_r = F.greatest(
+        F.round(
+            (F.col("c_raw") + 1).cast("double")
+            / (F.col("_n_raw") + F.col("_v")).cast("double"),
+            nd,
+        ),
+        p_floor,
     )
     return counts.crossJoin(F.broadcast(totals)).select(
         "word", fquant(F.log(p_t) - F.log(p_r), 9).alias("term")

@@ -284,10 +284,10 @@ def q127_weighted_sample(spark, sf_dir):
     ),
     ratios AS (
       SELECT w,
-        FLOOR((ln(ROUND(CAST(c_tgt + 1 AS DOUBLE)
-                        / CAST(n_tgt + v AS DOUBLE), 6))
-             - ln(ROUND(CAST(c_raw + 1 AS DOUBLE)
-                        / CAST(n_raw + v AS DOUBLE), 6)))
+        FLOOR((ln(GREATEST(ROUND(CAST(c_tgt + 1 AS DOUBLE)
+                        / CAST(n_tgt + v AS DOUBLE), 6), 1e-6))
+             - ln(GREATEST(ROUND(CAST(c_raw + 1 AS DOUBLE)
+                        / CAST(n_raw + v AS DOUBLE), 6), 1e-6)))
              * 1000000000.0) / 1000000000.0 AS term
       FROM counts CROSS JOIN totals
     ),

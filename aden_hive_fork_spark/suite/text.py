@@ -1136,15 +1136,24 @@ _Q325_MAX_LEN = 4
             FROM documents)
       WHERE w != '' GROUP BY w
     ),
+    -- position range derived from the ACTUAL max word length, not a
+    -- fixed 64 cap: a 64+-char unsplit token (URL/base64) would
+    -- otherwise contribute truncated vocab counts here while the
+    -- Spark operator (sequence(1, length(word))) covers every
+    -- position.
+    poss AS (
+      SELECT unnest(range(1, (SELECT MAX(len(word)) + 1 FROM words)))
+        AS i
+    ),
     chars AS (
       SELECT DISTINCT substr(word, i.i, 1) AS token
-      FROM words CROSS JOIN (SELECT unnest(range(1, 64)) AS i) i
+      FROM words CROSS JOIN poss i
       WHERE i.i <= len(word)
     ),
     subs AS (
       SELECT substr(word, i.i, l.l) AS token
       FROM words
-      CROSS JOIN (SELECT unnest(range(1, 64)) AS i) i
+      CROSS JOIN poss i
       CROSS JOIN (SELECT unnest(range(2, {_Q325_MAX_LEN + 1})) AS l) l
       WHERE i.i + l.l - 1 <= len(word)
       GROUP BY 1
