@@ -1258,6 +1258,15 @@ def winnowing_neardup_pairs(
     size joins. Never all-pairs; the id ordering dedups mirrored
     pairs at the join condition, not post-hoc.
 
+    Guarantee caveat: the unconditional MOSS guarantee ("any shared
+    run of >= k+window-1 words shares a fingerprint") holds only for
+    runs whose shared fingerprints SURVIVE the ``max_fp_df`` cap — a
+    run made entirely of corpus-boilerplate k-grams (df > cap on
+    every window minimum) produces no candidate pair. That is the
+    intended trade (the cap is what keeps the join from going
+    quadratic on boilerplate); raise ``max_fp_df`` to recover the
+    strict guarantee on small corpora.
+
     Returns (id_a, id_b, shared INT, overlap DOUBLE round-6),
     overlap >= ``min_overlap`` pre-round."""
     # Deliberately NOT persisted: the fingerprint pipeline feeds the

@@ -1201,3 +1201,180 @@ def q325_wordpiece_segments(spark, sf_dir):
         "wordpiece",
         F.col("n_pieces").cast("int").alias("n_pieces"),
     ).orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# q334/q335 — Unigram-LM (SentencePiece-style) tokenizer training
+# under the hash gate (round 10): the third trained-tokenizer family
+# member (q240/q314 BPE, q325 WordPiece). Hard-EM (Viterbi-EM): each
+# E-step segments every vocabulary word by its best path under the
+# current token log-probs (map-side DP inside higher-order
+# aggregates), each M-step re-estimates add-one-smoothed probs over
+# the fixed seed vocab (the dsir quantization discipline). The oracle
+# replays the SAME chain: recursive-CTE forward DP carrying
+# (best, backpointer) lists, recursive backtrack, count + re-estimate
+# per round — every addition a single IEEE double in identical order.
+# q334 checks the trained MODEL; q335 checks what it does to words.
+# ---------------------------------------------------------------------------
+_Q334_MIN_OCC = 50
+_Q334_MAX_LEN = 4
+_Q334_EM_ROUNDS = 2
+
+
+def _unigram_cte_chain(em_rounds: int = _Q334_EM_ROUNDS,
+                       max_len: int = _Q334_MAX_LEN,
+                       min_occ: int = _Q334_MIN_OCC) -> str:
+    """The unrolled training chain (WITH RECURSIVE ... voc{R}): seed
+    vocab → per-round Viterbi DP + backtrack + count + re-estimate,
+    mirroring operators/unigram_lm exactly. One extra DP block at
+    r = em_rounds gives the final-model segmentation (q335)."""
+    L = max_len
+    sql = f"""
+    WITH RECURSIVE words AS MATERIALIZED (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    poss AS MATERIALIZED (
+      SELECT unnest(range(1, (SELECT MAX(len(word)) + 1 FROM words)))
+        AS i
+    ),
+    occ AS MATERIALIZED (
+      SELECT substr(word, i.i, l.l) AS token, SUM(freq) AS c
+      FROM words CROSS JOIN poss i
+      CROSS JOIN (SELECT unnest(range(1, {L} + 1)) AS l) l
+      WHERE i.i + l.l - 1 <= len(word)
+      GROUP BY 1
+    ),
+    seed AS MATERIALIZED (
+      SELECT token, CAST(c AS BIGINT) AS seed_cnt FROM occ
+      WHERE len(token) = 1 OR c >= {min_occ}
+    ),
+    tot0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                    CAST(SUM(seed_cnt) AS BIGINT) AS t FROM seed),
+    voc0 AS MATERIALIZED (
+      SELECT token,
+        FLOOR(ln(GREATEST(ROUND(CAST(seed_cnt + 1 AS DOUBLE)
+          / CAST(t + v AS DOUBLE), 6), 1e-6)) * 1e9) / 1e9 AS logp
+      FROM seed CROSS JOIN tot0
+    )"""
+    for r in range(em_rounds + 1):
+        sql += f""",
+    dp{r} AS (
+      SELECT word, 0 AS j, [CAST(0.0 AS DOUBLE)] AS best, [0] AS bp
+      FROM words
+      UNION ALL
+      SELECT word, j, list_append(best, s) AS best,
+             list_append(bp, l) AS bp
+      FROM (
+        SELECT d.word, d.j + 1 AS j, d.best, d.bp, ll.l AS l,
+          list_extract(d.best, d.j + 2 - ll.l) + v.logp AS s,
+          ROW_NUMBER() OVER (PARTITION BY d.word
+            ORDER BY list_extract(d.best, d.j + 2 - ll.l) + v.logp
+                       DESC,
+                     ll.l DESC) AS rk
+        FROM dp{r} d
+        CROSS JOIN (SELECT unnest(range(1, {L} + 1)) AS l) ll
+        JOIN voc{r} v
+          ON v.token = substr(d.word, d.j + 2 - ll.l, ll.l)
+        WHERE d.j < len(d.word) AND ll.l <= d.j + 1
+      ) WHERE rk = 1
+    ),
+    fin{r} AS MATERIALIZED (
+      SELECT word, best, bp FROM dp{r} WHERE j = len(word)
+    ),
+    bt{r} AS (
+      SELECT word, len(word) AS cur, CAST('' AS VARCHAR) AS pieces
+      FROM fin{r}
+      UNION ALL
+      SELECT word, cur - l AS cur,
+        CASE WHEN pieces = '' THEN tok
+             ELSE tok || ' ' || pieces END AS pieces
+      FROM (
+        SELECT b.word, b.cur, b.pieces,
+          list_extract(f.bp, b.cur + 1) AS l,
+          substr(b.word, b.cur - list_extract(f.bp, b.cur + 1) + 1,
+                 list_extract(f.bp, b.cur + 1)) AS tok
+        FROM bt{r} b JOIN fin{r} f USING (word)
+        WHERE b.cur > 0
+      )
+    ),
+    segdone{r} AS MATERIALIZED (
+      SELECT word, pieces FROM bt{r} WHERE cur = 0
+    )"""
+        if r < em_rounds:
+            sql += f""",
+    cnt{r} AS MATERIALIZED (
+      SELECT s.token, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM seed s LEFT JOIN (
+        SELECT tok AS token, SUM(w.freq) AS cnt FROM (
+          SELECT word, unnest(string_split(pieces, ' ')) AS tok
+          FROM segdone{r}) t JOIN words w USING (word)
+        GROUP BY tok) c USING (token)
+    ),
+    tot{r + 1} AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                          CAST(SUM(cnt) AS BIGINT) AS t FROM cnt{r}),
+    voc{r + 1} AS MATERIALIZED (
+      SELECT token,
+        FLOOR(ln(GREATEST(ROUND(CAST(cnt + 1 AS DOUBLE)
+          / CAST(t + v AS DOUBLE), 6), 1e-6)) * 1e9) / 1e9 AS logp
+      FROM cnt{r} CROSS JOIN tot{r + 1}
+    )"""
+    return sql
+
+
+def _unigram_train_oracle() -> str:
+    R = _Q334_EM_ROUNDS
+    return _unigram_cte_chain() + f"""
+    SELECT s.token, s.seed_cnt, c.cnt,
+      CAST(ROUND(v.logp, 6) AS DOUBLE) AS logp
+    FROM seed s
+    JOIN cnt{R - 1} c USING (token)
+    JOIN voc{R} v USING (token)
+    ORDER BY s.token ASC
+    """
+
+
+def _unigram_segment_oracle() -> str:
+    R = _Q334_EM_ROUNDS
+    return _unigram_cte_chain() + f"""
+    SELECT w.word, w.freq AS word_freq, s.pieces,
+      CAST(len(string_split(s.pieces, ' ')) AS INT) AS n_pieces,
+      CAST(ROUND(list_extract(f.best, len(w.word) + 1), 6) AS DOUBLE)
+        AS score
+    FROM segdone{R} s
+    JOIN words w USING (word)
+    JOIN fin{R} f USING (word)
+    ORDER BY w.word ASC
+    """
+
+
+@query("q334_unigram_lm_train", oracle=_unigram_train_oracle())
+def q334_unigram_lm_train(spark, sf_dir):
+    """operators/unigram_lm.unigram_lm_train over documents: 2
+    hard-EM rounds, min-occ-50, max-piece-len-4 — the trained unigram
+    LM (token, seed count, final Viterbi usage count, final smoothed
+    log-prob), every value hash-checked against DuckDB's recursive-CTE
+    replay."""
+    from ..operators.unigram_lm import unigram_lm_train
+
+    docs = T(spark, sf_dir, "documents")
+    return unigram_lm_train(
+        docs, text_col="text", min_occ=_Q334_MIN_OCC,
+        max_piece_len=_Q334_MAX_LEN, em_rounds=_Q334_EM_ROUNDS,
+    ).orderBy("token")
+
+
+@query("q335_unigram_lm_segments", oracle=_unigram_segment_oracle())
+def q335_unigram_lm_segments(spark, sf_dir):
+    """operators/unigram_lm.unigram_lm_segment: per-word Viterbi
+    segmentation under the TRAINED model (the q314 application-side
+    split) — pieces, piece count, and best-path log-probability."""
+    from ..operators.unigram_lm import unigram_lm_segment
+
+    docs = T(spark, sf_dir, "documents")
+    return unigram_lm_segment(
+        docs, text_col="text", min_occ=_Q334_MIN_OCC,
+        max_piece_len=_Q334_MAX_LEN, em_rounds=_Q334_EM_ROUNDS,
+    ).orderBy("word")

@@ -163,7 +163,11 @@ def main() -> int:
                  "q328_ngram_overlap_eval", "q329_cohens_kappa",
                  "q330_zorder_layout_census", "q331_hrw_shard_census",
                  "q332_dataset_datasheet",
-                 "q333_winnowing_dedup_survivors"):
+                 "q333_winnowing_dedup_survivors",
+                 # round-10: unigram-LM trainer over documents ×10
+                 # exact-dup replicas (vocab-sized EM relations must
+                 # stay vocab-sized; only the ONE corpus pass grows)
+                 "q334_unigram_lm_train", "q335_unigram_lm_segments"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
