@@ -61,6 +61,7 @@ def load_all() -> None:
         metrics_suite,
         ml,
         multimodal,
+        pretrain,
         quality_suite,
         relational,
         relational2,

@@ -167,7 +167,11 @@ def main() -> int:
                  # round-10: unigram-LM trainer over documents ×10
                  # exact-dup replicas (vocab-sized EM relations must
                  # stay vocab-sized; only the ONE corpus pass grows)
-                 "q334_unigram_lm_train", "q335_unigram_lm_segments"):
+                 "q334_unigram_lm_train", "q335_unigram_lm_segments",
+                 # round-10 capstone: the nine-stage curation chain
+                 # (exact dedup collapses the x10 replicas at stage 4)
+                 "q336_pretrain_pipeline_census",
+                 "q337_pretrain_final_datasheet"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

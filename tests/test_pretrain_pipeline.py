@@ -1,0 +1,130 @@
+"""Unit invariants for the pretraining-pipeline capstone
+(operators/pretrain_pipeline, suite q336/q337): stage subset
+monotonicity, exact-dup removal, near-dup removal, quality screen,
+packing identities — on a controlled synthetic corpus engineered so
+every interesting stage provably bites."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from aden_hive_fork_spark.operators.pretrain_pipeline import (
+    PACK_CAPACITY,
+    pretrain_pipeline_census,
+    pretrain_pipeline_stages,
+)
+
+SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+# Disjoint-alphabet vocabularies so trigram langid is exact: 'en'
+# words use only a-m, 'fr' words only n-z.
+_EN = [a + b + c for a in "abcde" for b in "fghij" for c in "klm"]
+_FR = [a + b + c for a in "nopqr" for b in "stuvw" for c in "xyz"]
+
+
+def _doc(i: int, vocab: list[str], n_words: int = 60) -> str:
+    return " ".join(
+        vocab[(i * 17 + j * j) % len(vocab)] for j in range(n_words)
+    )
+
+
+def _corpus() -> list[tuple]:
+    rows = []
+    did = 0
+    for i in range(12):
+        t = _doc(i, _EN)
+        rows.append((did, t, "en", f"src{did % 3}", len(t)))
+        did += 1
+    for i in range(8):
+        t = _doc(100 + i, _FR)
+        rows.append((did, t, "fr", f"src{did % 3}", len(t)))
+        did += 1
+    # exact duplicates of doc 0's text (stage 4 must collapse them)
+    t0 = _doc(0, _EN)
+    for _ in range(3):
+        rows.append((did, t0, "en", f"src{did % 3}", len(t0)))
+        did += 1
+    # a winnowing near-dup of doc 1: same first 50 words (stage 5)
+    t1 = _doc(1, _EN)
+    tnd = " ".join(t1.split(" ")[:50] + [_EN[(7 * j) % len(_EN)] for j in range(10)])
+    rows.append((did, tnd, "en", f"src{did % 3}", len(tnd)))
+    did += 1
+    # a spam doc that fails the Gopher top-2-gram screen (stage 3)
+    spam = " ".join([_EN[0]] * 60)
+    rows.append((did, spam, "en", f"src{did % 3}", len(spam)))
+    did += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def census(spark):
+    df = spark.createDataFrame(_corpus(), SCHEMA)
+    return {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pretrain_pipeline_census(df).collect()
+    }
+
+
+def test_stage_names_and_monotone_shrinkage(census):
+    names = sorted(census)
+    assert names == [
+        "1_base", "2_langid", "3_quality", "4_exact_dedup",
+        "5_near_dedup", "6_decontam", "7_dsir", "8_mixture",
+        "9_packed",
+    ]
+    # stages 1-8 are successive subsets: docs and tokens both
+    # monotonically nonincreasing
+    for a, b in zip(names[:7], names[1:8]):
+        assert census[b][0] <= census[a][0], (a, b, census)
+        assert census[b][1] <= census[a][1], (a, b, census)
+
+
+def test_stages_bite(spark, census):
+    df = spark.createDataFrame(_corpus(), SCHEMA)
+    stages = pretrain_pipeline_stages(df)
+    # disjoint alphabets -> langid agrees on every doc (no drops at
+    # stage 2 besides none), spam doc survives classification
+    assert census["2_langid"][0] == census["1_base"][0]
+    # the spam doc fails the top-2-gram screen
+    assert census["3_quality"][0] == census["2_langid"][0] - 1
+    spam_id = max(r[0] for r in _corpus())
+    s3_ids = {r["doc_id"] for r in stages["3_quality"].collect()}
+    assert spam_id not in s3_ids
+    # 3 exact copies of doc 0 collapse to the min doc_id
+    assert census["4_exact_dedup"][0] == census["3_quality"][0] - 3
+    s4_ids = {r["doc_id"] for r in stages["4_exact_dedup"].collect()}
+    assert 0 in s4_ids
+    # the engineered 50/60-word-overlap near-dup of doc 1 is removed
+    assert census["5_near_dedup"][0] == census["4_exact_dedup"][0] - 1
+    s5_ids = {r["doc_id"] for r in stages["5_near_dedup"].collect()}
+    assert 1 in s5_ids
+    # DSIR with target lang='en' drops every fr doc
+    s7 = stages["7_dsir"].collect()
+    assert all(r["lang"] == "en" for r in s7)
+    assert census["7_dsir"][0] > 0
+
+
+def test_packing_identities(census):
+    packed_windows, packed_tokens = census["9_packed"]
+    mix_docs, mix_tokens = census["8_mixture"]
+    assert packed_tokens == mix_tokens  # gapless: every token packed
+    assert packed_windows == math.ceil(mix_tokens / PACK_CAPACITY)
+
+
+def test_budget_cap_is_prefix_law(spark):
+    # every kept doc's preceding cumulative cost is under the budget
+    from aden_hive_fork_spark.operators.pretrain_pipeline import (
+        BUDGET_PER_SOURCE,
+    )
+    from aden_hive_fork_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    df = spark.createDataFrame(_corpus(), SCHEMA)
+    kept = token_budget_sample(
+        df, "n_chars", BUDGET_PER_SOURCE, ["source"], ["doc_id"]
+    ).collect()
+    for r in kept:
+        assert r["cum_cost"] - r["n_chars"] < BUDGET_PER_SOURCE
