@@ -207,7 +207,13 @@ def cosine_neardup_pairs(
             {"id_a": lo, "id_b": hi, "cosine": np.round(sims[ia[keep], ib[keep]], 6)}
         )
 
-    grouped = emb.groupBy(block_col) if block_col else emb.groupBy(F.lit(1))
+    # grouping by a literal expression trips an internal error in
+    # Spark 4.1 flatMapGroupsInPandas; materialize the constant
+    # block as a column instead (single global Gram block)
+    if block_col is None:
+        emb = emb.withColumn("_blk", F.lit(1))
+        block_col = "_blk"
+    grouped = emb.groupBy(block_col)
     return grouped.applyInPandas(pairs, schema="id_a long, id_b long, cosine double").orderBy(
         F.desc("cosine"), "id_a", "id_b"
     )
@@ -960,7 +966,13 @@ def cosine_neardup_pairs_exact(
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": c[keep]})
 
-    grouped = emb.groupBy(block_col) if block_col else emb.groupBy(F.lit(1))
+    # grouping by a literal expression trips an internal error in
+    # Spark 4.1 flatMapGroupsInPandas; materialize the constant
+    # block as a column instead (single global Gram block)
+    if block_col is None:
+        emb = emb.withColumn("_blk", F.lit(1))
+        block_col = "_blk"
+    grouped = emb.groupBy(block_col)
     return grouped.applyInPandas(
         pairs, schema="id_a long, id_b long, cosine double"
     ).orderBy(F.desc("cosine"), "id_a", "id_b")
@@ -1531,4 +1543,111 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w_final).cast("int"))
         .filter(F.col("rank") <= k_nn)
         .orderBy("query_id", "rank")
+    )
+
+
+def semdedup_verdicts(
+    emb: DataFrame,
+    threshold: float,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup — embedding-cluster semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): route every vector through a coarse
+    quantizer, compute pairwise cosines ONLY within each cell, and
+    keep one representative per semantic-duplicate cluster — the
+    published semantic tier that catches paraphrase-level duplicates
+    exact/MinHash text dedup cannot see.
+
+    Deterministic composition of this module's gated tiers:
+
+    1. cells = the ``ivf_md5_topk`` coarse quantizer (md5-seeded
+       centroids on the int8-by-norm grid, argmax integer dot, ties
+       to the smaller seed id);
+    2. within-cell pairwise cosines = ``cosine_neardup_pairs_exact``
+       with block = cell (int64 Gram matrices on the ×1e8 grid, the
+       shared quantized-cosine IEEE sequence) — candidate pairs are
+       BOUNDED BY THE CELL, the corpus never self-joins;
+    3. pairs ≥ ``threshold`` → ``operators/dedup
+       .connected_components`` (large-star/small-star, O(log n)
+       rounds);
+    4. representative per cluster = the CENTROID-NEAREST member
+       (max integer dot with its cell's seed, ties to the smaller
+       id) — the paper's keep-one-per-ε-cluster rule with a
+       replayable tie order.
+
+    Returns one row per CLUSTERED vector (members of no pair are
+    trivially kept and not emitted): (``id_col`` BIGINT, cell BIGINT,
+    comp BIGINT — min-id cluster label, keeper BIGINT, kept INT).
+
+    Scale shape: seeds broadcast (num_cells rows); assignment is a
+    broadcast join + keyed argmax; the pairwise stage shuffles once
+    on cell and its Gram matrices are cell-bounded (size num_cells to
+    ~sqrt(n) so cells stay executor-sized — the paper uses k-means
+    cells at the same granularity); CC runs on the pair table only;
+    the verdict join touches clustered ids only. Reference parity:
+    the reference has no semantic-dedup surface (SURVEY §2.D
+    training-data extension; the suite gates it as q338)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import connected_components
+
+    qn = quantize_embeddings(emb, id_col, vec_col)
+    seeds = (
+        qn.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .select(
+            F.col("id").alias("seed_id"), F.col("qvec").alias("seed_qvec")
+        )
+    )
+    dot_seed = F.aggregate(
+        F.zip_with("qvec", "seed_qvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.desc("sdot"), F.asc("seed_id")
+    )
+    assigned = (
+        qn.crossJoin(F.broadcast(seeds))
+        .select("id", "seed_id", dot_seed.alias("sdot"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("seed_id").alias("cell"), "sdot")
+        .localCheckpoint(eager=False)
+    )
+    blocked = emb.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).join(assigned.withColumnRenamed("id", id_col), id_col)
+    pairs = cosine_neardup_pairs_exact(
+        blocked, threshold=threshold, block_col="cell",
+        id_col=id_col, vec_col=vec_col,
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    members = comps.join(
+        assigned.select(
+            F.col("id"), F.col("cell"), F.col("sdot")
+        ),
+        "id",
+    )
+    w_keep = Window.partitionBy("comp").orderBy(
+        F.desc("sdot"), F.asc("id")
+    )
+    keepers = (
+        members.withColumn("krn", F.row_number().over(w_keep))
+        .filter(F.col("krn") == 1)
+        .select(F.col("comp"), F.col("id").alias("keeper"))
+    )
+    return (
+        members.join(keepers, "comp")
+        .select(
+            F.col("id").cast("bigint").alias(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("comp").cast("bigint").alias("comp"),
+            F.col("keeper").cast("bigint").alias("keeper"),
+            (F.col("id") == F.col("keeper")).cast("int").alias("kept"),
+        )
     )

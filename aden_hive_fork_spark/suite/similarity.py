@@ -1280,3 +1280,112 @@ def q321_ivf_pq_topk(spark, sf_dir):
         F.col("dist").cast("bigint").alias("dist"),
         F.col("rank").cast("int").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q338 — SemDeDup (round 10): embedding-cluster SEMANTIC dedup (Abbas
+# et al. 2023) — md5-seeded coarse cells route the corpus, pairwise
+# quantized cosines run WITHIN cells only, >= 0.3 pairs close into
+# clusters, and the centroid-nearest member survives. The oracle
+# replays the whole composition: int8 cell assignment (the q239/q321
+# quantizer), ×1e8 integer Gram cosines (the q53 contract), the
+# q77/q333 recursive reachability closure, and the (sdot DESC, id)
+# keeper argmax.
+# ---------------------------------------------------------------------------
+_Q338_THRESHOLD = 0.3
+_Q338_CELLS = 16
+
+
+@query(
+    "q338_semdedup_verdicts",
+    oracle=f"""
+    WITH RECURSIVE qn AS ({_QUANT_CTE}),
+    seeds AS (
+      SELECT vec_id AS seed_id, qvec AS seed_qvec
+      FROM qn
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+      LIMIT {_Q338_CELLS}
+    ),
+    sc AS (
+      SELECT q.vec_id AS id, s.seed_id,
+        list_sum(list_transform(range(1, len(q.qvec) + 1),
+                 i -> q.qvec[i] * s.seed_qvec[i])) AS sdot
+      FROM qn q CROSS JOIN seeds s
+    ),
+    asg AS (
+      SELECT id, seed_id AS cell, sdot FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM sc) WHERE rn = 1
+    ),
+    fe AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8))
+             * 100000000 AS BIGINT) AS x
+      FROM embeddings
+    ),
+    feq AS (
+      SELECT fe.vec_id, fe.i, fe.x, a.cell
+      FROM fe JOIN asg a ON a.id = fe.vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SUM(a.x * b.x) AS d, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+      FROM feq a JOIN feq b ON a.i = b.i AND a.cell = b.cell
+                            AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          FLOOR(CAST(d AS DOUBLE)
+                / NULLIF(sqrt(CAST(na AS DOUBLE))
+                         * sqrt(CAST(nb AS DOUBLE)), 0)
+                * 1000000 + 0.5) / 1000000 AS cosine
+        FROM dots)
+      WHERE cosine >= {_Q338_THRESHOLD}
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      WHERE s.v <> r.u
+    ),
+    lab AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    ),
+    mem AS (
+      SELECT l.id, l.comp, a.cell, a.sdot
+      FROM lab l JOIN asg a ON a.id = l.id
+    ),
+    keep AS (
+      SELECT comp, id AS keeper FROM (
+        SELECT comp, id, ROW_NUMBER() OVER (PARTITION BY comp
+                    ORDER BY sdot DESC, id ASC) AS rn
+        FROM mem) WHERE rn = 1
+    )
+    SELECT CAST(m.id AS BIGINT) AS vec_id,
+      CAST(m.cell AS BIGINT) AS cell,
+      CAST(m.comp AS BIGINT) AS comp,
+      CAST(k.keeper AS BIGINT) AS keeper,
+      CAST(CASE WHEN m.id = k.keeper THEN 1 ELSE 0 END AS INT) AS kept
+    FROM mem m JOIN keep k USING (comp)
+    ORDER BY vec_id ASC
+    """,
+)
+def q338_semdedup_verdicts(spark, sf_dir):
+    """operators/similarity.semdedup_verdicts over embeddings:
+    per-clustered-vector semantic-dedup verdicts (cell, cluster
+    label, centroid-nearest keeper, kept flag) at cosine >= 0.3 with
+    16 md5-seeded coarse cells."""
+    from ..operators.similarity import semdedup_verdicts
+
+    emb = T(spark, sf_dir, "embeddings")
+    return semdedup_verdicts(
+        emb, threshold=_Q338_THRESHOLD, num_cells=_Q338_CELLS
+    ).orderBy("vec_id")

@@ -171,7 +171,11 @@ def main() -> int:
                  # round-10 capstone: the nine-stage curation chain
                  # (exact dedup collapses the x10 replicas at stage 4)
                  "q336_pretrain_pipeline_census",
-                 "q337_pretrain_final_datasheet"):
+                 "q337_pretrain_final_datasheet",
+                 # round-10: SemDeDup over embeddings ×10 exact
+                 # replicas (worst case: every replica set is one
+                 # giant within-cell cluster)
+                 "q338_semdedup_verdicts"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
