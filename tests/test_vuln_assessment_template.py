@@ -1,0 +1,175 @@
+"""Integration test: the reference's vulnerability_assessment
+template (examples/templates/vulnerability_assessment/) on
+plans.Pipeline with hermetic fixture scanners — intake → passive-recon
+→ risk-scoring → findings-review → final-report, the D/F feedback
+loop, per-category error envelopes, and success-criteria evaluation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aden_hive_fork_spark.plans.vuln_assessment import (
+    build_vuln_assessment_pipeline,
+    evaluate_success_criteria,
+    scan_targets_table,
+)
+
+
+def _make_fixture_factory():
+    """Build the scanner factory as a CLOSURE so it pickles by value
+    (module-level defs pickle by reference and Spark workers cannot
+    import test modules).
+
+    Deterministic per-host fixtures. good.example passes nearly
+    everything (grade A/B — no follow-up); bad.example fails most
+    checks (D/F — triggers the deep round; the deep port sweep finds
+    MORE exposure, the reference's follow-up-focus behavior);
+    broken.example's SSL scanner errors (envelope, half credit)."""
+
+    def ssl(host, deep):
+        if host.startswith("broken."):
+            return {"error": "Connection to broken.example:443 timed out"}
+        good = host.startswith("good.")
+        return {"grade_input": {
+            "tls_version_ok": True, "cert_valid": True,
+            "cert_expiring_soon": False, "strong_cipher": good,
+            "self_signed": not good,
+        }}
+
+    def headers(url, deep):
+        good = "good." in url
+        return {"grade_input": {
+            "hsts": good, "csp": good, "x_frame_options": True,
+            "x_content_type_options": True, "referrer_policy": good,
+            "permissions_policy": False, "no_leaky_headers": good,
+        }}
+
+    def dns(host, deep):
+        good = host.startswith("good.")
+        return {"grade_input": {
+            "spf_present": True, "spf_strict": good,
+            "dmarc_present": good, "dmarc_enforcing": good,
+            "dkim_found": good, "dnssec_enabled": False,
+            "zone_transfer_blocked": True,
+        }}
+
+    def ports(host, deep):
+        good = host.startswith("good.")
+        return {"grade_input": {
+            "no_database_ports_exposed": good or not deep,
+            "no_admin_ports_exposed": good,
+            "no_legacy_ports_exposed": good,
+            "only_web_ports": good,
+        }}
+
+    def tech(url, deep):
+        good = "good." in url
+        return {"grade_input": {
+            "server_version_hidden": good,
+            "framework_version_hidden": good,
+            "security_txt_present": False,
+            "cookies_secure": good, "cookies_httponly": good,
+        }}
+
+    def subdomains(host, deep):
+        good = host.startswith("good.")
+        return {"grade_input": {
+            "no_dev_staging_exposed": good, "no_admin_exposed": True,
+            "reasonable_surface_area": True,
+        }}
+
+    def factory():
+        return {"ssl": ssl, "headers": headers, "dns": dns,
+                "ports": ports, "tech": tech, "subdomains": subdomains}
+
+    return factory
+
+
+_fixture_scanners = _make_fixture_factory()
+
+
+@pytest.fixture()
+def pipe():
+    return build_vuln_assessment_pipeline(_fixture_scanners)
+
+
+def _run(spark, pipe, targets):
+    df = spark.createDataFrame([(t,) for t in targets], "target string")
+    return pipe.run(df)["final-report"]
+
+
+def test_clean_target_single_pass(spark, pipe):
+    rows = _run(spark, pipe, ["https://good.example"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["hostname"] == "good.example"
+    assert r["scan_round"] == 0  # B-grade: no follow-up round
+    assert r["overall_grade"] in ("A", "B")
+    assert r["categories_scored"] == 6
+    # permissions_policy, dnssec, security_txt fail even for good
+    assert r["n_findings"] >= 3
+    # developer-audience constraint: every finding carries remediation
+    assert all(f["remediation"] for f in r["findings"])
+    # the graph walked recon -> scoring -> review before reporting
+    # (frames route lazily, so the trace may include empty follow-up
+    # visits; the round-0 report row proves no deep round ran)
+    assert pipe.last_trace[:4] == [
+        "intake", "passive-recon", "risk-scoring", "findings-review",
+    ]
+
+
+def test_weak_target_feedback_loop_deep_round(spark, pipe):
+    """D/F on round 0 re-enters passive-recon (the findings-review →
+    passive-recon feedback edge); the deep sweep finds database
+    exposure the top20 round missed; the round-1 review exits."""
+    rows = _run(spark, pipe, ["bad.example"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["scan_round"] == 1  # reported after the deep round
+    assert r["overall_grade"] in ("D", "F")
+    findings = {f["finding"] for f in r["findings"]}
+    assert "Database port(s) exposed to internet" in findings
+    # the worst category sorts first (top-risks rule)
+    scores = [f["score"] for f in r["findings"]]
+    assert scores == sorted(scores)
+    # the feedback loop re-entered recon (the round-1 report row plus
+    # the second recon visit in the trace)
+    assert pipe.last_trace.count("passive-recon") >= 2
+
+
+def test_mixed_targets_route_independently(spark, pipe):
+    rows = {r["hostname"]: r for r in _run(
+        spark, pipe, ["good.example", "bad.example"]
+    ).collect()}
+    assert rows["good.example"]["scan_round"] == 0
+    assert rows["bad.example"]["scan_round"] == 1
+
+
+def test_scanner_error_is_an_envelope_not_an_exception(spark, pipe):
+    """broken.example's SSL scan fails: the row survives with
+    ssl_error set, the category takes half credit (the reference's
+    missing-data rule), and only 5 categories count as scored."""
+    scans = scan_targets_table(
+        spark.createDataFrame([("broken.example",)], "target string"),
+        _fixture_scanners,
+    ).collect()
+    assert len(scans) == 1
+    s = scans[0]
+    assert "timed out" in s["ssl_error"]
+    assert s["tls_version_ok"] is None and s["cert_valid"] is None
+    rows = _run(spark, pipe, ["broken.example"]).collect()
+    assert rows[0]["categories_scored"] == 5
+
+
+def test_success_criteria_evaluation(spark, pipe):
+    reports = _run(spark, pipe, ["good.example", "bad.example"])
+    crits = {r["criterion"]: r for r in
+             evaluate_success_criteria(reports).collect()}
+    assert len(crits) == 5
+    assert crits["risk-score-produced"]["passed"]
+    assert crits["category-coverage"]["passed"]
+    assert crits["vulnerability-discovery"]["passed"]
+    assert crits["remediation-guidance"]["passed"]
+    assert crits["user-control"]["passed"]
+    assert abs(sum(r["weight"] for r in crits.values()) - 1.0) < 1e-9
