@@ -1651,3 +1651,295 @@ def semdedup_verdicts(
             (F.col("id") == F.col("keeper")).cast("int").alias("kept"),
         )
     )
+
+
+def _half_away(c: float) -> int:
+    """Round half AWAY from zero — Spark's ROUND and DuckDB's
+    CAST(double AS BIGINT) semantics (Python's round() is banker's
+    and diverges on .5 ties; int(round()) is NOT replayable)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(c) + 0.5), c))
+
+
+def ivf_residual_frame(
+    emb: DataFrame,
+    num_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """(frame, seed_vecs): the FAISS-style residual working set —
+    every vector's coarse cell (the ivf_md5_topk int8 quantizer) and
+    its ×1e8-grid residual to the cell seed, as one eagerly
+    checkpointed frame (id, cell, xq array<long>, rq array<long>).
+    ``seed_vecs`` maps seed_id -> its ×1e8 integer vector (num_cells
+    entries, driver-safe). All arithmetic exact integers."""
+    from pyspark.sql.window import Window
+
+    qn = quantize_embeddings(emb, id_col, vec_col)
+    seeds = (
+        qn.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .select(
+            F.col("id").alias("seed_id"), F.col("qvec").alias("seed_qvec")
+        )
+    )
+    dot_seed = F.aggregate(
+        F.zip_with("qvec", "seed_qvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.desc("sdot"), F.asc("seed_id")
+    )
+    assigned = (
+        qn.crossJoin(F.broadcast(seeds))
+        .select("id", "seed_id", dot_seed.alias("sdot"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("seed_id").alias("cell"))
+    )
+    xq_full = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.expr(_xq_expr(vec_col)).alias("xq")
+    )
+    seed_ids = [int(r["seed_id"]) for r in seeds.collect()]
+    seed_vecs = {
+        int(r["id"]): [int(v) for v in r["xq"]]
+        for r in xq_full.filter(F.col("id").isin(seed_ids)).collect()
+    }
+    spark = emb.sparkSession
+    seed_arr = F.broadcast(
+        spark.createDataFrame(
+            [(sid, vec) for sid, vec in sorted(seed_vecs.items())],
+            "cell long, sx array<long>",
+        )
+    )
+    frame = (
+        xq_full.join(assigned, "id")
+        .join(seed_arr, "cell")
+        .select(
+            "id",
+            "cell",
+            "xq",
+            F.zip_with("xq", "sx", lambda a, b: a - b).alias("rq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return frame, seed_vecs
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k_nn: int = 10,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    k_pq: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pq",
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF-PQ at the FAISS IndexIVFPQ DEFAULT operating point — the
+    q321 composition upgraded with the two production refinements
+    (Jégou et al. 2011 §V-A):
+
+    - **residual encoding**: PQ codes the residual x − c(cell) rather
+      than x itself, so the codebooks spend their precision on the
+      within-cell variation the coarse quantizer leaves behind;
+    - **Lloyd-refined codebooks**: per-subspace k-means over the
+      residual subvectors (operators/kmeans, ``n_iter`` rounds,
+      hash-order init with the per-subspace salt — the md5 codebook
+      IS iteration 0), final centroids rounded half-away onto the
+      ×1e8 grid so every downstream distance stays an exact int64.
+
+    Determinism contract (hash-gate replayable, suite q339): int8
+    coarse routing (q239), exact-integer residuals, Lloyd rounds with
+    double distances in FIXED dimension order + ROUND-6 decimal-mean
+    updates (the q159 kmeans contract), half-away final rounding
+    (``_half_away`` == DuckDB CAST), integer ADC over probed cells,
+    exact integer re-rank on the RAW grid.
+
+    Scale shape: unchanged from ivf_pq_topk — seeds/codebooks/ADC
+    tables broadcast (codebook training is m small kmeans jobs over
+    one checkpointed residual frame; driver state m·k_pq·d_sub ints),
+    scoring touches probed cells only, the corpus never self-joins.
+    """
+    from pyspark.sql.window import Window
+
+    from .kmeans import kmeans as _kmeans
+
+    spark = emb.sparkSession
+    frame, seed_vecs = ivf_residual_frame(
+        emb, num_cells, id_col, vec_col
+    )
+    dim = len(next(iter(seed_vecs.values())))
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    d_sub = dim // m
+
+    # --- Lloyd-refined residual codebooks --------------------------
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        cols = [
+            F.element_at(F.col("rq"), j * d_sub + d + 1)
+            .cast("double")
+            .alias(f"d{d}")
+            for d in range(d_sub)
+        ]
+        pts = frame.select(F.col("id").alias("pid"), *cols)
+        _, cents = _kmeans(
+            pts,
+            [f"d{d}" for d in range(d_sub)],
+            "pid",
+            k=k_pq,
+            n_iter=n_iter,
+            salt=f"{salt}|{j}",
+        )
+        books.append([[_half_away(c) for c in cent] for cent in cents])
+
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [
+                (j, h, j * d_sub + d + 1, int(books[j][h][d]))
+                for j in range(m)
+                for h in range(k_pq)
+                for d in range(d_sub)
+            ],
+            "j int, h int, i int, c long",
+        )
+    )
+
+    # --- encode member residuals ------------------------------------
+    rdim = frame.select(
+        "id", F.posexplode("rq").alias("_pos", "r")
+    ).select("id", (F.col("_pos") + 1).alias("i"), "r")
+    enc = (
+        rdim.join(cb, "i")
+        .groupBy("id", "j", "h")
+        .agg(
+            F.sum((F.col("r") - F.col("c")) * (F.col("r") - F.col("c")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    wj = Window.partitionBy("id", "j").orderBy(F.asc("d"), F.asc("h"))
+    codes = (
+        enc.withColumn("_rn", F.row_number().over(wj))
+        .filter(F.col("_rn") == 1)
+        .select("id", "j", "h")
+    )
+
+    # --- probes + per-(query, cell) residual ADC tables -------------
+    qn = quantize_embeddings(emb, id_col, vec_col)
+    seeds = (
+        qn.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(num_cells)
+        .select(
+            F.col("id").alias("seed_id"), F.col("qvec").alias("seed_qvec")
+        )
+    )
+    dot_seed = F.aggregate(
+        F.zip_with("qvec", "seed_qvec", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("id").orderBy(
+        F.desc("sdot"), F.asc("seed_id")
+    )
+    probes = (
+        qn.filter(F.col("id").isin([int(q) for q in query_ids]))
+        .crossJoin(F.broadcast(seeds))
+        .select("id", "seed_id", dot_seed.alias("sdot"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("seed_id").alias("cell"))
+    )
+    qrows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("_id"), F.expr(_xq_expr(vec_col)).alias("_xq")
+        )
+        .collect()
+    )
+    qx_map = {int(r["_id"]): [int(v) for v in r["_xq"]] for r in qrows}
+    probe_rows = [
+        (int(r["query_id"]), int(r["cell"])) for r in probes.collect()
+    ]
+    qtab_rows = []
+    for qid, cell in probe_rows:
+        qres = [
+            a - b for a, b in zip(qx_map[qid], seed_vecs[cell])
+        ]
+        for j in range(m):
+            qsub = qres[j * d_sub : (j + 1) * d_sub]
+            for h in range(k_pq):
+                t = sum(
+                    (a - b) * (a - b) for a, b in zip(qsub, books[j][h])
+                )
+                qtab_rows.append((qid, cell, j, h, int(t)))
+    qtab = F.broadcast(
+        spark.createDataFrame(
+            qtab_rows, "query_id long, cell long, j int, h int, t long"
+        )
+    )
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, "query_id long, cell long"
+        )
+    )
+
+    # --- ADC within probed cells only --------------------------------
+    member = (
+        frame.select("id", "cell")
+        .join(probes_df, "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "cell", "id")
+    )
+    adc = (
+        member.join(codes, "id")
+        .join(qtab, ["query_id", "cell", "j", "h"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("t").cast("long").alias("pq_dist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("id")
+    )
+    cands = (
+        adc.withColumn("_rn", F.row_number().over(w_short))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "id")
+    )
+
+    # --- exact integer re-rank on the RAW grid -----------------------
+    dist = None
+    for qid in sorted(qx_map):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in qx_map[qid]])
+        d = F.aggregate(
+            F.zip_with(F.col("xq"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        dist = (
+            F.when(F.col("query_id") == qid, d)
+            if dist is None
+            else dist.when(F.col("query_id") == qid, d)
+        )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("id")
+    )
+    return (
+        cands.join(frame.select("id", "xq"), "id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("id").cast("bigint").alias("id"),
+            dist.alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= k_nn)
+        .orderBy("query_id", "rank")
+    )

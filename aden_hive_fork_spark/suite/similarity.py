@@ -1389,3 +1389,206 @@ def q338_semdedup_verdicts(spark, sf_dir):
     return semdedup_verdicts(
         emb, threshold=_Q338_THRESHOLD, num_cells=_Q338_CELLS
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q339 — IVF-PQ at the FAISS DEFAULT operating point (round 10,
+# VERDICT r9 task 7): residual encoding + Lloyd-refined codebooks.
+# The oracle replays the ENTIRE training + search pipeline: int8
+# coarse routing (q239), exact-integer residuals to the cell seed,
+# per-subspace Lloyd rounds UNROLLED as CTEs (the q159 kmeans
+# contract: fixed-order double distances, ROUND-6 decimal means,
+# hash-order init with the per-subspace salt), half-away final
+# rounding onto the ×1e8 grid (CAST AS BIGINT == operators
+# _half_away), integer ADC over probed cells, exact integer re-rank.
+# ---------------------------------------------------------------------------
+_Q339_ITERS = 2
+
+
+def _q339_oracle() -> str:
+    m, k, d_sub = _PQ_M, _PQ_K, _PQ_DSUB
+    dist4 = " + ".join(
+        f"(p.x{d} - c.x{d}) * (p.x{d} - c.x{d})" for d in range(d_sub)
+    )
+    pivot = ", ".join(
+        f"MAX(CASE WHEN (i - 1) % {d_sub} = {d} "
+        f"THEN CAST(r AS DOUBLE) END) AS x{d}"
+        for d in range(d_sub)
+    )
+    means = ", ".join(
+        f"ROUND(CAST(SUM(CAST(x{d} AS DECIMAL(28,2))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE), 6) AS x{d}"
+        for d in range(d_sub)
+    )
+    carry = ", ".join(
+        f"COALESCE(u.x{d}, p.x{d}) AS x{d}" for d in range(d_sub)
+    )
+    unpivot = "\n      UNION ALL\n".join(
+        f"      SELECT j, cid AS h, j * {d_sub} + {d} + 1 AS i, "
+        f"CAST(x{d} AS BIGINT) AS c FROM kc{_Q339_ITERS}"
+        for d in range(d_sub)
+    )
+    sql = f"""
+    WITH qn AS MATERIALIZED ({_QUANT_CTE}),
+    seeds AS MATERIALIZED (
+      SELECT vec_id AS seed_id, qvec AS seed_qvec
+      FROM qn
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+      LIMIT {_IVFPQ_CELLS}
+    ),
+    sc AS MATERIALIZED (
+      SELECT q.vec_id AS id, s.seed_id,
+        list_sum(list_transform(range(1, len(q.qvec) + 1),
+                 i -> q.qvec[i] * s.seed_qvec[i])) AS sdot
+      FROM qn q CROSS JOIN seeds s
+    ),
+    asg AS MATERIALIZED (
+      SELECT id, seed_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM sc) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT id AS query_id, seed_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY sdot DESC, seed_id ASC) AS rn
+        FROM sc WHERE id IN {_IVFPQ_QIDS})
+      WHERE rn <= {_IVFPQ_PROBE}
+    ),
+    xe AS MATERIALIZED (
+      SELECT vec_id, i,
+        CAST(CAST(CAST(val AS DOUBLE) AS DECIMAL(10,8)) * 100000000
+             AS BIGINT) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS val,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ),
+    res AS MATERIALIZED (
+      SELECT a.id AS vec_id, a.cell, e.i, e.x - sx.x AS r
+      FROM asg a
+      JOIN xe e ON e.vec_id = a.id
+      JOIN xe sx ON sx.vec_id = a.cell AND sx.i = e.i
+    ),
+    rp AS MATERIALIZED (
+      SELECT vec_id, CAST((i - 1) // {d_sub} AS INT) AS j, {pivot}
+      FROM res GROUP BY 1, 2
+    ),
+    kc0 AS MATERIALIZED (
+      SELECT j, (ROW_NUMBER() OVER (PARTITION BY j ORDER BY
+          md5('pq|' || CAST(j AS VARCHAR) || CAST(vec_id AS VARCHAR))
+          ASC, vec_id ASC)) - 1 AS cid,
+        {", ".join(f"x{d}" for d in range(d_sub))}
+      FROM rp
+      QUALIFY cid < {k}
+    )"""
+    for it in range(1, _Q339_ITERS + 1):
+        sql += f""",
+    ka{it} AS MATERIALIZED (
+      SELECT j, vec_id, cid FROM (
+        SELECT p.j, p.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.j, p.vec_id
+            ORDER BY {dist4} ASC, c.cid ASC) AS rn
+        FROM rp p JOIN kc{it - 1} c ON c.j = p.j
+      ) WHERE rn = 1
+    ),
+    ku{it} AS MATERIALIZED (
+      SELECT a.j, a.cid, {means}
+      FROM ka{it} a JOIN rp p ON p.j = a.j AND p.vec_id = a.vec_id
+      GROUP BY a.j, a.cid
+    ),
+    kc{it} AS MATERIALIZED (
+      SELECT p.j, p.cid, {carry}
+      FROM kc{it - 1} p
+      LEFT JOIN ku{it} u ON u.j = p.j AND u.cid = p.cid
+    )"""
+    sql += f""",
+    cbr AS MATERIALIZED (
+{unpivot}
+    ),
+    enc AS MATERIALIZED (
+      SELECT r.vec_id, c.j, c.h,
+        CAST(SUM((r.r - c.c) * (r.r - c.c)) AS BIGINT) AS d
+      FROM res r JOIN cbr c ON c.i = r.i
+      GROUP BY 1, 2, 3
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, j, h FROM (
+        SELECT vec_id, j, h,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                             ORDER BY d ASC, h ASC) AS rn
+        FROM enc) WHERE rn = 1
+    ),
+    qres AS MATERIALIZED (
+      SELECT p.query_id, p.cell, e.i, e.x - sx.x AS r
+      FROM probes p
+      JOIN xe e ON e.vec_id = p.query_id
+      JOIN xe sx ON sx.vec_id = p.cell AND sx.i = e.i
+    ),
+    qtab AS MATERIALIZED (
+      SELECT q.query_id, q.cell, c.j, c.h,
+        CAST(SUM((q.r - c.c) * (q.r - c.c)) AS BIGINT) AS t
+      FROM qres q JOIN cbr c ON c.i = q.i
+      GROUP BY 1, 2, 3, 4
+    ),
+    member AS MATERIALIZED (
+      SELECT p.query_id, p.cell, a.id
+      FROM asg a JOIN probes p ON a.cell = p.cell
+      WHERE a.id <> p.query_id
+    ),
+    adc AS MATERIALIZED (
+      SELECT m.query_id, m.id AS vec_id,
+        CAST(SUM(q.t) AS BIGINT) AS pq_dist
+      FROM member m
+      JOIN codes c ON c.vec_id = m.id
+      JOIN qtab q ON q.query_id = m.query_id AND q.cell = m.cell
+                 AND q.j = c.j AND q.h = c.h
+      GROUP BY 1, 2
+    ),
+    short AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY pq_dist ASC, vec_id ASC) AS rn
+        FROM adc) WHERE rn <= {_PQ_SHORT}
+    ),
+    ex AS MATERIALIZED (
+      SELECT s.query_id, s.vec_id,
+        CAST(SUM((e.x - qx.x) * (e.x - qx.x)) AS BIGINT) AS dist
+      FROM short s
+      JOIN xe e ON e.vec_id = s.vec_id
+      JOIN xe qx ON qx.vec_id = s.query_id AND qx.i = e.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+      CAST(vec_id AS BIGINT) AS vec_id, dist, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT query_id, vec_id, dist,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY dist ASC, vec_id ASC) AS rn
+      FROM ex) WHERE rn <= {_PQ_NN}
+    ORDER BY query_id ASC, rank ASC
+    """
+    return sql
+
+
+@query("q339_ivf_pq_residual_topk", oracle=_q339_oracle())
+def q339_ivf_pq_residual_topk(spark, sf_dir):
+    """operators/similarity.ivf_pq_residual_topk: the FAISS-default
+    IVF-PQ — Lloyd-refined codebooks trained on cell residuals, ADC
+    within probed cells, exact re-rank — hash-gated end to end
+    including the codebook TRAINING (unrolled Lloyd in the oracle)."""
+    from ..operators.similarity import ivf_pq_residual_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = ivf_pq_residual_topk(
+        emb, list(_IVFPQ_QIDS), k_nn=_PQ_NN,
+        num_cells=_IVFPQ_CELLS, n_probe=_IVFPQ_PROBE,
+        m=_PQ_M, k_pq=_PQ_K, shortlist=_PQ_SHORT, salt="pq",
+        n_iter=_Q339_ITERS,
+    )
+    return out.select(
+        "query_id",
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("dist").cast("bigint").alias("dist"),
+        "rank",
+    ).orderBy("query_id", "rank")

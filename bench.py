@@ -119,6 +119,10 @@ HEADLINE = [
     "q322_winnowing_neardup",     # MOSS positional fingerprint dedup
     "q326_dsir_selection",        # importance-resampling data selection
     "q330_zorder_layout_census",  # Morton layout key + extent census
+    # round-10 headliners
+    "q334_unigram_lm_train",      # Viterbi-EM tokenizer, map-side DP
+    "q336_pretrain_pipeline_census",  # nine-stage curation capstone
+    "q338_semdedup_verdicts",     # embedding-cluster semantic dedup
 ]
 
 

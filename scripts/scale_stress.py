@@ -175,7 +175,11 @@ def main() -> int:
                  # round-10: SemDeDup over embeddings ×10 exact
                  # replicas (worst case: every replica set is one
                  # giant within-cell cluster)
-                 "q338_semdedup_verdicts"):
+                 "q338_semdedup_verdicts",
+                 # round-10: FAISS-default IVF-PQ (the 48 kmeans
+                 # collect rounds are an index-BUILD cost — amortized
+                 # over queries in production, re-paid per run here)
+                 "q339_ivf_pq_residual_topk"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

@@ -203,3 +203,96 @@ def test_ivf_pq_no_cartesian_broadcast_dims(spark, emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def _recall_at_10(rows: dict, out) -> int:
+    got: dict[int, set] = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    total = 0
+    for qid in (0, 1, 2, 3):
+        q = rows[qid]
+        exact = {
+            vid
+            for _, vid in sorted(
+                (sum((a - b) ** 2 for a, b in zip(v, q)), vid)
+                for vid, v in rows.items()
+                if vid != qid
+            )[:10]
+        }
+        total += len(got.get(qid, set()) & exact)
+    return total
+
+
+def test_ivf_pq_residual_recall_not_below_md5_tier(spark, emb):
+    """The FAISS-default operating point (q339: Lloyd-refined
+    residual codebooks) must never recall WORSE than the md5-sampled
+    tier at the same (cells, probes, shortlist) — on the isotropic
+    fixture recall is probe-bound so they tie at 21/40; the clustered
+    fixture below is where refinement separates."""
+    from aden_hive_fork_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    kw = dict(k_nn=10, num_cells=16, n_probe=4, m=16, shortlist=100)
+    md5_total = _recall_at_10(rows, ivf_pq_topk(emb, [0, 1, 2, 3], **kw))
+    res_total = _recall_at_10(
+        rows, ivf_pq_residual_topk(emb, [0, 1, 2, 3], n_iter=2, **kw)
+    )
+    assert res_total >= md5_total  # measured 21 == 21 (probe-bound)
+    assert res_total >= 21
+
+
+def test_ivf_pq_residual_beats_md5_on_clustered_data(spark):
+    """Where the data HAS cluster structure (the case residual coding
+    exists for), the refined tier must strictly beat the raw-vector
+    md5 codebooks under a tight shortlist: PQ on raw vectors wastes
+    its precision re-encoding the cluster offset that the coarse
+    quantizer already captured. Measured 38 vs 34 of 40."""
+    from aden_hive_fork_spark.operators.similarity import (
+        ivf_pq_residual_topk,
+        ivf_pq_topk,
+    )
+
+    data = []
+    vid = 0
+    for c in range(20):
+        center = [((c * 37 + d * 13) % 200 - 100) / 100.0 for d in range(64)]
+        for _ in range(40):
+            v = [
+                center[d] + (((vid * 31 + d * 7) % 21) - 10) / 1000.0
+                for d in range(64)
+            ]
+            data.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb2 = spark.createDataFrame(
+        data, "vec_id bigint, embedding array<float>"
+    )
+    rows = {r[0]: r[1] for r in data}
+    kw = dict(k_nn=10, num_cells=16, n_probe=4, m=16, shortlist=30)
+    md5_total = _recall_at_10(rows, ivf_pq_topk(emb2, [0, 1, 2, 3], **kw))
+    res_total = _recall_at_10(
+        rows, ivf_pq_residual_topk(emb2, [0, 1, 2, 3], n_iter=2, **kw)
+    )
+    assert res_total > md5_total, (res_total, md5_total)
+    assert res_total >= 36  # measured 38
+
+
+def test_half_away_rounding_contract():
+    """_half_away == DuckDB CAST(double AS BIGINT) on ties — the
+    contract that makes the trained codebooks replayable (Python's
+    int(round()) is banker's and diverges at x.5)."""
+    import duckdb
+
+    from aden_hive_fork_spark.operators.similarity import _half_away
+
+    cases = [2.5, 3.5, -2.5, -3.5, 0.5, -0.5, 2.4999, 1e8 + 0.5]
+    got = [_half_away(c) for c in cases]
+    want = [
+        r[0]
+        for c in cases
+        for r in duckdb.sql(f"SELECT CAST({c!r} AS BIGINT)").fetchall()
+    ]
+    assert got == want
