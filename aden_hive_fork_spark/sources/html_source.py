@@ -136,3 +136,55 @@ def scrape_columns(html_col: str = "html") -> list[Column]:
         html_text_udf()(c).alias("text"),
         html_links_udf()(c).alias("n_links"),
     ]
+
+
+class _LinkExtractor(HTMLParser):
+    """href + anchor text pairs, document order — the reference
+    web_scrape ``include_links=true`` surface (web_scrape_tool.py)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, list[str]]] = []
+        self._depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            href = dict(attrs).get("href")
+            if href:
+                self.links.append((href, []))
+                self._depth = 1
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._depth = 0
+
+    def handle_data(self, data):
+        if self._depth and self.links:
+            self.links[-1][1].append(data)
+
+
+def html_links(html: str) -> list[dict]:
+    """[{href, text}] in document order (anchors without an href are
+    skipped; anchor text is whitespace-collapsed)."""
+    p = _LinkExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    return [
+        {"href": href, "text": _WS_RE.sub(" ", "".join(parts)).strip()}
+        for href, parts in p.links
+    ]
+
+
+def html_links_extract_udf():
+    """Arrow-batched link extraction: array<struct<href,text>>."""
+
+    @pandas_udf("array<struct<href string, text string>>")
+    def _f(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: [(d["href"], d["text"]) for d in html_links(h)]
+        )
+
+    return _f

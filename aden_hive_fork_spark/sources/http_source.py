@@ -57,16 +57,25 @@ def fetch_urls(
     max_bytes: int = 4 * 1024 * 1024,
     delay_s: float = 0.0,
     user_agent: str = "aden-hive-fork-spark/1.0",
+    transport_factory=None,
 ) -> DataFrame:
     """Fetch every URL in ``urls`` on the executors; one result row
     per input row, failures as data (see module docstring). Extra
-    input columns are dropped — join back on ``url`` if needed."""
+    input columns are dropped — join back on ``url`` if needed.
+
+    ``transport_factory`` (optional, must pickle by value — lambda/
+    closure): builds a per-executor ``transport(url) -> dict`` that
+    replaces the live urllib GET; the dict's keys override the result
+    envelope (status/content_type/body/error) — the netscan
+    scan_headers_table fixture discipline for hermetic tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # stdlib-only, imported on the executor
         import time
         import urllib.error
         import urllib.request
+
+        transport = transport_factory() if transport_factory else None
 
         def one(url: str) -> dict:
             out = {
@@ -82,6 +91,17 @@ def fetch_urls(
                 ("http://", "https://")
             ):
                 out["error"] = "rejected_scheme"
+                return out
+            if transport is not None:
+                try:
+                    env = transport(url) or {}
+                except Exception as e:  # noqa: BLE001 — envelope
+                    env = {"error": f"{type(e).__name__}: {e}"}
+                out.update({k: v for k, v in env.items() if k in out})
+                body = out.get("body")
+                if isinstance(body, str):
+                    out["body"] = body.encode("utf-8")
+                out["n_bytes"] = len(out["body"] or b"")
                 return out
             req = urllib.request.Request(url, headers={"User-Agent": user_agent})
             try:
