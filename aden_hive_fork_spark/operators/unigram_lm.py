@@ -260,6 +260,22 @@ def _train_chain(
     Vocabulary-sized intermediates are localCheckpoint-truncated per
     round — the pagerank/q240 lineage discipline."""
     words = unigram_words(df, text_col).localCheckpoint(eager=True)
+    return _train_chain_from_words(
+        words, min_occ, max_piece_len, em_rounds
+    )
+
+
+def _train_chain_from_words(
+    words: DataFrame,
+    min_occ: int,
+    max_piece_len: int,
+    em_rounds: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The chain from an ALREADY-REDUCED (word, freq BIGINT) relation
+    — the seam the streaming twin shares: (word, freq) is the one
+    corpus-sized reduction and it is SUM-mergeable, so training over
+    live merged counts is bit-identical to batch training over the
+    union of every batch."""
     seed = unigram_seed_vocab(
         words, min_occ, max_piece_len
     ).localCheckpoint(eager=True)
