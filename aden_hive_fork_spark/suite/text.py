@@ -1378,3 +1378,222 @@ def q335_unigram_lm_segments(spark, sf_dir):
         docs, text_col="text", min_occ=_Q334_MIN_OCC,
         max_piece_len=_Q334_MAX_LEN, em_rounds=_Q334_EM_ROUNDS,
     ).orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+# q340 — trained-tokenizer comparison report (round 10): the "choose
+# your tokenizer" artifact a pretraining stack produces before
+# committing — BPE (q240/q314), WordPiece (q325), and Unigram-LM
+# (q334/q335) each trained at their gate-pinned operating points on
+# the same corpus, one summary row per family: vocabulary size, word
+# coverage, and the frequency-weighted mean pieces-per-word (the
+# fertility number that drives context-window budgets). The oracle
+# replays ALL THREE training chains (BPE merge rounds, the WordPiece
+# recursive maximal munch, the unigram recursive Viterbi-EM) in one
+# statement — CTE names prefixed per family to compose.
+# ---------------------------------------------------------------------------
+_UG_CTE_NAMES = (
+    ["words", "poss", "occ", "seed", "tot0", "voc0"]
+    + [n
+       for r in range(_Q334_EM_ROUNDS + 1)
+       for n in (f"dp{r}", f"fin{r}", f"bt{r}", f"segdone{r}")]
+    + [n
+       for r in range(_Q334_EM_ROUNDS)
+       for n in (f"cnt{r}", f"tot{r + 1}", f"voc{r + 1}")]
+)
+
+
+def _prefix_ctes(sql: str, names: list[str], prefix: str) -> str:
+    """Rename CTEs by word-boundary substitution (column names like
+    seed_cnt are safe: '_' is a word character, so \\bseed\\b cannot
+    match inside them)."""
+    import re as _re
+
+    for n in sorted(set(names), key=len, reverse=True):
+        sql = _re.sub(rf"\b{n}\b", f"{prefix}{n}", sql)
+    return sql
+
+
+def _tokenizer_report_oracle() -> str:
+    R = _Q334_EM_ROUNDS
+    ug = _prefix_ctes(_unigram_cte_chain(), _UG_CTE_NAMES, "ug_")
+    ug_body = ug.split("WITH RECURSIVE", 1)[1]
+    bpe = _bpe_cte_chain().split("WITH", 1)[1]
+    mean6 = (
+        "FLOOR(CAST(SUM(freq * np) AS DOUBLE)"
+        " / CAST(SUM(freq) AS DOUBLE) * 1000000 + 0.5) / 1000000"
+    )
+    return f"""
+    WITH RECURSIVE {bpe.strip()},
+    {ug_body.strip()},
+    wp_words AS MATERIALIZED (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+            FROM documents)
+      WHERE w != '' GROUP BY w
+    ),
+    wp_poss AS (
+      SELECT unnest(range(1, (SELECT MAX(len(word)) + 1 FROM wp_words)))
+        AS i
+    ),
+    wp_chars AS (
+      SELECT DISTINCT substr(word, i.i, 1) AS token
+      FROM wp_words CROSS JOIN wp_poss i
+      WHERE i.i <= len(word)
+    ),
+    wp_subs AS (
+      SELECT substr(word, i.i, l.l) AS token
+      FROM wp_words
+      CROSS JOIN wp_poss i
+      CROSS JOIN (SELECT unnest(range(2, {_Q325_MAX_LEN + 1})) AS l) l
+      WHERE i.i + l.l - 1 <= len(word)
+      GROUP BY 1
+      HAVING SUM(freq) >= {_Q325_MIN_OCC}
+    ),
+    wp_vocab AS MATERIALIZED (
+      SELECT token FROM wp_chars UNION SELECT token FROM wp_subs
+    ),
+    wp_seg AS (
+      SELECT word, 1 AS pos, CAST('' AS VARCHAR) AS toks FROM wp_words
+      UNION ALL
+      SELECT word, pos + ml,
+        CASE WHEN toks = '' THEN substr(word, pos, ml)
+             ELSE toks || ' ' || substr(word, pos, ml) END
+      FROM (
+        SELECT s.word, s.pos, s.toks, MAX(l.l) AS ml
+        FROM wp_seg s
+        CROSS JOIN (SELECT unnest(range(1, {_Q325_MAX_LEN + 1})) AS l) l
+        JOIN wp_vocab v ON l.l <= len(s.word) - s.pos + 1
+          AND v.token = substr(s.word, s.pos, l.l)
+        WHERE s.pos <= len(s.word)
+        GROUP BY s.word, s.pos, s.toks
+      )
+    ),
+    wp_done AS MATERIALIZED (
+      SELECT word, toks FROM wp_seg WHERE pos > len(word)
+    ),
+    bpe_per_word AS (
+      SELECT wid, freq, COUNT(*) AS np
+      FROM t{_BPE_MERGES} GROUP BY wid, freq
+    ),
+    wp_per_word AS (
+      SELECT d.word, w.freq, len(string_split(d.toks, ' ')) AS np
+      FROM wp_done d JOIN wp_words w USING (word)
+    ),
+    ug_per_word AS (
+      SELECT s.word, w.freq,
+        len(string_split(s.pieces, ' ')) AS np
+      FROM ug_segdone{R} s JOIN ug_words w USING (word)
+    )
+    SELECT * FROM (
+      SELECT 'bpe' AS tokenizer,
+        (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+         FROM t{_BPE_MERGES}) AS vocab_size,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(freq) AS BIGINT) AS total_freq,
+        CAST(SUM(freq * np) AS BIGINT) AS weighted_pieces,
+        CAST({mean6} AS DOUBLE) AS mean_pieces
+      FROM bpe_per_word
+      UNION ALL
+      SELECT 'unigram',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ug_seed),
+        CAST(COUNT(*) AS BIGINT), CAST(SUM(freq) AS BIGINT),
+        CAST(SUM(freq * np) AS BIGINT), CAST({mean6} AS DOUBLE)
+      FROM ug_per_word
+      UNION ALL
+      SELECT 'wordpiece',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM wp_vocab),
+        CAST(COUNT(*) AS BIGINT), CAST(SUM(freq) AS BIGINT),
+        CAST(SUM(freq * np) AS BIGINT), CAST({mean6} AS DOUBLE)
+      FROM wp_per_word
+    ) ORDER BY tokenizer ASC
+    """
+
+
+@query("q340_tokenizer_report", oracle=_tokenizer_report_oracle())
+def q340_tokenizer_report(spark, sf_dir):
+    """The trained-tokenizer family comparison: BPE / WordPiece /
+    Unigram-LM each at its gate-pinned operating point, one row per
+    family with vocabulary size and frequency-weighted fertility —
+    all three trainings value-hash checked in ONE statement."""
+    from ..operators.bpe_train import (
+        bpe_vocab_segmentation,
+        wordpiece_segment,
+        wordpiece_vocab,
+    )
+    from ..operators.similarity import stable_round6
+    from ..operators.unigram_lm import (
+        unigram_lm_segment,
+        unigram_seed_vocab,
+        unigram_words,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+
+    def summarize(name, per_word, freq_col, np_col, vocab_df):
+        stats = per_word.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(freq_col).cast("bigint").alias("total_freq"),
+            F.sum(F.col(freq_col) * F.col(np_col))
+            .cast("bigint")
+            .alias("weighted_pieces"),
+        )
+        return stats.crossJoin(F.broadcast(vocab_df)).select(
+            F.lit(name).alias("tokenizer"),
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            "n_words",
+            "total_freq",
+            "weighted_pieces",
+            stable_round6(
+                F.col("weighted_pieces").cast("double")
+                / F.col("total_freq").cast("double")
+            ).alias("mean_pieces"),
+        )
+
+    toks = bpe_vocab_segmentation(
+        docs, text_col="text", n_merges=_BPE_MERGES,
+        top_words=_BPE_TOP_WORDS,
+    ).localCheckpoint(eager=True)
+    bpe_row = summarize(
+        "bpe",
+        toks.groupBy("wid", "freq").agg(
+            F.count(F.lit(1)).alias("np")
+        ),
+        "freq",
+        "np",
+        toks.agg(F.countDistinct("sym").alias("vocab_size")),
+    )
+
+    words = unigram_words(docs, "text").localCheckpoint(eager=True)
+    wp_seg = wordpiece_segment(
+        docs, text_col="text",
+        min_occ=_Q325_MIN_OCC, max_sub_len=_Q325_MAX_LEN,
+    )
+    wp_row = summarize(
+        "wordpiece",
+        wp_seg.select("word", "word_freq", "n_pieces"),
+        "word_freq",
+        "n_pieces",
+        wordpiece_vocab(
+            words, min_occ=_Q325_MIN_OCC, max_sub_len=_Q325_MAX_LEN
+        ).agg(F.count(F.lit(1)).alias("vocab_size")),
+    )
+
+    ug_seg = unigram_lm_segment(
+        docs, text_col="text", min_occ=_Q334_MIN_OCC,
+        max_piece_len=_Q334_MAX_LEN, em_rounds=_Q334_EM_ROUNDS,
+    )
+    ug_row = summarize(
+        "unigram",
+        ug_seg.select("word", "word_freq", "n_pieces"),
+        "word_freq",
+        "n_pieces",
+        unigram_seed_vocab(
+            words, min_occ=_Q334_MIN_OCC, max_piece_len=_Q334_MAX_LEN
+        ).agg(F.count(F.lit(1)).alias("vocab_size")),
+    )
+    return (
+        bpe_row.unionByName(ug_row)
+        .unionByName(wp_row)
+        .orderBy("tokenizer")
+    )

@@ -179,7 +179,10 @@ def main() -> int:
                  # round-10: FAISS-default IVF-PQ (the 48 kmeans
                  # collect rounds are an index-BUILD cost — amortized
                  # over queries in production, re-paid per run here)
-                 "q339_ivf_pq_residual_topk"):
+                 "q339_ivf_pq_residual_topk",
+                 # round-10: all three tokenizer trainings in one
+                 # statement (vocab-sized after the corpus reductions)
+                 "q340_tokenizer_report"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
