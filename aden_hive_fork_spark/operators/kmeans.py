@@ -46,6 +46,13 @@ def assign_clusters(
     """Append ``cid`` = index of the nearest centroid (squared
     euclidean; ties → lower cid). Pure column expression — no join,
     no shuffle, codegen-fused into whatever scan feeds it."""
+    return df.withColumn("cid", _argmin_cid(feature_cols, centroids))
+
+
+def _argmin_cid(feature_cols: list[str], centroids: list[list[float]]) -> Column:
+    """Column form of the assignment: index of the nearest centroid
+    (squared euclidean, the fixed left-to-right dimension order of
+    ``_dist2``; ties → lower cid via struct comparison)."""
     entries = [
         F.struct(
             _dist2(feature_cols, c).alias("d"),
@@ -53,7 +60,126 @@ def assign_clusters(
         )
         for i, c in enumerate(centroids)
     ]
-    return df.withColumn("cid", F.array_min(F.array(*entries)).getField("cid"))
+    return F.array_min(F.array(*entries)).getField("cid")
+
+
+def kmeans_keyed(
+    df: DataFrame,
+    key_col: str,
+    feature_cols: list[str],
+    id_col: str,
+    k: int,
+    n_iter: int = 3,
+    salt_prefix: str = "kmeans|",
+    ndigits: int = 6,
+) -> dict[int, list[list[float]]]:
+    """Run ``n_keys`` INDEPENDENT k-means fits in ONE Lloyd loop —
+    the scale-correct plan for PQ codebook training, where the m
+    subspaces would otherwise serialize m×n_iter Spark jobs.
+
+    ``df`` holds every key's points stacked (one row per (key,
+    point)); each Lloyd round is ONE assignment pass + ONE
+    ``groupBy(key, cid)`` aggregate updating ALL keys' centroids,
+    with one driver collect of n_keys·k rows per round. Bit-identical
+    to running :func:`kmeans` per key with ``salt =
+    salt_prefix + str(key)``:
+
+    - seeds per key = the k rows with the smallest
+      ``md5(salt_prefix || key || id)`` (window per key replays the
+      per-key global sort-limit);
+    - assignment broadcast-joins each key's centroid array (n_keys
+      rows) and computes the argmin with a runtime
+      ``transform``/``aggregate`` fold — the same left-to-right
+      dimension-order IEEE sequence as ``_dist2`` (the fold seeds
+      with +0.0, an exact identity for the non-negative squared
+      terms) and the same (distance, cid) struct-min tie-break.
+      A literal when-chain would re-create ``_dist2`` exactly but
+      blows Janino's 64 KB codegen limit at n_keys·k expression
+      copies; the array form is O(1) generated code;
+    - centroid updates are the same exact-decimal ROUND-``ndigits``
+      means, now grouped by (key, cid);
+    - an emptied cluster keeps its previous centroid.
+
+    Returns {key: [k centroids]}. Driver state: n_keys·k·d floats.
+    ``key_col`` must be integer-typed (its string cast must equal
+    Python ``str(key)`` for the seed-hash contract).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    h = F.md5(
+        F.concat(
+            F.lit(salt_prefix),
+            F.col(key_col).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w_seed = Window.partitionBy(key_col).orderBy("_h", "_id")
+    seed_rows = (
+        df.select(
+            F.col(key_col),
+            *feature_cols,
+            h.alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k)
+        .collect()
+    )
+    cents: dict[int, list[list[float]]] = {}
+    for r in sorted(seed_rows, key=lambda r: (r[key_col], r["_rn"])):
+        cents.setdefault(int(r[key_col]), []).append(
+            [float(r[c]) for c in feature_cols]
+        )
+    for key, cs in cents.items():
+        if len(cs) < k:
+            raise ValueError(f"key {key}: fewer than k={k} rows to seed from")
+    keys = sorted(cents)
+
+    spark = df.sparkSession
+    feat = F.array(*[F.col(c) for c in feature_cols])
+    for _ in range(n_iter):
+        cb = F.broadcast(
+            spark.createDataFrame(
+                [(key, cents[key]) for key in keys],
+                f"{key_col} int, _cents array<array<double>>",
+            )
+        )
+        entries = F.transform(
+            F.col("_cents"),
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(feat, c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                i.cast("int").alias("cid"),
+            ),
+        )
+        assigned = df.join(cb, key_col).withColumn(
+            "cid", F.array_min(entries).getField("cid")
+        )
+        aggs = [
+            F.round(
+                F.sum(F.col(c).cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                ndigits,
+            ).alias(f"_m_{c}")
+            for c in feature_cols
+        ]
+        rows = assigned.groupBy(key_col, "cid").agg(*aggs).collect()
+        upd = {
+            (int(r[key_col]), int(r["cid"])): [
+                float(r[f"_m_{c}"]) for c in feature_cols
+            ]
+            for r in rows
+        }
+        cents = {
+            key: [upd.get((key, i), cents[key][i]) for i in range(k)]
+            for key in keys
+        }
+    return cents
 
 
 def kmeans(

@@ -1331,10 +1331,15 @@ def pq_codebooks_kmeans(
     round the final centroids back onto the grid. The returned shape
     is identical, so pq_encode / pq_adc_topk / pq_rerank_topk consume
     it unchanged — refinement moves recall, not plumbing. Driver
-    state: m·k·d_sub ints; m small kmeans jobs (each k·d_sub-bounded
-    per iteration)."""
-    from .kmeans import kmeans as _kmeans
+    state: m·k·d_sub ints.
 
+    Scale plan (round 11): the corpus explodes ONCE to (subspace j,
+    point, d_sub subvector) rows and ALL m codebooks train in one
+    keyed k-means — each Lloyd round is ONE pass + ONE m·k-row
+    collect instead of m×n_iter serialized jobs. Bit-identical to the
+    per-subspace loop (kmeans_keyed's salt contract replays
+    ``salt|j`` seeding), so the q320/q321/q339 oracle hashes do not
+    move."""
     base = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("pid"), F.expr(_xq_expr(vec_col)).alias("_xq")
     )
@@ -1342,27 +1347,53 @@ def pq_codebooks_kmeans(
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     d_sub = dim // m
-    books: list[list[list[int]]] = []
-    for j in range(m):
-        cols = [
-            F.element_at(F.col("_xq"), j * d_sub + d + 1)
-            .cast("double")
-            .alias(f"d{d}")
-            for d in range(d_sub)
+    cents = _subspace_kmeans(base, "_xq", m, d_sub, k, salt, n_iter)
+    return [
+        [[int(round(c)) for c in cent] for cent in cents[j]]
+        for j in range(m)
+    ]
+
+
+def _subspace_kmeans(
+    src: DataFrame,
+    arr_col: str,
+    m: int,
+    d_sub: int,
+    k: int,
+    salt: str,
+    n_iter: int,
+) -> dict[int, list[list[float]]]:
+    """Explode ``src`` (pid, arr_col: array<long>) to (j, pid,
+    d_sub-subvector) rows — ONE map-side pass, no shuffle — and fit
+    all m subspace codebooks with operators/kmeans.kmeans_keyed.
+    Seed salt per subspace is ``salt|j`` (the historical per-subspace
+    contract), so results are bit-identical to m independent fits."""
+    from .kmeans import kmeans_keyed
+
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("j"),
+                *[
+                    F.element_at(F.col(arr_col), j * d_sub + d + 1)
+                    .cast("double")
+                    .alias(f"d{d}")
+                    for d in range(d_sub)
+                ],
+            )
+            for j in range(m)
         ]
-        pts = base.select("pid", *cols)
-        _, cents = _kmeans(
-            pts,
-            [f"d{d}" for d in range(d_sub)],
-            "pid",
-            k=k,
-            n_iter=n_iter,
-            salt=f"{salt}|{j}",
-        )
-        books.append(
-            [[int(round(c)) for c in cent] for cent in cents]
-        )
-    return books
+    )
+    exploded = src.select(F.col("pid"), F.inline(sub_structs))
+    return kmeans_keyed(
+        exploded,
+        "j",
+        [f"d{d}" for d in range(d_sub)],
+        "pid",
+        k=k,
+        n_iter=n_iter,
+        salt_prefix=f"{salt}|",
+    )
 
 
 def ivf_pq_topk(
@@ -1764,13 +1795,14 @@ def ivf_pq_residual_topk(
     exact integer re-rank on the RAW grid.
 
     Scale shape: unchanged from ivf_pq_topk — seeds/codebooks/ADC
-    tables broadcast (codebook training is m small kmeans jobs over
-    one checkpointed residual frame; driver state m·k_pq·d_sub ints),
-    scoring touches probed cells only, the corpus never self-joins.
+    tables broadcast, scoring touches probed cells only, the corpus
+    never self-joins. Codebook training (round 11) is ONE keyed
+    k-means over the once-exploded (subspace, point, subvector)
+    residual rows — one pass + one m·k_pq-row collect per Lloyd
+    round instead of m×n_iter serialized jobs; driver state
+    m·k_pq·d_sub ints.
     """
     from pyspark.sql.window import Window
-
-    from .kmeans import kmeans as _kmeans
 
     spark = emb.sparkSession
     frame, seed_vecs = ivf_residual_frame(
@@ -1781,25 +1813,15 @@ def ivf_pq_residual_topk(
         raise ValueError(f"m={m} must divide dim={dim}")
     d_sub = dim // m
 
-    # --- Lloyd-refined residual codebooks --------------------------
-    books: list[list[list[int]]] = []
-    for j in range(m):
-        cols = [
-            F.element_at(F.col("rq"), j * d_sub + d + 1)
-            .cast("double")
-            .alias(f"d{d}")
-            for d in range(d_sub)
-        ]
-        pts = frame.select(F.col("id").alias("pid"), *cols)
-        _, cents = _kmeans(
-            pts,
-            [f"d{d}" for d in range(d_sub)],
-            "pid",
-            k=k_pq,
-            n_iter=n_iter,
-            salt=f"{salt}|{j}",
-        )
-        books.append([[_half_away(c) for c in cent] for cent in cents])
+    # --- Lloyd-refined residual codebooks (one keyed fit) ----------
+    cents = _subspace_kmeans(
+        frame.select(F.col("id").alias("pid"), "rq"),
+        "rq", m, d_sub, k_pq, salt, n_iter,
+    )
+    books: list[list[list[int]]] = [
+        [[_half_away(c) for c in cent] for cent in cents[j]]
+        for j in range(m)
+    ]
 
     cb = F.broadcast(
         spark.createDataFrame(
