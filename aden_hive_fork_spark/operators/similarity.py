@@ -942,7 +942,27 @@ def cosine_neardup_pairs_exact(
     grouped-map blocked pairwise scorer (block = unit of shuffle),
     with int64 Gram matrices and the quantized-cosine contract, so
     the threshold compares the SAME number the DuckDB oracle
-    computes."""
+    computes. The trailing orderBy is presentation-only; composition
+    callers that only consume the pair SET (SemDeDup's connected
+    components) should call
+    :func:`cosine_neardup_pairs_exact_unsorted` and skip the global
+    sort."""
+    return cosine_neardup_pairs_exact_unsorted(
+        emb, threshold, block_col, id_col, vec_col
+    ).orderBy(F.desc("cosine"), "id_a", "id_b")
+
+
+def cosine_neardup_pairs_exact_unsorted(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`cosine_neardup_pairs_exact` without the trailing global
+    orderBy — same rows, unspecified order. Internal scorer for
+    composition sites (SemDeDup) that feed the pairs straight into a
+    set-semantics consumer."""
     import numpy as np
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -975,7 +995,7 @@ def cosine_neardup_pairs_exact(
     grouped = emb.groupBy(block_col)
     return grouped.applyInPandas(
         pairs, schema="id_a long, id_b long, cosine double"
-    ).orderBy(F.desc("cosine"), "id_a", "id_b")
+    )
 
 
 def lsh_buckets_md5(
@@ -1653,7 +1673,7 @@ def semdedup_verdicts(
     blocked = emb.select(
         F.col(id_col).cast("long").alias(id_col), vec_col
     ).join(assigned.withColumnRenamed("id", id_col), id_col)
-    pairs = cosine_neardup_pairs_exact(
+    pairs = cosine_neardup_pairs_exact_unsorted(
         blocked, threshold=threshold, block_col="cell",
         id_col=id_col, vec_col=vec_col,
     ).select("id_a", "id_b")

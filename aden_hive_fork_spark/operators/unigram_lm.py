@@ -132,6 +132,15 @@ def viterbi_segment(
     Ties prefer the LONGER token (iterating lengths ascending and
     replacing on >=, which is the oracle's ORDER BY s DESC, l DESC).
 
+    Precondition: ``vocab`` must cover every character of every word
+    (trainer-built vocabularies do — unigram_seed_vocab admits all
+    single characters unconditionally). A word with an unreachable
+    position would otherwise backtrack through bp=0 and emit
+    malformed empty pieces; this function FAILS LOUDLY instead
+    (assert_true on the final DP score), and fully-unmatched words
+    are kept by the left join so they hit the same guard rather than
+    silently dropping.
+
     Returns (word, freq, pieces, n_pieces INT, score DOUBLE — the raw
     unrounded best-path log-probability)."""
     L = int(max_piece_len)
@@ -152,8 +161,13 @@ def viterbi_segment(
         (F.col("c.j") * (L + 1) + F.col("c.l")).alias("k"),
         F.col("c.token").alias("token"),
     )
+    # LEFT join: a candidate token absent from the vocab maps to a
+    # null logp — element_at then returns null exactly as a missing
+    # key would, so the DP arithmetic is unchanged; the difference is
+    # that words with NO vocab hit at all survive to the loud guard
+    # below instead of silently dropping at an inner join.
     rows = (
-        cand.join(F.broadcast(vocab), "token")
+        cand.join(F.broadcast(vocab), "token", "left")
         .groupBy("word", "freq")
         .agg(
             F.map_from_entries(
@@ -220,12 +234,25 @@ def viterbi_segment(
         ),
         bt_step,
     )
+    # loud precondition guard: a best-path score at the -1e300 DP
+    # floor means some position was unreachable (vocab misses a
+    # character) — the backtrack would emit malformed pieces, so fail
+    # the job instead. Legitimate scores are bounded far above
+    # (logp >= ln(1e-6) per piece).
+    guard = F.assert_true(
+        F.element_at("_best", n + 1) > F.lit(-1e250),
+        F.concat(
+            F.lit("viterbi_segment: vocabulary does not cover word '"),
+            F.col("word"),
+            F.lit("' (every character must be in vocab)"),
+        ),
+    )
     return seg.select(
         "word",
         "freq",
         F.array_join(bt["ps"], " ").alias("pieces"),
         F.size(bt["ps"]).cast("int").alias("n_pieces"),
-        F.element_at("_best", n + 1).alias("score"),
+        F.when(guard.isNull(), F.element_at("_best", n + 1)).alias("score"),
     )
 
 

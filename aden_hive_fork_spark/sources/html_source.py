@@ -145,21 +145,28 @@ class _LinkExtractor(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.links: list[tuple[str, list[str]]] = []
-        self._depth = 0
+        # one entry per OPEN <a>, True iff it carried an href — a
+        # single 0/1 flag reset by any </a> would let an href-less
+        # inner <a>...</a> truncate the enclosing link's text, and an
+        # href-less <a> after a closed link would leak text into it
+        self._stack: list[bool] = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
             href = dict(attrs).get("href")
             if href:
                 self.links.append((href, []))
-                self._depth = 1
+            self._stack.append(bool(href))
 
     def handle_endtag(self, tag):
-        if tag == "a":
-            self._depth = 0
+        if tag == "a" and self._stack:
+            self._stack.pop()
 
     def handle_data(self, data):
-        if self._depth and self.links:
+        # collect while ANY href-bearing anchor is open; text goes to
+        # the most recently opened link (nested href-less anchors
+        # render inside the enclosing link, so their text belongs)
+        if any(self._stack) and self.links:
             self.links[-1][1].append(data)
 
 

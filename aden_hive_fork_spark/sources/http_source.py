@@ -97,7 +97,13 @@ def fetch_urls(
                     env = transport(url) or {}
                 except Exception as e:  # noqa: BLE001 — envelope
                     env = {"error": f"{type(e).__name__}: {e}"}
-                out.update({k: v for k, v in env.items() if k in out})
+                # explicit allowlist: never let a fixture override
+                # 'url' (the documented join-back key) or the derived
+                # n_bytes/truncated accounting
+                _OVERRIDABLE = {"status", "content_type", "body", "error"}
+                out.update(
+                    {k: v for k, v in env.items() if k in _OVERRIDABLE}
+                )
                 body = out.get("body")
                 if isinstance(body, str):
                     out["body"] = body.encode("utf-8")

@@ -26,7 +26,12 @@ idempotence.
 At 100 TB the same design holds with the recompute throttled to
 publication epochs (hourly/daily data drops, not per-micro-batch):
 the census is a release artifact, and each stage inside the
-recompute is the already-audited scale shape.
+recompute is the already-audited scale shape. ``census_every=N``
+makes that epoch mode expressible: the corpus still merges
+exactly-once per batch, but the nine-stage recompute only runs on
+every Nth published generation; the pointer's ``census_version``
+records which generation the visible census belongs to, so readers
+still never see a half-merged view.
 """
 
 from __future__ import annotations
@@ -66,18 +71,26 @@ def init_pretrain_pipeline(spark: SparkSession, path: str) -> None:
     spark.createDataFrame([], _CENSUS_SCHEMA).write.mode(
         "overwrite"
     ).parquet(os.path.join(vdir, "census"))
-    write_pointer(path, 0, batch_id=-1)
+    write_pointer(path, 0, batch_id=-1, census_version=0)
 
 
 def merge_pretrain_batch(
-    batch: DataFrame, batch_id: int, path: str
+    batch: DataFrame, batch_id: int, path: str, census_every: int = 1
 ) -> None:
     """Merge one micro-batch of documents (doc_id, text, lang,
     source, n_chars) and publish the recomputed census. Idempotent
     per batch_id; duplicate doc ids (within the batch or vs the
-    accumulated corpus) keep the FIRST-committed row."""
+    accumulated corpus) keep the FIRST-committed row.
+
+    ``census_every=N`` throttles the nine-stage recompute (whose cost
+    grows with the ACCUMULATED corpus, not the batch) to every Nth
+    published generation — the 'publication epoch' mode. Skipped
+    generations publish the merged corpus with ``census_version``
+    still pointing at the last recomputed census."""
     from ..operators.dedup import exact_dedup
 
+    if census_every < 1:
+        raise ValueError("census_every must be >= 1")
     ptr = read_pointer(path)
     if not ptr.get("path"):
         raise FileNotFoundError(
@@ -103,13 +116,21 @@ def merge_pretrain_batch(
     corpus = old.unionByName(
         rows.join(old.select("doc_id"), "doc_id", "left_anti")
     ).localCheckpoint(eager=True)
-    census = pretrain_pipeline_census(corpus)
     version = ptr.get("version", 0) + 1
     vdir = os.path.join(path, f"v={version}")
     shutil.rmtree(vdir, ignore_errors=True)
     corpus.write.mode("overwrite").parquet(os.path.join(vdir, "corpus"))
-    census.write.mode("overwrite").parquet(os.path.join(vdir, "census"))
-    write_pointer(path, version, batch_id=batch_id)
+    if version % census_every == 0:
+        census = pretrain_pipeline_census(corpus)
+        census.write.mode("overwrite").parquet(
+            os.path.join(vdir, "census")
+        )
+        census_version = version
+    else:
+        census_version = ptr.get("census_version", ptr.get("version", 0))
+    write_pointer(
+        path, version, batch_id=batch_id, census_version=census_version
+    )
 
 
 def maintain_pretrain_pipeline(
@@ -117,10 +138,11 @@ def maintain_pretrain_pipeline(
     path: str,
     checkpoint: str,
     available_now: bool = True,
+    census_every: int = 1,
 ):
     """Attach the pipeline sink; state must be initialized first."""
     writer = stream.writeStream.foreachBatch(
-        lambda b, i: merge_pretrain_batch(b, i, path)
+        lambda b, i: merge_pretrain_batch(b, i, path, census_every)
     ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -138,12 +160,15 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_census(spark: SparkSession, path: str) -> DataFrame:
-    """The published nine-stage census at the committed generation —
-    bit-equal to ``pretrain_pipeline_census`` over the accumulated
-    corpus."""
+    """The published nine-stage census at the committed
+    ``census_version`` generation — bit-equal to
+    ``pretrain_pipeline_census`` over THAT generation's corpus (the
+    current generation when ``census_every=1``, the last epoch's
+    otherwise)."""
     ptr = read_pointer(path)
     if not ptr.get("path"):
         raise FileNotFoundError(f"no pipeline state at {path}")
+    cv = ptr.get("census_version", ptr.get("version", 0))
     return spark.read.parquet(
-        os.path.join(path, ptr["path"], "census")
+        os.path.join(path, f"v={cv}", "census")
     )
