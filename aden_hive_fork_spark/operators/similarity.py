@@ -1597,10 +1597,21 @@ def ivf_pq_topk(
     )
 
 
+def default_num_cells(n: int) -> int:
+    """The SemDeDup coarse-quantizer operating point: ~sqrt(n) cells
+    keeps every within-cell Gram matrix executor-sized (E[cell] =
+    sqrt(n) rows → sqrt(n)² = n within-cell dot products corpus-wide,
+    linear in the data) — the granularity the paper trains its
+    k-means at. Clamped to [2, 65536]."""
+    import math
+
+    return max(2, min(65536, _half_away(math.sqrt(max(0, n)))))
+
+
 def semdedup_verdicts(
     emb: DataFrame,
     threshold: float,
-    num_cells: int = 16,
+    num_cells: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1638,7 +1649,11 @@ def semdedup_verdicts(
     on cell and its Gram matrices are cell-bounded (size num_cells to
     ~sqrt(n) so cells stay executor-sized — the paper uses k-means
     cells at the same granularity); CC runs on the pair table only;
-    the verdict join touches clustered ids only. Reference parity:
+    the verdict join touches clustered ids only. ``num_cells=None``
+    computes the paper's ~sqrt(n) granularity via
+    :func:`default_num_cells` (one count job). For the paper's
+    k-means coarse quantizer (Lloyd-refined cells) use
+    :func:`semdedup_kmeans_verdicts`. Reference parity:
     the reference has no semantic-dedup surface (SURVEY §2.D
     training-data extension; the suite gates it as q338)."""
     from pyspark.sql.window import Window
@@ -1646,6 +1661,8 @@ def semdedup_verdicts(
     from .dedup import connected_components
 
     qn = quantize_embeddings(emb, id_col, vec_col)
+    if num_cells is None:
+        num_cells = default_num_cells(qn.count())
     seeds = (
         qn.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -1686,6 +1703,134 @@ def semdedup_verdicts(
     )
     w_keep = Window.partitionBy("comp").orderBy(
         F.desc("sdot"), F.asc("id")
+    )
+    keepers = (
+        members.withColumn("krn", F.row_number().over(w_keep))
+        .filter(F.col("krn") == 1)
+        .select(F.col("comp"), F.col("id").alias("keeper"))
+    )
+    return (
+        members.join(keepers, "comp")
+        .select(
+            F.col("id").cast("bigint").alias(id_col),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("comp").cast("bigint").alias("comp"),
+            F.col("keeper").cast("bigint").alias("keeper"),
+            (F.col("id") == F.col("keeper")).cast("int").alias("kept"),
+        )
+    )
+
+
+def semdedup_kmeans_verdicts(
+    emb: DataFrame,
+    threshold: float,
+    num_cells: int | None = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "semdedup",
+) -> DataFrame:
+    """SemDeDup with the PAPER's coarse quantizer — k-means cells
+    (Abbas et al. 2023 use k-means clustering of the embeddings; the
+    md5-sampled-seed tier of :func:`semdedup_verdicts` is the
+    iteration-0 stand-in). Same verdict schema; three refinements:
+
+    1. cells = Lloyd-refined centroids over the int8-by-norm grid
+       (operators/kmeans.kmeans_keyed, ``n_iter`` rounds, hash-order
+       init ``md5(salt|0 || id)`` — md5 init IS iteration 0, the
+       established discipline), centroid updates ROUND-6
+       decimal-exact means (the q159 contract);
+    2. assignment = argmin squared-euclidean to the final centroids
+       (double distances in fixed dimension order, ties → lower cell
+       id) — euclidean on the by-norm grid orders like cosine, and
+       is the quantity k-means optimizes;
+    3. keeper per cluster = the member with the SMALLEST distance to
+       its cell centroid (ties → smaller id) — the paper's
+       keep-closest-to-centroid rule, now against a true centroid
+       rather than a sampled member vector.
+
+    Deterministic end to end (the q341 hash gate): seeds are
+    md5-order, every Lloyd round's arithmetic is the replayable
+    q159/q339 contract, and the within-cell pairwise stage is the
+    shared quantized-cosine machinery of the sampled tier.
+
+    Scale shape: identical to :func:`semdedup_verdicts` — ONE
+    assignment pass + one k·d-row collect per Lloyd round (training
+    state num_cells·dim doubles, broadcast back), one shuffle on
+    cell for the pairwise stage, cell-bounded Gram matrices, CC on
+    the pair table only. ``num_cells=None`` computes the paper's
+    ~sqrt(n) granularity (:func:`default_num_cells`)."""
+    from pyspark.sql.window import Window
+
+    from .dedup import connected_components
+    from .kmeans import kmeans_keyed
+
+    spark = emb.sparkSession
+    qn = quantize_embeddings(emb, id_col, vec_col)
+    if num_cells is None:
+        num_cells = default_num_cells(qn.count())
+    dim = len(qn.select("qvec").first()["qvec"])
+
+    # --- Lloyd-refined cells (single-group keyed fit) ---------------
+    feats = qn.select(
+        F.lit(0).cast("int").alias("j"),
+        F.col("id").alias("pid"),
+        *[
+            F.element_at("qvec", i + 1).cast("double").alias(f"d{i}")
+            for i in range(dim)
+        ],
+    )
+    cents = kmeans_keyed(
+        feats,
+        "j",
+        [f"d{i}" for i in range(dim)],
+        "pid",
+        k=num_cells,
+        n_iter=n_iter,
+        salt_prefix=f"{salt}|",
+    )[0]
+
+    # --- final assignment: argmin euclidean, ties -> lower cell ----
+    cbdf = F.broadcast(
+        spark.createDataFrame([(cents,)], "_cents array<array<double>>")
+    )
+    qvd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    entries = F.transform(
+        F.col("_cents"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(qvd, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    best = F.array_min(entries)
+    assigned = (
+        qn.crossJoin(cbdf)
+        .select(
+            "id",
+            best.getField("cid").cast("long").alias("cell"),
+            best.getField("d").alias("fdist"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # --- within-cell pairwise cosines + CC + keepers ----------------
+    blocked = emb.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).join(assigned.withColumnRenamed("id", id_col), id_col)
+    pairs = cosine_neardup_pairs_exact_unsorted(
+        blocked, threshold=threshold, block_col="cell",
+        id_col=id_col, vec_col=vec_col,
+    ).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    members = comps.join(
+        assigned.select("id", "cell", "fdist"), "id"
+    )
+    w_keep = Window.partitionBy("comp").orderBy(
+        F.asc("fdist"), F.asc("id")
     )
     keepers = (
         members.withColumn("krn", F.row_number().over(w_keep))

@@ -1592,3 +1592,153 @@ def q339_ivf_pq_residual_topk(spark, sf_dir):
         F.col("dist").cast("bigint").alias("dist"),
         "rank",
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# q341 — SemDeDup with the PAPER's k-means coarse quantizer (round 11,
+# VERDICT r10 task 3): the q338 composition with Lloyd-refined cells
+# (md5 init IS iteration 0), argmin-euclidean assignment, and the
+# closest-to-centroid keeper rule. The oracle replays the ENTIRE
+# chain: int8 quantization, the unrolled q159-contract Lloyd rounds
+# (fixed-order double distances over all 64 dims, ROUND-6 decimal
+# means, hash-order init), final argmin assignment with its fdist,
+# ×1e8 integer Gram cosines within cells, the recursive reachability
+# closure, and the (fdist ASC, id ASC) keeper argmin.
+# ---------------------------------------------------------------------------
+_Q341_THRESHOLD = 0.3
+_Q341_CELLS = 16
+_Q341_ITERS = 2
+
+
+def _q341_oracle() -> str:
+    dim, k = _ANN_DIM, _Q341_CELLS
+    xs = ", ".join(
+        f"CAST(qvec[{d + 1}] AS DOUBLE) AS x{d}" for d in range(dim)
+    )
+    dist = " + ".join(
+        f"(p.x{d} - c.x{d}) * (p.x{d} - c.x{d})" for d in range(dim)
+    )
+    means = ", ".join(
+        f"ROUND(CAST(SUM(CAST(x{d} AS DECIMAL(28,2))) AS DOUBLE)"
+        f" / CAST(COUNT(*) AS DOUBLE), 6) AS x{d}"
+        for d in range(dim)
+    )
+    carry = ", ".join(
+        f"COALESCE(u.x{d}, p.x{d}) AS x{d}" for d in range(dim)
+    )
+    sql = f"""
+    WITH RECURSIVE qn AS MATERIALIZED ({_QUANT_CTE}),
+    rp AS MATERIALIZED (SELECT vec_id, {xs} FROM qn),
+    kc0 AS MATERIALIZED (
+      SELECT (ROW_NUMBER() OVER (ORDER BY
+          md5('semdedup|0' || CAST(vec_id AS VARCHAR)) ASC,
+          vec_id ASC)) - 1 AS cid,
+        {", ".join(f"x{d}" for d in range(dim))}
+      FROM rp
+      QUALIFY cid < {k}
+    )"""
+    for it in range(1, _Q341_ITERS + 1):
+        sql += f""",
+    ka{it} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id
+            ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM rp p CROSS JOIN kc{it - 1} c
+      ) WHERE rn = 1
+    ),
+    ku{it} AS MATERIALIZED (
+      SELECT a.cid, {means}
+      FROM ka{it} a JOIN rp p ON p.vec_id = a.vec_id
+      GROUP BY a.cid
+    ),
+    kc{it} AS MATERIALIZED (
+      SELECT p.cid, {carry}
+      FROM kc{it - 1} p
+      LEFT JOIN ku{it} u ON u.cid = p.cid
+    )"""
+    sql += f""",
+    fa AS MATERIALIZED (
+      SELECT vec_id, cid AS cell, dist AS fdist FROM (
+        SELECT p.vec_id, c.cid, {dist} AS dist,
+          ROW_NUMBER() OVER (PARTITION BY p.vec_id
+            ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM rp p CROSS JOIN kc{_Q341_ITERS} c
+      ) WHERE rn = 1
+    ),
+    fe AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(10,8))
+             * 100000000 AS BIGINT) AS x
+      FROM embeddings
+    ),
+    feq AS MATERIALIZED (
+      SELECT fe.vec_id, fe.i, fe.x, a.cell
+      FROM fe JOIN fa a ON a.vec_id = fe.vec_id
+    ),
+    dots AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SUM(a.x * b.x) AS d, SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+      FROM feq a JOIN feq b ON a.i = b.i AND a.cell = b.cell
+                            AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    prs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+          FLOOR(CAST(d AS DOUBLE)
+                / NULLIF(sqrt(CAST(na AS DOUBLE))
+                         * sqrt(CAST(nb AS DOUBLE)), 0)
+                * 1000000 + 0.5) / 1000000 AS cosine
+        FROM dots)
+      WHERE cosine >= {_Q341_THRESHOLD}
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM prs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      WHERE s.v <> r.u
+    ),
+    lab AS (
+      SELECT u AS id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+    ),
+    mem AS (
+      SELECT l.id, l.comp, a.cell, a.fdist
+      FROM lab l JOIN fa a ON a.vec_id = l.id
+    ),
+    keep AS (
+      SELECT comp, id AS keeper FROM (
+        SELECT comp, id, ROW_NUMBER() OVER (PARTITION BY comp
+                    ORDER BY fdist ASC, id ASC) AS rn
+        FROM mem) WHERE rn = 1
+    )
+    SELECT CAST(m.id AS BIGINT) AS vec_id,
+      CAST(m.cell AS BIGINT) AS cell,
+      CAST(m.comp AS BIGINT) AS comp,
+      CAST(k.keeper AS BIGINT) AS keeper,
+      CAST(CASE WHEN m.id = k.keeper THEN 1 ELSE 0 END AS INT) AS kept
+    FROM mem m JOIN keep k USING (comp)
+    ORDER BY vec_id ASC
+    """
+    return sql
+
+
+@query("q341_semdedup_kmeans_verdicts", oracle=_q341_oracle())
+def q341_semdedup_kmeans_verdicts(spark, sf_dir):
+    """operators/similarity.semdedup_kmeans_verdicts over embeddings:
+    the SemDeDup paper's k-means coarse quantizer — Lloyd-refined
+    cells (2 rounds, md5-order init), argmin-euclidean assignment,
+    within-cell quantized cosines >= 0.3, closest-to-centroid
+    keepers — hash-gated end to end including the cell TRAINING."""
+    from ..operators.similarity import semdedup_kmeans_verdicts
+
+    emb = T(spark, sf_dir, "embeddings")
+    return semdedup_kmeans_verdicts(
+        emb, threshold=_Q341_THRESHOLD, num_cells=_Q341_CELLS,
+        n_iter=_Q341_ITERS,
+    ).orderBy("vec_id")
