@@ -3,6 +3,11 @@ composition, every stage one of the repo's individually oracle-gated
 operators chained into a single accountable pass (suite q336/q337):
 
   1. base        — non-null docs (the raw corpus)
+  1b. normalize  — Unicode NFC + control/zero-width strip +
+                   whitespace fold, chars recounted; empty docs drop
+                   (operators/normalize, q342 — the CCNet/FineWeb
+                   cleanup that runs BEFORE hashing so dedup sees
+                   canonical bytes)
   2. langid      — n-gram language-ID agreement filter: keep docs
                    whose predicted language matches the label
                    (operators/langid, q317/q318/q319 — the CCNet
@@ -27,7 +32,14 @@ operators chained into a single accountable pass (suite q336/q337):
   8. mixture     — per-source token-budget cap in md5 hash order —
                    the deterministic mixture-enforcement step
                    (operators/sampling.token_budget_sample, q215)
-  9. packed      — GPT-style sequence packing of the final corpus
+  8b. pii        — typed PII redaction ([EMAIL]/[CARD]/[SSN]/
+                   [PHONE]/[IPV4] placeholders, fixed most-specific-
+                   first order), chars recounted — the FineWeb
+                   anonymization step before anything is packed or
+                   shipped (operators/pii.redact_pii, q131/q149);
+                   the census additionally carries an 8c_redactions
+                   accounting row (docs touched, total hits)
+  9. packed      — GPT-style sequence packing of the REDACTED corpus
                    into fixed-capacity context windows
                    (operators/packing.pack_token_stream, q311)
 
@@ -72,7 +84,7 @@ def pretrain_pipeline_stages(
     chars_col: str = "n_chars",
     target_lang: str = "en",
 ) -> dict[str, DataFrame]:
-    """Run the 8 corpus stages; returns {stage_name: surviving docs}
+    """Run the 10 corpus stages; returns {stage_name: surviving docs}
     (all with the input's five columns) plus ``"9_packed"`` holding
     the (doc, window) span table. Stages are eagerly checkpointed —
     calling this triggers the chain."""
@@ -83,7 +95,9 @@ def pretrain_pipeline_stages(
         winnowing_neardup_pairs,
     )
     from .langid import langid_classify, langid_profiles
+    from .normalize import normalize_corpus
     from .packing import pack_token_stream
+    from .pii import redact_pii
     from .quality import ngram_repetition
     from .sampling import (
         decontaminate_split,
@@ -102,15 +116,19 @@ def pretrain_pipeline_stages(
         .localCheckpoint(eager=True)
     )
 
+    s1b = normalize_corpus(
+        s1, text_col=text_col, chars_col=chars_col
+    ).localCheckpoint(eager=True)
+
     prof = langid_profiles(
-        s1, text_col, lang_col, n=LANGID_N, profile_size=LANGID_PROFILE
+        s1b, text_col, lang_col, n=LANGID_N, profile_size=LANGID_PROFILE
     )
     pred = langid_classify(
-        s1, prof, text_col, id_col, n=LANGID_N,
+        s1b, prof, text_col, id_col, n=LANGID_N,
         profile_size=LANGID_PROFILE,
     )
     s2 = (
-        s1.join(
+        s1b.join(
             pred.filter(F.col("n_doc_grams") > 0).select(
                 id_col, "pred_lang"
             ),
@@ -179,11 +197,22 @@ def pretrain_pipeline_stages(
         .localCheckpoint(eager=True)
     )
 
+    # PII redaction AFTER the budget draw (the budget is charged on
+    # pre-redaction lengths), BEFORE anything is packed or shipped;
+    # chars recount so packing reads the redacted lengths.
+    s8b = (
+        s8.withColumn(text_col, redact_pii(text_col))
+        .withColumn(chars_col, F.length(text_col).cast("bigint"))
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
+
     packed = pack_token_stream(
-        s8, id_col, chars_col, capacity=PACK_CAPACITY
+        s8b, id_col, chars_col, capacity=PACK_CAPACITY
     )
     return {
         "1_base": s1,
+        "1b_normalize": s1b,
         "2_langid": s2,
         "3_quality": s3,
         "4_exact_dedup": s4,
@@ -191,6 +220,7 @@ def pretrain_pipeline_stages(
         "6_decontam": s6,
         "7_dsir": s7,
         "8_mixture": s8,
+        "8b_pii": s8b,
         "9_packed": packed,
     }
 
@@ -205,9 +235,14 @@ def pretrain_pipeline_census(
     target_lang: str = "en",
 ) -> DataFrame:
     """The per-stage corpus accounting: one row per stage with
-    (stage, n_docs BIGINT, n_tokens BIGINT). Stages 1-8 count
-    surviving documents and their total chars; stage 9 counts packed
-    context windows and packed tokens (== stage 8's total)."""
+    (stage, n_docs BIGINT, n_tokens BIGINT). Corpus stages count
+    surviving documents and their total chars; ``8c_redactions`` is
+    the PII accounting row (n_docs = documents the redactor touched,
+    n_tokens = total typed hits — the FineWeb anonymization ledger);
+    ``9_packed`` counts packed context windows and packed tokens
+    (== stage 8b's total)."""
+    from .pii import detect_pii
+
     stages = pretrain_pipeline_stages(
         docs, id_col, text_col, lang_col, source_col, chars_col,
         target_lang,
@@ -229,4 +264,13 @@ def pretrain_pipeline_census(
                 F.sum(chars_col).cast("bigint").alias("n_tokens"),
             )
         out = row if out is None else out.unionByName(row)
+        if name == "8_mixture":
+            red = detect_pii(df, text_col).agg(
+                F.lit("8c_redactions").alias("stage"),
+                F.sum((F.col("pii_total") > 0).cast("int"))
+                .cast("bigint")
+                .alias("n_docs"),
+                F.sum("pii_total").cast("bigint").alias("n_tokens"),
+            )
+            out = out.unionByName(red)
     return out.orderBy("stage")

@@ -1,21 +1,25 @@
 """q336/q337 — the end-to-end pretraining-data pipeline capstone
-(round 10): langid → Gopher quality → exact dedup → winnowing
+(round 10; round 11 adds the normalize and PII stages): Unicode
+normalize → langid → Gopher quality → exact dedup → winnowing
 near-dedup → decontaminated split → DSIR selection → per-source
-token-budget mixture → sequence packing → datasheet, composed from
-the individually gated tiers (q317/q298/q40/q333/q316/q326/q215/
-q311/q332) and verified END-TO-END by one DuckDB replay of the whole
-chain — every stage's survivor set feeds the next stage's CTE, so a
-single wrong survivor anywhere flips the value hash.
+token-budget mixture → PII redaction → sequence packing →
+datasheet, composed from the individually gated tiers (q342/q317/
+q298/q40/q333/q316/q326/q215/q131/q311/q332) and verified
+END-TO-END by one DuckDB replay of the whole chain — every stage's
+survivor set feeds the next stage's CTE, so a single wrong survivor
+anywhere flips the value hash.
 
 Reference parity: the reference has no training-data pipeline; this
 is the driver-mandated composition capstone (the q200/q319 precedent
-extended to the full nine-stage chain).
+extended to the full chain).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators.normalize import normalize_sql_expr
+from ..operators.pii import PII_PATTERNS
 from ..operators.pretrain_pipeline import (
     BUDGET_PER_SOURCE,
     PACK_CAPACITY,
@@ -26,6 +30,19 @@ from ..operators.pretrain_pipeline import (
 )
 from . import query
 from ._helpers import T
+
+
+def _redact_sql(expr: str) -> str:
+    """The redact_pii chain in DuckDB (q131's oracle, re-pointed):
+    fixed PII_PATTERNS order, global flag."""
+    for k, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '[{k.upper()}]', 'g')"
+    return expr
+
+
+_HITS_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for _, pat in PII_PATTERNS
+)
 
 # ---------------------------------------------------------------------------
 # The oracle chain: one CTE block per stage, each reading the
@@ -40,10 +57,19 @@ _PIPELINE_CTES = f"""
       SELECT doc_id, text, lang, source, n_chars FROM documents
       WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
+    s1b AS MATERIALIZED (
+      SELECT doc_id, text, lang, source,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM (
+        SELECT doc_id, {normalize_sql_expr("text")} AS text,
+          lang, source
+        FROM s1)
+      WHERE LENGTH(text) > 0
+    ),
     lbase AS MATERIALIZED (
       SELECT doc_id, lang,
         regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
-      FROM s1
+      FROM s1b
     ),
     lprof AS MATERIALIZED (
       SELECT lang, gram,
@@ -94,9 +120,9 @@ _PIPELINE_CTES = f"""
       QUALIFY rk = 1
     ),
     s2 AS MATERIALIZED (
-      SELECT s1.* FROM s1
-      JOIN lbest ON lbest.doc_id = s1.doc_id
-      WHERE lbest.pred_lang = s1.lang
+      SELECT s1b.* FROM s1b
+      JOIN lbest ON lbest.doc_id = s1b.doc_id
+      WHERE lbest.pred_lang = s1b.lang
     ),
     gdocs AS (
       SELECT doc_id, length(text) AS L,
@@ -340,9 +366,16 @@ _PIPELINE_CTES = f"""
       SELECT doc_id, text, lang, source, n_chars FROM bord
       WHERE cum_cost - CAST(n_chars AS BIGINT) < {BUDGET_PER_SOURCE}
     ),
+    s8b AS MATERIALIZED (
+      SELECT doc_id, text, lang, source,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars
+      FROM (
+        SELECT doc_id, {_redact_sql("text")} AS text, lang, source
+        FROM s8)
+    ),
     pdocs AS (
       SELECT doc_id, CAST(n_chars AS BIGINT) AS len
-      FROM s8 WHERE n_chars IS NOT NULL AND n_chars > 0
+      FROM s8b WHERE n_chars IS NOT NULL AND n_chars > 0
     ),
     pcum AS (
       SELECT doc_id, len,
@@ -376,12 +409,20 @@ _CENSUS_ORACLE = (
     + "\n      UNION ALL\n".join(
         _STAGE_ROW.format(name=n, rel=r).strip()
         for n, r in [
-            ("1_base", "s1"), ("2_langid", "s2"), ("3_quality", "s3"),
+            ("1_base", "s1"), ("1b_normalize", "s1b"),
+            ("2_langid", "s2"), ("3_quality", "s3"),
             ("4_exact_dedup", "s4"), ("5_near_dedup", "s5"),
             ("6_decontam", "s6"), ("7_dsir", "s7"), ("8_mixture", "s8"),
+            ("8b_pii", "s8b"),
         ]
     )
-    + """
+    + f"""
+      UNION ALL
+      SELECT '8c_redactions' AS stage,
+        CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_docs,
+        CAST(SUM(hits) AS BIGINT) AS n_tokens
+      FROM (SELECT {_HITS_SQL} AS hits FROM s8)
       UNION ALL
       SELECT '9_packed' AS stage,
         CAST(COUNT(DISTINCT window_id) AS BIGINT) AS n_docs,
@@ -399,7 +440,7 @@ _DATASHEET_ORACLE = (
         len(list_filter(string_split_regex(trim(text), '\s+'),
                         w -> w <> '')) AS n_tokens,
         md5(text) AS h
-      FROM s8
+      FROM s8b
     ),
     fdups AS (
       SELECT lang, h, COUNT(*) AS c FROM fbase GROUP BY lang, h
@@ -413,7 +454,7 @@ _DATASHEET_ORACLE = (
     fvocab AS (
       SELECT lang, COUNT(DISTINCT w) AS distinct_words FROM (
         SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
-        FROM s8
+        FROM s8b
       ) WHERE w <> '' GROUP BY lang
     )
     SELECT b.lang,
@@ -442,7 +483,8 @@ _DATASHEET_ORACLE = (
 @query("q336_pretrain_pipeline_census", oracle=_CENSUS_ORACLE)
 def q336_pretrain_pipeline_census(spark, sf_dir):
     """operators/pretrain_pipeline.pretrain_pipeline_census over
-    documents: the nine-stage curation chain with per-stage corpus
+    documents: the full curation chain (normalize through packing,
+    plus the 8c PII-redaction ledger) with per-stage corpus
     accounting — every stage's exact survivor set is load-bearing
     for the downstream rows, so the value hash certifies the whole
     composition."""
@@ -453,14 +495,70 @@ def q336_pretrain_pipeline_census(spark, sf_dir):
 @query("q337_pretrain_final_datasheet", oracle=_DATASHEET_ORACLE)
 def q337_pretrain_final_datasheet(spark, sf_dir):
     """operators/quality.dataset_datasheet over the pipeline's FINAL
-    corpus (stage 8, post-mixture): the release datasheet a real
-    pretraining run would ship with the curated data — per-language
-    volume, provenance breadth, length profile, vocabulary, residual
-    duplicate exposure."""
+    corpus (stage 8b, post-mixture post-PII-redaction): the release
+    datasheet a real pretraining run would ship with the curated
+    data — per-language volume, provenance breadth, length profile,
+    vocabulary, residual duplicate exposure."""
     from ..operators.quality import dataset_datasheet
 
     docs = T(spark, sf_dir, "documents")
-    s8 = pretrain_pipeline_stages(docs)["8_mixture"]
+    s8b = pretrain_pipeline_stages(docs)["8b_pii"]
     return dataset_datasheet(
-        s8, "doc_id", "text", "lang", "source", "n_chars"
+        s8b, "doc_id", "text", "lang", "source", "n_chars"
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q342 — the Unicode normalization stage standalone (round 11): NFC
+# composition + control/zero-width strip + whitespace fold + trim,
+# chars recounted as codepoints. The raw documents are already
+# canonical ASCII, so the query wraps each text in deterministic
+# Unicode mess (NFD accents, zero-width joiners, NBSP/em-space runs,
+# tabs) and the oracle replays the same wrap through DuckDB's
+# nfc_normalize + the shared explicit codepoint classes
+# (operators/normalize.normalize_sql_expr — never dialect-\s).
+# ---------------------------------------------------------------------------
+_Q342_PREFIX_SQL = (
+    "'  He' || chr(769) || 'llo' || chr(8203) || ' ' || chr(160)"
+)
+_Q342_SUFFIX_SQL = (
+    "chr(9) || chr(9) || 'zero' || chr(8205) || 'width ' "
+    "|| chr(8195) || ' end  '"
+)
+_Q342_PREFIX = "  He\u0301llo\u200b \u00a0"
+_Q342_SUFFIX = "\t\tzero\u200dwidth \u2003 end  "
+
+
+@query(
+    "q342_unicode_normalize",
+    oracle=f"""
+    WITH messy AS (
+      SELECT doc_id,
+        {_Q342_PREFIX_SQL} || text || {_Q342_SUFFIX_SQL} AS text
+      FROM documents WHERE text IS NOT NULL
+    ),
+    norm AS (
+      SELECT doc_id, {normalize_sql_expr("text")} AS text FROM messy
+    )
+    SELECT doc_id, text, CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM norm WHERE LENGTH(text) > 0
+    ORDER BY doc_id ASC
+    """,
+)
+def q342_unicode_normalize(spark, sf_dir):
+    """operators/normalize.normalize_corpus over documents wrapped in
+    deterministic Unicode mess: NFC + control/zero-width strip +
+    whitespace fold + trim, chars recounted as CODEPOINTS — the
+    pipeline's stage-1b cleanup, hash-gated on the full normalized
+    text."""
+    from ..operators.normalize import normalize_corpus
+
+    docs = T(spark, sf_dir, "documents")
+    messy = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.concat(
+            F.lit(_Q342_PREFIX), F.col("text"), F.lit(_Q342_SUFFIX)
+        ).alias("text"),
+        F.lit(0).cast("bigint").alias("n_chars"),
+    )
+    return normalize_corpus(messy).orderBy("doc_id")

@@ -70,15 +70,23 @@ def census(spark):
 def test_stage_names_and_monotone_shrinkage(census):
     names = sorted(census)
     assert names == [
-        "1_base", "2_langid", "3_quality", "4_exact_dedup",
-        "5_near_dedup", "6_decontam", "7_dsir", "8_mixture",
-        "9_packed",
+        "1_base", "1b_normalize", "2_langid", "3_quality",
+        "4_exact_dedup", "5_near_dedup", "6_decontam", "7_dsir",
+        "8_mixture", "8b_pii", "8c_redactions", "9_packed",
     ]
-    # stages 1-8 are successive subsets: docs and tokens both
-    # monotonically nonincreasing
-    for a, b in zip(names[:7], names[1:8]):
+    # corpus stages 1 through 8 are successive subsets: docs and
+    # tokens both monotonically nonincreasing (8b rewrites text so
+    # only its DOC count is pinned to stage 8's; 8c is the redaction
+    # ledger, not a corpus)
+    corpus = names[:9]  # 1_base .. 8_mixture
+    for a, b in zip(corpus[:-1], corpus[1:]):
         assert census[b][0] <= census[a][0], (a, b, census)
         assert census[b][1] <= census[a][1], (a, b, census)
+    assert census["8b_pii"][0] == census["8_mixture"][0]
+    # redaction ledger: touched docs bounded by the corpus; hit count
+    # bounded below by touched docs
+    assert census["8c_redactions"][0] <= census["8_mixture"][0]
+    assert census["8c_redactions"][1] >= census["8c_redactions"][0]
 
 
 def test_stages_bite(spark, census):
@@ -108,9 +116,9 @@ def test_stages_bite(spark, census):
 
 def test_packing_identities(census):
     packed_windows, packed_tokens = census["9_packed"]
-    mix_docs, mix_tokens = census["8_mixture"]
-    assert packed_tokens == mix_tokens  # gapless: every token packed
-    assert packed_windows == math.ceil(mix_tokens / PACK_CAPACITY)
+    pii_docs, pii_tokens = census["8b_pii"]
+    assert packed_tokens == pii_tokens  # gapless: every token packed
+    assert packed_windows == math.ceil(pii_tokens / PACK_CAPACITY)
 
 
 def test_budget_cap_is_prefix_law(spark):
@@ -128,3 +136,54 @@ def test_budget_cap_is_prefix_law(spark):
     ).collect()
     for r in kept:
         assert r["cum_cost"] - r["n_chars"] < BUDGET_PER_SOURCE
+
+
+def test_normalize_and_pii_stages_bite(spark):
+    """Round 11: stage 1b canonicalizes an NFD + messy-whitespace
+    twin so stage 4's content hash collapses it onto the original;
+    stage 8b rewrites every surviving PII hit with its typed
+    placeholder and the 8c ledger accounts for exactly those docs."""
+    import unicodedata
+
+    rows = _corpus()
+    next_id = max(r[0] for r in rows) + 1
+    # an NFD/extra-space twin of doc 0: normalization must make it
+    # byte-identical to doc 0, so exact dedup removes it
+    t0 = _doc(0, _EN)
+    twin = unicodedata.normalize("NFD", t0).replace(" ", "  ", 3)
+    twin_id = next_id
+    rows.append((twin_id, twin, "en", "src0", len(twin)))
+    next_id += 1
+    # an en doc carrying two emails (redacted at 8b if it survives)
+    mail = _doc(2, _EN) + " contact a@b.com and c@d.org now"
+    mail_id = next_id
+    rows.append((mail_id, mail, "en", "src1", len(mail)))
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    stages = pretrain_pipeline_stages(df)
+
+    s1b = {r["doc_id"]: r["text"] for r in stages["1b_normalize"].collect()}
+    assert s1b[twin_id] == t0  # canonicalized to the original bytes
+    s4_ids = {r["doc_id"] for r in stages["4_exact_dedup"].collect()}
+    assert twin_id not in s4_ids  # collapsed onto doc 0
+    assert 0 in s4_ids
+
+    s8 = {r["doc_id"]: r["text"] for r in stages["8_mixture"].collect()}
+    s8b = {r["doc_id"]: r["text"] for r in stages["8b_pii"].collect()}
+    assert set(s8) == set(s8b)
+    import re
+
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    for did, text in s8.items():
+        assert email_re.sub("[EMAIL]", text) == s8b[did]
+        assert "@" not in s8b[did]
+
+    census = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pretrain_pipeline_census(df).collect()
+    }
+    touched = sum(1 for t in s8.values() if email_re.search(t))
+    hits = sum(len(email_re.findall(t)) for t in s8.values())
+    assert census["8c_redactions"] == (touched, hits)
+    if mail_id in s8:
+        assert "[EMAIL] and [EMAIL]" in s8b[mail_id]
