@@ -121,8 +121,15 @@ HEADLINE = [
     "q330_zorder_layout_census",  # Morton layout key + extent census
     # round-10 headliners
     "q334_unigram_lm_train",      # Viterbi-EM tokenizer, map-side DP
-    "q336_pretrain_pipeline_census",  # nine-stage curation capstone
+    "q335_unigram_lm_segments",   # Viterbi segmentation under the model
+    "q336_pretrain_pipeline_census",  # curation-pipeline capstone
+    "q337_pretrain_final_datasheet",  # release datasheet of the final corpus
     "q338_semdedup_verdicts",     # embedding-cluster semantic dedup
+    "q339_ivf_pq_residual_topk",  # FAISS-default IVF-PQ (keyed-kmeans build)
+    "q340_tokenizer_report",      # three-family tokenizer comparison
+    # round-11 headliners
+    "q341_semdedup_kmeans_verdicts",  # SemDeDup, Lloyd-refined cells
+    "q342_unicode_normalize",     # NFC + strip + fold, chars recounted
 ]
 
 
