@@ -37,12 +37,15 @@ from .table import (
     upsert,
     vacuum_deltas,
 )
+from .normalize import normalize_corpus, normalize_text
 from .similarity import (
     ann_topk,
     cosine_neardup_pairs,
     cosine_topk_exact,
     cosine_topk_vectorized,
     lsh_bucket_candidates,
+    semdedup_kmeans_verdicts,
+    semdedup_verdicts,
 )
 
 __all__ = [
@@ -77,4 +80,8 @@ __all__ = [
     "cosine_topk_exact",
     "cosine_topk_vectorized",
     "lsh_bucket_candidates",
+    "normalize_corpus",
+    "normalize_text",
+    "semdedup_kmeans_verdicts",
+    "semdedup_verdicts",
 ]

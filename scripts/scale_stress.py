@@ -182,7 +182,14 @@ def main() -> int:
                  "q339_ivf_pq_residual_topk",
                  # round-10: all three tokenizer trainings in one
                  # statement (vocab-sized after the corpus reductions)
-                 "q340_tokenizer_report"):
+                 "q340_tokenizer_report",
+                 # round-11: SemDeDup with Lloyd-refined cells over
+                 # embeddings ×10 exact replicas (same worst case as
+                 # q338 plus n_iter keyed-kmeans passes)
+                 "q341_semdedup_kmeans_verdicts",
+                 # round-11: Unicode normalize over documents ×10
+                 # (map-only Arrow pass — must scale linearly)
+                 "q342_unicode_normalize"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
