@@ -85,8 +85,12 @@ def kmeans_keyed(
     salt_prefix + str(key)``:
 
     - seeds per key = the k rows with the smallest
-      ``md5(salt_prefix || key || id)`` (window per key replays the
-      per-key global sort-limit);
+      ``md5(salt_prefix || key || id)``, selected in TWO PHASES —
+      a partition-local top-k per key (Arrow pass, bounded output
+      of partitions·keys·k rows) then one small window over the
+      survivors. Top-k is partition-invariant, so the selection is
+      bit-identical to a per-key global sort-limit, without funneling
+      any key's full row set through a single window task;
     - assignment broadcast-joins each key's centroid array (n_keys
       rows) and computes the argmin with a runtime
       ``transform``/``aggregate`` fold — the same left-to-right
@@ -115,14 +119,29 @@ def kmeans_keyed(
             F.col(id_col).cast("string"),
         )
     )
+    base = df.select(
+        F.col(key_col),
+        *feature_cols,
+        h.alias("_h"),
+        F.col(id_col).alias("_id"),
+    )
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        yield (
+            pdf.sort_values(["_h", "_id"], kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
     w_seed = Window.partitionBy(key_col).orderBy("_h", "_id")
     seed_rows = (
-        df.select(
-            F.col(key_col),
-            *feature_cols,
-            h.alias("_h"),
-            F.col(id_col).alias("_id"),
-        )
+        base.mapInPandas(_local_topk, schema=base.schema)
         .withColumn("_rn", F.row_number().over(w_seed))
         .filter(F.col("_rn") <= k)
         .collect()

@@ -771,7 +771,11 @@ def ivf_md5_topk(
     touches only probed cells. The corpus never self-joins."""
     from pyspark.sql.window import Window
 
-    q = quantize_embeddings(emb, id_col, vec_col)
+    # materialized ONCE (SCALING §29): the seed cross-join evaluates
+    # qvec num_cells times per row
+    q = quantize_embeddings(emb, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     seeds = (
         q.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -1452,7 +1456,13 @@ def ivf_pq_topk(
 
     spark = emb.sparkSession
     # --- coarse routing (the ivf_md5_topk quantizer, verbatim) -----
-    qn = quantize_embeddings(emb, id_col, vec_col)
+    # materialized ONCE (eager checkpoint): the seed cross-join below
+    # evaluates qvec num_cells times per row — against the lazy
+    # quantize HOF expression that is num_cells full norm-fold
+    # re-computations per row (the SCALING §29 rule)
+    qn = quantize_embeddings(emb, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     seeds = (
         qn.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -1660,7 +1670,11 @@ def semdedup_verdicts(
 
     from .dedup import connected_components
 
-    qn = quantize_embeddings(emb, id_col, vec_col)
+    # materialized ONCE (SCALING §29): the seed cross-join evaluates
+    # qvec num_cells times per row
+    qn = quantize_embeddings(emb, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     if num_cells is None:
         num_cells = default_num_cells(qn.count())
     seeds = (
@@ -1878,7 +1892,13 @@ def ivf_residual_frame(
     entries, driver-safe). All arithmetic exact integers."""
     from pyspark.sql.window import Window
 
-    qn = quantize_embeddings(emb, id_col, vec_col)
+    # materialized ONCE (eager checkpoint): the seed cross-join below
+    # evaluates qvec num_cells times per row — against the lazy
+    # quantize HOF expression that is num_cells full norm-fold
+    # re-computations per row (the SCALING §29 rule)
+    qn = quantize_embeddings(emb, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     seeds = (
         qn.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -2027,6 +2047,9 @@ def ivf_pq_residual_topk(
     )
 
     # --- probes + per-(query, cell) residual ADC tables -------------
+    # lazy is fine HERE: the cross-join below is filtered to
+    # |queries| rows first, so qvec evaluates a bounded number of
+    # times (the corpus-wide routing already lives in `frame`)
     qn = quantize_embeddings(emb, id_col, vec_col)
     seeds = (
         qn.withColumn("h", F.md5(F.col("id").cast("string")))
