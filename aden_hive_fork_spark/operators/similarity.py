@@ -486,12 +486,67 @@ def quantize_embeddings(
 ) -> DataFrame:
     """(id, qvec array<int>): round(127 * v / ||v||) per component.
 
-    Pure JVM higher-order expressions (transform/aggregate) — no
-    Python in the row path; at 100 TB this is the WRITE-side pass that
-    shrinks the ANN working set 4× (int8 vs float32) before bucketed
-    search. An all-zero embedding has no direction, so it quantizes to
-    the all-zero qvec (guarded divide — never null/NaN components that
-    would poison downstream integer dots)."""
+    Arrow-batched numpy kernel (round 11; was JVM transform/aggregate
+    HOFs — which do NOT whole-stage-codegen and evaluated ~0.4 ms/row
+    interpreted, 18.6 s for one 50k-row pass at the ×10 stress
+    scale). The kernel replays the HOF arithmetic bit-for-bit: the
+    norm accumulates SEQUENTIALLY over dimensions (a Python loop of
+    vectorized column ops — numpy's pairwise ``sum`` would change the
+    IEEE sequence and could flip a .5-boundary round), the scaled
+    component is the same (127·x)/nrm float64 expression, and the
+    round is HALF-AWAY (Spark ROUND) via copysign(floor(abs+0.5)).
+    ``quantize_embeddings_hof`` keeps the original expression form;
+    a differential test pins kernel == HOF exactly.
+
+    At 100 TB this is the WRITE-side pass that shrinks the ANN
+    working set 4× (int8 vs float32) before bucketed search. An
+    all-zero embedding has no direction, so it quantizes to the
+    all-zero qvec; NULL embeddings stay NULL."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"id": [], "qvec": []})
+                continue
+            vals = pdf[vec_col]
+            mask = vals.notna().to_numpy()
+            out: list = [None] * len(pdf)
+            if mask.any():
+                mat = np.vstack(
+                    vals[mask].to_numpy()
+                ).astype(np.float64)
+                acc = np.zeros(mat.shape[0], dtype=np.float64)
+                for d in range(mat.shape[1]):  # sequential: HOF fold
+                    x = mat[:, d]
+                    acc = acc + x * x
+                nrm = np.sqrt(acc)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = (127.0 * mat) / nrm[:, None]
+                q = np.copysign(np.floor(np.abs(r) + 0.5), r)
+                q[nrm == 0.0, :] = 0.0
+                qi = q.astype(np.int32)
+                for pos, row in zip(np.nonzero(mask)[0], qi):
+                    out[pos] = row
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "qvec": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, qvec array<int>"
+    )
+
+
+def quantize_embeddings_hof(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The original JVM higher-order-function form of
+    :func:`quantize_embeddings` — kept as the differential-test
+    reference (HOFs evaluate interpreted, so the Arrow kernel is the
+    production path)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)

@@ -296,3 +296,35 @@ def test_half_away_rounding_contract():
         for r in duckdb.sql(f"SELECT CAST({c!r} AS BIGINT)").fetchall()
     ]
     assert got == want
+
+
+def test_quantize_kernel_matches_hof_exactly(spark):
+    """The Arrow quantize kernel (round 11) must equal the original
+    JVM higher-order-function expression BIT-FOR-BIT — the norm
+    accumulates dim-sequentially (numpy pairwise sum would change the
+    IEEE sequence), the round is half-away, zero-norm rows quantize
+    to zeros, NULL embeddings stay NULL."""
+    from aden_hive_fork_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_embeddings_hof,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {
+        r["id"]: (list(r["qvec"]) if r["qvec"] is not None else None)
+        for r in quantize_embeddings(emb).collect()
+    }
+    b = {
+        r["id"]: (list(r["qvec"]) if r["qvec"] is not None else None)
+        for r in quantize_embeddings_hof(emb).collect()
+    }
+    assert a == b and len(a) > 0
+    edge = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, None), (3, [1.5, -2.5, 0.5])],
+        "vec_id bigint, embedding array<float>",
+    )
+    ka = [
+        (r["id"], list(r["qvec"]) if r["qvec"] is not None else None)
+        for r in quantize_embeddings(edge).orderBy("id").collect()
+    ]
+    assert ka == [(1, [0, 0, 0]), (2, None), (3, [64, -107, 21])]
