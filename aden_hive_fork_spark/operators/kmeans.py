@@ -127,17 +127,28 @@ def kmeans_keyed(
     )
 
     def _local_topk(batches):
+        # Fold Arrow batches incrementally: merge each batch into a
+        # running per-key top-k instead of concatenating the whole
+        # partition first, so peak executor memory is O(batch +
+        # keys*k) rather than partition-sized. Top-k under the total
+        # order (_h, _id) is associative, so the selection is
+        # bit-identical to the all-at-once form.
         import pandas as pd
 
-        parts = list(batches)
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        yield (
-            pdf.sort_values(["_h", "_id"], kind="mergesort")
-            .groupby(key_col, sort=False)
-            .head(k)
-        )
+        running = None
+        for batch in batches:
+            merged = (
+                batch
+                if running is None
+                else pd.concat([running, batch], ignore_index=True)
+            )
+            running = (
+                merged.sort_values(["_h", "_id"], kind="mergesort")
+                .groupby(key_col, sort=False)
+                .head(k)
+            )
+        if running is not None:
+            yield running
 
     w_seed = Window.partitionBy(key_col).orderBy("_h", "_id")
     seed_rows = (

@@ -69,3 +69,50 @@ def test_kmeans_deterministic_across_partitionings(spark):
     _, ca = kmeans(a, ["x"], "pid", k=4, n_iter=3)
     _, cb = kmeans(b, ["x"], "pid", k=4, n_iter=3)
     assert ca == cb
+
+
+def test_kmeans_keyed_matches_per_key_fits(spark):
+    """kmeans_keyed == per-key kmeans with salt = prefix + str(key),
+    byte-equal codebooks (the consumer contract for PQ training)."""
+    from aden_hive_fork_spark.operators.kmeans import kmeans_keyed
+
+    rows = []
+    for j in range(3):
+        for i in range(60):
+            rows.append((j, i, float((i * 31 + j * 7) % 97),
+                         float((i * 13 + j * 5) % 89)))
+    df = spark.createDataFrame(rows, "j int, pid bigint, x double, y double")
+    keyed = kmeans_keyed(df, "j", ["x", "y"], "pid", k=4, n_iter=2,
+                         salt_prefix="s|")
+    for j in range(3):
+        _, cents = kmeans(df.filter(F.col("j") == j), ["x", "y"], "pid",
+                          k=4, n_iter=2, salt="s|" + str(j))
+        assert keyed[j] == cents
+
+
+def test_kmeans_keyed_seed_phase_invariant_to_tiny_arrow_batches(spark):
+    """The incremental per-key top-k fold in the seed phase must be
+    bit-identical whatever the Arrow batch size (top-k under the
+    total order (_h, _id) is associative), so forcing 3-row batches
+    cannot move any codebook."""
+    from aden_hive_fork_spark.operators.kmeans import kmeans_keyed
+
+    rows = []
+    for j in range(2):
+        for i in range(80):
+            rows.append((j, i, float((i * 17 + j * 3) % 101)))
+    df = spark.createDataFrame(rows, "j int, pid bigint, x double")
+    base = kmeans_keyed(df, "j", ["x"], "pid", k=5, n_iter=1,
+                        salt_prefix="tiny|")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "3")
+        tiny = kmeans_keyed(df, "j", ["x"], "pid", k=5, n_iter=1,
+                            salt_prefix="tiny|")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert tiny == base
