@@ -129,7 +129,9 @@ def normalize_corpus(
     ``chars_col`` as CODEPOINTS of the result, in one Arrow-batched
     map-only pass (all other columns carried through). With
     ``drop_empty`` (default) documents that normalize to the empty
-    string are dropped — they carry no trainable content."""
+    string are dropped — they carry no trainable content. NULL text
+    stays NULL and is KEPT either way (the normalize_text contract);
+    filter NULLs upstream if they should go."""
     import re
     import unicodedata
 
@@ -173,5 +175,10 @@ def normalize_corpus(
 
     out = df.mapInPandas(run, schema=out_schema)
     if drop_empty:
-        out = out.filter(F.length(text_col) > 0)
+        # length(NULL) is NULL → a bare length>0 filter would also
+        # drop NULL-text rows, contradicting the NULL-passthrough
+        # contract above
+        out = out.filter(
+            F.col(text_col).isNull() | (F.length(text_col) > 0)
+        )
     return out

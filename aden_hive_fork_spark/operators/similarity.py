@@ -524,6 +524,26 @@ def quantize_embeddings(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     r = (127.0 * mat) / nrm[:, None]
                 q = np.copysign(np.floor(np.abs(r) + 0.5), r)
+                # Exact replay of Spark's F.round on DOUBLE (HALF_UP
+                # on the shortest-decimal BigDecimal.valueOf repr):
+                # floor(abs+0.5) disagrees within ~1 ulp of a .5
+                # boundary (e.g. r=0.49999999999999994, where r+0.5
+                # IEEE-rounds UP to 1.0 but the decimal HALF_UP of r
+                # is 0). Route those few elements through Decimal —
+                # Python repr() is the same shortest round-trip
+                # decimal as Java's Double.toString.
+                frac = np.abs(r) - np.floor(np.abs(r))
+                susp = np.isfinite(r) & (np.abs(frac - 0.5) < 1e-9)
+                if susp.any():
+                    from decimal import ROUND_HALF_UP, Decimal
+
+                    one = Decimal(1)
+                    for i, j in zip(*np.nonzero(susp)):
+                        q[i, j] = float(
+                            Decimal(repr(float(r[i, j]))).quantize(
+                                one, rounding=ROUND_HALF_UP
+                            )
+                        )
                 q[nrm == 0.0, :] = 0.0
                 qi = q.astype(np.int32)
                 for pos, row in zip(np.nonzero(mask)[0], qi):
@@ -1839,12 +1859,20 @@ def semdedup_kmeans_verdicts(
     # (and every Lloyd action) would otherwise re-evaluate the whole
     # quantize HOF expression (norm fold + transform) PER COLUMN per
     # pass — measured 54 s → ~2 s at sf0.1 for the training phase
-    qn = quantize_embeddings(emb, id_col, vec_col).localCheckpoint(
-        eager=True
+    qn = (
+        quantize_embeddings(
+            emb.filter(F.col(vec_col).isNotNull()), id_col, vec_col
+        )
+        .localCheckpoint(eager=True)
     )
     if num_cells is None:
         num_cells = default_num_cells(qn.count())
-    dim = len(qn.select("qvec").first()["qvec"])
+    first = qn.select("qvec").first()
+    if first is None:
+        raise ValueError(
+            "semdedup_kmeans_verdicts: no non-NULL embeddings to cluster"
+        )
+    dim = len(first["qvec"])
 
     # --- Lloyd-refined cells (single-group keyed fit) ---------------
     feats = qn.select(

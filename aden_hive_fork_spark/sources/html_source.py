@@ -145,29 +145,35 @@ class _LinkExtractor(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.links: list[tuple[str, list[str]]] = []
-        # one entry per OPEN <a>, True iff it carried an href — a
-        # single 0/1 flag reset by any </a> would let an href-less
-        # inner <a>...</a> truncate the enclosing link's text, and an
-        # href-less <a> after a closed link would leak text into it
-        self._stack: list[bool] = []
+        # one entry per OPEN <a>: the link index for href-bearing
+        # anchors, None for href-less ones — a single 0/1 flag reset
+        # by any </a> would let an href-less inner <a>...</a>
+        # truncate the enclosing link's text, and appending to
+        # links[-1] would attribute text after a CLOSED nested link
+        # to that closed link instead of the still-open outer one
+        self._stack: list[int | None] = []
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
             href = dict(attrs).get("href")
             if href:
                 self.links.append((href, []))
-            self._stack.append(bool(href))
+                self._stack.append(len(self.links) - 1)
+            else:
+                self._stack.append(None)
 
     def handle_endtag(self, tag):
         if tag == "a" and self._stack:
             self._stack.pop()
 
     def handle_data(self, data):
-        # collect while ANY href-bearing anchor is open; text goes to
-        # the most recently opened link (nested href-less anchors
-        # render inside the enclosing link, so their text belongs)
-        if any(self._stack) and self.links:
-            self.links[-1][1].append(data)
+        # text goes to the DEEPEST open href-bearing anchor (nested
+        # href-less anchors render inside the enclosing link, so
+        # their text belongs to it)
+        for idx in reversed(self._stack):
+            if idx is not None:
+                self.links[idx][1].append(data)
+                break
 
 
 def html_links(html: str) -> list[dict]:

@@ -93,3 +93,20 @@ def test_extra_columns_carried_through(spark):
     assert (r["text"], r["n_chars"], r["lang"], r["source"]) == (
         "a b", 3, "en", "web",
     )
+
+
+def test_drop_empty_keeps_null_text_rows(spark):
+    """ADVICE r12: NULL text stays NULL and is KEPT under drop_empty
+    (length(NULL) is NULL, so the naive length>0 filter silently
+    dropped those rows, contradicting the documented contract)."""
+    from aden_hive_fork_spark.operators.normalize import normalize_corpus
+
+    df = spark.createDataFrame(
+        [(1, "ok", 0), (2, None, 0), (3, "​  ", 0)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in normalize_corpus(df).collect()
+    }
+    assert out == {1: "ok", 2: None}  # 3 normalizes empty -> dropped

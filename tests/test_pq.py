@@ -328,3 +328,27 @@ def test_quantize_kernel_matches_hof_exactly(spark):
         for r in quantize_embeddings(edge).orderBy("id").collect()
     ]
     assert ka == [(1, [0, 0, 0]), (2, None), (3, [64, -107, 21])]
+
+
+def test_quantize_kernel_half_up_boundary(spark):
+    """r = 0.49999999999999994 (largest double < 0.5): the fast path
+    floor(abs+0.5) yields 1 (the IEEE sum r+0.5 rounds UP to 1.0) but
+    Spark's F.round — HALF_UP on the shortest-decimal BigDecimal —
+    yields 0. The kernel must side with Spark; this input is solved
+    so that 127*x/nrm lands EXACTLY on that boundary double."""
+    from aden_hive_fork_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_embeddings_hof,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.012795374755288127, 3.25]),
+         (2, [0.024606489914015626, 6.25])],
+        "vec_id bigint, embedding array<double>",
+    )
+    k = {r["id"]: list(r["qvec"])
+         for r in quantize_embeddings(emb).collect()}
+    h = {r["id"]: list(r["qvec"])
+         for r in quantize_embeddings_hof(emb).collect()}
+    assert k == h
+    assert k[1][0] == 0 and k[2][0] == 0  # not the fast-path 1

@@ -241,3 +241,15 @@ def test_pretrain_stream_census_every(sp, tmp_path):
 
     with pytest.raises(ValueError):
         merge_pretrain_batch(batch([9]), 3, path, census_every=0)
+
+
+def test_html_links_nested_href_anchor_text_attribution():
+    """ADVICE r12: text after a CLOSED nested href link belongs to the
+    still-open OUTER link, not the closed inner one."""
+    from aden_hive_fork_spark.sources.html_source import html_links
+
+    links = html_links('<a href="1">A<a href="2">B</a>C</a>')
+    assert links == [
+        {"href": "1", "text": "AC"},
+        {"href": "2", "text": "B"},
+    ]

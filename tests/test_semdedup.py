@@ -362,3 +362,44 @@ def test_default_num_cells_sqrt_scaling(spark):
     emb = _fixture(spark)  # 30 rows -> ~5 cells
     out = semdedup_verdicts(emb, threshold=0.9, num_cells=None).collect()
     assert len({r["cell"] for r in out}) <= 5 and len(out) > 0
+
+
+def test_kmeans_tier_null_and_empty_guards(spark):
+    """ADVICE r11: NULL embeddings must be ignored (not fed into
+    k-means as null features), and an all-NULL/empty table must
+    raise a clear error rather than TypeError on first()."""
+    from aden_hive_fork_spark.operators.similarity import (
+        semdedup_kmeans_verdicts,
+    )
+
+    emb = _fixture(spark)
+    with_nulls = emb.unionByName(
+        spark.createDataFrame(
+            [(900, None, 99), (901, None, 99)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+    )
+    base = {
+        (r["vec_id"], r["comp"], r["kept"])
+        for r in semdedup_kmeans_verdicts(
+            emb, threshold=0.9, num_cells=8, n_iter=2
+        ).collect()
+    }
+    got = {
+        (r["vec_id"], r["comp"], r["kept"])
+        for r in semdedup_kmeans_verdicts(
+            with_nulls, threshold=0.9, num_cells=8, n_iter=2
+        ).collect()
+    }
+    assert got == base
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="no non-NULL embeddings"):
+        semdedup_kmeans_verdicts(empty, threshold=0.9, num_cells=4, n_iter=1)
+    all_null = spark.createDataFrame(
+        [(1, None, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="no non-NULL embeddings"):
+        semdedup_kmeans_verdicts(all_null, threshold=0.9, num_cells=4, n_iter=1)
