@@ -233,6 +233,7 @@ def pretrain_pipeline_census(
     source_col: str = "source",
     chars_col: str = "n_chars",
     target_lang: str = "en",
+    stages: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """The per-stage corpus accounting: one row per stage with
     (stage, n_docs BIGINT, n_tokens BIGINT). Corpus stages count
@@ -240,13 +241,16 @@ def pretrain_pipeline_census(
     the PII accounting row (n_docs = documents the redactor touched,
     n_tokens = total typed hits — the FineWeb anonymization ledger);
     ``9_packed`` counts packed context windows and packed tokens
-    (== stage 8b's total)."""
+    (== stage 8b's total). Pass ``stages`` to account an
+    already-computed chain (the stage frames are eagerly
+    checkpointed, so reuse within a session is free and exact)."""
     from .pii import detect_pii
 
-    stages = pretrain_pipeline_stages(
-        docs, id_col, text_col, lang_col, source_col, chars_col,
-        target_lang,
-    )
+    if stages is None:
+        stages = pretrain_pipeline_stages(
+            docs, id_col, text_col, lang_col, source_col, chars_col,
+            target_lang,
+        )
     out = None
     for name, df in stages.items():
         if name == "9_packed":
