@@ -1064,3 +1064,110 @@ def q313_domain_mixture(spark, sf_dir):
         "allocated_tokens",
         stable_round6(F.col("epochs")).alias("epochs"),
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# q343 — ExactSubstr repeated-substring REMOVAL (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): spans
+# of >= n tokens duplicated across >= min_docs documents are cut out
+# of EVERY document, keeping the rest. A shared license block is
+# appended to every 3rd document and a shared header prepended to
+# every 4th, so the removal provably strips exactly those runs (plus
+# any organic cross-doc duplicated 8-grams, replayed identically by
+# the oracle); cleaned text proven md5-byte-exact.
+# ---------------------------------------------------------------------------
+_Q343_HEADER = "terms of service apply to all content herein"
+_Q343_LICENSE = (
+    "this document is provided under the creative commons"
+    " attribution license"
+)
+
+
+@query(
+    "q343_exact_substr_removal",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN '{_Q343_HEADER} ' ELSE '' END
+        || text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' {_Q343_LICENSE}' ELSE '' END
+        AS text
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM docs),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS tok,
+        unnest(generate_series(1, len(ws))) AS tpos
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id,
+        unnest([array_to_string(ws[i:i+7], ' ')
+                for i in range(1, len(ws) - 6)]) AS gram,
+        unnest(generate_series(1, len(ws) - 7)) AS pos
+      FROM w WHERE len(ws) >= 8
+    ),
+    hot AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+      GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id,
+        unnest(generate_series(pos, pos + 7)) AS cpos
+      FROM hits
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toks t ANTI JOIN covered c
+        ON c.doc_id = t.doc_id AND c.cpos = t.tpos
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text,
+        CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+      md5(COALESCE(r.text, '')) AS text_md5,
+      CAST(length(COALESCE(r.text, '')) AS BIGINT) AS text_len,
+      CAST(len(w.ws) - COALESCE(r.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed
+    FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
+    ORDER BY w.doc_id ASC
+    """,
+)
+def q343_exact_substr_removal(spark, sf_dir):
+    """operators/dedup.trim_repeated_passages over documents with an
+    injected cross-corpus license block (every 3rd doc) and header
+    (every 4th): word 8-grams appearing in >= 2 distinct documents
+    mark their token positions for removal, overlapping hot spans
+    merge via per-position coverage, and the text is rebuilt from
+    surviving tokens in order — the ExactSubstr pass, hash-gated on
+    the full cleaned text."""
+    from ..operators.dedup import trim_repeated_passages
+
+    d = T(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    docs = d.filter(
+        F.col("text").isNotNull() & key.isNotNull()
+    ).select(
+        "doc_id",
+        F.concat(
+            F.when(key % 4 == 0, F.lit(_Q343_HEADER + " ")).otherwise(
+                F.lit("")
+            ),
+            F.col("text"),
+            F.when(key % 3 == 0, F.lit(" " + _Q343_LICENSE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = trim_repeated_passages(docs, "doc_id", "text", n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.col("n_tokens_removed").cast("bigint"),
+    ).orderBy("doc_id")

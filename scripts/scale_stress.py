@@ -189,12 +189,45 @@ def main() -> int:
                  "q341_semdedup_kmeans_verdicts",
                  # round-11: Unicode normalize over documents ×10
                  # (map-only Arrow pass — must scale linearly)
-                 "q342_unicode_normalize"):
+                 "q342_unicode_normalize",
+                 # round-12: ExactSubstr span removal over documents
+                 # ×10 exact-dup replicas (worst case: EVERY n-gram
+                 # is corpus-duplicated, so all positions are covered
+                 # and the posting join carries the full gram table)
+                 "q343_exact_substr_removal"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
         print(f"{name}: {secs}s rows={rows}", flush=True)
         results["queries"][name] = {"sec": secs, "rows": rows}
+
+    # round-12 (VERDICT r11 task 6): the num_cells=None ~sqrt(n)
+    # default at the stress shape — the documented 100 TB posture,
+    # exercised where cell-boundedness actually matters (50k vectors
+    # → ~224 cells) rather than only at toy n.
+    from aden_hive_fork_spark.operators.similarity import (
+        default_num_cells,
+        semdedup_kmeans_verdicts,
+    )
+
+    emb_s = spark.read.parquet(f"{DST}/embeddings.parquet")
+    n_vec = emb_s.count()
+    secs, rows = timed(
+        lambda: semdedup_kmeans_verdicts(
+            emb_s, threshold=0.3, num_cells=None, n_iter=2
+        ).count()
+    )
+    results["queries"]["semdedup_kmeans_default_cells"] = {
+        "sec": secs,
+        "rows": rows,
+        "n_vectors": n_vec,
+        "num_cells": default_num_cells(n_vec),
+    }
+    print(
+        f"semdedup_kmeans_default_cells: {secs}s rows={rows} "
+        f"cells={default_num_cells(n_vec)}",
+        flush=True,
+    )
 
     # --- skew-join proof: hot-key fact ⋈ user dimension ----------------
     # user 7 holds ~30% of the 1M events; the dim is kept non-broadcast
