@@ -83,11 +83,17 @@ def pretrain_pipeline_stages(
     source_col: str = "source",
     chars_col: str = "n_chars",
     target_lang: str = "en",
+    gopher: bool = False,
+    gopher_params: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the 10 corpus stages; returns {stage_name: surviving docs}
     (all with the input's five columns) plus ``"9_packed"`` holding
     the (doc, window) span table. Stages are eagerly checkpointed —
-    calling this triggers the chain."""
+    calling this triggers the chain. ``gopher=True`` inserts the
+    optional stage 3b (the non-repetition Gopher rule set,
+    quality.gopher_quality_signals, thresholds overridable via
+    ``gopher_params``) between the repetition filter and exact
+    dedup."""
     from .dedup import (
         dedup_by_components,
         exact_dedup,
@@ -98,7 +104,7 @@ def pretrain_pipeline_stages(
     from .normalize import normalize_corpus
     from .packing import pack_token_stream
     from .pii import redact_pii
-    from .quality import ngram_repetition
+    from .quality import gopher_quality_signals, ngram_repetition
     from .sampling import (
         decontaminate_split,
         dsir_importance,
@@ -148,9 +154,23 @@ def pretrain_pipeline_stages(
         id_col,
     ).localCheckpoint(eager=True)
 
+    if gopher:
+        # stage-3b option: the NON-repetition Gopher rules (q344) —
+        # map-only signals, so the option adds one semi-join and no
+        # new shuffle class to the chain
+        sigs = gopher_quality_signals(
+            s3, id_col, text_col, **(gopher_params or {})
+        )
+        s3b = s3.join(
+            sigs.filter(F.col("gopher_pass") == 1).select(id_col),
+            id_col,
+        ).localCheckpoint(eager=True)
+    else:
+        s3b = s3
+
     s4 = (
         exact_dedup(
-            s3.withColumn(
+            s3b.withColumn(
                 "_fp", F.md5(F.lower(F.trim(F.col(text_col))))
             ),
             ["_fp"],
@@ -210,11 +230,15 @@ def pretrain_pipeline_stages(
     packed = pack_token_stream(
         s8b, id_col, chars_col, capacity=PACK_CAPACITY
     )
-    return {
+    out: dict[str, DataFrame] = {
         "1_base": s1,
         "1b_normalize": s1b,
         "2_langid": s2,
         "3_quality": s3,
+    }
+    if gopher:
+        out["3b_gopher"] = s3b
+    out.update({
         "4_exact_dedup": s4,
         "5_near_dedup": s5,
         "6_decontam": s6,
@@ -222,7 +246,8 @@ def pretrain_pipeline_stages(
         "8_mixture": s8,
         "8b_pii": s8b,
         "9_packed": packed,
-    }
+    })
+    return out
 
 
 def pretrain_pipeline_census(

@@ -1175,3 +1175,164 @@ def dataset_datasheet(
             ).alias("dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules — the NON-repetition half (Rae et al. 2021,
+# MassiveText §A1.1; the FineWeb/Dolma reimplementations). The
+# repetition half is ngram_repetition (q298).
+# ---------------------------------------------------------------------------
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher rule set minus repetition, ONE map-only
+    wide conditional profile per document (the q128 shape — no
+    shuffle at all; every signal is a JVM array expression over the
+    whitespace word list / newline line list):
+
+    - ``n_words`` ∈ [min_words, max_words];
+    - ``mean_word_len`` ∈ [3, 10];
+    - ``symbol_ratio`` — ('#' occurrences + '…' + '...' occurrence
+      count) / words ≤ 0.1;
+    - ``bullet_frac`` — lines starting with '- ', '* ' or '•' ≤ 0.9;
+    - ``ellipsis_frac`` — lines ending with '...' or '…' ≤ 0.3;
+    - ``alpha_frac`` — words containing ≥ 1 [A-Za-z] char ≥ 0.8;
+    - ``stop_hits`` — distinct hits among the 8 canonical Gopher
+      stopwords (lowercased words) ≥ 2.
+
+    Fractions are stable_round6 doubles and every rule flag is
+    decided ON the rounded value, so the verdicts replay exactly in
+    DuckDB. Division is NULLIF-guarded; a doc with zero words fails
+    the word-count rule and carries 0.0 fractions. At 100 TB the
+    pass is a pure scan: no aggregate, no explode, nothing keyed.
+    """
+    from .similarity import stable_round6
+
+    w = "filter(split(trim({t}), '\\\\s+'), x -> x != '')".format(t=text_col)
+    lines = (
+        "filter(transform(split({t}, '\\n'), l -> trim(l)),"
+        " l -> l != '')"
+    ).format(t=text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.expr(w).alias("_w"),
+        F.expr(lines).alias("_ln"),
+    ).select(
+        id_col,
+        F.size("_w").cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(_w, cast(0 as bigint), (a, x) -> a + length(x))"
+        ).alias("_wchars"),
+        (
+            F.length("_txt")
+            - F.length(F.replace(F.col("_txt"), F.lit("#"), F.lit("")))
+        ).cast("bigint").alias("_hash_cnt"),
+        (
+            (
+                F.length("_txt")
+                - F.length(
+                    F.replace(F.col("_txt"), F.lit("..."), F.lit(""))
+                )
+            )
+            / F.lit(3)
+            + (
+                F.length("_txt")
+                - F.length(
+                    F.replace(F.col("_txt"), F.lit("…"), F.lit(""))
+                )
+            )
+        ).alias("_ell_cnt"),
+        F.size("_ln").cast("bigint").alias("n_lines"),
+        F.expr(
+            "size(filter(_ln, l -> startswith(l, '- ') or"
+            " startswith(l, '* ') or startswith(l, '•')))"
+        ).cast("bigint").alias("_bullet_lines"),
+        F.expr(
+            "size(filter(_ln, l -> endswith(l, '...') or"
+            " endswith(l, '…')))"
+        ).cast("bigint").alias("_ellipsis_lines"),
+        F.expr(
+            "size(filter(_w, x -> x rlike '[A-Za-z]'))"
+        ).cast("bigint").alias("_alpha_words"),
+        sum(
+            (
+                F.array_contains(
+                    F.expr("transform(_w, x -> lower(x))"), F.lit(s)
+                ).cast("int")
+            )
+            for s in GOPHER_STOPWORDS
+        ).cast("int").alias("stop_hits"),
+    )
+    nw = F.col("n_words").cast("double")
+    nl = F.col("n_lines").cast("double")
+    mean_wl = stable_round6(
+        F.col("_wchars").cast("double") / F.nullif(nw, F.lit(0.0))
+    )
+    sym = stable_round6(
+        (F.col("_hash_cnt").cast("double") + F.col("_ell_cnt"))
+        / F.nullif(nw, F.lit(0.0))
+    )
+    bullet = stable_round6(
+        F.col("_bullet_lines").cast("double") / F.nullif(nl, F.lit(0.0))
+    )
+    ellipsis = stable_round6(
+        F.col("_ellipsis_lines").cast("double") / F.nullif(nl, F.lit(0.0))
+    )
+    alpha = stable_round6(
+        F.col("_alpha_words").cast("double") / F.nullif(nw, F.lit(0.0))
+    )
+    sig = base.select(
+        id_col,
+        "n_words",
+        F.coalesce(mean_wl, F.lit(0.0)).alias("mean_word_len"),
+        F.coalesce(sym, F.lit(0.0)).alias("symbol_ratio"),
+        "n_lines",
+        F.coalesce(bullet, F.lit(0.0)).alias("bullet_frac"),
+        F.coalesce(ellipsis, F.lit(0.0)).alias("ellipsis_frac"),
+        F.coalesce(alpha, F.lit(0.0)).alias("alpha_frac"),
+        "stop_hits",
+    )
+    flags = {
+        "pass_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "pass_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "pass_symbol": F.col("symbol_ratio") <= max_symbol_ratio,
+        "pass_bullet": F.col("bullet_frac") <= max_bullet_frac,
+        "pass_ellipsis": F.col("ellipsis_frac") <= max_ellipsis_frac,
+        "pass_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "pass_stopwords": F.col("stop_hits") >= min_stopword_hits,
+    }
+    gopher = None
+    for c in flags.values():
+        gopher = c if gopher is None else (gopher & c)
+    return sig.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "n_lines",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_frac",
+        "stop_hits",
+        *[c.cast("int").alias(name) for name, c in flags.items()],
+        gopher.cast("int").alias("gopher_pass"),
+    )

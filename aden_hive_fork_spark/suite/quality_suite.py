@@ -553,3 +553,150 @@ def q332_dataset_datasheet(spark, sf_dir):
     return dataset_datasheet(
         docs, "doc_id", "text", "lang", "source", "n_chars"
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q344 — the full Gopher rule set minus repetition (Rae et al. 2021
+# §A1.1; q298 covers the repetition half): mean word length, symbol-
+# to-word ratio, bullet-/ellipsis-line fractions, alphabetic-word
+# fraction, stopword presence, word-count bounds — ONE map-only wide
+# conditional profile per document, every rule flag decided on the
+# stable_round6 value so DuckDB replays the verdicts bit-for-bit.
+# The raw documents are single-line prose, so deterministic structure
+# is injected: bullet lines on every 3rd doc, ellipsis lines on every
+# 4th, '#' runs on every 5th.
+# ---------------------------------------------------------------------------
+_Q344_R6 = "FLOOR({x} * 1000000 + 0.5) / 1000000"
+
+
+@query(
+    "q344_gopher_quality",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+          THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10)
+          ELSE '' END
+        || text
+        || CASE WHEN doc_id % 4 = 0
+          THEN chr(10) || 'to be continued...' || chr(10) || 'more soon…'
+          ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' ## ## ## ####' ELSE '' END
+        AS text
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    base AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '') AS ws,
+        list_filter(list_transform(string_split(text, chr(10)),
+                                   l -> trim(l)),
+                    l -> l <> '') AS lns
+      FROM docs
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+             AS BIGINT) AS wchars,
+        CAST(length(text) - length(replace(text, '#', ''))
+             AS BIGINT) AS hash_cnt,
+        (CAST(length(text) - length(replace(text, '...', ''))
+              AS DOUBLE) / 3.0)
+          + CAST(length(text) - length(replace(text, '…', ''))
+                 AS DOUBLE) AS ell_cnt,
+        CAST(len(lns) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(lns, l -> starts_with(l, '- ')
+             OR starts_with(l, '* ') OR starts_with(l, '•')))
+             AS BIGINT) AS bullet_lines,
+        CAST(len(list_filter(lns, l -> ends_with(l, '...')
+             OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS alpha_words,
+        CAST((CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'the') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'be') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'to') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'of') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'and') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'that') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'have') THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains(list_transform(ws, x -> lower(x)),
+               'with') THEN 1 ELSE 0 END) AS INT) AS stop_hits
+      FROM base
+    ),
+    sig AS (
+      SELECT doc_id, n_words, n_lines, stop_hits,
+        COALESCE({_Q344_R6.format(x='CAST(wchars AS DOUBLE) / NULLIF(CAST(n_words AS DOUBLE), 0.0)')}, 0.0)
+          AS mean_word_len,
+        COALESCE({_Q344_R6.format(x='(CAST(hash_cnt AS DOUBLE) + ell_cnt) / NULLIF(CAST(n_words AS DOUBLE), 0.0)')}, 0.0)
+          AS symbol_ratio,
+        COALESCE({_Q344_R6.format(x='CAST(bullet_lines AS DOUBLE) / NULLIF(CAST(n_lines AS DOUBLE), 0.0)')}, 0.0)
+          AS bullet_frac,
+        COALESCE({_Q344_R6.format(x='CAST(ellipsis_lines AS DOUBLE) / NULLIF(CAST(n_lines AS DOUBLE), 0.0)')}, 0.0)
+          AS ellipsis_frac,
+        COALESCE({_Q344_R6.format(x='CAST(alpha_words AS DOUBLE) / NULLIF(CAST(n_words AS DOUBLE), 0.0)')}, 0.0)
+          AS alpha_frac
+      FROM m
+    )
+    SELECT doc_id, n_words,
+      CAST(mean_word_len AS DOUBLE) AS mean_word_len,
+      CAST(symbol_ratio AS DOUBLE) AS symbol_ratio,
+      n_lines,
+      CAST(bullet_frac AS DOUBLE) AS bullet_frac,
+      CAST(ellipsis_frac AS DOUBLE) AS ellipsis_frac,
+      CAST(alpha_frac AS DOUBLE) AS alpha_frac,
+      stop_hits,
+      CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS pass_words,
+      CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+        AS pass_mean_word_len,
+      CAST(symbol_ratio <= 0.1 AS INT) AS pass_symbol,
+      CAST(bullet_frac <= 0.9 AS INT) AS pass_bullet,
+      CAST(ellipsis_frac <= 0.3 AS INT) AS pass_ellipsis,
+      CAST(alpha_frac >= 0.8 AS INT) AS pass_alpha,
+      CAST(stop_hits >= 2 AS INT) AS pass_stopwords,
+      CAST(n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND stop_hits >= 2 AS INT) AS gopher_pass
+    FROM sig
+    ORDER BY doc_id ASC
+    """,
+)
+def q344_gopher_quality(spark, sf_dir):
+    """operators/quality.gopher_quality_signals over documents with
+    injected bullet/ellipsis/symbol structure: the non-repetition
+    Gopher rules as one map-only wide profile per doc, per-rule flags
+    and the composed verdict hash-gated."""
+    from ..operators.quality import gopher_quality_signals
+
+    d = T(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    docs = d.filter(
+        F.col("text").isNotNull() & key.isNotNull()
+    ).select(
+        "doc_id",
+        F.concat(
+            F.when(
+                key % 3 == 0,
+                F.lit("- alpha beta\n- gamma delta\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                key % 4 == 0,
+                F.lit("\nto be continued...\nmore soon…"),
+            ).otherwise(F.lit("")),
+            F.when(key % 5 == 0, F.lit(" ## ## ## ####")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return gopher_quality_signals(docs).orderBy("doc_id")

@@ -194,7 +194,10 @@ def main() -> int:
                  # ×10 exact-dup replicas (worst case: EVERY n-gram
                  # is corpus-duplicated, so all positions are covered
                  # and the posting join carries the full gram table)
-                 "q343_exact_substr_removal"):
+                 "q343_exact_substr_removal",
+                 # round-12: full Gopher rule profile (map-only wide
+                 # conditional — must scale linearly like q342)
+                 "q344_gopher_quality"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())
