@@ -884,6 +884,7 @@ def trim_repeated_passages(
     text_col: str = "text",
     n: int = 5,
     min_docs: int = 2,
+    count_mode: str = "docs",
 ) -> DataFrame:
     """Cut the SPANS that repeat across documents out of each
     document, keeping the rest — the training-data middle ground
@@ -908,9 +909,19 @@ def trim_repeated_passages(
 
     Output: (id, text, n_tokens_removed) — text rebuilt with single
     spaces. Documents shorter than n tokens pass through unchanged.
+
+    ``count_mode``: ``"docs"`` (default) counts DISTINCT documents —
+    the cross-doc boilerplate tier, where a doc spamming one phrase
+    cannot hot-list itself. ``"occurrences"`` counts TOTAL gram
+    occurrences in the corpus — the ExactSubstr paper's semantics
+    (Lee et al. 2022 build ONE suffix array over the concatenated
+    corpus, so a run repeated twice within a single document is a
+    duplicate), with ``min_docs`` then read as min occurrences.
     """
     if n < 1 or min_docs < 2:
         raise ValueError("trim_repeated_passages: n >= 1, min_docs >= 2")
+    if count_mode not in ("docs", "occurrences"):
+        raise ValueError("count_mode must be 'docs' or 'occurrences'")
     toks = tokens_col(text_col)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -930,10 +941,13 @@ def trim_repeated_passages(
             )
         ).alias("g"),
     ).select("id", F.col("g.pos").alias("pos"), F.col("g.passage").alias("passage"))
+    posting = (
+        grams.select("id", "passage").distinct()
+        if count_mode == "docs"
+        else grams.select("id", "passage")
+    )
     hot = (
-        grams.select("id", "passage")
-        .distinct()
-        .groupBy("passage")
+        posting.groupBy("passage")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
         .select("passage")

@@ -713,3 +713,80 @@ def curriculum_interleave(
         .withColumn("round", F.row_number().over(w).cast("bigint"))
         .select("round", domain_col, id_col, "score")
     )
+
+
+def softdedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Soft-deduplication reweighting (the SoftDeDup idea — He et
+    al. 2024: down-WEIGHT highly duplicated samples instead of
+    dropping them, so the effective epoch count of common content
+    falls without discarding its unique remainder):
+
+    - ``commonness`` — the mean corpus-wide occurrence count of the
+      document's word ``n``-grams (the concatenated-corpus counter
+      of the ExactSubstr tier, so a gram repeated within one doc
+      counts every instance). 1.0 = every gram unique corpus-wide;
+    - ``weight`` — 1 / commonness, the sampling multiplier: a doc
+      whose every 8-gram appears k times trains at ~1/k the rate,
+      making the EXPECTED gradient contribution of duplicated
+      content scale-invariant.
+
+    Docs with fewer than ``n`` tokens carry commonness 1.0 / weight
+    1.0 (nothing to count). Both metrics are stable_round6 doubles.
+
+    Scale: one gram-keyed count aggregate (map-side combined), one
+    semi-sized join back on gram, one doc-keyed mean — the q343 cost
+    class; no pair table, no window, nothing collected. Feed
+    ``weight`` to :func:`weighted_sample` /
+    :func:`weighted_sample_per_group` for the actual draw.
+    """
+    from .dedup import tokens_col
+    from .similarity import stable_round6
+
+    if n < 1:
+        raise ValueError("softdedup_weights: n >= 1")
+    toks = tokens_col(text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col), toks.alias("_toks"))
+    grams = base.filter(F.size("_toks") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)),
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt")
+    )
+    per_doc = (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("_cnt").cast("bigint").alias("_cnt_sum"),
+        )
+    )
+    commonness = stable_round6(
+        F.col("_cnt_sum").cast("double") / F.col("n_grams").cast("double")
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias(
+                "n_grams"
+            ),
+            F.coalesce(commonness, F.lit(1.0)).alias("commonness"),
+            F.coalesce(
+                stable_round6(F.lit(1.0) / commonness), F.lit(1.0)
+            ).alias("weight"),
+        )
+    )

@@ -1171,3 +1171,186 @@ def q343_exact_substr_removal(spark, sf_dir):
         F.length("text").cast("bigint").alias("text_len"),
         F.col("n_tokens_removed").cast("bigint"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q345 — ExactSubstr in the PAPER's counting mode: Lee et al. 2022
+# build one suffix array over the concatenated corpus, so a run
+# repeated twice WITHIN a single document is a duplicate (the
+# cross-doc q343 tier cannot see it). Every 6th document gets its own
+# first 12 tokens appended — a pure self-repeat — and occurrence
+# counting must strip both copies; cleaned text md5-byte-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q345_exact_substr_occurrences",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS ws0
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    docs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 6 = 0 AND len(ws0) >= 12
+          THEN text || ' ' || array_to_string(ws0[1:12], ' ')
+          ELSE text END AS text
+      FROM raw
+    ),
+    w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM docs),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS tok,
+        unnest(generate_series(1, len(ws))) AS tpos
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id,
+        unnest([array_to_string(ws[i:i+7], ' ')
+                for i in range(1, len(ws) - 6)]) AS gram,
+        unnest(generate_series(1, len(ws) - 7)) AS pos
+      FROM w WHERE len(ws) >= 8
+    ),
+    hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    hits AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id,
+        unnest(generate_series(pos, pos + 7)) AS cpos
+      FROM hits
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toks t ANTI JOIN covered c
+        ON c.doc_id = t.doc_id AND c.cpos = t.tpos
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text,
+        CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+      md5(COALESCE(r.text, '')) AS text_md5,
+      CAST(length(COALESCE(r.text, '')) AS BIGINT) AS text_len,
+      CAST(len(w.ws) - COALESCE(r.n_kept, 0) AS BIGINT)
+        AS n_tokens_removed
+    FROM w LEFT JOIN rebuilt r ON r.doc_id = w.doc_id
+    ORDER BY w.doc_id ASC
+    """,
+)
+def q345_exact_substr_occurrences(spark, sf_dir):
+    """operators/dedup.trim_repeated_passages(count_mode=
+    "occurrences") over documents with a self-repeat injected into
+    every 6th doc (its own first 12 tokens appended): total-
+    occurrence counting — the suffix-array-over-the-concatenated-
+    corpus semantics — removes within-doc repeats the cross-doc tier
+    cannot see."""
+    from ..operators.dedup import trim_repeated_passages
+
+    d = T(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    ws0 = F.split(F.trim(F.col("text")), " ")
+    docs = d.filter(
+        F.col("text").isNotNull() & key.isNotNull()
+    ).select(
+        "doc_id",
+        F.when(
+            (key % 6 == 0) & (F.size(ws0) >= 12),
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.concat_ws(" ", F.slice(ws0, 1, 12)),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = trim_repeated_passages(
+        docs, "doc_id", "text", n=8, min_docs=2,
+        count_mode="occurrences",
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("bigint").alias("text_len"),
+        F.col("n_tokens_removed").cast("bigint"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q346 — soft-deduplication reweighting (SoftDeDup, He et al. 2024):
+# instead of dropping duplicated documents, weight them down by the
+# mean corpus-wide occurrence count of their word 8-grams, so common
+# content trains at ~1/k the rate. The q343 license block is injected
+# into every 3rd doc so commonness genuinely varies.
+# ---------------------------------------------------------------------------
+@query(
+    "q346_softdedup_weights",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 3 = 0 THEN ' {_Q343_LICENSE}' ELSE '' END
+        AS text
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM docs),
+    grams AS (
+      SELECT doc_id,
+        unnest([array_to_string(ws[i:i+7], ' ')
+                for i in range(1, len(ws) - 6)]) AS gram
+      FROM w WHERE len(ws) >= 8
+    ),
+    counts AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(SUM(c.cnt) AS BIGINT) AS cnt_sum
+      FROM grams g JOIN counts c ON c.gram = g.gram
+      GROUP BY g.doc_id
+    ),
+    sig AS (
+      SELECT w.doc_id,
+        COALESCE(p.n_grams, 0) AS n_grams,
+        COALESCE(
+          FLOOR(CAST(p.cnt_sum AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+                * 1000000 + 0.5) / 1000000, 1.0) AS commonness,
+        COALESCE(
+          FLOOR(1.0 / (FLOOR(CAST(p.cnt_sum AS DOUBLE)
+                / CAST(p.n_grams AS DOUBLE) * 1000000 + 0.5) / 1000000)
+                * 1000000 + 0.5) / 1000000, 1.0) AS weight
+      FROM w LEFT JOIN per_doc p ON p.doc_id = w.doc_id
+    )
+    SELECT doc_id, n_grams,
+      CAST(commonness AS DOUBLE) AS commonness,
+      CAST(weight AS DOUBLE) AS weight
+    FROM sig
+    ORDER BY doc_id ASC
+    """,
+)
+def q346_softdedup_weights(spark, sf_dir):
+    """operators/sampling.softdedup_weights over documents with the
+    q343 license block injected into every 3rd doc: per-doc mean
+    corpus-wide 8-gram occurrence count (commonness) and the
+    1/commonness sampling weight, both stable_round6."""
+    from ..operators.sampling import softdedup_weights
+
+    d = T(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    docs = d.filter(
+        F.col("text").isNotNull() & key.isNotNull()
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(key % 3 == 0, F.lit(" " + _Q343_LICENSE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return softdedup_weights(docs, "doc_id", "text", n=8).orderBy(
+        "doc_id"
+    )

@@ -130,6 +130,10 @@ HEADLINE = [
     # round-11 headliners
     "q341_semdedup_kmeans_verdicts",  # SemDeDup, Lloyd-refined cells
     "q342_unicode_normalize",     # NFC + strip + fold, chars recounted
+    "q343_exact_substr_removal",  # ExactSubstr span removal
+    "q344_gopher_quality",        # full Gopher rule profile
+    "q345_exact_substr_occurrences",  # ExactSubstr, paper counting mode
+    "q346_softdedup_weights",     # SoftDeDup commonness reweighting
 ]
 
 

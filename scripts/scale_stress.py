@@ -197,7 +197,11 @@ def main() -> int:
                  "q343_exact_substr_removal",
                  # round-12: full Gopher rule profile (map-only wide
                  # conditional — must scale linearly like q342)
-                 "q344_gopher_quality"):
+                 "q344_gopher_quality",
+                 # round-12: occurrence-mode ExactSubstr + SoftDeDup
+                 # commonness over the x10 replicas (every gram 10x)
+                 "q345_exact_substr_occurrences",
+                 "q346_softdedup_weights"):
         if name not in qs:
             continue
         secs, rows = timed(lambda n=name: qs[n](spark, DST).count())

@@ -109,3 +109,67 @@ def test_differential_vs_python_replay(spark):
         got = _rows(trim_repeated_passages(df, "doc_id", "text", n=n,
                                            min_docs=md))
         assert got == _py_replay(docs, n, md)
+
+
+def test_occurrence_mode_removes_self_repeats(spark):
+    """count_mode='occurrences' (the paper's concatenated-corpus
+    counting): a doc repeating its own 8-token run loses BOTH copies,
+    while docs mode keeps them (self-repeats can't hot-list)."""
+    phrase = " ".join(f"p{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, phrase + " mid " + phrase), (2, "other words here")],
+        "doc_id bigint, text string",
+    )
+    occ = _rows(trim_repeated_passages(df, "doc_id", "text", n=8,
+                                       count_mode="occurrences"))
+    assert occ[1] == ("mid", 16)
+    assert occ[2] == ("other words here", 0)
+    docs = _rows(trim_repeated_passages(df, "doc_id", "text", n=8,
+                                        count_mode="docs"))
+    assert docs[1][1] == 0
+
+
+def test_occurrence_mode_differential_vs_python(spark):
+    """Seeded word-soup differential for the occurrence counter."""
+    import random
+
+    rng = random.Random(345)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for i in range(50)
+    }
+
+    def replay(n, min_count):
+        toks = {i: t.strip().split(" ") for i, t in docs.items()}
+        cnt: dict[str, int] = {}
+        for ws in toks.values():
+            for p in range(len(ws) - n + 1):
+                g = " ".join(ws[p : p + n])
+                cnt[g] = cnt.get(g, 0) + 1
+        hot = {g for g, c in cnt.items() if c >= min_count}
+        out = {}
+        for i, ws in toks.items():
+            covered = set()
+            for p in range(len(ws) - n + 1):
+                if " ".join(ws[p : p + n]) in hot:
+                    covered.update(range(p, p + n))
+            kept = [w for q, w in enumerate(ws) if q not in covered]
+            out[i] = (" ".join(kept), len(ws) - len(kept))
+        return out
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id bigint, text string"
+    )
+    got = _rows(trim_repeated_passages(df, "doc_id", "text", n=5,
+                                       min_docs=3,
+                                       count_mode="occurrences"))
+    assert got == replay(5, 3)
+
+
+def test_count_mode_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="count_mode"):
+        trim_repeated_passages(df, "doc_id", "text", count_mode="bogus")
