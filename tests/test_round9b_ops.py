@@ -279,8 +279,12 @@ def test_wordpiece_matches_python_model(sp, docs, min_occ):
 
 # ---------------------------------------------------------------------------
 # DSIR importance ≡ plain-Python Spark-faithful model (HALF_UP
-# rounds via Decimal on the exact binary value, floor-quantized ln
-# terms, sorted-fold sum)
+# rounds on the double's SHORTEST-DECIMAL repr — Spark's F.round
+# builds the BigDecimal from the shortest repr, and DuckDB's round
+# agrees; Decimal(x) on the exact binary value diverges one ulp
+# below .5 boundaries, e.g. round(1.4987095, 6): engines say
+# 1.49871, the binary expansion 1.4987094999... says 1.498709 —
+# floor-quantized ln terms, sorted-fold sum)
 # ---------------------------------------------------------------------------
 
 
@@ -288,7 +292,9 @@ def _r(x: float, d: int) -> float:
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(
-        Decimal(x).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+        )
     )
 
 
