@@ -129,6 +129,27 @@ def langid_classify(
     counts = doc_grams.groupBy("_id", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
+    ids = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"))
+        .distinct()
+    )
+    return _classify_tail(ids, counts, profiles, id_col, profile_size)
+
+
+def _classify_tail(
+    ids: DataFrame,
+    counts: DataFrame,
+    profiles: DataFrame,
+    id_col: str,
+    profile_size: int,
+) -> DataFrame:
+    """The classify pipeline downstream of the per-(doc, gram) count
+    table: rank the doc profile, join the broadcast language
+    profiles, charge out-of-place distances, argmin per doc. Shared
+    by :func:`langid_classify` (counts from its own explode) and
+    :func:`langid_train_predict` (counts from the single shared
+    explode)."""
     w = Window.partitionBy("_id").orderBy(F.desc("c"), F.asc("gram"))
     # `ranked` feeds BOTH the per-doc gram-count aggregate and the
     # profile join below; without lineage truncation Spark recomputes
@@ -147,9 +168,7 @@ def langid_classify(
     # (distance 0 against every language -> lexicographically first
     # language wins), so no second pipeline branch or union is needed
     per_doc = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("_id"))
-        .distinct()
+        ids
         .join(
             ranked.groupBy("_id").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_doc_grams")
@@ -214,3 +233,61 @@ def langid_classify(
             "n_doc_grams",
         )
     )
+
+
+def langid_train_predict(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    n: int = 3,
+    profile_size: int = 300,
+) -> tuple[DataFrame, DataFrame]:
+    """TRAIN + CLASSIFY over the SAME corpus from ONE gram explode —
+    the self-labeling shape (pipeline stage 2, q319): the corpus is
+    exploded into character n-grams once and aggregated to per-
+    (doc, gram) counts; the per-language profile counts are those
+    counts summed by the document's label (exact integers, so
+    identical to :func:`langid_profiles`' direct aggregation), and
+    classification reuses the same count table. Returns
+    ``(profiles, predictions)``, each column-identical to the
+    separate ``langid_profiles`` / ``langid_classify`` calls — the
+    fusion removes one full corpus explode + raw-gram shuffle, the
+    dominant cost of the two-pass form at any scale.
+    """
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        _normalize(text_col).alias("_t"),
+    )
+    # lang rides the groupBy key (functionally dependent on _id) so
+    # the profile tier never joins back to the corpus
+    counts = (
+        base.select(
+            "_id", "_lang", F.explode(_grams(F.col("_t"), n)).alias("gram")
+        )
+        .groupBy("_id", "_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lang_counts = (
+        counts.filter(F.col("_lang").isNotNull())
+        .groupBy(F.col("_lang").alias("lang"), "gram")
+        .agg(F.sum("c").cast("bigint").alias("gram_count"))
+    )
+    wp = Window.partitionBy("lang").orderBy(
+        F.desc("gram_count"), F.asc("gram")
+    )
+    profiles = (
+        lang_counts.withColumn(
+            "rank", F.row_number().over(wp).cast("bigint")
+        )
+        .filter(F.col("rank") <= profile_size)
+        .select("lang", "gram", "rank", "gram_count")
+    )
+    ids = base.select("_id").distinct()
+    pred = _classify_tail(
+        ids, counts.select("_id", "gram", "c"), profiles, id_col,
+        profile_size,
+    )
+    return profiles, pred

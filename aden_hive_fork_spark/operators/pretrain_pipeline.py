@@ -100,7 +100,7 @@ def pretrain_pipeline_stages(
         simhash_md5_neardup_pairs,
         winnowing_neardup_pairs,
     )
-    from .langid import langid_classify, langid_profiles
+    from .langid import langid_train_predict
     from .normalize import normalize_corpus
     from .packing import pack_token_stream
     from .pii import redact_pii
@@ -126,11 +126,11 @@ def pretrain_pipeline_stages(
         s1, text_col=text_col, chars_col=chars_col
     ).localCheckpoint(eager=True)
 
-    prof = langid_profiles(
-        s1b, text_col, lang_col, n=LANGID_N, profile_size=LANGID_PROFILE
-    )
-    pred = langid_classify(
-        s1b, prof, text_col, id_col, n=LANGID_N,
+    # ONE corpus gram explode trains the profiles AND classifies
+    # (r12: was langid_profiles + langid_classify, two full explodes
+    # of the corpus — the fused form is integer-exact identical)
+    _prof, pred = langid_train_predict(
+        s1b, text_col, lang_col, id_col, n=LANGID_N,
         profile_size=LANGID_PROFILE,
     )
     s2 = (

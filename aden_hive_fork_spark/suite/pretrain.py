@@ -31,22 +31,13 @@ from ..operators.pretrain_pipeline import (
 from . import query
 from ._helpers import T
 
-# Session-scoped memo of the 11-stage chain, keyed on (Spark
-# application id, sf_dir): q336 and q337 consume the SAME stage dict
-# (the frames are eagerly localCheckpointed, so reuse is free and
-# exact — a real run computes the chain once). A new SparkContext
-# gets a new applicationId, so stale checkpointed frames from a
-# stopped session are never served.
-_STAGES_MEMO: dict[tuple[str, str], dict] = {}
-
-
-def _pipeline_stages_memo(spark, sf_dir: str) -> dict:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STAGES_MEMO:
-        _STAGES_MEMO[key] = pretrain_pipeline_stages(
-            T(spark, sf_dir, "documents")
-        )
-    return _STAGES_MEMO[key]
+# NOTE (round 12): an earlier draft memoized the 11-stage dict per
+# (applicationId, sf_dir) so q337 could reuse q336's checkpointed
+# frames. That is result caching across bench invocations — timed
+# runs 2..n replayed materialized frames instead of computing from
+# the parquet inputs — so it was removed; every invocation computes
+# its own chain. (q337 only materializes stages 1..8b: the packed
+# frame is lazy and the datasheet never touches it.)
 
 
 def _redact_sql(expr: str) -> str:
@@ -506,9 +497,7 @@ def q336_pretrain_pipeline_census(spark, sf_dir):
     for the downstream rows, so the value hash certifies the whole
     composition."""
     docs = T(spark, sf_dir, "documents")
-    return pretrain_pipeline_census(
-        docs, stages=_pipeline_stages_memo(spark, sf_dir)
-    )
+    return pretrain_pipeline_census(docs)
 
 
 @query("q337_pretrain_final_datasheet", oracle=_DATASHEET_ORACLE)
@@ -520,7 +509,8 @@ def q337_pretrain_final_datasheet(spark, sf_dir):
     vocabulary, residual duplicate exposure."""
     from ..operators.quality import dataset_datasheet
 
-    s8b = _pipeline_stages_memo(spark, sf_dir)["8b_pii"]
+    docs = T(spark, sf_dir, "documents")
+    s8b = pretrain_pipeline_stages(docs)["8b_pii"]
     return dataset_datasheet(
         s8b, "doc_id", "text", "lang", "source", "n_chars"
     ).orderBy("lang")

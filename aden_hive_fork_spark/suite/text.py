@@ -1073,18 +1073,14 @@ def q319_curated_corpus_census(spark, sf_dir):
     discipline), and report the surviving census per TRUE label with
     whitespace token totals. One gated query spanning three pipeline
     stages."""
-    from ..operators.langid import (
-        _normalize,
-        langid_classify,
-        langid_profiles,
-    )
+    from ..operators.langid import _normalize, langid_train_predict
 
     d = T(spark, sf_dir, "documents").repartition(64, "doc_id")
-    prof = langid_profiles(
-        d, text_col="text", lang_col="lang", n=3, profile_size=100
-    )
-    pred = langid_classify(
-        d, prof, text_col="text", id_col="doc_id", n=3, profile_size=100
+    # fused train+classify (r12): one corpus gram explode instead of
+    # two — integer-exact identical to profiles+classify
+    _prof, pred = langid_train_predict(
+        d, text_col="text", lang_col="lang", id_col="doc_id", n=3,
+        profile_size=100,
     )
     kept = (
         d.select("doc_id", "lang", "source", _normalize("text").alias("_t"))

@@ -163,3 +163,42 @@ def test_classify_plan_broadcasts_profile_no_data_cartesian(spark):
     # the single nested-loop join is the broadcast of the tiny
     # distinct-language list against per-doc gram counts
     assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_train_predict_fused_equals_separate(spark, labeled):
+    """langid_train_predict (ONE corpus gram explode, r12) must be
+    row-identical to the separate langid_profiles + langid_classify
+    passes — profiles (summed per-doc counts == direct occurrence
+    counts, exact integers) AND predictions. NULL-lang docs classify
+    but never train, as in the separate form."""
+    from aden_hive_fork_spark.operators.langid import (
+        langid_classify,
+        langid_profiles,
+        langid_train_predict,
+    )
+
+    docs = labeled.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(None)).otherwise(
+            F.col("lang")
+        ),
+    )
+    prof_sep = langid_profiles(
+        docs, text_col="text", lang_col="lang", n=3, profile_size=50
+    )
+    pred_sep = langid_classify(
+        docs, prof_sep, text_col="text", id_col="doc_id", n=3,
+        profile_size=50,
+    )
+    prof_fused, pred_fused = langid_train_predict(
+        docs, text_col="text", lang_col="lang", id_col="doc_id", n=3,
+        profile_size=50,
+    )
+    key = lambda r: (r["lang"], r["gram"])  # noqa: E731
+    assert sorted(
+        (r.asDict() for r in prof_fused.collect()), key=key
+    ) == sorted((r.asDict() for r in prof_sep.collect()), key=key)
+    pk = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(
+        (r.asDict() for r in pred_fused.collect()), key=pk
+    ) == sorted((r.asDict() for r in pred_sep.collect()), key=pk)
