@@ -107,11 +107,72 @@ def kmeans_keyed(
     Returns {key: [k centroids]}. Driver state: n_keys·k·d floats.
     ``key_col`` must be integer-typed (its string cast must equal
     Python ``str(key)`` for the seed-hash contract).
+
+    This is a thin wrapper over :func:`kmeans_keyed_array` (packs the
+    feature columns into one array<double>) — the array form carries
+    the exact same arithmetic with an O(1)-size plan per Lloyd round,
+    where the splayed-column form paid ~1.5 s of Catalyst analysis
+    per round at d=64 (round-12 measurement; the per-dimension
+    aggregate list dominated plan analysis, not execution).
+    """
+    vec = F.array(*[F.col(c).cast("double") for c in feature_cols])
+    packed = df.select(
+        F.col(key_col), F.col(id_col), vec.alias("_vec")
+    )
+    return kmeans_keyed_array(
+        packed, key_col, "_vec", id_col, k=k, n_iter=n_iter,
+        salt_prefix=salt_prefix, ndigits=ndigits,
+        dim=len(feature_cols),
+    )
+
+
+def kmeans_keyed_array(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_iter: int = 3,
+    salt_prefix: str = "kmeans|",
+    ndigits: int = 6,
+    dim: int | None = None,
+) -> dict[int, list[list[float]]]:
+    """:func:`kmeans_keyed` on an ``array<double>`` feature column —
+    the native form (round 12): every per-dimension surface of the
+    splayed-column variant (projection list, aggregate list) is a
+    fixed-size expression here, so Catalyst analysis per Lloyd round
+    is O(1) in dimension instead of O(d). Arithmetic is identical:
+
+    - seeds: the k smallest ``md5(salt_prefix || key || id)`` rows
+      per key (two-phase partition-local top-k, bit-identical);
+    - assignment: the same left-to-right ``aggregate``/``zip_with``
+      squared-euclidean fold over the SAME array values, same
+      (distance, cid) struct-min tie-break;
+    - centroid update: ``posexplode`` + one exact-decimal mean per
+      (key, cid, dimension) — the same DECIMAL(28,2) addends the
+      per-column aggregates summed, reduced by the same
+      order-independent exact sum and the same Spark ROUND;
+    - an emptied cluster keeps its previous centroid (it simply has
+      no rows at any dimension).
+
+    ``dim`` (optional) skips the one-row dimension probe. All vectors
+    must share one dimension and hold no NULL entries (the
+    feature-column contract of the splayed form).
     """
     from pyspark.sql.window import Window
 
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
+    # Widen narrow inputs once, up front (the bootstrap._widen rule):
+    # the per-iteration argmin fold is an interpreted HOF (SCALING
+    # §29) evaluated n·k·d times per round, and the typical caller
+    # feeds a 1-2-partition checkpointed frame — which serializes
+    # every round on one core. Assignment is map-side and the
+    # centroid updates are exact-decimal (order-independent), so the
+    # spread cannot change any result.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(key_col), F.col(id_col))
     h = F.md5(
         F.concat(
             F.lit(salt_prefix),
@@ -121,7 +182,7 @@ def kmeans_keyed(
     )
     base = df.select(
         F.col(key_col),
-        *feature_cols,
+        F.col(vec_col).alias("_vec"),
         h.alias("_h"),
         F.col(id_col).alias("_id"),
     )
@@ -160,15 +221,17 @@ def kmeans_keyed(
     cents: dict[int, list[list[float]]] = {}
     for r in sorted(seed_rows, key=lambda r: (r[key_col], r["_rn"])):
         cents.setdefault(int(r[key_col]), []).append(
-            [float(r[c]) for c in feature_cols]
+            [float(x) for x in r["_vec"]]
         )
     for key, cs in cents.items():
         if len(cs) < k:
             raise ValueError(f"key {key}: fewer than k={k} rows to seed from")
     keys = sorted(cents)
+    if dim is None:
+        dim = len(next(iter(cents.values()))[0])
 
     spark = df.sparkSession
-    feat = F.array(*[F.col(c) for c in feature_cols])
+    feat = F.col(vec_col)
     for _ in range(n_iter):
         cb = F.broadcast(
             spark.createDataFrame(
@@ -190,21 +253,28 @@ def kmeans_keyed(
         assigned = df.join(cb, key_col).withColumn(
             "cid", F.array_min(entries).getField("cid")
         )
-        aggs = [
-            F.round(
-                F.sum(F.col(c).cast("decimal(28,2)")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                ndigits,
-            ).alias(f"_m_{c}")
-            for c in feature_cols
-        ]
-        rows = assigned.groupBy(key_col, "cid").agg(*aggs).collect()
-        upd = {
-            (int(r[key_col]), int(r["cid"])): [
-                float(r[f"_m_{c}"]) for c in feature_cols
-            ]
-            for r in rows
-        }
+        rows = (
+            assigned.select(
+                F.col(key_col),
+                "cid",
+                F.posexplode(F.col(vec_col)).alias("_p", "_x"),
+            )
+            .groupBy(key_col, "cid", "_p")
+            .agg(
+                F.round(
+                    F.sum(F.col("_x").cast("decimal(28,2)")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    ndigits,
+                ).alias("_m")
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], list[float]] = {}
+        for r in rows:
+            vecu = upd.setdefault(
+                (int(r[key_col]), int(r["cid"])), [0.0] * dim
+            )
+            vecu[int(r["_p"])] = float(r["_m"])
         cents = {
             key: [upd.get((key, i), cents[key][i]) for i in range(k)]
             for key in keys

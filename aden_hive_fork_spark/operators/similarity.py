@@ -1270,45 +1270,24 @@ def pq_adc_topk(
         )
         .collect()
     )
-    # RELATIONAL formulation (the literal/HOF form in pq_encode costs
-    # seconds of Catalyst analysis per action at m·k=256 lambdas):
-    # centroid dims and per-query ADC tables are tiny BROADCAST
-    # dimension tables; encode is explode -> broadcast join -> keyed
-    # argmin; scoring is codes ⋈ table -> keyed sum. Standard
-    # operators, small plans, and the shuffles stay keyed on the
-    # vector id.
-    cb_rows = [
-        (j, h, j * d_sub + d + 1, int(codebooks[j][h][d]))
-        for j in range(m)
-        for h in range(k)
-        for d in range(d_sub)
-    ]
-    cb = F.broadcast(
-        spark.createDataFrame(cb_rows, "j int, h int, i int, c long")
-    )
-    xdim = (
+    # Encode: runtime-HOF argmin over ONE broadcast codebook array
+    # (r12; was posexplode -> broadcast join -> (id, j, h) aggregate
+    # -> per-(id, j) window — two shuffles and a ×dim row explosion;
+    # the literal/HOF form in pq_encode remains the write-side tier,
+    # but at m·k=256 aggregate lambdas it costs seconds of Catalyst
+    # analysis per action, which is why the codebooks ride as DATA
+    # here). The lazy quantize expression is lineage-truncated first
+    # so the per-(j, h) slices read a materialized array (SCALING
+    # §29), not m·k norm-fold re-computations.
+    xqf = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.expr(_xq_expr(vec_col))).alias("_pos", "x"),
+            F.expr(_xq_expr(vec_col)).alias("_xq"),
         )
-        .select("id", (F.col("_pos") + 1).alias("i"), "x")
+        .localCheckpoint(eager=False)
     )
-    enc = (
-        xdim.join(cb, "i")
-        .groupBy("id", "j", "h")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-            .cast("long")
-            .alias("d")
-        )
-    )
-    wj = Window.partitionBy("id", "j").orderBy(F.asc("d"), F.asc("h"))
-    codes = (
-        enc.withColumn("_rn", F.row_number().over(wj))
-        .filter(F.col("_rn") == 1)
-        .select("id", "j", "h")
-    )
+    codes = _pq_codes_runtime(xqf, "_xq", codebooks)
     qtab_rows = []
     for qr in qrows:
         qx = [int(v) for v in qr["_xq"]]
@@ -1466,32 +1445,98 @@ def _subspace_kmeans(
     d_sub-subvector) rows — ONE map-side pass, no shuffle — and fit
     all m subspace codebooks with operators/kmeans.kmeans_keyed.
     Seed salt per subspace is ``salt|j`` (the historical per-subspace
-    contract), so results are bit-identical to m independent fits."""
-    from .kmeans import kmeans_keyed
+    contract), so results are bit-identical to m independent fits.
+    Subvectors ride as one array<double> column (r12:
+    kmeans_keyed_array — same values as the former per-dimension
+    ``element_at`` columns via ``slice``, with an O(1)-size plan per
+    Lloyd round instead of O(d_sub) expressions)."""
+    from .kmeans import kmeans_keyed_array
 
     sub_structs = F.array(
         *[
             F.struct(
                 F.lit(j).cast("int").alias("j"),
-                *[
-                    F.element_at(F.col(arr_col), j * d_sub + d + 1)
-                    .cast("double")
-                    .alias(f"d{d}")
-                    for d in range(d_sub)
-                ],
+                F.transform(
+                    F.slice(F.col(arr_col), j * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("_vec"),
             )
             for j in range(m)
         ]
     )
     exploded = src.select(F.col("pid"), F.inline(sub_structs))
-    return kmeans_keyed(
+    return kmeans_keyed_array(
         exploded,
         "j",
-        [f"d{d}" for d in range(d_sub)],
+        "_vec",
         "pid",
         k=k,
         n_iter=n_iter,
         salt_prefix=f"{salt}|",
+        dim=d_sub,
+    )
+
+
+def _pq_codes_runtime(
+    frame: DataFrame,
+    xq_col: str,
+    books: list[list[list[int]]],
+    id_out: str = "id",
+) -> DataFrame:
+    """``(id, j, h)`` PQ codes by a nested runtime HOF over ONE
+    broadcast codebook array (r12) — replaces the former
+    posexplode → broadcast join → (id, j, h) aggregate → per-(id, j)
+    window chain at every encode site. The arithmetic is unchanged:
+    the same exact-integer Σ(x−c)² per (subspace, codeword) in the
+    same dimension order, the same (distance asc, code asc)
+    tie-break (``array_min`` struct == the window's ``row_number``
+    pick). What changes is the plan: one map-side expression — no
+    ×dim row explosion, no keyed shuffle, no window — and O(1)
+    expression count where the literal per-(j, h) form costs seconds
+    of Catalyst analysis at m·k aggregate lambdas (the round-9
+    rule). ``frame[xq_col]`` must be a MATERIALIZED array<long>
+    column (checkpointed upstream — never a lazy quantize
+    expression, per SCALING §29)."""
+    m = len(books)
+    d_sub = len(books[0][0])
+    spark = frame.sparkSession
+    bk = F.broadcast(
+        spark.createDataFrame(
+            [([[list(map(int, cent)) for cent in bj] for bj in books],)],
+            "_books array<array<array<bigint>>>",
+        )
+    )
+    entry = F.transform(
+        F.col("_books"),
+        lambda bj, j: F.struct(
+            j.cast("int").alias("j"),
+            F.array_min(
+                F.transform(
+                    bj,
+                    lambda ch, h: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(
+                                    F.col(xq_col),
+                                    j * d_sub + 1,
+                                    d_sub,
+                                ),
+                                ch,
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        h.cast("int").alias("h"),
+                    ),
+                )
+            )
+            .getField("h")
+            .alias("h"),
+        ),
+    )
+    return frame.crossJoin(bk).select(
+        F.col(id_out), F.inline(entry)
     )
 
 
@@ -1573,38 +1618,19 @@ def ivf_pq_topk(
         codebooks = pq_codebooks_md5(emb, id_col, vec_col, m, k_pq, salt)
     m, k_pq = len(codebooks), len(codebooks[0])
     d_sub = len(codebooks[0][0])
-    cb_rows = [
-        (j, h, j * d_sub + d + 1, int(codebooks[j][h][d]))
-        for j in range(m)
-        for h in range(k_pq)
-        for d in range(d_sub)
-    ]
-    cb = F.broadcast(
-        spark.createDataFrame(cb_rows, "j int, h int, i int, c long")
-    )
-    xdim = (
+    # runtime-HOF encode over the broadcast codebook array (r12 —
+    # same exact-integer argmin as the former explode/join/window
+    # chain, one map-side pass; lazy quantize lineage-truncated per
+    # SCALING §29)
+    xqf = (
         emb.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.expr(_xq_expr(vec_col))).alias("_pos", "x"),
+            F.expr(_xq_expr(vec_col)).alias("_xq"),
         )
-        .select("id", (F.col("_pos") + 1).alias("i"), "x")
+        .localCheckpoint(eager=False)
     )
-    enc = (
-        xdim.join(cb, "i")
-        .groupBy("id", "j", "h")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
-            .cast("long")
-            .alias("d")
-        )
-    )
-    wj = Window.partitionBy("id", "j").orderBy(F.asc("d"), F.asc("h"))
-    codes = (
-        enc.withColumn("_rn", F.row_number().over(wj))
-        .filter(F.col("_rn") == 1)
-        .select("id", "j", "h")
-    )
+    codes = _pq_codes_runtime(xqf, "_xq", codebooks)
     qrows = (
         emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(
@@ -1852,7 +1878,7 @@ def semdedup_kmeans_verdicts(
     from pyspark.sql.window import Window
 
     from .dedup import connected_components
-    from .kmeans import kmeans_keyed
+    from .kmeans import kmeans_keyed_array
 
     spark = emb.sparkSession
     # eager checkpoint: the 64 per-dimension feature projections below
@@ -1874,23 +1900,27 @@ def semdedup_kmeans_verdicts(
         )
     dim = len(first["qvec"])
 
-    # --- Lloyd-refined cells (single-group keyed fit) ---------------
+    # --- Lloyd-refined cells (single-group keyed fit; r12: the
+    # quantized grid rides as ONE array<double> column through
+    # kmeans_keyed_array — same values the former 64 per-dimension
+    # element_at projections carried, with an O(1)-size plan per
+    # Lloyd round instead of O(dim) expressions) -------------------
     feats = qn.select(
         F.lit(0).cast("int").alias("j"),
         F.col("id").alias("pid"),
-        *[
-            F.element_at("qvec", i + 1).cast("double").alias(f"d{i}")
-            for i in range(dim)
-        ],
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias(
+            "_vec"
+        ),
     )
-    cents = kmeans_keyed(
+    cents = kmeans_keyed_array(
         feats,
         "j",
-        [f"d{i}" for i in range(dim)],
+        "_vec",
         "pid",
         k=num_cells,
         n_iter=n_iter,
         salt_prefix=f"{salt}|",
+        dim=dim,
     )[0]
 
     # --- final assignment: argmin euclidean, ties -> lower cell ----
@@ -2097,37 +2127,9 @@ def ivf_pq_residual_topk(
         for j in range(m)
     ]
 
-    cb = F.broadcast(
-        spark.createDataFrame(
-            [
-                (j, h, j * d_sub + d + 1, int(books[j][h][d]))
-                for j in range(m)
-                for h in range(k_pq)
-                for d in range(d_sub)
-            ],
-            "j int, h int, i int, c long",
-        )
-    )
-
-    # --- encode member residuals ------------------------------------
-    rdim = frame.select(
-        "id", F.posexplode("rq").alias("_pos", "r")
-    ).select("id", (F.col("_pos") + 1).alias("i"), "r")
-    enc = (
-        rdim.join(cb, "i")
-        .groupBy("id", "j", "h")
-        .agg(
-            F.sum((F.col("r") - F.col("c")) * (F.col("r") - F.col("c")))
-            .cast("long")
-            .alias("d")
-        )
-    )
-    wj = Window.partitionBy("id", "j").orderBy(F.asc("d"), F.asc("h"))
-    codes = (
-        enc.withColumn("_rn", F.row_number().over(wj))
-        .filter(F.col("_rn") == 1)
-        .select("id", "j", "h")
-    )
+    # --- encode member residuals (map-side runtime-HOF argmin; the
+    # checkpointed frame's rq is already materialized) ---------------
+    codes = _pq_codes_runtime(frame.select("id", "rq"), "rq", books)
 
     # --- probes + per-(query, cell) residual ADC tables -------------
     # lazy is fine HERE: the cross-join below is filtered to
