@@ -340,6 +340,9 @@ def simhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 # Connected components over near-dup pairs (large-star / small-star)
 # ---------------------------------------------------------------------------
+# Edge-count gate for the driver union-find fast path (tests may
+# force the distributed path by setting this to 0).
+_CC_DRIVER_MAX_EDGES = 65536
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -404,6 +407,52 @@ def connected_components(
     # join) pairs plan ONCE; nodes and edges both derive from the
     # checkpointed projection instead of re-running the upstream plan.
     canon = _ckpt(pairs.select(canon_u.alias("u"), canon_v.alias("v")))
+    # Driver fast path (r12): a SMALL pair table — the common shape
+    # after banding/df-caps at gate scale, and any late contraction
+    # round — labels faster with one collect + union-find than with
+    # 3-5 distributed rounds of joins (each round is ~4 jobs of fixed
+    # overhead; measured ~1.6 s → ~0.2 s on a few-hundred-pair table
+    # at sf0.1). The collect is bounded by the explicit edge
+    # threshold (driver state ≤ 2·65536 longs), the count reads the
+    # already-materialized checkpoint, and the labeling law is the
+    # SAME — min node id per component — so the output rows are
+    # bit-identical; at 100 TB the pair table exceeds the gate and
+    # the large-star/small-star path below runs unchanged.
+    if canon.count() <= _CC_DRIVER_MAX_EDGES:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in canon.collect():
+            u, v = int(r["u"]), int(r["v"])
+            for n in (u, v):
+                if n not in parent:
+                    parent[n] = n
+            ru, rv = find(u), find(v)
+            # union by MIN id so every root IS its component's min —
+            # the exact label law of the distributed path
+            if ru != rv:
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        rows = sorted((n, find(n)) for n in parent)
+        if _restore_ckpt_dir is not None:
+            try:
+                pairs.sparkSession.sparkContext.setCheckpointDir(
+                    _restore_ckpt_dir
+                )
+            except Exception:
+                pass
+        return pairs.sparkSession.createDataFrame(
+            rows, "id bigint, comp bigint"
+        )
     nodes = (
         canon.select(F.col("u").alias("id"))
         .union(canon.select(F.col("v").alias("id")))
