@@ -14,14 +14,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from aden_hive_fork_spark.catalog import register_tables
 from aden_hive_fork_spark.session import build_session
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(app_name="r12-pipeline-profile")
-    from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from aden_hive_fork_spark.suite._helpers import T
     from aden_hive_fork_spark.operators import pretrain_pipeline as pp
