@@ -284,6 +284,7 @@ def wordpiece_segment(
     min_occ: int = 50,
     max_sub_len: int = 4,
     max_rounds: int = 4096,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy longest-match (maximal munch) segmentation of every
     distinct corpus word against the ``wordpiece_vocab`` table.
@@ -303,7 +304,19 @@ def wordpiece_segment(
     All-integer/string arithmetic — bit-identical in any engine.
 
     Returns (word, word_freq, wordpiece, n_pieces) — wordpiece is the
-    space-joined greedy segmentation."""
+    space-joined greedy segmentation.
+
+    ``words`` (optional, r12) supplies an already-reduced
+    ``(word, freq)`` relation — e.g. ``unigram_words`` output shared
+    across several tokenizer trainings — and skips this function's
+    own corpus explode. It MUST be the same whitespace reduction
+    (split on single spaces of the trimmed text, empty tokens
+    dropped, exact integer counts) or results will differ."""
+    if words is not None:
+        words = words.select("word", "freq")
+        return _wordpiece_segment_tail(
+            words, min_occ, max_sub_len, max_rounds
+        )
     words = (
         df.select(
             F.explode(
@@ -314,6 +327,18 @@ def wordpiece_segment(
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    return _wordpiece_segment_tail(words, min_occ, max_sub_len, max_rounds)
+
+
+def _wordpiece_segment_tail(
+    words: DataFrame,
+    min_occ: int,
+    max_sub_len: int,
+    max_rounds: int,
+) -> DataFrame:
+    """The greedy maximal-munch loop downstream of the one corpus
+    reduction — shared by the ``df`` and pre-reduced ``words`` entry
+    forms of :func:`wordpiece_segment`."""
     vocab = wordpiece_vocab(words, min_occ, max_sub_len)
     max_len = words.agg(
         F.max(F.length("word")).alias("m")
@@ -385,7 +410,7 @@ def wordpiece_segment(
                 "word", "_toks"
             )
         )
-    spark = df.sparkSession
+    spark = words.sparkSession
     if not done_parts:
         empty = spark.createDataFrame([], "word string, _toks string")
         done_parts.append(empty)

@@ -357,6 +357,28 @@ def unigram_lm_segment(
     _, _, _, final_seg = _train_chain(
         df, text_col, min_occ, max_piece_len, em_rounds
     )
+    return _segment_surface(final_seg)
+
+
+def unigram_lm_segment_from_words(
+    words: DataFrame,
+    min_occ: int = 50,
+    max_piece_len: int = 4,
+    em_rounds: int = 2,
+) -> DataFrame:
+    """:func:`unigram_lm_segment` from an ALREADY-REDUCED
+    ``(word, freq BIGINT)`` relation (r12) — the
+    :func:`unigram_words` output, shared across several tokenizer
+    trainings so the corpus is exploded once, not once per family.
+    ``words`` should be materialized (localCheckpoint) by the caller;
+    the EM rounds re-read it once per Viterbi pass."""
+    _, _, _, final_seg = _train_chain_from_words(
+        words.select("word", "freq"), min_occ, max_piece_len, em_rounds
+    )
+    return _segment_surface(final_seg)
+
+
+def _segment_surface(final_seg: DataFrame) -> DataFrame:
     return final_seg.select(
         "word",
         F.col("freq").alias("word_freq"),

@@ -1519,7 +1519,7 @@ def q340_tokenizer_report(spark, sf_dir):
     )
     from ..operators.similarity import stable_round6
     from ..operators.unigram_lm import (
-        unigram_lm_segment,
+        unigram_lm_segment_from_words,
         unigram_seed_vocab,
         unigram_words,
     )
@@ -1560,10 +1560,15 @@ def q340_tokenizer_report(spark, sf_dir):
         toks.agg(F.countDistinct("sym").alias("vocab_size")),
     )
 
+    # ONE whitespace (word, freq) reduction shared by the WordPiece
+    # and unigram trainings (r12) — each formerly re-exploded the
+    # corpus internally; the reductions are expression-identical, so
+    # sharing the checkpointed table cannot change any count
     words = unigram_words(docs, "text").localCheckpoint(eager=True)
     wp_seg = wordpiece_segment(
         docs, text_col="text",
         min_occ=_Q325_MIN_OCC, max_sub_len=_Q325_MAX_LEN,
+        words=words,
     )
     wp_row = summarize(
         "wordpiece",
@@ -1575,8 +1580,8 @@ def q340_tokenizer_report(spark, sf_dir):
         ).agg(F.count(F.lit(1)).alias("vocab_size")),
     )
 
-    ug_seg = unigram_lm_segment(
-        docs, text_col="text", min_occ=_Q334_MIN_OCC,
+    ug_seg = unigram_lm_segment_from_words(
+        words, min_occ=_Q334_MIN_OCC,
         max_piece_len=_Q334_MAX_LEN, em_rounds=_Q334_EM_ROUNDS,
     )
     ug_row = summarize(
