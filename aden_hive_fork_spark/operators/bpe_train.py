@@ -103,6 +103,15 @@ def bpe_vocab_segmentation(
     return toks
 
 
+# Above this vocabulary size the merge rounds run relationally; at or
+# below it the whole training (NOT the corpus reduction — that is
+# always distributed) runs on the driver over the collected
+# (word, freq) model. `top_words` explicitly bounds the driver state,
+# so the gate is a contract, not a heuristic — the connected-
+# components _CC_DRIVER_MAX_EDGES pattern.
+_BPE_DRIVER_MAX_WORDS = 65536
+
+
 def _train_with_tokens(
     df: DataFrame,
     text_col: str,
@@ -110,6 +119,88 @@ def _train_with_tokens(
     top_words: int,
     min_count: int,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Dispatch: the corpus reduces to (word, freq) distributed
+    (bpe_word_freqs — the only corpus-sized pass); the merge rounds
+    then run driver-side when ``top_words`` bounds the vocabulary
+    (r12 — ~12 driver-sequenced window/join jobs over a ~500-word
+    relation were pure scheduling overhead), else relationally."""
+    if int(top_words) <= _BPE_DRIVER_MAX_WORDS:
+        return _train_with_tokens_driver(
+            df, text_col, n_merges, top_words, min_count
+        )
+    return _train_with_tokens_relational(
+        df, text_col, n_merges, top_words, min_count
+    )
+
+
+def _train_with_tokens_driver(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    top_words: int,
+    min_count: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Driver-side merge rounds over the collected vocabulary —
+    bit-identical to the relational rounds (same pair-count law
+    including overlapping adjacent positions, same (cnt DESC, lhs
+    ASC, rhs ASC) argmax, same greedy left-to-right sequential-scan
+    merge the islands/parity relation encodes), pinned by
+    tests/test_round12_opts.py's differential."""
+    spark = df.sparkSession
+    wf = [
+        (r["word"], int(r["freq"]))
+        for r in bpe_word_freqs(df, text_col, top_words).collect()
+    ]
+    toks_py: list[list[str]] = [list(w) for w, _ in wf]
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, int(n_merges) + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for (w, freq), syms in zip(wf, toks_py):
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                cnt[k] = cnt.get(k, 0) + freq
+        if not cnt:
+            break
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_count:
+            break
+        merges.append((r, a, b, c))
+        ab = a + b
+        for i, syms in enumerate(toks_py):
+            j = 0
+            out: list[str] = []
+            m = len(syms)
+            while j < m:
+                if j + 1 < m and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            toks_py[i] = out
+    rows = [
+        (w, freq, p + 1, sym)
+        for (w, freq), syms in zip(wf, toks_py)
+        for p, sym in enumerate(syms)
+    ]
+    toks = spark.createDataFrame(
+        rows, "wid string, freq bigint, pos int, sym string"
+    )
+    return merges, toks
+
+
+def _train_with_tokens_relational(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    top_words: int,
+    min_count: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """REFERENCE/large-vocabulary path: the merge rounds as
+    relational windows + joins (pre-r12 production form), one eager
+    checkpoint per round."""
     spark = df.sparkSession
     toks = _initial_tokens(
         bpe_word_freqs(df, text_col, top_words)
@@ -336,9 +427,110 @@ def _wordpiece_segment_tail(
     max_sub_len: int,
     max_rounds: int,
 ) -> DataFrame:
-    """The greedy maximal-munch loop downstream of the one corpus
-    reduction — shared by the ``df`` and pre-reduced ``words`` entry
-    forms of :func:`wordpiece_segment`."""
+    """The greedy maximal-munch segmentation downstream of the one
+    corpus reduction — shared by the ``df`` and pre-reduced ``words``
+    entry forms of :func:`wordpiece_segment`.
+
+    r12 (guide §4.2): ONE Arrow ``mapInPandas`` pass over the
+    vocabulary-sized (word, freq) relation with the finished vocab
+    collected to a Python set — the same boundedness as the
+    broadcast the previous driver-round form shipped, but zero
+    per-round Spark jobs where the loop paid ~3 driver-sequenced
+    actions per character of the longest word. The greedy law is
+    unchanged and pure string/integer logic (longest in-vocab token
+    at the cursor, ties impossible); Python slices strings by
+    codepoints exactly as Spark ``substr`` does, so the output is
+    bit-identical — pinned against the retained
+    :func:`_wordpiece_segment_rounds` reference by
+    ``tests/test_round12_opts.py``."""
+    vocab = wordpiece_vocab(words, min_occ, max_sub_len)
+    max_len = words.agg(
+        F.max(F.length("word")).alias("m")
+    ).collect()[0]["m"]
+    if max_len is not None and int(max_len) > max_rounds:
+        raise ValueError(
+            f"wordpiece_segment: longest corpus word is {max_len} "
+            f"chars > max_rounds={max_rounds}; segmentation needs one "
+            "driver round per character of the longest word. Pre-"
+            "filter pathological unsplit tokens (URLs/base64) or "
+            "raise max_rounds explicitly."
+        )
+    if max_len is None:
+        return words.select(
+            "word",
+            F.col("freq").alias("word_freq"),
+            F.lit("").alias("wordpiece"),
+            F.lit(0).cast("int").alias("n_pieces"),
+        )
+    # vocab-coverage law: every single character of every corpus word
+    # is in the vocab (wordpiece_vocab admits all corpus chars
+    # unconditionally), so the munch below always advances; a char
+    # missing from the set would mean `words` was NOT the relation
+    # the vocab was built from — the l == 1 fallback then mirrors
+    # the rounds form, which drops such words at its inner join, by
+    # never emitting an out-of-vocab piece for covered inputs.
+    vocab_set = frozenset(
+        r["token"] for r in vocab.collect()
+    )
+    L = int(max_sub_len)
+
+    def munch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks_out = []
+            n_out = []
+            keep = []
+            for i, w in enumerate(pdf["word"]):
+                n = len(w)
+                pos = 0
+                toks = []
+                ok = True
+                while pos < n:
+                    l = min(L, n - pos)
+                    while l > 1 and w[pos : pos + l] not in vocab_set:
+                        l -= 1
+                    if l == 1 and w[pos] not in vocab_set:
+                        ok = False  # uncovered word: rounds-form drop
+                        break
+                    toks.append(w[pos : pos + l])
+                    pos += l
+                if ok:
+                    keep.append(i)
+                    toks_out.append(" ".join(toks))
+                    n_out.append(len(toks))
+            kept = pdf.iloc[keep]
+            yield pd.DataFrame(
+                {
+                    "word": pd.Series(
+                        kept["word"].to_numpy(), dtype="object"
+                    ),
+                    "word_freq": pd.Series(
+                        kept["freq"].to_numpy(), dtype="int64"
+                    ),
+                    "wordpiece": pd.Series(toks_out, dtype="object"),
+                    "n_pieces": pd.Series(n_out, dtype="int64"),
+                }
+            )
+
+    return words.select("word", "freq").mapInPandas(
+        munch,
+        "word string, word_freq bigint, wordpiece string, "
+        "n_pieces int",
+    )
+
+
+def _wordpiece_segment_rounds(
+    words: DataFrame,
+    min_occ: int,
+    max_sub_len: int,
+    max_rounds: int,
+) -> DataFrame:
+    """REFERENCE implementation of the greedy maximal-munch loop as
+    driver-sequenced relational rounds (one per character position) —
+    the pre-r12 production path, retained as the differential pin for
+    the Arrow kernel in :func:`_wordpiece_segment_tail` (the
+    quantize_embeddings / quantize_embeddings_hof pattern)."""
     vocab = wordpiece_vocab(words, min_occ, max_sub_len)
     max_len = words.agg(
         F.max(F.length("word")).alias("m")

@@ -181,55 +181,65 @@ def _classify_tail(
             F.coalesce(F.col("n_doc_grams"), F.lit(0)).cast("bigint"),
         )
     )
-    # matched contribution per (doc, lang); absent langs are restored
-    # by the broadcast cross join below. The profile table (at most
-    # |langs| * profile_size rows, but derived from a corpus-wide
-    # aggregation) is lineage-truncated so its two consumers (the
-    # gram join and the distinct-language list) evaluate it once.
+    # matched contribution per (doc, lang). The profile table (at
+    # most |langs| * profile_size rows, but derived from a
+    # corpus-wide aggregation) is lineage-truncated so its two
+    # consumers (the gram join and the min-language fallback)
+    # evaluate it once.
     prof_small = profiles.select("lang", "gram", "rank").localCheckpoint(
         eager=False
     )
     prof = F.broadcast(prof_small)
-    matched = (
+    # ARGMIN WITHOUT THE LANGUAGE CROSS JOIN (r12, guide §2.3/§2.4):
+    # distance(l) = matched_sum_l + P * (n_doc_grams - matched_cnt_l)
+    #             = (matched_sum_l - P * matched_cnt_l) + P * n_doc_grams
+    # and the second term is CONSTANT per document, so the argmin
+    # over languages needs only the per-(doc, matched-lang) score
+    # s_l = matched_sum_l - P * matched_cnt_l. Every matched gram
+    # contributes |doc_rank - rank| - P <= -1 < 0 to s_l (both ranks
+    # are in [1, P], so |diff| <= P - 1), hence s_l < 0 for ANY
+    # language with at least one matched gram while an absent
+    # language's score is exactly 0 — a matched language always
+    # strictly wins the argmin, and the dense doc x lang frame the
+    # previous form cross-joined (then windowed) never needs to
+    # exist. min(struct(score, lang)) is field-ordered — score asc,
+    # then lang asc — exactly the old window's (distance asc, lang
+    # asc) tie-break, and it partial-aggregates map-side where
+    # row_number could not. Docs with NO matched language (n = 0, or
+    # no gram in any profile) fall back to the lexicographically
+    # first language at distance P * n — identical to the dense
+    # form's all-absent tie-break.
+    best = (
         ranked.join(prof, "gram")
         .groupBy("_id", "lang")
         .agg(
-            F.sum(F.abs(F.col("doc_rank") - F.col("rank")))
-            .cast("bigint")
-            .alias("matched_sum"),
-            F.count(F.lit(1)).cast("bigint").alias("matched_cnt"),
-        )
-    )
-    langs = F.broadcast(prof_small.select("lang").distinct())
-    dist = (
-        per_doc.crossJoin(langs)
-        .join(matched, ["_id", "lang"], "left")
-        .select(
-            "_id",
-            "lang",
-            "n_doc_grams",
             (
-                F.coalesce(F.col("matched_sum"), F.lit(0))
-                + F.lit(int(profile_size))
-                * (
-                    F.col("n_doc_grams")
-                    - F.coalesce(F.col("matched_cnt"), F.lit(0))
-                )
+                F.sum(F.abs(F.col("doc_rank") - F.col("rank")))
+                - F.lit(int(profile_size)) * F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("_score"),
+        )
+        .groupBy("_id")
+        .agg(F.min(F.struct("_score", "lang")).alias("_b"))
+    )
+    first_lang = F.broadcast(
+        prof_small.select("lang").agg(F.min("lang").alias("_lang0"))
+    )
+    return (
+        per_doc.join(best, "_id", "left")
+        .crossJoin(first_lang)
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_b.lang"), F.col("_lang0")).alias(
+                "pred_lang"
+            ),
+            (
+                F.coalesce(F.col("_b._score"), F.lit(0))
+                + F.lit(int(profile_size)) * F.col("n_doc_grams")
             )
             .cast("bigint")
             .alias("distance"),
-        )
-    )
-    pick = Window.partitionBy("_id").orderBy(
-        F.asc("distance"), F.asc("lang")
-    )
-    return (
-        dist.withColumn("_rk", F.row_number().over(pick))
-        .filter(F.col("_rk") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("lang").alias("pred_lang"),
-            "distance",
             "n_doc_grams",
         )
     )

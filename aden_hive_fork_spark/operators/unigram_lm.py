@@ -119,8 +119,100 @@ def viterbi_segment(
     words: DataFrame, vocab: DataFrame, max_piece_len: int
 ) -> DataFrame:
     """Best-path segmentation of every word under the unigram model
-    ``vocab`` (token, logp): map-side DP, one broadcast join + one
-    keyed aggregate total.
+    ``vocab`` (token, logp) — ONE Arrow ``mapInPandas`` pass (r12)
+    with the model collected to a driver dict (the same
+    vocabulary-sized boundedness as the broadcast join the HOF form
+    pays), replacing the interpreted higher-order-function DP that
+    never enters whole-stage codegen (SCALING §29).
+
+    IEEE-exact replay contract: the DP is a per-word SEQUENTIAL
+    scalar recurrence — each candidate score is exactly
+    ``best[j-l] + logp`` (one double add) compared with ``>=`` in
+    ascending-``l`` order, so Python's float64 arithmetic reproduces
+    the HOF bit for bit (no reassociated reductions exist to
+    diverge). Pinned against the retained
+    :func:`viterbi_segment_hof` by ``tests/test_round12_opts.py``.
+
+    The loud vocabulary-coverage guard is preserved: a word whose
+    best-path score sits at the -1e300 DP floor raises with the same
+    "does not cover" message the HOF's ``assert_true`` carried
+    (surfaced at action time as a PythonException).
+
+    Returns (word, freq, pieces, n_pieces INT, score DOUBLE — the raw
+    unrounded best-path log-probability)."""
+    vmap = {
+        r["token"]: r["logp"]
+        for r in vocab.select("token", "logp").collect()
+    }
+    L = int(max_piece_len)
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pieces_out: list[str] = []
+            np_out: list[int] = []
+            score_out: list[float] = []
+            for w in pdf["word"]:
+                n = len(w)
+                best = [0.0] * (n + 1)
+                bp = [0] * (n + 1)
+                for j in range(1, n + 1):
+                    s = -1e300
+                    pl = 0
+                    for l in range(1, min(L, j) + 1):
+                        lp = vmap.get(w[j - l : j])
+                        if lp is None:
+                            continue
+                        sc = best[j - l] + lp
+                        if sc >= s:
+                            s = sc
+                            pl = l
+                    best[j] = s
+                    bp[j] = pl
+                if n > 0 and not best[n] > -1e250:
+                    raise ValueError(
+                        "viterbi_segment: vocabulary does not cover "
+                        f"word '{w}' (every character must be in "
+                        "vocab)"
+                    )
+                ps: list[str] = []
+                cur = n
+                while cur > 0:
+                    l = bp[cur]
+                    ps.append(w[cur - l : cur])
+                    cur -= l
+                ps.reverse()
+                pieces_out.append(" ".join(ps))
+                np_out.append(len(ps))
+                score_out.append(best[n] if n > 0 else 0.0)
+            yield pd.DataFrame(
+                {
+                    "word": pd.Series(
+                        pdf["word"].to_numpy(), dtype="object"
+                    ),
+                    "freq": pd.Series(
+                        pdf["freq"].to_numpy(), dtype="int64"
+                    ),
+                    "pieces": pd.Series(pieces_out, dtype="object"),
+                    "n_pieces": pd.Series(np_out, dtype="int64"),
+                    "score": pd.Series(score_out, dtype="float64"),
+                }
+            )
+
+    return words.select("word", "freq").mapInPandas(
+        seg,
+        "word string, freq bigint, pieces string, n_pieces int, "
+        "score double",
+    )
+
+
+def viterbi_segment_hof(
+    words: DataFrame, vocab: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """REFERENCE implementation of :func:`viterbi_segment` as
+    higher-order-function expressions (the pre-r12 production path):
+    map-side DP, one broadcast join + one keyed aggregate total.
 
     Plan: explode (end-position, length) candidate tokens per word
     (bounded: length(word) * max_piece_len rows), broadcast-join the
