@@ -275,19 +275,23 @@ def simhash_fingerprints(
     exploded = sh.select("id", F.explode("shingles").alias("shingle")).withColumn(
         "h", F.xxhash64("shingle")
     )
+    # SQL-string expression build (r12) — one JVM parse per column
+    # instead of ~6 py4j hops per bit; identical operators and exact
+    # integers (see simhash_fingerprints_md5 for the measurement)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(64)
     ]
     agg = exploded.groupBy("id").agg(*bit_sums)
-    fp = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return agg.select("id", fp.alias("simhash"))
+    fp_sql = " | ".join(
+        f"shiftleft(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, {b})"
+        for b in range(64)
+    )
+    return agg.select("id", F.expr(f"({fp_sql}) AS simhash"))
 
 
 def simhash_neardup_pairs(
@@ -1052,23 +1056,26 @@ def simhash_fingerprints_md5(
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
     h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     exploded = exploded.withColumn("h", h)
+    # the per-bit expressions ride as SQL strings parsed in ONE JVM
+    # call each (r12): the per-Column builder form paid ~2.3 s of
+    # py4j round-trips PER CONSTRUCTION (60 sums x ~6 calls + a
+    # 60-step fold) before any analysis or execution — identical
+    # operators (shiftright/&/CASE/sum, shiftleft/|), same exact
+    # integers, just not built one py4j hop at a time.
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+            f"THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(bits)
     ]
     agg = exploded.groupBy("id").agg(*bit_sums)
-    fp = None
-    for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return agg.select("id", fp.alias("simhash"))
+    fp_sql = " | ".join(
+        f"shiftleft(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END, {b})"
+        for b in range(bits)
+    )
+    return agg.select("id", F.expr(f"({fp_sql}) AS simhash"))
 
 
 def simhash_md5_neardup_pairs(
