@@ -86,6 +86,27 @@ def poisson1_weight(u: Column) -> Column:
     return w.cast("int")
 
 
+def _with_poisson_weight(df: DataFrame, rkey: Column, salt: str) -> DataFrame:
+    """Attach the Poisson(1) multiplicity ``_w`` drawn from
+    ``md5_uniform(rkey, salt)`` with the uniform evaluated EXACTLY
+    ONCE per row. Passing the uniform expression straight into
+    :func:`poisson1_weight` re-evaluates the md5 chain per CASE
+    branch, and the optimizer additionally splits a downstream
+    ``_w > 0`` filter into a pushed-down ``NOT (u < CDF[0])``
+    predicate with its own copy — ~2.7 md5 evaluations per amplified
+    row on average (the guide §4.4 duplicated-evaluation trap, in
+    expression form). Riding the draw through a one-element
+    ``explode`` makes ``_u`` an attribute the optimizer cannot inline
+    back into the CASE chain or the pushed filter. Measured at
+    sf0.1 ×201 replicates: 4.3 s → 2.2 s noop-sink, bit-identical
+    replicate frames."""
+    return (
+        df.select("*", F.explode(F.array(md5_uniform(rkey, salt))).alias("_u"))
+        .withColumn("_w", poisson1_weight(F.col("_u")))
+        .drop("_u")
+    )
+
+
 def poisson_bootstrap_mean_ci(
     df: DataFrame,
     key_col: str,
@@ -138,17 +159,16 @@ def poisson_bootstrap_mean_ci(
     rkey = F.concat(
         F.col("_b").cast("string"), F.lit("|"), F.col(key_col).cast("string")
     )
-    u = md5_uniform(rkey, salt)
-    drawn = (
+    drawn = _with_poisson_weight(
         _widen(df, key_col).select(
             *group_cols,
             F.col(key_col),
             F.col(value_col).cast(dec).alias("_x"),
             b,
-        )
-        .withColumn("_w", poisson1_weight(u))
-        .filter(F.col("_w") > 0)
-    )
+        ),
+        rkey,
+        salt,
+    ).filter(F.col("_w") > 0)
     rep = drawn.groupBy(*group_cols, "_b").agg(
         F.sum(F.col("_x") * F.col("_w")).alias("_s"),
         F.sum("_w").cast("bigint").alias("_n"),
@@ -276,9 +296,9 @@ def poisson_bootstrap_diff_ci(
     rkey = F.concat(
         F.col("_b").cast("string"), F.lit("|"), F.col(key_col).cast("string")
     )
-    drawn = drawn.withColumn(
-        "_w", poisson1_weight(md5_uniform(rkey, salt))
-    ).filter(F.col("_w") > 0)
+    drawn = _with_poisson_weight(drawn, rkey, salt).filter(
+        F.col("_w") > 0
+    )
     rep = drawn.groupBy("_arm", "_b").agg(
         (
             F.sum(F.col("_x") * F.col("_w")).cast("double")

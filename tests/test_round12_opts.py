@@ -289,3 +289,38 @@ def test_classify_argmin_matches_dense_python(spark):
         assert r["n_doc_grams"] == n, trow["doc_id"]
         assert r["pred_lang"] == pred, (trow["doc_id"], dists)
         assert r["distance"] == dists[pred], (trow["doc_id"], dists)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: _with_poisson_weight (single-eval Generate
+# barrier) must draw exactly the same multiplicities as the direct
+# poisson1_weight(md5_uniform(...)) expression — including after a
+# _w > 0 filter (the shape whose pushdown duplicated the md5 chain).
+# ---------------------------------------------------------------------------
+def test_poisson_weight_barrier_matches_direct(spark):
+    from aden_hive_fork_spark.operators.bootstrap import (
+        _with_poisson_weight,
+        md5_uniform,
+        poisson1_weight,
+    )
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("_b"),
+    )
+    rkey = F.concat(
+        F.col("_b").cast("string"), F.lit("|"), F.col("k").cast("string")
+    )
+    direct = (
+        base.withColumn("_w", poisson1_weight(md5_uniform(rkey, "s12")))
+        .filter(F.col("_w") > 0)
+        .select("k", "_b", "_w")
+    )
+    barrier = (
+        _with_poisson_weight(base, rkey, "s12")
+        .filter(F.col("_w") > 0)
+        .select("k", "_b", "_w")
+    )
+    d = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in barrier.collect())
+    assert d == b and len(d) > 0
