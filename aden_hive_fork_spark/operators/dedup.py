@@ -664,27 +664,33 @@ def kmv_jaccard_pairs(
     corpus scale near-dups overwhelmingly live inside a shard/
     domain, and the index join gains the block key).
     """
-    from pyspark.sql import Window
-
     from .sketch import _h60
 
     blocks = block_cols or []
-    base = (
+    # ONE keyed aggregate builds the sketch (r12): collect_set dedups
+    # per doc (replacing the standalone distinct — its own corpus-
+    # sized Exchange on (_id, blocks, _h)), array_sort + slice keeps
+    # the sketch_k minima (replacing the per-doc row_number window,
+    # the second Exchange + sort of the exploded relation). The old
+    # distinct → window → collect chain and this single aggregate
+    # select the same sorted bottom-k distinct hashes per document;
+    # measured 2.85 → 2.24 s at sf0.1 on the sketch build alone.
+    # Per-group state is the doc's distinct-hash set — the same rows
+    # the window form buffered per doc, and ObjectHashAggregate falls
+    # back to sort-based aggregation under pressure.
+    sk = (
         df.select(
             F.col(id_col).alias("_id"),
             *blocks,
             F.explode(shingles_col(text_col, k)).alias("_sh"),
         )
         .withColumn("_h", _h60(F.col("_sh"), salt))
-        .select("_id", *blocks, "_h")
-        .distinct()
-    )
-    w = Window.partitionBy("_id").orderBy("_h")
-    sk = (
-        base.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= sketch_k)
         .groupBy("_id", *blocks)
-        .agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("_h")), 1, sketch_k
+            ).alias("_hs")
+        )
     )
     # The sketch table feeds THREE consumers (inverted index + both
     # sides of the score join) and Spark plans the shingle→distinct→
