@@ -90,9 +90,17 @@ def q159_kmeans_segments(spark, sf_dir):
     spend = o.groupBy(F.col("o_custkey").alias("pid")).agg(
         dround(F.sum(dec("o_totalprice"))).alias("y")
     )
+    # kmeans runs n_iter+2 actions (seed + per-round aggregate +
+    # final counts) and each would replay the orders aggregate +
+    # customer join from parquet — materialize the 3-column feature
+    # frame once (localCheckpoint, not persist: no CacheManager
+    # entry, so repeated bench invocations recompute honestly —
+    # measured 4.67 -> 2.84 s noop median at sf0.1; the q257 caller
+    # uses persist for the same reason)
     pts = (
         c.select(F.col("c_custkey").alias("pid"), F.col("c_acctbal").alias("x"))
         .join(spend, "pid")
+        .localCheckpoint(eager=True)
     )
     assigned, cents = kmeans(
         pts, ["x", "y"], "pid", k=_K, n_iter=_ITER, salt="kmeans"
