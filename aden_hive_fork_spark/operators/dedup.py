@@ -1020,13 +1020,21 @@ def trim_repeated_passages(
         "_starts",
         F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
     )
-    covered = lambda p: F.exists(  # noqa: E731
-        "_starts", lambda s: (s <= p) & (p < s + F.lit(n))
+    # survivors by set difference, not a per-position exists scan
+    # (r12): materialize the covered positions once per doc —
+    # O(|starts|·n + nt) instead of the O(nt·|starts|) nested HOF
+    # loop (these lambdas never enter codegen, SCALING §29).
+    # array_except keeps the left array's (ascending) order and
+    # sequence(1, nt) is duplicate-free, so `kept` is the identical
+    # ascending survivor list.
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                "_starts", lambda s: F.sequence(s, s + F.lit(n - 1))
+            )
+        )
     )
-    kept = F.filter(
-        F.sequence(F.lit(1), F.col("_nt")),
-        lambda p: ~covered(p),
-    )
+    kept = F.array_except(F.sequence(F.lit(1), F.col("_nt")), cov)
     return joined.select(
         F.col("id").alias(id_col),
         F.concat_ws(
