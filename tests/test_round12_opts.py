@@ -324,3 +324,48 @@ def test_poisson_weight_barrier_matches_direct(spark):
     d = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in barrier.collect())
     assert d == b and len(d) > 0
+
+
+# ---------------------------------------------------------------------------
+# ANN bucket kernel: ann_md5_buckets (int64 matmul + LUT strings)
+# must emit exactly the rows of the retained expression form,
+# including NULL embeddings (all-"0" bit strings).
+# ---------------------------------------------------------------------------
+def test_ann_bucket_kernel_matches_hof_exactly(spark):
+    import math
+
+    from aden_hive_fork_spark.operators.similarity import (
+        ann_md5_buckets,
+        ann_md5_buckets_hof,
+    )
+
+    dim = 16
+    rows = []
+    for i in range(40):
+        vec = [
+            math.sin(i * 37 + j) * (j + 1) - (i % 5) for j in range(dim)
+        ]
+        rows.append((i, vec))
+    rows.append((100, None))  # NULL embedding -> all-"0" buckets
+    rows.append((101, [0.0] * dim))  # zero vector -> all-zero qvec
+    emb = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    )
+    key = lambda r: (  # noqa: E731
+        r["id"],
+        tuple(r["qvec"]) if r["qvec"] is not None else None,
+        r["bucket"],
+    )
+    a = sorted(
+        key(r)
+        for r in ann_md5_buckets(
+            emb, num_tables=3, num_planes=5, dim=dim
+        ).collect()
+    )
+    b = sorted(
+        key(r)
+        for r in ann_md5_buckets_hof(
+            emb, num_tables=3, num_planes=5, dim=dim
+        ).collect()
+    )
+    assert a == b and len(a) == 42 * 3
