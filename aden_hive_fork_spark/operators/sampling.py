@@ -138,6 +138,15 @@ def contamination_pairs(
     """
     from .dedup import shingles_col
 
+    # Widen BEFORE shingling (r12): a small single-split parquet scan
+    # otherwise pins the shingle projection and both per-row
+    # intersects to ONE task (measured: every q98 stage ran 1/32
+    # cores). Conditional like bootstrap._widen — an already-wide
+    # cluster scan is left untouched, so no gratuitous corpus
+    # shuffle; placement cannot change the map-side scores.
+    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    if candidates.rdd.getNumPartitions() < parallelism:
+        candidates = candidates.repartition(parallelism, id_col)
     cand = candidates.select(
         F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh")
     )
