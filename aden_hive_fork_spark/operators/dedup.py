@@ -52,6 +52,22 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # shingling helpers (shared by Jaccard + MinHash tiers)
 # ---------------------------------------------------------------------------
+def widen_for_map(df: DataFrame, key_col: str) -> DataFrame:
+    """Conditionally hash-repartition ``df`` on ``key_col`` up to
+    ``defaultParallelism`` when the input is narrower — the
+    bootstrap._widen discipline, shared by the heavy per-row text
+    passes (r12). A small single-split parquet scan otherwise pins
+    tokenize/shingle/hash projections to ONE task (locally measured
+    4× on q98's class); a real cluster scan is already multi-split
+    and is left untouched, so no gratuitous corpus shuffle. Safe by
+    construction for map-side work: row placement cannot change any
+    keyed aggregate or join result."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), " ")
 
@@ -786,6 +802,7 @@ def repeated_passages(
     """
     if n < 1 or min_docs < 1 or k < 1:
         raise ValueError("n, min_docs, k must all be >= 1")
+    df = widen_for_map(df, id_col)  # r12: see widen_for_map
     posting = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, n)).alias("passage")
     )
@@ -981,6 +998,7 @@ def trim_repeated_passages(
         raise ValueError("trim_repeated_passages: n >= 1, min_docs >= 2")
     if count_mode not in ("docs", "occurrences"):
         raise ValueError("count_mode must be 'docs' or 'occurrences'")
+    df = widen_for_map(df, id_col)  # r12: see widen_for_map
     toks = tokens_col(text_col)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1362,6 +1380,10 @@ def winnowing_neardup_pairs(
     # over parallel recompute, so the simpler plan wins. The
     # PPJoin/Jaccard tiers persist because their shingle projections
     # are an order heavier per row.
+    # widen before the fingerprint map pass (r12): single-split
+    # local scans otherwise run the tokenize+hash projection on one
+    # task (widen_for_map is a no-op on an already-wide scan)
+    df = widen_for_map(df, id_col)
     fp = winnowing_fingerprints(df, id_col, text_col, k, window)
     dfreq = fp.groupBy("fingerprint").agg(
         F.count("*").alias("_df")

@@ -753,11 +753,12 @@ def softdedup_weights(
     ``weight`` to :func:`weighted_sample` /
     :func:`weighted_sample_per_group` for the actual draw.
     """
-    from .dedup import tokens_col
+    from .dedup import tokens_col, widen_for_map
     from .similarity import stable_round6
 
     if n < 1:
         raise ValueError("softdedup_weights: n >= 1")
+    df = widen_for_map(df, id_col)  # r12: see widen_for_map
     toks = tokens_col(text_col)
     base = df.filter(
         F.col(text_col).isNotNull() & F.col(id_col).isNotNull()

@@ -380,6 +380,9 @@ def bm25_search(
     which also makes the ranking engine-reproducible (the DuckDB
     oracle replays it exactly).
     """
+    # NOT widened here (r12 A/B): the split-tokenize is light enough
+    # that widening is a wash for q99 standalone (1.74 -> 1.87 s);
+    # heavy compositions (q262) widen the docs side at the call site.
     toks = docs.select(
         F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS)).alias("term")
     )

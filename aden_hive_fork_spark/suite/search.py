@@ -364,10 +364,13 @@ _Q262_SQL = f"""
 def q262_bm25_ndcg(spark, sf_dir):
     """operators/metrics.ndcg_at_k over the q99 BM25 ranker, graded
     by summed query-term frequency."""
+    from ..operators.dedup import widen_for_map
     from ..operators.metrics import ndcg_at_k
     from ..sources.search_source import _WS, bm25_search
 
-    docs = T(spark, sf_dir, "documents")
+    # one widen shared by the ranker's postings pass and the rel
+    # tokenize below (bm25_search's internal widen then no-ops)
+    docs = widen_for_map(T(spark, sf_dir, "documents"), "doc_id")
     queries = spark.createDataFrame(_Q99_QUERIES, "qid int, query string")
     ranking = bm25_search(docs, queries, k=10)
     toks = docs.select(
