@@ -1121,7 +1121,9 @@ def simhash_md5_neardup_pairs(
     the 60-bit fingerprint — by pigeonhole any pair within Hamming
     distance 3 shares an exact band, so the band-equality join finds
     all such pairs without O(n²); verify with bit_count(xor)."""
-    fps = simhash_fingerprints_md5(df, id_col, text_col, k)
+    fps = simhash_fingerprints_md5(
+        widen_for_map(df, id_col), id_col, text_col, k
+    )
     bands = fps.select(
         "id",
         "simhash",
@@ -1177,7 +1179,9 @@ def minhash_md5_signatures(
     Spark; this tier's signatures replay bit-for-bit in DuckDB, so
     the LSH banding AND the signature-overlap Jaccard estimate sit
     inside the value-hash gate (q232)."""
-    sh = df.select(
+    # widened (r12): num_hashes md5 evaluations per shingle on a
+    # single-split scan otherwise serialize on one task
+    sh = widen_for_map(df, id_col).select(
         F.col(id_col).alias("id"), shingles_col(text_col, k).alias("shingles")
     )
     exploded = sh.select("id", F.explode("shingles").alias("shingle"))
@@ -1212,7 +1216,13 @@ def minhash_md5_lsh_pairs(
     Jaccard estimate) and filtered at ``threshold``. Never all-pairs:
     candidates come only from band buckets."""
     rows = num_hashes // bands
-    sig = minhash_md5_signatures(df, id_col, text_col, k, num_hashes)
+    # materialized once (r12): the banded frame feeds BOTH self-join
+    # sides, and each would replay the shingle explode + num_hashes
+    # md5-min aggregate; the signature table is docs x num_hashes
+    # longs — small
+    sig = minhash_md5_signatures(
+        df, id_col, text_col, k, num_hashes
+    ).localCheckpoint(eager=True)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
