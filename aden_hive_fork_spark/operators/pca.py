@@ -253,6 +253,63 @@ def pca_project(
     return out
 
 
+_PCA_DRIVER_MAX_DIM = 1024  # d^2 doubles of driver state at most
+
+
+def _power_rounds_driver(
+    rows_up, d: int, iters: int
+) -> tuple[list[float], float]:
+    """Python replay of the relational power rounds — bit-exact: same
+    ascending sort of the term values, same sequential float64 fold
+    from +0.0, same floor-1e9 quantization, same division and sign
+    convention. Pinned equal to the relational form by
+    tests/test_round12_opts.py."""
+    import math
+
+    C = [[0.0] * d for _ in range(d)]
+    for r in rows_up:
+        i, j, c = r["i"] - 1, r["j"] - 1, float(r["cov"])
+        C[i][j] = c
+        C[j][i] = c
+
+    def fq(x: float) -> float:
+        return math.floor(x * 1e9) / 1e9
+
+    def fold(terms) -> float:
+        acc = 0.0
+        for x in sorted(terms):
+            acc = acc + x
+        return acc
+
+    v = [1.0] * d
+    for _ in range(iters):
+        w = [
+            fq(fold([C[i][j] * v[j] for j in range(d)]))
+            for i in range(d)
+        ]
+        nn = fq(math.sqrt(fold([x * x for x in w])))
+        if nn is None or nn <= 0.0:
+            raise ValueError(
+                "power_iteration_pc1: ||Cv|| quantized to 0 — the "
+                "covariance matrix is degenerate (constant or "
+                "near-constant embeddings); PC1 is undefined"
+            )
+        v = [fq(x / nn) for x in w]
+    pivot = max(range(d), key=lambda k: (abs(v[k]), -k))
+    if v[pivot] < 0:
+        v = [-x for x in v]
+    lam = fq(
+        fold(
+            [
+                (v[i] * C[i][j]) * v[j]
+                for i in range(d)
+                for j in range(d)
+            ]
+        )
+    )
+    return v, float(lam)
+
+
 def power_iteration_pc1(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -277,7 +334,6 @@ def power_iteration_pc1(
     emission, see embedding_covariance); every round after that
     touches only the d×d relation — corpus-independent.
     """
-    spark = df.sparkSession
     # The covariance is the ONLY corpus-sized pass. Materialize the
     # d(d+1)/2-row upper triangle eagerly (localCheckpoint truncates
     # lineage, blocks are ContextCleaner-reclaimed) BEFORE building
@@ -286,12 +342,30 @@ def power_iteration_pc1(
     # measured 2x the whole operator's cost at the 10x stress scale.
     # Every subsequent round touches only the 2·d² bounded relation.
     up = embedding_covariance(df, vec_col).localCheckpoint(eager=True)
+    rows_up = up.select("i", "j", "cov").collect()
+    if not rows_up:
+        raise ValueError(
+            "power_iteration_pc1: empty covariance (no embeddings)"
+        )
+    d = max(r["j"] for r in rows_up)
+    if d <= _PCA_DRIVER_MAX_DIM:
+        # DRIVER fast path (r12, the BPE/CC-rounds pattern): the
+        # post-covariance rounds touch only the d x d relation, and
+        # driver-sequencing them through Spark cost a fixed ~1 s job
+        # per round (measured: q260 8.7 s noop with 6 rounds + lam).
+        # The Python replay is IEEE-exact: the same ascending
+        # value-sort, the same sequential float64 fold from +0.0, the
+        # same floor(x*1e9)/1e9 quantization, Math.sqrt == math.sqrt
+        # (both correctly rounded). Driver state is d^2 doubles,
+        # bounded by the explicit gate; the relational rounds remain
+        # below as the differential reference and the >gate path.
+        return _power_rounds_driver(rows_up, d, int(iters))
+    spark = df.sparkSession
     covf = up.select("i", "j", "cov").unionAll(
         up.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
     )
-    d = covf.agg(F.max("j")).collect()[0][0]
     fq = lambda c: F.floor(c * F.lit(1e9)).cast("double") / F.lit(1e9)  # noqa: E731
     v = [1.0] * d
     for _ in range(int(iters)):
@@ -374,3 +448,4 @@ def power_iteration_pc1(
         .collect()[0]["lam"]
     )
     return v, float(lam)
+

@@ -369,3 +369,29 @@ def test_ann_bucket_kernel_matches_hof_exactly(spark):
         ).collect()
     )
     assert a == b and len(a) == 42 * 3
+
+
+# ---------------------------------------------------------------------------
+# PCA power rounds: the driver fast path must replay the relational
+# rounds bit for bit (same sorted fold, quantization, sign law).
+# ---------------------------------------------------------------------------
+def test_power_rounds_driver_matches_relational(spark, monkeypatch):
+    import math
+
+    from aden_hive_fork_spark.operators import pca
+
+    rows = []
+    for i in range(60):
+        vec = [
+            math.sin(i * 13 + j) * (1 + (j % 5)) + (i % 7) * 0.25
+            for j in range(12)
+        ]
+        rows.append((i, vec))
+    emb = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    )
+    v_fast, lam_fast = pca.power_iteration_pc1(emb, "embedding", iters=4)
+    monkeypatch.setattr(pca, "_PCA_DRIVER_MAX_DIM", 0)
+    v_rel, lam_rel = pca.power_iteration_pc1(emb, "embedding", iters=4)
+    assert v_fast == v_rel
+    assert lam_fast == lam_rel
