@@ -138,7 +138,13 @@ def refresh_join_view(
         )
 
     if not os.path.exists(os.path.join(view_root, _CURRENT)):
-        full = fact.join(dim, fact[fk_col] == dim[dk], "inner").drop(dk)
+        # materialized once (r12): the count and the publish write
+        # would each compute the join
+        full = (
+            fact.join(dim, fact[fk_col] == dim[dk], "inner")
+            .drop(dk)
+            .localCheckpoint(eager=True)
+        )
         n = full.count()
         create_table(full, view_root, fact_keys)
         _fold_epoch(view_root, _encode(f_seq, d_seq))
@@ -180,12 +186,19 @@ def refresh_join_view(
     )
     affected = changed_fact_keys.unionByName(fanout_keys).distinct()
 
+    # materialized once (r12): produced feeds the anti-join, the
+    # batch, the dup-check inside upsert, the write, and its count —
+    # five replays of the semi+inner join without the checkpoint;
+    # both frames are delta-sized
     produced = (
         fact.join(affected, fact_keys, "left_semi")
         .join(dim, fact[fk_col] == dim[dk], "inner")
         .drop(dk)
+        .localCheckpoint(eager=True)
     )
-    gone = affected.join(produced.select(*fact_keys), fact_keys, "left_anti")
+    gone = affected.join(
+        produced.select(*fact_keys), fact_keys, "left_anti"
+    ).localCheckpoint(eager=True)
     tombstones = gone.select(
         *fact_keys,
         *[
@@ -257,7 +270,12 @@ def refresh_agg_view(
     fact = read_table(spark, fact_root)
 
     if not os.path.exists(os.path.join(view_root, _CURRENT)):
-        full = fact.groupBy(*group_cols).agg(*agg_exprs)
+        # materialized once (r12): count + publish write
+        full = (
+            fact.groupBy(*group_cols)
+            .agg(*agg_exprs)
+            .localCheckpoint(eager=True)
+        )
         n = full.count()
         create_table(full, view_root, group_cols)
         _fold_epoch_app(view_root, _APP_AGG, f_seq)
@@ -292,12 +310,16 @@ def refresh_agg_view(
             cond = c if cond is None else (cond & c)
         return df.join(groups, cond, how)
 
+    # materialized once (r12): see refresh_join_view
     produced = (
         _gjoin(fact, affected, "left_semi")
         .groupBy(*group_cols)
         .agg(*agg_exprs)
+        .localCheckpoint(eager=True)
     )
-    gone = _gjoin(affected, produced.select(*group_cols), "left_anti")
+    gone = _gjoin(
+        affected, produced.select(*group_cols), "left_anti"
+    ).localCheckpoint(eager=True)
     tombstones = gone.select(
         *group_cols,
         *[
