@@ -63,7 +63,10 @@ def split_conformal_linear(
         .when(F.col("_bkt") < train_pct + cal_pct, "cal")
         .otherwise("test")
     )
-    base = base.withColumn("_split", split)
+    # materialized once (r12): the split frame feeds the train fit,
+    # the cal ranking, the cal count, and the test coverage — each
+    # replayed the caller's upstream join/aggregate otherwise
+    base = base.withColumn("_split", split).localCheckpoint(eager=True)
     s = _suff(F.col(x_col), F.col(y_col), scale)
     fit = base.filter(F.col("_split") == "train").agg(
         *[c.alias(k) for k, c in s.items()]
