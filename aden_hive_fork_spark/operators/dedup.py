@@ -62,6 +62,11 @@ def widen_for_map(df: DataFrame, key_col: str) -> DataFrame:
     and is left untouched, so no gratuitous corpus shuffle. Safe by
     construction for map-side work: row placement cannot change any
     keyed aggregate or join result."""
+    if df.isStreaming:
+        # streaming frames cannot answer .rdd.getNumPartitions() (no
+        # materialized plan) and their micro-batch partitioning comes
+        # from the source/trigger — pass through untouched
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, F.col(key_col))

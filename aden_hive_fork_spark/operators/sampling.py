@@ -141,12 +141,12 @@ def contamination_pairs(
     # Widen BEFORE shingling (r12): a small single-split parquet scan
     # otherwise pins the shingle projection and both per-row
     # intersects to ONE task (measured: every q98 stage ran 1/32
-    # cores). Conditional like bootstrap._widen — an already-wide
-    # cluster scan is left untouched, so no gratuitous corpus
-    # shuffle; placement cannot change the map-side scores.
-    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
-    if candidates.rdd.getNumPartitions() < parallelism:
-        candidates = candidates.repartition(parallelism, id_col)
+    # cores). widen_for_map is conditional (an already-wide cluster
+    # scan is untouched) and a no-op on streaming frames; placement
+    # cannot change the map-side scores.
+    from .dedup import widen_for_map
+
+    candidates = widen_for_map(candidates, id_col)
     cand = candidates.select(
         F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh")
     )
