@@ -65,16 +65,15 @@ def md5_uniform(key: Column, salt: str = "") -> Column:
 def _widen(df: DataFrame, key_col: str) -> DataFrame:
     """The ×B replicate explode multiplies ROWS, not partitions — a
     single-file scan would push the whole amplified corpus through
-    one task (measured: 62 s → 4 s at sf0.1 on local[32]). Hash-
-    repartition on the row key up to the cluster's parallelism when
-    the input is narrower; results are partitioning-independent by
-    construction (md5-keyed draws), so this is pure plan shaping. An
-    already-wide input (any real cluster scan) is left untouched —
-    no gratuitous corpus shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(key_col))
-    return df
+    one task (measured: 62 s → 4 s at sf0.1 on local[32]). Results
+    are partitioning-independent by construction (md5-keyed draws),
+    so this is pure plan shaping. Delegates to the shared
+    dedup.widen_for_map (one copy of the heuristic + the streaming
+    guard, r13) — conditional, so an already-wide cluster scan is
+    left untouched."""
+    from .dedup import widen_for_map
+
+    return widen_for_map(df, key_col)
 
 
 def poisson1_weight(u: Column) -> Column:

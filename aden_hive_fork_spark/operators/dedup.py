@@ -17,8 +17,6 @@ skew-join splitting.
 
 from __future__ import annotations
 
-from collections import OrderedDict
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,49 +73,6 @@ def widen_for_map(df: DataFrame, key_col: str) -> DataFrame:
 
 def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), " ")
-
-
-# (applicationId, plan-semantic-hash) -> persisted inverted index
-# (bounded LRU). Keying by applicationId scopes entries to one
-# SparkSession lifetime: after a session restart the old entries can
-# never be returned (a DataFrame bound to a dead session would throw
-# on use), they just age out of the LRU.
-_INV_CACHE: "OrderedDict[tuple[str, int], DataFrame]" = OrderedDict()
-_INV_CACHE_MAX = 4
-
-
-def _cached_inverted_index(inv: DataFrame) -> DataFrame:
-    """Persist-and-reuse: identical plans (same input, same shingling)
-    share one materialized index; evicted entries are unpersisted."""
-    from pyspark import StorageLevel
-
-    app_id = inv.sparkSession.sparkContext.applicationId
-    key = (app_id, inv.semanticHash())
-    hit = _INV_CACHE.get(key)
-    if hit is not None:
-        try:
-            same = inv.sameSemantics(hit)  # exact check on hash hit
-        except Exception:
-            same = False  # stale/dead entry — rebuild below
-        if same:
-            _INV_CACHE.move_to_end(key)
-            return hit
-        # semanticHash collision with a different plan (or a dead
-        # entry): release the old persisted DataFrame before
-        # overwriting, or its cached RDD leaks past the LRU accounting.
-        try:
-            hit.unpersist()
-        except Exception:
-            pass
-    persisted = inv.persist(StorageLevel.MEMORY_AND_DISK)
-    _INV_CACHE[key] = persisted
-    while len(_INV_CACHE) > _INV_CACHE_MAX:
-        _, old = _INV_CACHE.popitem(last=False)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    return persisted
 
 
 def shingles_col(text_col: str = "text", k: int = 3) -> Column:
@@ -192,20 +147,25 @@ def ngram_jaccard_pairs(
     # materialize — at 100 TB this is the difference between a keyed
     # shuffle join and an O(n^2) blocked cross join. A pair's common-
     # shingle count IS its intersection size (shingles are distinct).
-    # Persisted: both self-join branches read the SAME materialized
-    # index instead of recomputing the shingle projection twice
-    # (MEMORY_AND_DISK spills gracefully at scale). The persist is
-    # LRU-cached by plan identity and unpersisted on eviction —
-    # repeated calls reuse one materialization instead of leaking a
-    # new cached RDD per call (a long session otherwise accumulates
-    # dead cache entries and GC pressure).
-    inv = _cached_inverted_index(
-        sh.select(*block_cols, "id", "n_sh", F.explode("shingles").alias("shingle"))
+    # Deliberately NOT materialized (r13): the round-3-era module-
+    # level persist LRU here was cross-invocation result caching
+    # (bench runs 2..n replayed the persisted index — the banned memo
+    # shape) and was removed. A per-invocation eager localCheckpoint
+    # was A/B'd as the replacement and LOST (q41 noop median 4.64 s
+    # checkpointed vs 3.81 s plain, same session): the two self-join
+    # branches are expression-identical subplans, so ReuseExchange
+    # already computes the repartition+shingle pass ONCE and both
+    # sides read the same shuffle output — the checkpoint only added
+    # a corpus×shingles block write. The optional hot-shingle
+    # aggregate below reads the same reused exchange.
+    inv = sh.select(
+        *block_cols, "id", "n_sh", F.explode("shingles").alias("shingle")
     )
     if max_shingle_df is not None:
-        # Stop-shingle exclusion reads the already-persisted index (one
-        # cheap aggregate) and broadcasts only the hot shingles; the
-        # cached index itself stays cap-independent and shared.
+        # Stop-shingle exclusion reads the already-materialized index
+        # (one cheap aggregate) and broadcasts only the hot shingles;
+        # the checkpointed index itself stays cap-independent and
+        # shared by both self-join branches.
         hot = (
             inv.groupBy(*block_cols, "shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -1398,7 +1358,7 @@ def winnowing_neardup_pairs(
     # df-cap aggregate and both self-join sides, but it is cheap
     # map-side work (explode + one keyed window). A/B at the 10×
     # stress in identical standalone sessions: persisted
-    # (_cached_inverted_index) 27.4 s vs unpersisted 26.9 s —
+    # (materialized fingerprint table) 27.4 s vs unpersisted 26.9 s —
     # materializing the corpus-sized fingerprint table buys nothing
     # over parallel recompute, so the simpler plan wins. The
     # PPJoin/Jaccard tiers persist because their shingle projections

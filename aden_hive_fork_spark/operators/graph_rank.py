@@ -165,19 +165,23 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
         .persist()
     )
     n_edges = e.count()  # materializes e; ed below is 1:1 with it
+    # deg has THREE consumers (the node count and both orientation
+    # broadcast builds) — materialize it once (r13; it was re-derived
+    # from e per consumer). |V| rows of state, checkpoint-truncated.
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
-    # |V| is exact and cheap off the persisted edge list; the degree
-    # table is 16 bytes/node of payload, so broadcast it for the two
-    # orientation joins whenever the MEASURED size fits — they become
-    # pure map-side passes over e. Same rule guards the adjacency
-    # joins below. Above the bound, plain joins (AQE still upgrades
-    # at runtime when its stats allow) — never a forced unbounded
-    # broadcast.
+    # |V| is exact and cheap off the checkpointed degree table; the
+    # degree table is 16 bytes/node of payload, so broadcast it for
+    # the two orientation joins whenever the MEASURED size fits —
+    # they become pure map-side passes over e. Same rule guards the
+    # adjacency joins below. Above the bound, plain joins (AQE still
+    # upgrades at runtime when its stats allow) — never a forced
+    # unbounded broadcast.
     n_nodes = deg.count()
     bcast_cap = 64 * 1024 * 1024
 
@@ -213,7 +217,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
         .select(F.col("o.u").alias("u"), F.col("o.w").alias("w"))
         .persist()
     )
-    adj = ed.groupBy("u").agg(F.collect_list("w").alias("nbrs"))
+    # adj feeds BOTH adjacency joins — one materialization (r13; the
+    # two broadcast builds each re-ran the collect_list aggregate).
+    # The eager checkpoint also materializes the persisted ed.
+    adj = (
+        ed.groupBy("u")
+        .agg(F.collect_list("w").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
     # The adjacency joins attach a ~outdeg-length array to every edge
     # row; as shuffle joins they'd move O(|E|·avg_deg) longs twice,
     # but the adjacency table itself is only O(|E| + |V|) — broadcast
@@ -250,6 +261,17 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     return edges.sparkSession.createDataFrame(rows, out.schema)
 
 
+# Driver fast-path gate shared by the iterative frontier operators
+# (bfs_hops, sssp_weighted — the CC/BPE/PCA precedent): an edge list
+# at or under this many rows (~64-96 MB of longs) labels faster with
+# ONE collect + a Python frontier loop than with 2-3 fixed-overhead
+# Spark jobs per round. The laws are exact-integer (min-hop /
+# min-plus), so the replay is bit-identical by construction; above
+# the gate the distributed rounds run unchanged. Tests force the
+# distributed path by monkeypatching the gate to 0.
+_GRAPH_DRIVER_MAX_EDGES = 1 << 22
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
@@ -264,12 +286,20 @@ def bfs_hops(
     Frontier-relaxation rounds — the scalable shape for huge sparse
     graphs (each round is one keyed equi-join frontier⋈edges plus one
     anti-join against the visited set; per-round volume tracks the
-    frontier, not the graph). Lineage is truncated with an eager
-    localCheckpoint every round (the connected-components discipline
-    — without it the plan doubles per iteration), and an empty
-    frontier short-circuits. Integer hop labels — no float anywhere —
-    so the result is trivially engine-exact (DuckDB: bounded
-    recursive CTE with UNION dedup).
+    frontier, not the graph). The edge projection is materialized
+    ONCE up front (r13 — every round's join previously re-ran the
+    caller's whole edge-construction plan), lineage is truncated with
+    an eager localCheckpoint every round (the connected-components
+    discipline — without it the plan doubles per iteration), and an
+    empty frontier short-circuits. Integer hop labels — no float
+    anywhere — so the result is trivially engine-exact (DuckDB:
+    bounded recursive CTE with UNION dedup).
+
+    Below ``_GRAPH_DRIVER_MAX_EDGES`` the rounds replay driver-side
+    (r13): same layered expansion, same integer min-hop law, so the
+    output rows are bit-identical; NULL endpoints/sources fall back
+    to the distributed path (SQL null-join semantics differ from
+    Python dict equality, so the replay refuses rather than guesses).
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
@@ -279,10 +309,34 @@ def bfs_hops(
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = dist
     e = edges.select(
         F.col(src).cast("long").alias("_s"), F.col(dst).cast("long").alias("_d")
-    )
+    ).localCheckpoint(eager=True)
+    if e.count() + dist.count() <= _GRAPH_DRIVER_MAX_EDGES:
+        erows = e.collect()
+        srows = dist.collect()
+        if all(
+            r["_s"] is not None and r["_d"] is not None for r in erows
+        ) and all(r[id_col] is not None for r in srows):
+            adj: dict[int, list[int]] = {}
+            for r in erows:
+                adj.setdefault(int(r["_s"]), []).append(int(r["_d"]))
+            hops: dict[int, int] = {int(r[id_col]): 0 for r in srows}
+            frontier_ids = list(hops)
+            for h in range(1, max_hops + 1):
+                nxt_ids: list[int] = []
+                for u in frontier_ids:
+                    for v in adj.get(u, ()):
+                        if v not in hops:
+                            hops[v] = h
+                            nxt_ids.append(v)
+                if not nxt_ids:
+                    break
+                frontier_ids = nxt_ids
+            return edges.sparkSession.createDataFrame(
+                list(hops.items()), f"{id_col} long, hops int"
+            )
+    frontier = dist
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(e, frontier[id_col] == e["_s"])
@@ -397,11 +451,44 @@ def sssp_weighted(
         .withColumn("dist", F.lit(0).cast("bigint"))
         .localCheckpoint(eager=True)
     )
+    # materialize the edge projection once (r13): each round's join
+    # previously re-ran the caller's whole edge-construction plan
     e = edges.select(
         F.col(src).cast("long").alias("_s"),
         F.col(dst).cast("long").alias("_d"),
         F.col(weight).cast("bigint").alias("_w"),
-    )
+    ).localCheckpoint(eager=True)
+    if e.count() + dist.count() <= _GRAPH_DRIVER_MAX_EDGES:
+        # driver replay (r13, the bfs_hops/CC pattern): min-plus on
+        # Python ints IS the BIGINT law — bit-identical rounds; NULL
+        # endpoints/weights/sources use the distributed path instead
+        # (SQL null semantics: a NULL never joins, a NULL sum is
+        # skipped by MIN — not worth mirroring)
+        erows = e.collect()
+        srows = dist.collect()
+        if all(
+            r["_s"] is not None
+            and r["_d"] is not None
+            and r["_w"] is not None
+            for r in erows
+        ) and all(r[id_col] is not None for r in srows):
+            adj: dict[int, list[tuple[int, int]]] = {}
+            for r in erows:
+                adj.setdefault(int(r["_s"]), []).append(
+                    (int(r["_d"]), int(r["_w"]))
+                )
+            d: dict[int, int] = {int(r[id_col]): 0 for r in srows}
+            for _ in range(rounds):
+                nxt = dict(d)
+                for u, du in d.items():
+                    for v, w_uv in adj.get(u, ()):
+                        cand_d = du + w_uv
+                        if v not in nxt or cand_d < nxt[v]:
+                            nxt[v] = cand_d
+                d = nxt
+            return edges.sparkSession.createDataFrame(
+                list(d.items()), f"{id_col} long, dist bigint"
+            )
     for _ in range(rounds):
         cand = dist.join(e, dist[id_col] == e["_s"]).select(
             F.col("_d").alias(id_col),
@@ -459,6 +546,15 @@ def local_clustering(
             .persist()
         )
         n_nodes = deg.count()
+        # 64 MB cap with DELIBERATELY conservative per-row byte
+        # estimates below (48 B/node row, 24 B/edge entry — raw
+        # UnsafeRow payloads; the built hash relation / collect_list
+        # arrays carry object overhead that can multiply these
+        # severalfold on skewed graphs). The estimates underestimate
+        # the payload, not the cap: a forced broadcast near the cap
+        # may really occupy a few hundred MB in executor memory,
+        # which the cap's 64 MB margin (vs the 8 GB broadcast hard
+        # limit) deliberately absorbs.
         bcast_cap = 64 * 1024 * 1024
 
         def _maybe_bcast(df_side, est_bytes):

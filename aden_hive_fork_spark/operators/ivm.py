@@ -44,7 +44,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import _CURRENT
@@ -138,15 +138,18 @@ def refresh_join_view(
         )
 
     if not os.path.exists(os.path.join(view_root, _CURRENT)):
-        # materialized once (r12): the count and the publish write
-        # would each compute the join
-        full = (
-            fact.join(dim, fact[fk_col] == dim[dk], "inner")
-            .drop(dk)
-            .localCheckpoint(eager=True)
-        )
-        n = full.count()
+        # initial build: the view here is CORPUS-sized (unlike the
+        # delta-sized incremental frames below), so instead of
+        # checkpointing it just to share between count() and the
+        # publish write (a storage-doubling materialization at
+        # scale), the row count rides the write itself as an
+        # observed metric — one pass, no extra copy (r13)
+        obs = Observation()
+        full = fact.join(dim, fact[fk_col] == dim[dk], "inner").drop(
+            dk
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         create_table(full, view_root, fact_keys)
+        n = int(obs.get["n"])
         _fold_epoch(view_root, _encode(f_seq, d_seq))
         return {
             "fact_seq": f_seq,
@@ -270,14 +273,17 @@ def refresh_agg_view(
     fact = read_table(spark, fact_root)
 
     if not os.path.exists(os.path.join(view_root, _CURRENT)):
-        # materialized once (r12): count + publish write
+        # initial build: view-sized (can be corpus-scale) — count rides
+        # the publish write as an observed metric instead of a
+        # storage-doubling checkpoint (r13, mirrors refresh_join_view)
+        obs = Observation()
         full = (
             fact.groupBy(*group_cols)
             .agg(*agg_exprs)
-            .localCheckpoint(eager=True)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        n = full.count()
         create_table(full, view_root, group_cols)
+        n = int(obs.get["n"])
         _fold_epoch_app(view_root, _APP_AGG, f_seq)
         return {"fact_seq": f_seq, "n_upserts": n, "n_deletes": 0,
                 "initialized": True}

@@ -50,17 +50,24 @@ precedent extended to the full chain).
 Scale shape: every stage is the already-audited operator — banded
 pair generation (never all-pairs), broadcast models (langid
 profiles, DSIR vocabulary ratios), keyed aggregates, the range-
-partitioned prefix sum for packing. Stage boundaries are
-localCheckpoint-truncated (eager) so Catalyst analyzes nine bounded
-plans instead of one enormous tree, and each surviving corpus is
-materialized exactly once — on a cluster the same boundaries would
-be checkpoint/cache points. The only driver-side values are the
-stage row-counts in the final census (9 rows).
+partitioned prefix sum for packing. MULTI-consumer stage boundaries
+are localCheckpoint-truncated (eager) so Catalyst analyzes bounded
+plans and each reused corpus is materialized exactly once — on a
+cluster the same boundaries would be checkpoint/cache points.
+Stages with a SINGLE downstream consumer (s1, s3, s7, s8) are NOT
+materialized separately (r13): their only other reader was the
+census, whose (n_docs, n_tokens) row is now collected as an
+``Dataset.observe`` metric riding the next stage's materialization
+— the counts are exact aggregates over exactly the rows that flow
+through the stage boundary, for zero extra passes and four fewer
+sequential job barriers per invocation (guide §2.6: the accounting
+overlaps the work instead of serializing after it). The only
+driver-side values are the stage row-counts in the final census.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 # The gate-pinned operating point (suite q336/q337 and the DuckDB
 # oracle replay both hard-code these — change them together).
@@ -88,12 +95,43 @@ def pretrain_pipeline_stages(
 ) -> dict[str, DataFrame]:
     """Run the 10 corpus stages; returns {stage_name: surviving docs}
     (all with the input's five columns) plus ``"9_packed"`` holding
-    the (doc, window) span table. Stages are eagerly checkpointed —
-    calling this triggers the chain. ``gopher=True`` inserts the
-    optional stage 3b (the non-repetition Gopher rule set,
-    quality.gopher_quality_signals, thresholds overridable via
-    ``gopher_params``) between the repetition filter and exact
-    dedup."""
+    the (doc, window) span table. Calling this triggers the chain
+    (the multi-consumer stages are eagerly checkpointed; the
+    single-consumer stages s1/s3/s7/s8 are lazy views over their
+    checkpointed neighbours — same rows, one fewer materialization
+    each). ``gopher=True`` inserts the optional stage 3b (the
+    non-repetition Gopher rule set, quality.gopher_quality_signals,
+    thresholds overridable via ``gopher_params``) between the
+    repetition filter and exact dedup."""
+    stages, _obs = _pipeline_build(
+        docs, id_col, text_col, lang_col, source_col, chars_col,
+        target_lang, gopher, gopher_params, observe_census=False,
+    )
+    return stages
+
+
+def _pipeline_build(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+    chars_col: str,
+    target_lang: str,
+    gopher: bool,
+    gopher_params: dict | None,
+    observe_census: bool,
+) -> tuple[dict[str, DataFrame], dict[str, Observation]]:
+    """The shared chain. With ``observe_census`` the single-consumer
+    stage boundaries (s1, s3 non-gopher, s7, s8) carry
+    ``Dataset.observe`` metric nodes whose (n_docs, n_tokens)
+    aggregates are collected map-side DURING the next stage's
+    materialization — Catalyst does not push filters or prune rows
+    through CollectMetrics, so the metrics count exactly the stage's
+    surviving rows, and the census needs no separate job for them.
+    The s8 observation additionally carries the 8c redaction-ledger
+    sums (detect_pii columns computed in the same pass the redactor
+    already scans)."""
     from .dedup import (
         dedup_by_components,
         exact_dedup,
@@ -103,7 +141,7 @@ def pretrain_pipeline_stages(
     from .langid import langid_train_predict
     from .normalize import normalize_corpus
     from .packing import pack_token_stream
-    from .pii import redact_pii
+    from .pii import detect_pii, redact_pii
     from .quality import gopher_quality_signals, ngram_repetition
     from .sampling import (
         decontaminate_split,
@@ -112,18 +150,40 @@ def pretrain_pipeline_stages(
         train_test_split,
     )
 
+    observations: dict[str, Observation] = {}
+
+    def _census_tap(df: DataFrame, stage: str) -> DataFrame:
+        """Attach the stage's census aggregates as observed metrics;
+        returns the frame the NEXT stage must consume (so the metric
+        node lies on the executed path)."""
+        if not observe_census:
+            return df
+        obs = Observation()
+        observations[stage] = obs
+        return df.observe(
+            obs,
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(chars_col)).cast("bigint").alias("n_tokens"),
+        )
+
     cols = [id_col, text_col, lang_col, source_col, chars_col]
     s1 = (
         docs.filter(
             F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
         )
         .select(*cols)
-        .repartition(64, id_col)
-        .localCheckpoint(eager=True)
+        # scale-adaptive width (r13): defaultParallelism, not the old
+        # constant 64 — on the cluster this tracks cores; locally it
+        # halves the per-stage task count the 10-stage chain pays on
+        # every materialization (A/B: q336 14.4 -> 12.6 s at sf0.1)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, id_col
+        )
     )
 
     s1b = normalize_corpus(
-        s1, text_col=text_col, chars_col=chars_col
+        _census_tap(s1, "1_base"), text_col=text_col,
+        chars_col=chars_col,
     ).localCheckpoint(eager=True)
 
     # ONE corpus gram explode trains the profiles AND classifies
@@ -152,12 +212,15 @@ def pretrain_pipeline_stages(
             & (F.col("dup_frac") <= QUALITY_MAX_DUP_FRAC)
         ).select(id_col),
         id_col,
-    ).localCheckpoint(eager=True)
+    )
 
     if gopher:
         # stage-3b option: the NON-repetition Gopher rules (q344) —
         # map-only signals, so the option adds one semi-join and no
-        # new shuffle class to the chain
+        # new shuffle class to the chain. s3 has TWO consumers here
+        # (the signal pass and the semi-join), so it keeps its own
+        # materialization and the census aggregates it directly.
+        s3 = s3.localCheckpoint(eager=True)
         sigs = gopher_quality_signals(
             s3, id_col, text_col, **(gopher_params or {})
         )
@@ -165,12 +228,14 @@ def pretrain_pipeline_stages(
             sigs.filter(F.col("gopher_pass") == 1).select(id_col),
             id_col,
         ).localCheckpoint(eager=True)
+        s4_in = s3b
     else:
         s3b = s3
+        s4_in = _census_tap(s3, "3_quality")
 
     s4 = (
         exact_dedup(
-            s3b.withColumn(
+            s4_in.withColumn(
                 "_fp", F.md5(F.lower(F.trim(F.col(text_col))))
             ),
             ["_fp"],
@@ -206,22 +271,36 @@ def pretrain_pipeline_stages(
     )
     s7 = s6.join(
         scores.filter(F.col("log_ratio") > 0).select(id_col), id_col
-    ).localCheckpoint(eager=True)
-
-    s8 = (
-        token_budget_sample(
-            s7, cost_col=chars_col, budget=BUDGET_PER_SOURCE,
-            group_cols=[source_col], id_cols=[id_col],
-        )
-        .select(*cols)
-        .localCheckpoint(eager=True)
     )
+
+    s8 = token_budget_sample(
+        _census_tap(s7, "7_dsir"), cost_col=chars_col,
+        budget=BUDGET_PER_SOURCE, group_cols=[source_col],
+        id_cols=[id_col],
+    ).select(*cols)
 
     # PII redaction AFTER the budget draw (the budget is charged on
     # pre-redaction lengths), BEFORE anything is packed or shipped;
-    # chars recount so packing reads the redacted lengths.
+    # chars recount so packing reads the redacted lengths. In census
+    # mode the SAME pass computes the detect_pii counters, so the
+    # 8_mixture row and the 8c redaction ledger are observed metrics
+    # of the s8b materialization (one corpus scan, not three).
+    if observe_census:
+        obs8 = Observation()
+        observations["8_mixture"] = obs8
+        s8b_in = detect_pii(s8, text_col).observe(
+            obs8,
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(chars_col)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("pii_total") > 0).cast("int"))
+            .cast("bigint")
+            .alias("red_docs"),
+            F.sum("pii_total").cast("bigint").alias("red_hits"),
+        )
+    else:
+        s8b_in = s8
     s8b = (
-        s8.withColumn(text_col, redact_pii(text_col))
+        s8b_in.withColumn(text_col, redact_pii(text_col))
         .withColumn(chars_col, F.length(text_col).cast("bigint"))
         .select(*cols)
         .localCheckpoint(eager=True)
@@ -247,7 +326,7 @@ def pretrain_pipeline_stages(
         "8b_pii": s8b,
         "9_packed": packed,
     })
-    return out
+    return out, observations
 
 
 def pretrain_pipeline_census(
@@ -266,19 +345,36 @@ def pretrain_pipeline_census(
     the PII accounting row (n_docs = documents the redactor touched,
     n_tokens = total typed hits — the FineWeb anonymization ledger);
     ``9_packed`` counts packed context windows and packed tokens
-    (== stage 8b's total). Pass ``stages`` to account an
-    already-computed chain (the stage frames are eagerly
-    checkpointed, so reuse within a session is free and exact)."""
+    (== stage 8b's total).
+
+    When this function builds the chain itself, the single-consumer
+    stage rows (1_base, 3_quality, 7_dsir, 8_mixture, 8c) arrive as
+    observed metrics of the chain's own materializations (r13 — see
+    ``_pipeline_build``): same exact integer aggregates over the same
+    rows, zero extra jobs. The remaining rows are one union-of-
+    aggregates job over the checkpointed stage frames. Pass
+    ``stages`` to account an already-computed chain — that path
+    aggregates every stage frame directly (checkpointed entries are
+    free to re-read; lazy entries recompute their one-stage view)."""
     from .pii import detect_pii
 
+    observations: dict[str, Observation] = {}
     if stages is None:
-        stages = pretrain_pipeline_stages(
+        stages, observations = _pipeline_build(
             docs, id_col, text_col, lang_col, source_col, chars_col,
-            target_lang,
+            target_lang, False, None, observe_census=True,
         )
     out = None
+    observed_rows: list[tuple[str, int, int]] = []
     for name, df in stages.items():
-        if name == "9_packed":
+        if name in observations:
+            # already collected map-side during the chain (the chain
+            # is eager, so .get never blocks here)
+            vals = observations[name].get
+            observed_rows.append(
+                (name, vals["n_docs"], vals["n_tokens"])
+            )
+        elif name == "9_packed":
             row = df.agg(
                 F.lit(name).alias("stage"),
                 F.countDistinct("window_id")
@@ -286,20 +382,34 @@ def pretrain_pipeline_census(
                 .alias("n_docs"),
                 F.sum("n_tokens").cast("bigint").alias("n_tokens"),
             )
+            out = row if out is None else out.unionByName(row)
         else:
             row = df.agg(
                 F.lit(name).alias("stage"),
                 F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                 F.sum(chars_col).cast("bigint").alias("n_tokens"),
             )
-        out = row if out is None else out.unionByName(row)
+            out = row if out is None else out.unionByName(row)
         if name == "8_mixture":
-            red = detect_pii(df, text_col).agg(
-                F.lit("8c_redactions").alias("stage"),
-                F.sum((F.col("pii_total") > 0).cast("int"))
-                .cast("bigint")
-                .alias("n_docs"),
-                F.sum("pii_total").cast("bigint").alias("n_tokens"),
-            )
-            out = out.unionByName(red)
+            if name in observations:
+                vals = observations[name].get
+                observed_rows.append(
+                    ("8c_redactions", vals["red_docs"],
+                     vals["red_hits"])
+                )
+            else:
+                red = detect_pii(df, text_col).agg(
+                    F.lit("8c_redactions").alias("stage"),
+                    F.sum((F.col("pii_total") > 0).cast("int"))
+                    .cast("bigint")
+                    .alias("n_docs"),
+                    F.sum("pii_total").cast("bigint").alias("n_tokens"),
+                )
+                out = out.unionByName(red)
+    if observed_rows:
+        obs_df = docs.sparkSession.createDataFrame(
+            observed_rows,
+            "stage string, n_docs bigint, n_tokens bigint",
+        )
+        out = obs_df if out is None else out.unionByName(obs_df)
     return out.orderBy("stage")

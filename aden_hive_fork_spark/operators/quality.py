@@ -797,20 +797,31 @@ def ngram_repetition(
             f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
         )
 
+    # (A single tagged explode carrying BOTH gram sizes through one
+    # (id, n, gram) aggregate was A/B'd in r13 and LOST on the
+    # standalone query — q298 noop 1.64 -> 2.32 s: the struct-tagged
+    # array build + the wider combined hash aggregate cost more than
+    # the saved second explode. The two-pass shape stays.)
     top_counts = (
         base.select("_id", F.explode(grams(top_n)).alias("_g"))
         .groupBy("_id", "_g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )
-    mx = top_counts.groupBy("_id").agg(F.max("_c").alias("_mc"))
-    top = (
-        top_counts.join(mx, "_id")
-        .filter(F.col("_c") == F.col("_mc"))
-        .groupBy("_id")
-        .agg(
-            F.min("_g").alias("top_gram"),
-            F.max("_mc").cast("bigint").alias("_tc"),
-        )
+    # argmax gram as ONE per-doc aggregate: min(struct(-count, gram))
+    # picks (count DESC, gram ASC) — exactly the old "max count, ties
+    # break to the lexicographically smallest gram" law — replacing
+    # the max-count aggregate + join-back (r13: 2 fewer Exchanges in
+    # the top chain, the r12 langid-argmin pattern)
+    top = top_counts.groupBy("_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("_c")).alias("_negc"), F.col("_g").alias("_g")
+            )
+        ).alias("_top")
+    ).select(
+        "_id",
+        F.col("_top._g").alias("top_gram"),
+        (-F.col("_top._negc")).cast("bigint").alias("_tc"),
     )
     dup = (
         base.select("_id", F.explode(grams(dup_n)).alias("_g"))

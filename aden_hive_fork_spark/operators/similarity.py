@@ -796,10 +796,14 @@ def ann_md5_buckets(
                 continue
             vals = pdf["qvec"]
             ids = pdf["id"].to_numpy()
+            # NULL-element lists arrive from Arrow as NaN floats, not
+            # None — catch both (e != e is the NaN test), so a null
+            # element yields the all-"0" buckets the HOF form's
+            # when(NULL >= 0) fallthrough produces
             mask = np.array(
                 [
                     v is not None
-                    and not any(e is None for e in v)
+                    and not any(e is None or e != e for e in v)
                     for v in vals
                 ],
                 dtype=bool,

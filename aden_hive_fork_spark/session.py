@@ -56,6 +56,28 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate adds a `size(arr) > 0 AND
+        # isnotnull(arr)` filter under every explode/inline; filter
+        # pushdown then inlines the ARRAY EXPRESSION into that filter
+        # TWICE and pushes it below the widening exchange — so every
+        # heavy text/shingle/gram HOF array in this engine was being
+        # evaluated 2x per row on the narrow pre-shuffle side (and a
+        # 3rd time post-shuffle for the Generate itself). Measured
+        # same-session A/B at sf0.1: q41 4.8 s -> 1.3 s, q232
+        # 4.4 s -> 1.6 s, q336 ~-25%; no query measurably slower
+        # (plan dumps in plans/r13/). The rule's win (skipping
+        # empty-array rows before the shuffle) needs mostly-empty
+        # arrays AND a cheap filter — this corpus engine has neither:
+        # text-derived arrays are almost never empty and the inlined
+        # expressions are the most expensive map work in the plan.
+        # NOT a local[32] artifact — duplicating the heaviest
+        # projection below the exchange costs the same 2x CPU on any
+        # cluster.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -1615,25 +1615,27 @@ def q242_markov_stationary(spark, sf_dir):
     from ..operators.markov import event_transitions, stationary_distribution
 
     e = T(spark, sf_dir, "events")
+    # eager localCheckpoint, not persist (r13 hygiene sweep): the
+    # matrix feeds the stationary collect AND the n_out aggregate;
+    # checkpointed blocks are invocation-scoped (freed on GC), where
+    # the old never-unpersisted persist leaked a CacheManager entry
+    # that would plan-match across repeated invocations
     trans = event_transitions(
         e, "user_id", "ts", "event_type", "event_id"
-    ).persist()
-    try:
-        pi = stationary_distribution(trans, n_iter=_MARKOV_ITER, ndigits=9)
-        n_out = trans.groupBy(F.col("src").alias("state")).agg(
-            F.sum("n").cast("bigint").alias("n_out")
+    ).localCheckpoint(eager=True)
+    pi = stationary_distribution(trans, n_iter=_MARKOV_ITER, ndigits=9)
+    n_out = trans.groupBy(F.col("src").alias("state")).agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    return (
+        n_out.join(pi, "state")
+        .select(
+            "state",
+            "n_out",
+            F.round("pi", 6).cast("double").alias("pi"),
         )
-        return (
-            n_out.join(pi, "state")
-            .select(
-                "state",
-                "n_out",
-                F.round("pi", 6).cast("double").alias("pi"),
-            )
-            .orderBy(F.asc("state"))
-        )
-    finally:
-        pass
+        .orderBy(F.asc("state"))
+    )
 
 
 # ---------------------------------------------------------------------------

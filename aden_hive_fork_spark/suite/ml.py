@@ -315,7 +315,10 @@ def q257_hashed_feature_clusters(spark, sf_dir):
             F.col("features")[i].cast("double").alias(f"f{i}")
             for i in range(_Q257_DIMS)
         ],
-    ).persist()  # kmeans scans n_iter+1 times — vectorize once
+    ).localCheckpoint(eager=True)  # kmeans scans n_iter+1 times —
+    # vectorize once; eager localCheckpoint, not persist (r13 hygiene
+    # sweep): no CacheManager entry to plan-match across invocations,
+    # blocks freed when the frame is garbage collected
     assigned, cents = kmeans(
         pts, dims, "pid", k=_Q257_K, n_iter=_Q257_ITER, salt="km257"
     )

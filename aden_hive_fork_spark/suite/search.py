@@ -368,8 +368,10 @@ def q262_bm25_ndcg(spark, sf_dir):
     from ..operators.metrics import ndcg_at_k
     from ..sources.search_source import _WS, bm25_search
 
-    # one widen shared by the ranker's postings pass and the rel
-    # tokenize below (bm25_search's internal widen then no-ops)
+    # the docs side is widened ONCE here for both consumers (the
+    # ranker's postings pass and the rel tokenize below); bm25_search
+    # deliberately has no internal widen — measured a wash standalone
+    # (search_source note), so the call site owns the decision
     docs = widen_for_map(T(spark, sf_dir, "documents"), "doc_id")
     queries = spark.createDataFrame(_Q99_QUERIES, "qid int, query string")
     ranking = bm25_search(docs, queries, k=10)

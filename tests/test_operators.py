@@ -515,32 +515,32 @@ def test_exact_dedup_tied_order_keeps_exactly_one(spark):
     assert [(r.k, r.ord, r.payload) for r in out] == [(1, 10, "a"), (2, 7, "z")]
 
 
-def test_inverted_index_cache_is_session_scoped(spark):
-    """Cache keys carry the applicationId, and a dead/poisoned entry is
-    rebuilt (guarded sameSemantics probe) instead of being returned."""
+def test_no_module_level_dataframe_caches(spark):
+    """r13: the round-3-era inverted-index persist LRU (_INV_CACHE)
+    was cross-invocation result caching — removed in favour of a
+    per-invocation localCheckpoint. Pin that no module-level
+    DataFrame cache comes back, and that the index-backed operator
+    still produces the right pairs per invocation."""
+    import inspect
+
     from aden_hive_fork_spark.operators import dedup as dmod
 
-    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
-    inv = df.select("doc_id", F.explode(F.split("text", " ")).alias("sh"))
-    dmod._INV_CACHE.clear()
-    got = dmod._cached_inverted_index(inv)
-    assert got.count() == 4
-    app_id = spark.sparkContext.applicationId
-    assert all(k[0] == app_id for k in dmod._INV_CACHE)
+    assert not hasattr(dmod, "_INV_CACHE")
+    assert not hasattr(dmod, "_cached_inverted_index")
+    assert ".persist(" not in inspect.getsource(dmod)
 
-    class _Dead:
-        def sameSemantics(self, other):  # noqa: N802 - Spark API name
-            raise RuntimeError("bound to a stopped session")
-
-        def unpersist(self):
-            pass
-
-    key = (app_id, inv.semanticHash())
-    dmod._INV_CACHE[key] = _Dead()
-    rebuilt = dmod._cached_inverted_index(inv)  # must not raise
-    assert rebuilt.count() == 4
-    assert not isinstance(dmod._INV_CACHE[key], _Dead)
-    dmod._INV_CACHE.clear()
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "x y z w q r"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dmod.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.5
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
 
 
 def test_quantize_zero_norm_embedding_is_all_zero(spark):

@@ -187,3 +187,39 @@ def test_normalize_and_pii_stages_bite(spark):
     assert census["8c_redactions"] == (touched, hits)
     if mail_id in s8:
         assert "[EMAIL] and [EMAIL]" in s8b[mail_id]
+
+
+def test_census_observed_rows_match_direct_aggregates(spark):
+    """r13: the single-consumer stage rows (1_base, 3_quality,
+    7_dsir, 8_mixture) and the 8c ledger arrive as Dataset.observe
+    metrics riding the chain's own materializations. Pin every
+    census row against a direct aggregate over the stage frame — the
+    pre-r13 law — which also proves Catalyst did not push any
+    downstream filter below the CollectMetrics nodes."""
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.pii import detect_pii
+
+    df = spark.createDataFrame(_corpus(), SCHEMA)
+    census = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in pretrain_pipeline_census(df).collect()
+    }
+    stages = pretrain_pipeline_stages(df)
+    for name, sdf in stages.items():
+        if name == "9_packed":
+            row = sdf.agg(
+                F.countDistinct("window_id").cast("bigint"),
+                F.sum("n_tokens").cast("bigint"),
+            ).collect()[0]
+        else:
+            row = sdf.agg(
+                F.count(F.lit(1)).cast("bigint"),
+                F.sum("n_chars").cast("bigint"),
+            ).collect()[0]
+        assert census[name] == (row[0], row[1]), name
+    red = detect_pii(stages["8_mixture"], "text").agg(
+        F.sum((F.col("pii_total") > 0).cast("int")).cast("bigint"),
+        F.sum("pii_total").cast("bigint"),
+    ).collect()[0]
+    assert census["8c_redactions"] == (red[0], red[1])
