@@ -126,6 +126,100 @@ def kmeans_keyed(
     )
 
 
+def _assign_cids_hof(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    cents: dict[int, list[list[float]]],
+) -> DataFrame:
+    """The pre-r13 assignment: broadcast centroid arrays + the
+    interpreted left-to-right ``aggregate``/``zip_with``
+    squared-euclidean fold with the (distance, cid) struct-min
+    tie-break. Kept as the differential reference for
+    ``_assign_cids_kernel`` (pinned bit-equal by
+    ``test_kmeans_assign_kernel_matches_hof``)."""
+    spark = df.sparkSession
+    keys = sorted(cents)
+    cb = F.broadcast(
+        spark.createDataFrame(
+            [(key, cents[key]) for key in keys],
+            f"{key_col} int, _cents array<array<double>>",
+        )
+    )
+    entries = F.transform(
+        F.col("_cents"),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), c, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    return (
+        df.join(cb, key_col)
+        .withColumn("cid", F.array_min(entries).getField("cid"))
+        .drop("_cents")
+    )
+
+
+def _assign_cids_kernel(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    cents: dict[int, list[list[float]]],
+) -> DataFrame:
+    """Arrow kernel for the per-round Lloyd assignment (r13): the
+    SCALING §29 rule — the interpreted HOF fold never enters
+    whole-stage codegen and was the dominant per-round cost
+    (n·k·d fused lambdas per row). IEEE-exact replay of the HOF:
+    the distance accumulates DIM-SEQUENTIALLY from +0.0 with one
+    (a−b)·(a−b) elementwise product per dimension (never a pairwise
+    numpy sum — binary64 ops in the fold's exact order), and
+    ``np.argmin`` returns the FIRST minimum — the struct-min's
+    (distance asc, cid asc) tie-break. Centroids ride the task
+    closure (keys·k·d doubles, bounded)."""
+    import numpy as np
+    import pandas as pd
+
+    bk = {
+        int(key): np.array(v, dtype=np.float64)
+        for key, v in cents.items()
+    }
+    key_dt = dict(df.dtypes)[key_col]
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf[[key_col, vec_col]].assign(
+                    cid=pd.Series([], dtype="int32")
+                )
+                continue
+            keys_arr = pdf[key_col].to_numpy()
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            cids = np.empty(len(pdf), dtype=np.int32)
+            for kv in np.unique(keys_arr):
+                m = keys_arr == kv
+                cmat = bk[int(kv)]  # (k, d)
+                x = mat[m]  # (n, d)
+                dist = np.zeros((x.shape[0], cmat.shape[0]))
+                for dd in range(cmat.shape[1]):
+                    diff = x[:, dd : dd + 1] - cmat[:, dd][None, :]
+                    dist += diff * diff
+                cids[m] = np.argmin(dist, axis=1)
+            yield pdf[[key_col, vec_col]].assign(cid=cids)
+
+    return df.select(key_col, vec_col).mapInPandas(
+        run,
+        schema=f"{key_col} {key_dt}, {vec_col} array<double>, cid int",
+    )
+
+
 def kmeans_keyed_array(
     df: DataFrame,
     key_col: str,
@@ -145,9 +239,11 @@ def kmeans_keyed_array(
 
     - seeds: the k smallest ``md5(salt_prefix || key || id)`` rows
       per key (two-phase partition-local top-k, bit-identical);
-    - assignment: the same left-to-right ``aggregate``/``zip_with``
-      squared-euclidean fold over the SAME array values, same
-      (distance, cid) struct-min tie-break;
+    - assignment: an Arrow kernel replaying the left-to-right
+      squared-euclidean fold bit-for-bit (dim-sequential binary64
+      accumulation from +0.0, argmin-first == the (distance, cid)
+      struct-min tie-break — r13; the interpreted HOF form is kept
+      as ``_assign_cids_hof`` and differentially pinned);
     - centroid update: ``posexplode`` + one exact-decimal mean per
       (key, cid, dimension) — the same DECIMAL(28,2) addends the
       per-column aggregates summed, reduced by the same
@@ -231,27 +327,9 @@ def kmeans_keyed_array(
         dim = len(next(iter(cents.values()))[0])
 
     spark = df.sparkSession
-    feat = F.col(vec_col)
     for _ in range(n_iter):
-        cb = F.broadcast(
-            spark.createDataFrame(
-                [(key, cents[key]) for key in keys],
-                f"{key_col} int, _cents array<array<double>>",
-            )
-        )
-        entries = F.transform(
-            F.col("_cents"),
-            lambda c, i: F.struct(
-                F.aggregate(
-                    F.zip_with(feat, c, lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                i.cast("int").alias("cid"),
-            ),
-        )
-        assigned = df.join(cb, key_col).withColumn(
-            "cid", F.array_min(entries).getField("cid")
+        assigned = _assign_cids_kernel(
+            df.select(key_col, vec_col), key_col, vec_col, cents
         )
         rows = (
             assigned.select(

@@ -121,6 +121,7 @@ def _pipeline_build(
     gopher: bool,
     gopher_params: dict | None,
     observe_census: bool,
+    materialize_all: bool = False,
 ) -> tuple[dict[str, DataFrame], dict[str, Observation]]:
     """The shared chain. With ``observe_census`` the single-consumer
     stage boundaries (s1, s3 non-gopher, s7, s8) carry
@@ -131,7 +132,10 @@ def _pipeline_build(
     surviving rows, and the census needs no separate job for them.
     The s8 observation additionally carries the 8c redaction-ledger
     sums (detect_pii columns computed in the same pass the redactor
-    already scans)."""
+    already scans). ``materialize_all`` restores the pre-r13 eager
+    checkpoints on the single-consumer stages — for the
+    aggregate-census path (observe=False inside foreachBatch), where
+    the census would otherwise recompute each lazy stage view."""
     from .dedup import (
         dedup_by_components,
         exact_dedup,
@@ -151,6 +155,14 @@ def _pipeline_build(
     )
 
     observations: dict[str, Observation] = {}
+
+    def _maybe_ckpt(df: DataFrame) -> DataFrame:
+        # materialize_all: the aggregate census re-reads every stage,
+        # so the single-consumer boundaries get their pre-r13 eager
+        # checkpoints back instead of recomputing as lazy views
+        return (
+            df.localCheckpoint(eager=True) if materialize_all else df
+        )
 
     def _census_tap(df: DataFrame, stage: str) -> DataFrame:
         """Attach the stage's census aggregates as observed metrics;
@@ -180,6 +192,7 @@ def _pipeline_build(
             docs.sparkSession.sparkContext.defaultParallelism, id_col
         )
     )
+    s1 = _maybe_ckpt(s1)
 
     s1b = normalize_corpus(
         _census_tap(s1, "1_base"), text_col=text_col,
@@ -230,6 +243,7 @@ def _pipeline_build(
         ).localCheckpoint(eager=True)
         s4_in = s3b
     else:
+        s3 = _maybe_ckpt(s3)
         s3b = s3
         s4_in = _census_tap(s3, "3_quality")
 
@@ -269,15 +283,20 @@ def _pipeline_build(
         s6.withColumn("_t", F.col(lang_col) == target_lang),
         id_col, text_col, "_t",
     )
-    s7 = s6.join(
-        scores.filter(F.col("log_ratio") > 0).select(id_col), id_col
+    s7 = _maybe_ckpt(
+        s6.join(
+            scores.filter(F.col("log_ratio") > 0).select(id_col),
+            id_col,
+        )
     )
 
-    s8 = token_budget_sample(
-        _census_tap(s7, "7_dsir"), cost_col=chars_col,
-        budget=BUDGET_PER_SOURCE, group_cols=[source_col],
-        id_cols=[id_col],
-    ).select(*cols)
+    s8 = _maybe_ckpt(
+        token_budget_sample(
+            _census_tap(s7, "7_dsir"), cost_col=chars_col,
+            budget=BUDGET_PER_SOURCE, group_cols=[source_col],
+            id_cols=[id_col],
+        ).select(*cols)
+    )
 
     # PII redaction AFTER the budget draw (the budget is charged on
     # pre-redaction lengths), BEFORE anything is packed or shipped;
@@ -338,6 +357,7 @@ def pretrain_pipeline_census(
     chars_col: str = "n_chars",
     target_lang: str = "en",
     stages: dict[str, DataFrame] | None = None,
+    observe: bool = True,
 ) -> DataFrame:
     """The per-stage corpus accounting: one row per stage with
     (stage, n_docs BIGINT, n_tokens BIGINT). Corpus stages count
@@ -355,22 +375,40 @@ def pretrain_pipeline_census(
     aggregates job over the checkpointed stage frames. Pass
     ``stages`` to account an already-computed chain — that path
     aggregates every stage frame directly (checkpointed entries are
-    free to re-read; lazy entries recompute their one-stage view)."""
+    free to re-read; lazy entries recompute their one-stage view).
+    ``observe=False`` forces the direct-aggregate path for the whole
+    census — required inside a streaming ``foreachBatch`` sink, where
+    the micro-batch runs on a CLONED SparkSession and batch
+    Observation listeners never fire (streaming/pretrain_stream is
+    that caller)."""
     from .pii import detect_pii
 
     observations: dict[str, Observation] = {}
     if stages is None:
         stages, observations = _pipeline_build(
             docs, id_col, text_col, lang_col, source_col, chars_col,
-            target_lang, False, None, observe_census=True,
+            target_lang, False, None, observe_census=observe,
+            materialize_all=not observe,
         )
+    # Resolve the observed metrics up front, with a fallback: a
+    # session in which a foreachBatch sink has EVER run can leave the
+    # batch Observation listener broken (the observation resolves to
+    # an empty row — Spark clones the session for the micro-batch and
+    # the listener plumbing does not recover). The chain already ran
+    # eagerly either way, so on any retrieval failure the affected
+    # stage rows are recomputed as direct aggregates over the (lazy)
+    # stage frames — the pre-r13 law, bit-identical.
+    obs_vals: dict[str, dict] = {}
+    for oname, ob in observations.items():
+        try:
+            obs_vals[oname] = ob.get
+        except Exception:
+            pass
     out = None
     observed_rows: list[tuple[str, int, int]] = []
     for name, df in stages.items():
-        if name in observations:
-            # already collected map-side during the chain (the chain
-            # is eager, so .get never blocks here)
-            vals = observations[name].get
+        if name in obs_vals:
+            vals = obs_vals[name]
             observed_rows.append(
                 (name, vals["n_docs"], vals["n_tokens"])
             )
@@ -391,8 +429,8 @@ def pretrain_pipeline_census(
             )
             out = row if out is None else out.unionByName(row)
         if name == "8_mixture":
-            if name in observations:
-                vals = observations[name].get
+            if name in obs_vals:
+                vals = obs_vals[name]
                 observed_rows.append(
                     ("8c_redactions", vals["red_docs"],
                      vals["red_hits"])

@@ -965,6 +965,11 @@ def ivf_md5_topk(
     scored = q.crossJoin(F.broadcast(seeds)).select(
         "id", "qvec", "seed_id", dot_seed.alias("sdot")
     )
+    # NOTE (r13): this site keeps the row_number form. The min-struct
+    # argmax used at the other three assignment sites was A/B'd here
+    # and LOST (q239 1.01 -> 1.32 s): `assigned` must carry the qvec
+    # payload, and hauling the 64-int array through the min-struct
+    # aggregation buffer costs more than the window's sort.
     w_assign = Window.partitionBy("id").orderBy(
         F.desc("sdot"), F.asc("seed_id")
     )
@@ -1387,7 +1392,7 @@ def pq_adc_topk(
         )
         .localCheckpoint(eager=False)
     )
-    codes = _pq_codes_runtime(xqf, "_xq", codebooks)
+    codes = _pq_codes_kernel(xqf, "_xq", codebooks)
     qtab_rows = []
     for qr in qrows:
         qx = [int(v) for v in qr["_xq"]]
@@ -1577,6 +1582,67 @@ def _subspace_kmeans(
     )
 
 
+def _pq_codes_kernel(
+    frame: DataFrame,
+    xq_col: str,
+    books: list[list[list[int]]],
+    id_out: str = "id",
+) -> DataFrame:
+    """``(id, j, h)`` PQ codes as ONE Arrow kernel (r13) — the
+    default encode form at all three sites. The arithmetic is the
+    runtime-HOF form's exactly: per (row, subspace) the int64
+    Σ(x−c)² over codewords, argmin with ties to the LOWEST code
+    (``np.argmin`` returns the first minimum — the HOF's
+    (distance asc, code asc) ``array_min`` struct pick). All-integer
+    math, so summation order is irrelevant (exact associativity) and
+    the kernel is bit-identical to ``_pq_codes_runtime`` by
+    construction — pinned by
+    ``test_pq_codes_kernel_matches_runtime_hof``, which keeps the HOF
+    as the differential reference. Why a kernel (guide §4.2 /
+    SCALING §29): the nested ``transform``/``aggregate`` HOF never
+    whole-stage-codegens, so encoding paid ~0.6 ms of interpreted
+    expression evaluation PER VECTOR (m·k·d_sub fused lambdas);
+    measured 1.26 s → ~0.2 s noop on the 2000-vector q339 encode.
+    The codebooks ride in the task closure (m·k·d_sub ints —
+    bounded, the same boundedness the broadcast join already paid)."""
+    import numpy as np
+
+    m = len(books)
+    d_sub = len(books[0][0])
+    bmat = np.array(books, dtype=np.int64)  # (m, k, d_sub)
+    j_col = np.arange(m, dtype=np.int32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {id_out: [], "j": [], "h": []}
+                )
+                continue
+            ids = pdf[id_out].to_numpy()
+            mat = np.vstack(pdf[xq_col].to_numpy()).astype(np.int64)
+            n = len(pdf)
+            hs = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                dist = np.zeros((n, bmat.shape[1]), dtype=np.int64)
+                for d in range(d_sub):
+                    diff = sub[:, d : d + 1] - bmat[j, :, d][None, :]
+                    dist += diff * diff
+                hs[:, j] = np.argmin(dist, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(ids, m),
+                    "j": np.tile(j_col, n),
+                    "h": hs.ravel(),
+                }
+            )
+
+    return frame.select(id_out, xq_col).mapInPandas(
+        run, schema=f"{id_out} long, j int, h int"
+    )
+
+
 def _pq_codes_runtime(
     frame: DataFrame,
     xq_col: str,
@@ -1699,13 +1765,22 @@ def ivf_pq_topk(
     scored_seed = qn.crossJoin(F.broadcast(seeds)).select(
         "id", "seed_id", dot_seed.alias("sdot")
     )
+    # min-struct top-1 == the old (sdot DESC, seed_id ASC) window
+    # pick; partial-aggregates map-side (r13)
+    assigned = (
+        scored_seed.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sdot")).alias("_negdot"),
+                    F.col("seed_id").alias("seed_id"),
+                )
+            ).alias("_b")
+        )
+        .select("id", F.col("_b.seed_id").alias("cell"))
+    )
     w_assign = Window.partitionBy("id").orderBy(
         F.desc("sdot"), F.asc("seed_id")
-    )
-    assigned = (
-        scored_seed.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("seed_id").alias("cell"))
     )
     probes = (
         scored_seed.filter(F.col("id").isin([int(q) for q in query_ids]))
@@ -1730,7 +1805,7 @@ def ivf_pq_topk(
         )
         .localCheckpoint(eager=False)
     )
-    codes = _pq_codes_runtime(xqf, "_xq", codebooks)
+    codes = _pq_codes_kernel(xqf, "_xq", codebooks)
     qrows = (
         emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(
@@ -1891,15 +1966,24 @@ def semdedup_verdicts(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w_assign = Window.partitionBy("id").orderBy(
-        F.desc("sdot"), F.asc("seed_id")
-    )
+    # min-struct top-1 == the old (sdot DESC, seed_id ASC) window
+    # pick; partial-aggregates map-side (r13)
     assigned = (
         qn.crossJoin(F.broadcast(seeds))
         .select("id", "seed_id", dot_seed.alias("sdot"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("seed_id").alias("cell"), "sdot")
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sdot")).alias("_negdot"),
+                    F.col("seed_id").alias("seed_id"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "id", F.col("_b.seed_id").alias("cell"),
+            (-F.col("_b._negdot")).alias("sdot"),
+        )
         .localCheckpoint(eager=False)
     )
     blocked = emb.select(
@@ -2125,15 +2209,21 @@ def ivf_residual_frame(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    w_assign = Window.partitionBy("id").orderBy(
-        F.desc("sdot"), F.asc("seed_id")
-    )
+    # min-struct top-1 == the old (sdot DESC, seed_id ASC) window
+    # pick; partial-aggregates map-side (r13)
     assigned = (
         qn.crossJoin(F.broadcast(seeds))
         .select("id", "seed_id", dot_seed.alias("sdot"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("seed_id").alias("cell"))
+        .groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sdot")).alias("_negdot"),
+                    F.col("seed_id").alias("seed_id"),
+                )
+            ).alias("_b")
+        )
+        .select("id", F.col("_b.seed_id").alias("cell"))
     )
     xq_full = emb.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.expr(_xq_expr(vec_col)).alias("xq")
@@ -2229,7 +2319,7 @@ def ivf_pq_residual_topk(
 
     # --- encode member residuals (map-side runtime-HOF argmin; the
     # checkpointed frame's rq is already materialized) ---------------
-    codes = _pq_codes_runtime(frame.select("id", "rq"), "rq", books)
+    codes = _pq_codes_kernel(frame.select("id", "rq"), "rq", books)
 
     # --- probes + per-(query, cell) residual ADC tables -------------
     # lazy is fine HERE: the cross-join below is filtered to

@@ -121,7 +121,11 @@ def merge_pretrain_batch(
     shutil.rmtree(vdir, ignore_errors=True)
     corpus.write.mode("overwrite").parquet(os.path.join(vdir, "corpus"))
     if version % census_every == 0:
-        census = pretrain_pipeline_census(corpus)
+        # observe=False: this runs inside a foreachBatch sink, where
+        # the micro-batch's CLONED SparkSession never fires batch
+        # Observation listeners — the direct-aggregate census path is
+        # the correct form here (r13)
+        census = pretrain_pipeline_census(corpus, observe=False)
         census.write.mode("overwrite").parquet(
             os.path.join(vdir, "census")
         )

@@ -33,12 +33,21 @@ def test_driver_fast_path_equals_distributed(spark, monkeypatch):
         )
     cases.append([(i, i + 1) for i in range(40)])  # chain
     cases.append([(5, 5), (9, 2)])  # self-loop
-    for edges in cases:
-        df = spark.createDataFrame(edges, "id_a long, id_b long")
-        fast = _labels(df)
-        monkeypatch.setattr(dedup_mod, "_CC_DRIVER_MAX_EDGES", 0)
-        slow = _labels(df)
-        monkeypatch.undo()
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = [
+        spark.createDataFrame(edges, "id_a long, id_b long")
+        for edges in cases
+    ]
+    # each case is an independent Spark chain — overlap them (r13;
+    # this test was 18 s serial, all fixed job overhead)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fasts = list(pool.map(_labels, dfs))
+    monkeypatch.setattr(dedup_mod, "_CC_DRIVER_MAX_EDGES", 0)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        slows = list(pool.map(_labels, dfs))
+    monkeypatch.undo()
+    for fast, slow in zip(fasts, slows):
         assert fast == slow
         # label law: every component's label is its minimum node id
         for node, comp in fast.items():

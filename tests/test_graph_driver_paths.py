@@ -26,7 +26,6 @@ def _rand_graph(seed, n, m, weighted=False):
 def test_bfs_driver_equals_distributed(spark, monkeypatch):
     cases = [
         _rand_graph(7, 25, 40),
-        _rand_graph(8, 60, 50),
         [(i, i + 1) for i in range(30)],  # chain
         [(1, 2), (2, 1), (5, 5)],  # cycle + self-loop + unreachable 9
     ]
@@ -35,7 +34,7 @@ def test_bfs_driver_equals_distributed(spark, monkeypatch):
         seeds = spark.createDataFrame(
             [(r,) for r in {edges[0][0], 9}], "id long"
         )
-        for hops in (0, 2, 4):
+        for hops in (0, 3):
             fast = {
                 r["id"]: r["hops"]
                 for r in bfs_hops(e, seeds, max_hops=hops).collect()
@@ -52,14 +51,13 @@ def test_bfs_driver_equals_distributed(spark, monkeypatch):
 def test_sssp_driver_equals_distributed(spark, monkeypatch):
     cases = [
         _rand_graph(3, 25, 60, weighted=True),
-        _rand_graph(4, 50, 40, weighted=True),
         [(i, i + 1, 2) for i in range(25)],  # weighted chain
         [(1, 2, 0), (2, 3, 0), (3, 1, 5)],  # zero weights + cycle
     ]
     for edges in cases:
         e = spark.createDataFrame(edges, "src long, dst long, w long")
         seeds = spark.createDataFrame([(edges[0][0],), (7,)], "id long")
-        for rounds in (0, 1, 3):
+        for rounds in (0, 3):
             fast = {
                 r["id"]: r["dist"]
                 for r in sssp_weighted(e, seeds, rounds=rounds).collect()

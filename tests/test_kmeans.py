@@ -116,3 +116,40 @@ def test_kmeans_keyed_seed_phase_invariant_to_tiny_arrow_batches(spark):
         else:
             spark.conf.set(key, prev)
     assert tiny == base
+
+
+def test_kmeans_assign_kernel_matches_hof(spark):
+    """r13: the Arrow Lloyd-assignment kernel must replay the
+    interpreted HOF fold bit-for-bit — same dim-sequential binary64
+    accumulation, same (distance asc, cid asc) tie-break. Random
+    doubles (including duplicated centroids to force exact ties)."""
+    import random
+
+    from aden_hive_fork_spark.operators.kmeans import (
+        _assign_cids_hof,
+        _assign_cids_kernel,
+    )
+
+    rng = random.Random(41)
+    cents = {
+        0: [[rng.uniform(-5, 5) for _ in range(6)] for _ in range(4)],
+        1: [[rng.uniform(-5, 5) for _ in range(6)] for _ in range(4)],
+    }
+    # exact tie: centroid 2 duplicates centroid 0 in key 1 — the
+    # tie-break must pick cid 0
+    cents[1][2] = list(cents[1][0])
+    rows = [
+        (i % 2, [rng.uniform(-6, 6) for _ in range(6)])
+        for i in range(300)
+    ] + [(1, list(cents[1][0]))]  # lands exactly on the dup pair
+    df = spark.createDataFrame(rows, "j int, v array<double>")
+    kern = {
+        (r["j"], tuple(r["v"])): r["cid"]
+        for r in _assign_cids_kernel(df, "j", "v", cents).collect()
+    }
+    hof = {
+        (r["j"], tuple(r["v"])): r["cid"]
+        for r in _assign_cids_hof(df, "j", "v", cents).collect()
+    }
+    assert kern and kern == hof
+    assert kern[(1, tuple(cents[1][0]))] == 0  # tie -> lowest cid

@@ -43,24 +43,42 @@ def _contains_decimal(dt: DataType) -> bool:
 
 
 def test_no_decimal_output_columns_suite_wide(spark):
+    from concurrent.futures import ThreadPoolExecutor
+
     from aden_hive_fork_spark import suite
 
     suite.load_all()
     offenders: dict[str, list[str]] = {}
     failures: dict[str, str] = {}
-    for name, fn in sorted(suite.QUERIES.items()):
-        if name in ALLOWLIST:
-            continue
+
+    def _schema_of(item):
+        # most queries resolve lazily (Catalyst analysis only), but a
+        # handful are eager at construction (pipeline checkpoints,
+        # collect-driven operators) and run real jobs — resolving
+        # across a driver thread pool overlaps those (guide §2.6;
+        # r13: this single test was 200 s serial, ~3 min of the
+        # driver's verify window)
+        name, fn = item
         try:
-            schema = fn(spark, SF_SMALL).schema
-        except Exception as e:  # schema resolution itself must work
-            failures[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        bad = [
-            f.name for f in schema.fields if _contains_decimal(f.dataType)
-        ]
-        if bad:
-            offenders[name] = bad
+            return name, fn(spark, SF_SMALL).schema, None
+        except Exception as e:
+            return name, None, f"{type(e).__name__}: {e}"[:200]
+
+    items = [
+        (n, f) for n, f in sorted(suite.QUERIES.items())
+        if n not in ALLOWLIST
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, schema, err in pool.map(_schema_of, items):
+            if err is not None:
+                failures[name] = err
+                continue
+            bad = [
+                f.name for f in schema.fields
+                if _contains_decimal(f.dataType)
+            ]
+            if bad:
+                offenders[name] = bad
     assert not failures, f"schema resolution failed: {failures}"
     assert not offenders, (
         "DECIMAL output columns are driver-red by the CORRECTNESS_r07 "

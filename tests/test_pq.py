@@ -352,3 +352,45 @@ def test_quantize_kernel_half_up_boundary(spark):
          for r in quantize_embeddings_hof(emb).collect()}
     assert k == h
     assert k[1][0] == 0 and k[2][0] == 0  # not the fast-path 1
+
+
+def test_pq_codes_kernel_matches_runtime_hof(spark):
+    """r13: the Arrow encode kernel must be BIT-identical to the
+    runtime-HOF form (kept as the differential reference) — same
+    int64 sum-of-squares, same (distance asc, code asc) tie-break.
+    Random grids plus a duplicate-codeword book to force real ties."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aden_hive_fork_spark.operators.similarity import (
+        _pq_codes_kernel,
+        _pq_codes_runtime,
+    )
+
+    rng = random.Random(99)
+    m, k, d_sub = 4, 5, 3
+    books = [
+        [[rng.randint(-50, 50) for _ in range(d_sub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    # force exact ties: codeword 3 duplicates codeword 1 in every
+    # subspace — the argmin must pick the LOWER code (1)
+    for j in range(m):
+        books[j][3] = list(books[j][1])
+    rows = [
+        (i, [rng.randint(-60, 60) for _ in range(m * d_sub)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, xq array<long>")
+    kern = {
+        (r["id"], r["j"]): r["h"]
+        for r in _pq_codes_kernel(df, "xq", books).collect()
+    }
+    hof = {
+        (r["id"], r["j"]): r["h"]
+        for r in _pq_codes_runtime(df, "xq", books).collect()
+    }
+    assert kern == hof
+    assert any(h == 1 for h in kern.values())  # ties were exercised
+    assert not any(h == 3 for h in kern.values())  # never the dup

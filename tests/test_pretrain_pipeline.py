@@ -67,6 +67,15 @@ def census(spark):
     }
 
 
+@pytest.fixture(scope="module")
+def stages(spark):
+    # ONE chain shared by every test that reads stage frames (r13:
+    # each chain costs ~7 s of fixed job overhead; three tests built
+    # their own)
+    df = spark.createDataFrame(_corpus(), SCHEMA)
+    return pretrain_pipeline_stages(df)
+
+
 def test_stage_names_and_monotone_shrinkage(census):
     names = sorted(census)
     assert names == [
@@ -89,9 +98,7 @@ def test_stage_names_and_monotone_shrinkage(census):
     assert census["8c_redactions"][1] >= census["8c_redactions"][0]
 
 
-def test_stages_bite(spark, census):
-    df = spark.createDataFrame(_corpus(), SCHEMA)
-    stages = pretrain_pipeline_stages(df)
+def test_stages_bite(spark, census, stages):
     # disjoint alphabets -> langid agrees on every doc (no drops at
     # stage 2 besides none), spam doc survives classification
     assert census["2_langid"][0] == census["1_base"][0]
@@ -189,7 +196,9 @@ def test_normalize_and_pii_stages_bite(spark):
         assert "[EMAIL] and [EMAIL]" in s8b[mail_id]
 
 
-def test_census_observed_rows_match_direct_aggregates(spark):
+def test_census_observed_rows_match_direct_aggregates(
+    spark, census, stages
+):
     """r13: the single-consumer stage rows (1_base, 3_quality,
     7_dsir, 8_mixture) and the 8c ledger arrive as Dataset.observe
     metrics riding the chain's own materializations. Pin every
@@ -200,12 +209,6 @@ def test_census_observed_rows_match_direct_aggregates(spark):
 
     from aden_hive_fork_spark.operators.pii import detect_pii
 
-    df = spark.createDataFrame(_corpus(), SCHEMA)
-    census = {
-        r["stage"]: (r["n_docs"], r["n_tokens"])
-        for r in pretrain_pipeline_census(df).collect()
-    }
-    stages = pretrain_pipeline_stages(df)
     for name, sdf in stages.items():
         if name == "9_packed":
             row = sdf.agg(

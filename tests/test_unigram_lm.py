@@ -34,9 +34,18 @@ def sp():
 
 
 def _r(x: float, d: int) -> float:
-    """Spark ROUND: HALF_UP on the decimal rendering of the double."""
+    """Spark ROUND: HALF_UP on the SHORTEST decimal rendering of the
+    double (BigDecimal.valueOf == Double.toString), so quantize
+    Decimal(repr(x)), NOT Decimal(x) — the exact binary expansion
+    disagrees with both engines on half-boundary values like
+    -6.4821915 (stored as ...149999…): engines say -6.482192, the
+    exact expansion says -6.482191. Same fix as the round-12
+    test_round9b _r repair; hypothesis found this model's instance
+    in round 13."""
     return float(
-        Decimal(x).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP)
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+        )
     )
 
 

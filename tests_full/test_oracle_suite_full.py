@@ -30,7 +30,7 @@ def test_every_oracle_key_has_query():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, spark, duck):
-    from tests.conftest import SF_SMALL
+    from conftest import SF_SMALL
 
     s_rows = _spark_rows(QUERIES[name](spark, SF_SMALL))
     d_rows = _duck_rows(duck, ORACLES[name])
@@ -42,7 +42,7 @@ def test_oracle_match(name, spark, duck):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(name, spark):
-    from tests.conftest import SF_SMALL
+    from conftest import SF_SMALL
 
     rows = QUERIES[name](spark, SF_SMALL)
     assert rows.columns  # stable schema
