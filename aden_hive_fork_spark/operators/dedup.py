@@ -659,6 +659,11 @@ def kmv_jaccard_pairs(
     # Per-group state is the doc's distinct-hash set — the same rows
     # the window form buffered per doc, and ObjectHashAggregate falls
     # back to sort-based aggregation under pressure.
+    # widen before the shingle+md5 explode (r13): a single-split
+    # local scan otherwise runs the heaviest map pass of the operator
+    # on ONE task (sketch build measured 1.98 -> 0.42 s at sf0.1);
+    # no-op on an already-wide cluster scan
+    df = widen_for_map(df, id_col)
     sk = (
         df.select(
             F.col(id_col).alias("_id"),

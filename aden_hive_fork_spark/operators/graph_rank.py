@@ -71,6 +71,17 @@ def pagerank(
     n = nodes.count()
     if n == 0:  # empty graph: empty ranks, not a ZeroDivisionError
         return nodes.select("id", F.lit(0.0).alias("rank"))
+    if e.count() <= _GRAPH_DRIVER_MAX_EDGES:
+        out = _pagerank_driver(e, n, iterations, damping)
+        if out is not None:
+            if _restore_ckpt_dir is not None:
+                try:
+                    edges.sparkSession.sparkContext.setCheckpointDir(
+                        _restore_ckpt_dir
+                    )
+                except Exception:
+                    pass
+            return out
     # outdeg is reused by every iteration: checkpoint it once instead
     # of re-shuffling e per round
     outdeg = _ckpt(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
@@ -124,6 +135,59 @@ def pagerank(
         except Exception:
             pass
     return ranks
+
+
+def _pagerank_driver(
+    e: DataFrame, n: int, iterations: int, damping: float
+) -> DataFrame | None:
+    """Driver replay of the power rounds for a gate-sized edge list
+    (r13, the CC/BFS/SSSP precedent). The per-element arithmetic is
+    the distributed plan's exactly — rank/outdeg (binary64 divide),
+    base = (1−d)/n + (d·dangling)/n, then + d·in_mass, same
+    association — and the only difference is the ORDER of the two
+    float SUMS (per-dst in-mass, dangling), which Spark itself does
+    not fix (partial aggregation order) and DuckDB's unrolled-CTE
+    oracle already sums differently: the q104 contract compares at
+    ROUND(rank, 8), which absorbs the summation-order ulps (verified
+    by the rounded differential test and the oracle gate at three
+    scales). Returns None on NULL endpoints — SQL null-join
+    semantics stay with the distributed path."""
+    import numpy as np
+
+    # Arrow transfer, not collect(): half a million Row objects cost
+    # seconds of pure Python; the columnar path is ~ms
+    pdf = e.toPandas()
+    if pdf["src"].isna().any() or pdf["dst"].isna().any():
+        return None
+    srcs = pdf["src"].to_numpy()
+    dsts = pdf["dst"].to_numpy()
+    ids_arr = np.unique(np.concatenate([srcs, dsts]))
+    ids = [v.item() for v in ids_arr]
+    src_i = np.searchsorted(ids_arr, srcs)
+    dst_i = np.searchsorted(ids_arr, dsts)
+    idx = {v: i for i, v in enumerate(ids)}
+    outdeg = np.zeros(n, dtype=np.float64)
+    np.add.at(outdeg, src_i, 1.0)
+    ranks = np.full(n, 1.0 / n, dtype=np.float64)
+    dangling_mask = outdeg == 0.0
+    for _ in range(iterations):
+        dangling = float(ranks[dangling_mask].sum())
+        contrib = ranks[src_i] / outdeg[src_i]
+        in_mass = np.zeros(n, dtype=np.float64)
+        np.add.at(in_mass, dst_i, contrib)
+        base = (1.0 - damping) / n + (damping * dangling) / float(n)
+        ranks = base + damping * in_mass
+    # id type == the distributed path's (the src∪dst union coercion)
+    id_dt = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .schema[0]
+        .dataType.simpleString()
+    )
+    return e.sparkSession.createDataFrame(
+        [(v, float(ranks[idx[v]])) for v in ids],
+        f"id {id_dt}, rank double",
+    )
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"

@@ -364,15 +364,16 @@ _Q262_SQL = f"""
 def q262_bm25_ndcg(spark, sf_dir):
     """operators/metrics.ndcg_at_k over the q99 BM25 ranker, graded
     by summed query-term frequency."""
-    from ..operators.dedup import widen_for_map
     from ..operators.metrics import ndcg_at_k
     from ..sources.search_source import _WS, bm25_search
 
-    # the docs side is widened ONCE here for both consumers (the
-    # ranker's postings pass and the rel tokenize below); bm25_search
-    # deliberately has no internal widen — measured a wash standalone
-    # (search_source note), so the call site owns the decision
-    docs = widen_for_map(T(spark, sf_dir, "documents"), "doc_id")
+    # NOT widened (r13 — reverting the r12 widen): the VERDICT-flagged
+    # cross-session discrepancy re-checked as a real loss with a
+    # repeated same-session A/B (widen 3.05/2.81 s vs plain
+    # 2.52/2.41 s noop): split-tokenize is light per row here, so the
+    # full-text shuffle costs more than the extra cores buy —
+    # matching bm25_search's own standalone wash (search_source note)
+    docs = T(spark, sf_dir, "documents")
     queries = spark.createDataFrame(_Q99_QUERIES, "qid int, query string")
     ranking = bm25_search(docs, queries, k=10)
     toks = docs.select(

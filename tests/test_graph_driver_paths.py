@@ -106,3 +106,41 @@ def test_null_endpoints_fall_back_to_distributed(spark):
         for r in sssp_weighted(ew, seeds, rounds=2).collect()
     }
     assert gotd[1] == 0 and gotd[2] == 4  # NULL weight skipped by MIN
+
+
+def test_pagerank_driver_equals_distributed_at_contract_precision(
+    spark, monkeypatch
+):
+    """r13: the pagerank driver replay uses the distributed plan's
+    per-element float arithmetic; only the two SUM orders differ
+    (in-mass, dangling) — an order Spark itself does not fix across
+    partitions and the DuckDB oracle already sums differently. The
+    operator's contract surface is ROUND(rank, 8) (q104), so the pin
+    compares there, on graphs with hubs, dangling nodes, and
+    rank-concentrating chains."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    cases = [
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(120)],
+        [(i, 39) for i in range(39)],  # a pure hub + dangling sink
+        [(i, i + 1) for i in range(30)],  # chain
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        def ranks():
+            return {
+                r["id"]: r["rank"]
+                for r in gr.pagerank(df, iterations=5, damping=0.85)
+                .select("id", F.round("rank", 8).alias("rank"))
+                .collect()
+            }
+
+        fast = ranks()
+        monkeypatch.setattr(gr, "_GRAPH_DRIVER_MAX_EDGES", 0)
+        slow = ranks()
+        monkeypatch.undo()
+        assert fast == slow, edges
